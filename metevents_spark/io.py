@@ -1,0 +1,89 @@
+"""Parquet loaders for the test star schema + canonical series frame.
+
+The reference consumes one shape: a datetime-indexed float series
+(metevents/events.py:18-20). Our canonical distributed equivalent is a
+DataFrame ``(sid STRING, seq LONG, ts TIMESTAMP, value DOUBLE)`` where
+``sid`` keys independent series (parallelism unit) and ``seq`` is a
+deterministic tiebreaker for duplicate timestamps so window ordering is
+total. The driver's ``events`` table maps user_id->sid, event_id->seq
+(FIXTURES.md F6).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan, tolerant of TIMESTAMP(NANOS) columns.
+
+    The driver's generator writes ``events.ts`` as parquet
+    timestamp[ns], which Spark's vectorized reader rejects unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set; we read the raw
+    int64 nanos and convert with integer division (a double division
+    would lose precision above 2^53).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols: list[str] = []
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        ns_cols = [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
+    except Exception:
+        pass
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000").cast("long"))
+        )
+    return df
+
+
+def series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (sid, seq, ts, value) frame from the events table.
+
+    Column pruning happens at the parquet scan (only 4 columns read);
+    no shuffle here — partitioning is deferred to the first window/agg
+    so Catalyst plans exactly one exchange on sid.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").cast("string").alias("sid"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.col("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+def series_from_columns(
+    df: DataFrame, sid_col: str, ts_col: str, value_col: str, seq_col: str | None = None
+) -> DataFrame:
+    """Adapt any table to the canonical series frame."""
+    seq = F.col(seq_col).cast("long") if seq_col else F.monotonically_increasing_id()
+    return df.select(
+        F.col(sid_col).cast("string").alias("sid"),
+        seq.alias("seq"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )

@@ -1,0 +1,34 @@
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+
+from metevents_spark.session import get_spark
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="metevents-spark-tests", master="local[4]",
+                  shuffle_partitions=4)
+    yield s
+
+
+def make_series_df(spark, data, start=datetime(2023, 1, 1), freq_days=1,
+                   sid="s1"):
+    """Daily series like the reference test fixture
+    (/root/reference/tests/test_events.py:15-18)."""
+    rows = []
+    for i, v in enumerate(data):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            val = None
+        else:
+            val = float(v)
+        rows.append((sid, i, start + timedelta(days=i * freq_days), val))
+    return spark.createDataFrame(
+        rows, schema="sid string, seq long, ts timestamp, value double"
+    )
