@@ -1,0 +1,41 @@
+"""Sessionization — gaps-and-islands over inter-event time.
+
+Generalizes the reference's run grouping (metevents/events.py:39-47)
+from boolean conditions to inactivity gaps: a new session starts when
+the delta to the previous event exceeds ``gap_s``. Same single-shuffle
+window-cumsum shape; the batch-SQL dual of Structured Streaming's
+``session_window``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from metevents_spark.operators.runs import series_window
+
+
+def sessionize(df: DataFrame, gap_s: float = 14400.0) -> DataFrame:
+    """-> (sid, session_id, start, stop, duration_us, n_events, total)"""
+    gap_us = int(gap_s * 1_000_000)
+    w = series_window()
+    delta = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(delta.isNull() | (delta > gap_us), 1).otherwise(0)
+    cum = Window.partitionBy("sid").orderBy("ts", "seq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        df.withColumn("session_id", F.sum(new_session).over(cum))
+        .groupBy("sid", "session_id")
+        .agg(
+            F.min("ts").alias("start"),
+            F.max("ts").alias("stop"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total"),
+        )
+        .withColumn(
+            "duration_us", F.unix_micros(F.col("stop")) - F.unix_micros(F.col("start"))
+        )
+        .select("sid", "session_id", "start", "stop", "duration_us", "n_events", "total")
+        .orderBy("sid", "session_id")
+    )

@@ -1,0 +1,410 @@
+"""Query registry: every implemented operator as a (spark_fn, oracle_sql)
+pair for the driver contract (__spark_entry__.py).
+
+Each spark_fn takes (spark, sf_dir) -> DataFrame. oracle_sql is the
+equivalent DuckDB ANSI SQL over the pre-registered views (region nation
+customer supplier part orders lineitem events documents embeddings), or
+None for non-SQL-expressible operators (grouped-map kernels, hash-family
+dependent sketches) — those get the driver's rows-only check.
+
+Determinism rules used throughout (so value hashes match bit-for-bit):
+  - window orders always break ties with ``seq`` (event_id);
+  - monetary aggregates computed in DECIMAL (exact), cast to DOUBLE;
+  - double sums of 2-decimal inputs rounded to 3 decimals;
+  - cosine similarities rounded to 6 decimals *before* ranking;
+  - Spark INT-returning functions cast to LONG to match DuckDB BIGINT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metevents_spark.io import series_frame
+from metevents_spark.operators import (
+    data_gap,
+    extreme_change,
+    extreme_value,
+    flat_line,
+    spike_valley,
+    storm_find,
+)
+from metevents_spark.operators.sessions import sessionize
+from metevents_spark.functions import freq_infer
+from metevents_spark.relational import (
+    daily_rollup,
+    pricing_summary,
+    region_revenue,
+    revenue_topn,
+    top_customers_per_segment,
+)
+from metevents_spark.session import tune_session
+from metevents_spark.similarity import embedding_norms, knn_cosine, knn_lsh
+from metevents_spark.text import (
+    doc_fingerprint,
+    exact_dedup,
+    lang_id,
+    minhash_near_dup,
+    prefix_dedup,
+    simhash_fingerprints,
+    text_stats,
+)
+
+# --------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+
+_SERIES = (
+    "series AS (SELECT CAST(user_id AS VARCHAR) AS sid, event_id AS seq, ts, value "
+    "FROM events)"
+)
+
+_RUN_WINDOW = (
+    "SUM(CASE WHEN cond THEN 0 ELSE 1 END) OVER ("
+    "PARTITION BY sid ORDER BY ts, seq "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+_EVENT_AGG = (
+    'SELECT sid, MIN(ts) AS "start", MAX(ts) AS "stop", '
+    "epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us, "
+    "COUNT(*) AS n_points, ROUND(SUM(value), 3) AS total "
+    "FROM runs WHERE cond GROUP BY sid, run_id"
+)
+
+
+def _round_total(df: DataFrame) -> DataFrame:
+    return df.withColumn("total", F.round("total", 3))
+
+
+# --------------------------------------------------------------------------
+# spark-side callables (params fixed so oracle SQL mirrors them)
+
+
+def q_extreme_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return _round_total(
+        extreme_value(series_frame(spark, sf_dir), expected_max=400.0, expected_min=1.0)
+    )
+
+
+def q_flat_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return _round_total(
+        flat_line(series_frame(spark, sf_dir), min_len=2, slope_thresh=25.0)
+    )
+
+
+def q_extreme_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return _round_total(
+        extreme_change(
+            series_frame(spark, sf_dir),
+            min_len=1,
+            positive_slope_thresh=300.0,
+            negative_slope_thresh=-300.0,
+        )
+    )
+
+
+def q_data_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return _round_total(
+        data_gap(series_frame(spark, sf_dir), min_len=2, expected_frequency_s=86400.0)
+    )
+
+
+def q_freq_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return freq_infer(series_frame(spark, sf_dir))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return sessionize(series_frame(spark, sf_dir), gap_s=14400.0)
+
+
+def q_storm_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return storm_find(
+        series_frame(spark, sf_dir),
+        instant_mass_to_start=100.0,
+        min_storm_total=500.0,
+        hours_to_stop=24,
+        max_storm_hours=336,
+    )
+
+
+def q_spike_valley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return spike_valley(series_frame(spark, sf_dir), prominence=300.0)
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return minhash_near_dup(spark, sf_dir, threshold=0.3)
+
+
+# --------------------------------------------------------------------------
+# registry
+
+
+def _detector_sql(flag_cte: str, having: str = "") -> str:
+    having_clause = f" HAVING {having}" if having else ""
+    return (
+        f"WITH {_SERIES}, {flag_cte}, "
+        f"runs AS (SELECT *, {_RUN_WINDOW} AS run_id FROM flagged) "
+        f'{_EVENT_AGG}{having_clause} ORDER BY sid, "start"'
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "extreme_value": _detector_sql(
+        "flagged AS (SELECT sid, seq, ts, value, "
+        "COALESCE(value > 400.0 OR value < 1.0, FALSE) AS cond FROM series)"
+    ),
+    "flat_line": _detector_sql(
+        "diffed AS (SELECT sid, seq, ts, value, value - LAG(value) OVER "
+        "(PARTITION BY sid ORDER BY ts, seq) AS d FROM series), "
+        "flagged AS (SELECT sid, seq, ts, value, COALESCE(ABS(d) <= 25.0, FALSE) "
+        "AS cond FROM diffed)",
+        having="COUNT(*) >= 2",
+    ),
+    "extreme_change": _detector_sql(
+        "diffed AS (SELECT sid, seq, ts, value, value - LAG(value) OVER "
+        "(PARTITION BY sid ORDER BY ts, seq) AS d FROM series), "
+        "flagged AS (SELECT sid, seq, ts, value, "
+        "COALESCE(d >= 300.0 OR d <= -300.0, FALSE) AS cond FROM diffed)",
+        having="COUNT(*) >= 1",
+    ),
+    "data_gap": f"""
+WITH {_SERIES},
+flagged AS (SELECT sid, seq, ts, value,
+            (value IS NULL OR isnan(value)) AS cond FROM series),
+runs AS (SELECT *, {_RUN_WINDOW} AS run_id FROM flagged),
+nan_events AS ({_EVENT_AGG}),
+lagged AS (SELECT sid, ts, value,
+           LAG(ts) OVER (PARTITION BY sid ORDER BY ts, seq) AS prev_ts,
+           LAG(value) OVER (PARTITION BY sid ORDER BY ts, seq) AS prev_val
+           FROM series),
+gap_events AS (
+  SELECT sid, prev_ts AS "start", ts AS "stop",
+         epoch_us(ts) - epoch_us(prev_ts) AS duration_us,
+         CAST(2 AS BIGINT) AS n_points,
+         ROUND(CASE WHEN value IS NULL AND prev_val IS NULL THEN NULL
+               ELSE COALESCE(value, 0) + COALESCE(prev_val, 0) END, 3) AS total
+  FROM lagged WHERE epoch_us(ts) - epoch_us(prev_ts) > 86400000000)
+SELECT * FROM (SELECT * FROM nan_events UNION ALL SELECT * FROM gap_events)
+WHERE duration_us >= 172800000000
+ORDER BY sid, "start"
+""",
+    "freq_infer": f"""
+WITH {_SERIES},
+d AS (SELECT sid,
+      ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ts, seq) AS rn,
+      COUNT(*) OVER (PARTITION BY sid) AS n,
+      epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY sid ORDER BY ts, seq))
+        AS delta_us
+      FROM series)
+SELECT sid, COUNT(delta_us) AS n_deltas,
+       COUNT(DISTINCT delta_us) AS n_distinct,
+       CASE WHEN COUNT(DISTINCT delta_us) = 1 THEN MIN(delta_us) END AS freq_us
+FROM d WHERE rn >= 2 AND rn <= n - 1 GROUP BY sid ORDER BY sid
+""",
+    "sessionize": f"""
+WITH {_SERIES},
+lagged AS (SELECT sid, seq, ts, value,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY sid ORDER BY ts, seq))
+             AS delta_us FROM series),
+flagged AS (SELECT *, CASE WHEN delta_us IS NULL OR delta_us > 14400000000
+            THEN 1 ELSE 0 END AS new_session FROM lagged),
+sessions AS (SELECT *, CAST(SUM(new_session) OVER (PARTITION BY sid ORDER BY ts, seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id FROM flagged)
+SELECT sid, session_id, MIN(ts) AS "start", MAX(ts) AS "stop",
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+       COUNT(*) AS n_events, ROUND(SUM(value), 3) AS total
+FROM sessions GROUP BY sid, session_id ORDER BY sid, session_id
+""",
+    "daily_rollup": """
+SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+       ROUND(SUM(value), 3) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type, date_trunc('day', ts)
+ORDER BY event_type, day
+""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+       (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+    AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    "revenue_topn": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    "region_revenue": """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+""",
+    "top_customers_per_segment": """
+SELECT c_mktsegment, "rank", c_custkey, c_name, c_acctbal FROM (
+  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS "rank"
+  FROM customer) t
+WHERE "rank" <= 3 ORDER BY c_mktsegment, "rank"
+""",
+    "text_stats": """
+WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+           FROM documents)
+SELECT doc_id, lang,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))
+       AS BIGINT) AS n_stopwords,
+  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))
+       AS DOUBLE) / len(toks) AS stopword_ratio,
+  CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_token_len
+FROM t ORDER BY doc_id
+""",
+    "lang_id": """
+WITH s AS (
+  SELECT doc_id, lang AS labeled_lang,
+    CAST(len(list_filter(string_split(text, ' '),
+         x -> x IN ('the','a','of','and'))) AS BIGINT) AS score_en,
+    CAST(len(list_filter(string_split(text, ' '),
+         x -> x IN ('le','la','et','de'))) AS BIGINT) AS score_fr,
+    CAST(len(list_filter(string_split(text, ' '),
+         x -> x IN ('der','die','und','das'))) AS BIGINT) AS score_de,
+    CAST(len(list_filter(string_split(text, ' '),
+         x -> x IN ('el','la','y','de'))) AS BIGINT) AS score_es
+  FROM documents)
+SELECT doc_id, labeled_lang,
+  CASE WHEN GREATEST(score_en, score_fr, score_de, score_es) = 0 THEN 'und'
+       WHEN score_en = GREATEST(score_en, score_fr, score_de, score_es) THEN 'en'
+       WHEN score_fr = GREATEST(score_en, score_fr, score_de, score_es) THEN 'fr'
+       WHEN score_de = GREATEST(score_en, score_fr, score_de, score_es) THEN 'de'
+       WHEN score_es = GREATEST(score_en, score_fr, score_de, score_es) THEN 'es'
+       ELSE 'und' END AS pred_lang,
+  score_en, score_fr, score_de, score_es
+FROM s ORDER BY doc_id
+""",
+    "doc_fingerprint": """
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+    AS fingerprint,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+FROM documents ORDER BY doc_id
+""",
+    "exact_dedup": """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY keep_id
+""",
+    "prefix_dedup": """
+SELECT md5(substr(text, 1, 64)) AS prefix_hash, MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY md5(substr(text, 1, 64)) ORDER BY keep_id
+""",
+    "knn_cosine": """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS v_norm
+  FROM embeddings),
+queries AS (SELECT vec_id AS q_id, v AS q, v_norm AS q_norm
+            FROM corpus WHERE vec_id < 5),
+scored AS (
+  SELECT q_id, vec_id,
+         ROUND(list_dot_product(v, q) / (v_norm * q_norm), 6) AS cosine
+  FROM corpus, queries WHERE vec_id <> q_id)
+SELECT q_id, vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id)
+            AS BIGINT) AS "rank"
+FROM scored
+QUALIFY "rank" <= 5
+ORDER BY q_id, "rank"
+""",
+    "embedding_norms": """
+WITH n AS (SELECT label,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS norm
+           FROM embeddings)
+SELECT label, COUNT(*) AS n, ROUND(AVG(norm), 6) AS avg_norm,
+       ROUND(MIN(norm), 6) AS min_norm, ROUND(MAX(norm), 6) AS max_norm
+FROM n GROUP BY label ORDER BY label
+""",
+}
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # reference detector parity (SURVEY.md §2.7)
+    "extreme_value": q_extreme_value,
+    "flat_line": q_flat_line,
+    "extreme_change": q_extreme_change,
+    "data_gap": q_data_gap,
+    "freq_infer": q_freq_infer,
+    "storm_find": q_storm_find,        # rows-only (sequential fold)
+    "spike_valley": q_spike_valley,    # rows-only (peak prominence/width)
+    # sessionization / rollups
+    "sessionize": q_sessionize,
+    "daily_rollup": daily_rollup,
+    # relational star-schema analytics
+    "pricing_summary": pricing_summary,
+    "revenue_topn": revenue_topn,
+    "region_revenue": region_revenue,
+    "top_customers_per_segment": top_customers_per_segment,
+    # text analysis
+    "text_stats": text_stats,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    # dedup family
+    "exact_dedup": exact_dedup,
+    "prefix_dedup": prefix_dedup,
+    "minhash_near_dup": q_minhash_near_dup,     # rows-only (xxhash64 family)
+    "simhash_fingerprints": simhash_fingerprints,  # rows-only (xxhash64)
+    # similarity search
+    "knn_cosine": knn_cosine,
+    "knn_lsh": knn_lsh,                # rows-only (approximate)
+    "embedding_norms": embedding_norms,
+}

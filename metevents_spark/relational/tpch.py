@@ -1,0 +1,135 @@
+"""Relational analytics over the star schema (beyond-reference surface).
+
+TPC-H-shaped queries adapted to the driver's simplified columns. All
+monetary arithmetic is done in DECIMAL so results are exact and engine
+independent (double summation is order-dependent; decimal is not), then
+cast to DOUBLE for a stable output schema.
+
+Scale notes: every join below either broadcasts the small side
+(region/nation/customer at these ratios — Spark auto-broadcasts under
+the threshold, AQE converts at runtime otherwise) or shuffles on the
+natural key; aggregates are partial+final hash aggregates; filters and
+column pruning reach the parquet scan (verified via .explain in
+tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metevents_spark.io import load_table
+
+
+def _dec(col: str, prec: str = "12,2"):
+    return F.col(col).cast(f"decimal({prec})")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: pricing summary report over lineitem."""
+    line = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", "4,2"))
+    charge = disc_price * (one + _dec("l_tax", "4,2"))
+    n = F.count(F.lit(1))
+    return (
+        line.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (F.sum(_dec("l_discount", "4,2")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_topn(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue (no shippriority column;
+    o_orderpriority carried instead)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    line = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount", "4,2"))
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    return (
+        line.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        # customer scales with SF: no forced broadcast — AQE promotes the
+        # filtered side to broadcast at runtime when it fits.
+        .join(
+            cust.filter(F.col("c_mktsegment") == "BUILDING"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(n)
+    )
+
+
+def region_revenue(spark: SparkSession, sf_dir: str, region: str = "ASIA") -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue by nation within a region."""
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    nat = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    line = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount", "4,2"))
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    return (
+        line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def top_customers_per_segment(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Top-k customers by account balance per market segment (ranking
+    window — the reference has no ranking ops; Spark supplies them)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("c_mktsegment", "rank", "c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_mktsegment", "rank")
+    )
+
+
+def daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup of the events stream: per (event_type, day)
+    counts and value stats — the hypertable-rollup shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1,0 +1,96 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure JVM-side expressions (split/filter/hash built-ins inside
+whole-stage codegen) — no Python in the hot path. Tokenization is
+single-space split, matching the synthetic documents table; ratios are
+double divisions of exact integer counts, so results are
+engine-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metevents_spark.io import load_table
+
+# marker-token sets for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "fr": ("le", "la", "et", "de"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "la", "y", "de"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts, distinct ratio, stopword ratio and a
+    composite quality score (length/stopword heuristics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_stop = F.expr(f"size(filter(split(text, ' '), x -> x IN ({stop_list})))").cast(
+        "long"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        (n_distinct.cast("double") / n_tokens).alias("distinct_ratio"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        ((F.length("text") - (n_tokens - F.lit(1))).cast("double") / n_tokens).alias(
+            "avg_token_len"
+        ),
+    ).orderBy("doc_id")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language scoring; argmax with deterministic
+    tie-break by language code order (a lightweight n-gram heuristic —
+    real language ID would plug in here as a pandas UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {
+        lang: F.expr(
+            "size(filter(split(text, ' '), x -> x IN ({})))".format(
+                ", ".join(f"'{m}'" for m in markers)
+            )
+        ).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    out = docs.select("doc_id", F.col("lang").alias("labeled_lang"), *[
+        s.alias(f"score_{lang}") for lang, s in scores.items()
+    ])
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit("und")
+    # reversed so earlier languages win ties (first match in order)
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return (
+        out.withColumn("pred_lang", F.when(best > 0, pred).otherwise(F.lit("und")))
+        .select("doc_id", "labeled_lang", "pred_lang",
+                *[f"score_{lang}" for lang in LANG_MARKERS])
+        .orderBy("doc_id")
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set (document-level signature for clustering)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(_tokens()))))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.size(F.array_distinct(_tokens())).cast("long").alias("n_distinct_tokens"),
+    ).orderBy("doc_id")

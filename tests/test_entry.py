@@ -1,0 +1,47 @@
+"""Driver-contract smoke: entry() runs, every queries() entry returns a
+DataFrame at sf0.001, and a sample of oracle pairs hash-match DuckDB
+(the full sweep lives in tools/check_oracle.py)."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from tools.check_oracle import TABLES, frame_hash, normalize
+
+SF = "/root/testdata/sf0.001"
+
+SAMPLE_ORACLE = ["extreme_value", "data_gap", "sessionize", "pricing_summary",
+                 "knn_cosine", "text_stats"]
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert set(df.columns) == {"sid", "start", "stop", "duration_us",
+                               "n_points", "total"}
+
+
+def test_queries_all_run(spark):
+    qs = entrymod.queries()
+    assert len(qs) >= 20
+    for name, fn in qs.items():
+        n = fn(spark, SF).limit(5).count()
+        assert n >= 0, name
+
+
+@pytest.mark.parametrize("name", SAMPLE_ORACLE)
+def test_oracle_sample(spark, name):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    sdf = normalize(qs[name](spark, SF).toPandas())
+    ddf = normalize(con.sql(oracles[name]).df())
+    assert len(sdf) == len(ddf)
+    assert frame_hash(sdf) == frame_hash(ddf), name
