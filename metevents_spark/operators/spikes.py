@@ -57,22 +57,24 @@ def spike_valley(
     prominence: float | None = 100.0,
     width=None,
 ) -> DataFrame:
-    """Distributed spike/valley events over the canonical series frame."""
+    """Distributed spike/valley events over the canonical series frame.
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "seq"])
-        ts = pdf["ts"].to_numpy(dtype="datetime64[us]")
-        values = pdf["value"].to_numpy(dtype=np.float64)
+    Streaming sorted-partition kernel (operators/grouped.py): one sid
+    shuffle, numpy peak detection per series, no per-group pandas."""
+    from metevents_spark.operators.grouped import (
+        EVENT_OUT_COLUMNS,
+        EVENT_OUT_DTYPES,
+        map_series_kernel,
+    )
+
+    def kernel(sid: str, ts: np.ndarray, values: np.ndarray) -> list[tuple]:
         mask = spike_mask_numpy(
             values, height=height, threshold=threshold,
             prominence=prominence, width=width,
         )
-        runs = _runs_of(mask)
-        sid = pdf["sid"].iloc[0] if len(pdf) else None
         rows = []
-        for rs, re in runs:
+        for rs, re in _runs_of(mask):
             seg = values[rs : re + 1]
-            total = float(np.nansum(seg)) if not np.all(np.isnan(seg)) else 0.0
             rows.append(
                 (
                     sid,
@@ -80,22 +82,14 @@ def spike_valley(
                     ts[re],
                     int((ts[re] - ts[rs]) / np.timedelta64(1, "us")),
                     re - rs + 1,
-                    total,
+                    float(np.nansum(seg)),
                 )
             )
-        return pd.DataFrame(
-            rows, columns=["sid", "start", "stop", "duration_us", "n_points", "total"]
-        ).astype(
-            {
-                "start": "datetime64[us]",
-                "stop": "datetime64[us]",
-                "duration_us": "int64",
-                "n_points": "int64",
-                "total": "float64",
-            }
-        )
+        return rows
 
-    out = df.groupBy("sid").applyInPandas(fn, EVENT_SCHEMA)
+    out = map_series_kernel(
+        df, kernel, EVENT_SCHEMA, EVENT_OUT_COLUMNS, EVENT_OUT_DTYPES
+    )
     return out.select(
         "sid",
         F.col("start").cast("timestamp"),

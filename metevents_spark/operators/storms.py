@@ -141,12 +141,19 @@ def storm_find(
     max_storm_hours: float = 336,
     tstep_us: int | None = None,
 ) -> DataFrame:
-    """Distributed storm detection over the canonical series frame."""
+    """Distributed storm detection over the canonical series frame.
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "seq"])
-        ts = pdf["ts"].to_numpy(dtype="datetime64[us]")
-        values = pdf["value"].to_numpy(dtype=np.float64)
+    Uses the streaming sorted-partition kernel (operators/grouped.py)
+    rather than per-group applyInPandas — same semantics, no per-group
+    pandas overhead.
+    """
+    from metevents_spark.operators.grouped import (
+        EVENT_OUT_COLUMNS,
+        EVENT_OUT_DTYPES,
+        map_series_kernel,
+    )
+
+    def kernel(sid: str, ts: np.ndarray, values: np.ndarray) -> list[tuple]:
         evs = storm_find_numpy(
             ts,
             values,
@@ -156,21 +163,13 @@ def storm_find(
             max_storm_hours=max_storm_hours,
             tstep_us=tstep_us,
         )
-        sid = pdf["sid"].iloc[0] if len(pdf) else None
-        return pd.DataFrame(
-            {
-                "sid": [sid] * len(evs),
-                "start": pd.Series([e[0] for e in evs], dtype="datetime64[us]"),
-                "stop": pd.Series([e[1] for e in evs], dtype="datetime64[us]"),
-                "duration_us": pd.Series(
-                    [int((e[1] - e[0]) / _US) for e in evs], dtype="int64"
-                ),
-                "n_points": pd.Series([e[3] for e in evs], dtype="int64"),
-                "total": pd.Series([e[2] for e in evs], dtype="float64"),
-            }
-        )
+        return [
+            (sid, e[0], e[1], int((e[1] - e[0]) / _US), e[3], e[2]) for e in evs
+        ]
 
-    out = df.groupBy("sid").applyInPandas(fn, EVENT_SCHEMA)
+    out = map_series_kernel(
+        df, kernel, EVENT_SCHEMA, EVENT_OUT_COLUMNS, EVENT_OUT_DTYPES
+    )
     from pyspark.sql import functions as F
 
     return out.select(
