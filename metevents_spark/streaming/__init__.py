@@ -1,0 +1,5 @@
+from metevents_spark.streaming.detect import (  # noqa: F401
+    stream_daily_rollup,
+    stream_sessions,
+    stream_storm_find,
+)

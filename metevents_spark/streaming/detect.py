@@ -1,0 +1,233 @@
+"""Structured Streaming surface: windowed rollups, session windows, and
+an incremental stateful storm detector.
+
+The reference is batch-only (SURVEY.md §2.8); this is the streaming
+story its semantics map onto: threshold bursts + merge rules become a
+keyed stateful operator (``applyInPandasWithState``) whose state is the
+*open* suffix of each series — storms are emitted as soon as their
+close is provable from data seen so far (a later burst confirms the
+dry gap, or the max-duration rule fires), and the buffer is trimmed to
+rows after the last emitted stop, so state stays bounded by the active
+storm length regardless of stream length.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from metevents_spark.operators.storms import storm_find_numpy
+
+US = 1_000_000
+
+
+def stream_daily_rollup(stream_df: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Tumbling 1-day windows per event_type with late-data watermark
+    (append-mode safe)."""
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_sessions(
+    stream_df: DataFrame, gap: str = "4 hours", watermark: str = "1 day"
+) -> DataFrame:
+    """Native session windows per user keyed on inactivity gap — the
+    streaming dual of operators/sessions.py."""
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window(F.col("ts"), gap).alias("win"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("win.start").alias("start"),
+            F.col("win.end").alias("stop"),
+            "n_events",
+            "total",
+        )
+    )
+
+
+STORM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("sid", StringType()),
+        StructField("start_us", LongType()),
+        StructField("stop_us", LongType()),
+        StructField("n_points", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+STORM_STATE_SCHEMA = StructType(
+    [
+        StructField("ts_us", ArrayType(LongType())),
+        StructField("vals", ArrayType(DoubleType())),
+        StructField("at_head", LongType()),  # buffer still contains series head
+    ]
+)
+
+
+def _closed_storms(
+    ts: np.ndarray,
+    vals: np.ndarray,
+    at_head: bool,
+    instant_mass_to_start: float,
+    min_storm_total: float,
+    hours_to_stop: float,
+    max_storm_hours: float,
+    tstep_us: int | None,
+):
+    """Run the batch kernel on the buffer and split its events into
+    (provably-closed, still-open). Only the final kernel event can be
+    tentative: it may exist only because of the last-burst flush
+    (metevents/events.py:114) and could still merge with future bursts.
+    A storm is provably closed when data later than
+    ``stop + hours_to_stop`` already exists in the buffer."""
+    events = storm_find_numpy(
+        ts,
+        vals,
+        instant_mass_to_start=instant_mass_to_start,
+        min_storm_total=min_storm_total,
+        hours_to_stop=hours_to_stop,
+        max_storm_hours=max_storm_hours,
+        tstep_us=tstep_us,
+    )
+    # Suppress the head-extension suppression mismatch: the kernel's
+    # "start != first row" check needs the true series head; the buffer
+    # preserves it until the first trim (at_head flag) — afterwards every
+    # buffered start is mid-series, which is exactly right.
+    if not events:
+        return [], None
+    dt_us = int(hours_to_stop * 3600 * US)
+    buf_max = int(ts[-1].astype("datetime64[us]").astype(np.int64))
+    closed, open_ev = [], None
+    for i, e in enumerate(events):
+        stop_us = int(e[1].astype("datetime64[us]").astype(np.int64))
+        if i == len(events) - 1 and buf_max - stop_us <= dt_us:
+            open_ev = e  # tentative: still inside the dry-out horizon
+        else:
+            closed.append(e)
+    return closed, open_ev
+
+
+def stream_storm_find(
+    stream_df: DataFrame,
+    instant_mass_to_start: float = 0.1,
+    min_storm_total: float = 0.5,
+    hours_to_stop: float = 24,
+    max_storm_hours: float = 336,
+    tstep_us: int | None = None,
+) -> DataFrame:
+    """Incremental storm detection over a streaming canonical frame
+    (sid, ts, value). Emits each storm exactly once, as soon as its
+    close is provable. Use ``ts_micros(start_us)`` downstream to get
+    timestamps (kept as long for a stable Arrow state schema)."""
+
+    def fn(key, pdf_iter, state: GroupState):
+        (sid,) = key
+        if state.exists:
+            ts_us, vals, at_head = state.get
+            ts_buf = list(ts_us)
+            val_buf = list(vals)
+        else:
+            ts_buf, val_buf, at_head = [], [], 1
+
+        for pdf in pdf_iter:
+            t = (
+                pd.to_datetime(pdf["ts"])
+                .astype("datetime64[us]")
+                .astype("int64")
+                .tolist()
+            )
+            ts_buf.extend(t)
+            val_buf.extend(pdf["value"].astype(float).tolist())
+
+        order = np.argsort(np.asarray(ts_buf, dtype=np.int64), kind="stable")
+        ts_arr = np.asarray(ts_buf, dtype=np.int64)[order].astype("datetime64[us]")
+        val_arr = np.asarray(val_buf, dtype=np.float64)[order]
+
+        closed, open_ev = _closed_storms(
+            ts_arr,
+            val_arr,
+            bool(at_head),
+            instant_mass_to_start,
+            min_storm_total,
+            hours_to_stop,
+            max_storm_hours,
+            tstep_us,
+        )
+
+        if closed:
+            # trim buffer to rows after the last closed storm's stop —
+            # bounded state — and remember we dropped the head
+            last_stop = closed[-1][1]
+            keep = ts_arr > last_stop
+            ts_arr = ts_arr[keep]
+            val_arr = val_arr[keep]
+            at_head = 0
+        state.update(
+            (
+                ts_arr.astype("int64").tolist(),
+                val_arr.tolist(),
+                int(at_head),
+            )
+        )
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "sid": [sid] * len(closed),
+                    "start_us": [
+                        int(e[0].astype("datetime64[us]").astype(np.int64))
+                        for e in closed
+                    ],
+                    "stop_us": [
+                        int(e[1].astype("datetime64[us]").astype(np.int64))
+                        for e in closed
+                    ],
+                    "n_points": [e[3] for e in closed],
+                    "total": [e[2] for e in closed],
+                }
+            )
+
+    return (
+        stream_df.select(
+            F.col("sid"), F.col("ts"), F.col("value").cast("double")
+        )
+        .groupBy("sid")
+        .applyInPandasWithState(
+            fn,
+            STORM_OUTPUT_SCHEMA,
+            STORM_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

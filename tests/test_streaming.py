@@ -1,0 +1,130 @@
+"""Streaming surface tests: multi-batch file feed through memory sinks.
+
+The stateful storm detector must emit exactly the provably-closed
+storms (batch-kernel prefix) and never duplicate across batches.
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+from datetime import datetime, timedelta
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from metevents_spark.operators.storms import storm_find_numpy
+from metevents_spark.streaming import stream_sessions, stream_storm_find
+
+US = 1_000_000
+DAY_US = 86_400 * US
+
+
+@pytest.fixture()
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream")
+    yield str(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def daily_rows(values, sid="s1", start=datetime(2023, 1, 1)):
+    return pd.DataFrame(
+        {
+            "sid": sid,
+            "ts": [start + timedelta(days=i) for i in range(len(values))],
+            "value": [float(v) for v in values],
+        }
+    )
+
+
+def test_stream_storms_incremental(spark, stream_dir):
+    # three storms separated by long dry gaps; chunk split mid-series
+    values = (
+        [0, 2, 2, 0, 0, 0, 0]      # storm 1 (closed by later data)
+        + [0, 3, 3, 3, 0, 0, 0]    # storm 2
+        + [0, 0, 5, 5, 0, 0, 0]    # storm 3 (dry-out proven in chunk 2)
+    )
+    pdf = daily_rows(values)
+    Path(stream_dir, "in").mkdir()
+    pdf.iloc[:12].to_parquet(f"{stream_dir}/in/chunk0.parquet", coerce_timestamps="us")
+    time.sleep(0.05)
+    pdf.iloc[12:].to_parquet(f"{stream_dir}/in/chunk1.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema("sid string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/in")
+    )
+    out = stream_storm_find(
+        stream, instant_mass_to_start=1.0, min_storm_total=2.0, hours_to_stop=24
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("storms_out")
+        .option("checkpointLocation", f"{stream_dir}/ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = [
+        (r.start_us, r.stop_us, r.n_points, r.total)
+        for r in spark.sql(
+            "SELECT * FROM storms_out ORDER BY start_us"
+        ).collect()
+    ]
+
+    # batch expectation: all storms provably closed before series end
+    ts = pdf["ts"].to_numpy(dtype="datetime64[us]")
+    vals = pdf["value"].to_numpy(dtype=np.float64)
+    batch = storm_find_numpy(
+        ts, vals, instant_mass_to_start=1.0, min_storm_total=2.0, hours_to_stop=24
+    )
+    dt_us = 24 * 3600 * US
+    buf_max = int(ts[-1].astype(np.int64))
+    expected = [
+        (
+            int(e[0].astype(np.int64)),
+            int(e[1].astype(np.int64)),
+            e[3],
+            e[2],
+        )
+        for i, e in enumerate(batch)
+        if not (i == len(batch) - 1 and buf_max - int(e[1].astype(np.int64)) <= dt_us)
+    ]
+    assert len(expected) >= 2  # sanity: the fixture closes >= 2 storms
+    assert got == expected
+
+
+def test_stream_sessions_counts(spark, stream_dir):
+    from metevents_spark.io import load_table
+    from metevents_spark.operators.sessions import sessionize
+    from metevents_spark.io import series_frame
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "value"
+    )
+    Path(stream_dir, "sess").mkdir()
+    ev.toPandas().to_parquet(f"{stream_dir}/sess/all.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(f"{stream_dir}/sess")
+    )
+    out = stream_sessions(stream, gap="4 hours", watermark="100 days")
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", f"{stream_dir}/sess_ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.sql("SELECT * FROM sess_out").collect()
+
+    batch = sessionize(series_frame(spark, "/root/testdata/sf0.001"), gap_s=14400.0)
+    assert len(streamed) == batch.count()
+    assert sum(r.n_events for r in streamed) == 1000
