@@ -1,0 +1,5 @@
+from metevents_spark.multimodal.media import (  # noqa: F401
+    attach_fake_media,
+    frame_sample,
+    media_features,
+)

@@ -34,7 +34,10 @@ from metevents_spark.operators import (
 from metevents_spark.operators.sessions import sessionize
 from metevents_spark.functions import freq_infer
 from metevents_spark.relational import (
+    brand_revenue,
     daily_rollup,
+    nation_segment_rollup,
+    order_priority_check,
     pricing_summary,
     region_revenue,
     revenue_topn,
@@ -144,6 +147,72 @@ def q_spike_valley(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     return minhash_near_dup(spark, sf_dir, threshold=0.3)
+
+
+def _typed_series(spark, sf_dir, event_type):
+    from metevents_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == event_type
+    )
+    return ev.select(
+        F.col("user_id").cast("string").alias("sid"),
+        F.col("event_id").cast("long").alias("seq"),
+        "ts",
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+def q_asof_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each error event, the user's most recent purchase at or
+    before it (as-of join via the union+window pattern)."""
+    from metevents_spark.operators.asof import asof_join
+
+    tune_session(spark)
+    errors = _typed_series(spark, sf_dir, "error")
+    purchases = _typed_series(spark, sf_dir, "purchase").drop("seq")
+    out = asof_join(errors, purchases, on="sid", value_cols=("value",))
+    return out.select(
+        "sid", "seq", "ts", "value", "value_right", "ts_right"
+    ).orderBy("sid", "ts", "seq")
+
+
+def q_range_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (error, purchase) pairs of the same user within +-4 hours
+    (bucketized range join)."""
+    from metevents_spark.operators.asof import range_join
+
+    tune_session(spark)
+    errors = _typed_series(spark, sf_dir, "error").select("sid", "seq", "ts")
+    purchases = _typed_series(spark, sf_dir, "purchase").select(
+        "sid", F.col("seq").alias("rseq"), F.col("ts").alias("rts")
+    )
+    out = range_join(
+        errors, purchases, on="sid", left_ts="ts", right_ts="rts",
+        window_s=14400.0,
+    )
+    return out.select(
+        "sid", "seq", "ts", "rseq", "rts",
+        (F.unix_micros("rts") - F.unix_micros("ts")).alias("delta_us"),
+    ).orderBy("sid", "seq", "rseq")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents -> binary payloads -> mapInPandas
+    feature extraction (deterministic fake decoder)."""
+    from metevents_spark.multimodal.media import media_pipeline
+
+    tune_session(spark)
+    return media_pipeline(spark, sf_dir)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metevents_spark.io import load_table
+    from metevents_spark.multimodal import attach_fake_media, frame_sample
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_fake_media(docs)).orderBy("doc_id", "frame_idx")
 
 
 # --------------------------------------------------------------------------
@@ -374,6 +443,62 @@ SELECT label, COUNT(*) AS n, ROUND(AVG(norm), 6) AS avg_norm,
        ROUND(MIN(norm), 6) AS min_norm, ROUND(MAX(norm), 6) AS max_norm
 FROM n GROUP BY label ORDER BY label
 """,
+    "order_priority_check": """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    "nation_segment_rollup": """
+SELECT n_name, c_mktsegment, COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 3) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, c_mktsegment)
+ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST
+""",
+    "brand_revenue": """
+SELECT p_brand,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY p_brand ORDER BY p_brand
+""",
+    "asof_purchase_before_error": """
+WITH e AS (SELECT CAST(user_id AS VARCHAR) AS sid, event_id AS seq, ts, value
+           FROM events WHERE event_type = 'error'),
+p AS (SELECT CAST(user_id AS VARCHAR) AS sid, ts, value
+      FROM events WHERE event_type = 'purchase')
+SELECT e.sid, e.seq, e.ts, e.value,
+       p.value AS value_right, p.ts AS ts_right
+FROM e ASOF LEFT JOIN p ON e.sid = p.sid AND p.ts <= e.ts
+ORDER BY e.sid, e.ts, e.seq
+""",
+    "range_join_error_purchase": """
+WITH e AS (SELECT CAST(user_id AS VARCHAR) AS sid, event_id AS seq, ts
+           FROM events WHERE event_type = 'error'),
+p AS (SELECT CAST(user_id AS VARCHAR) AS sid, event_id AS rseq, ts AS rts
+      FROM events WHERE event_type = 'purchase')
+SELECT e.sid, e.seq, e.ts, p.rseq, p.rts,
+       epoch_us(p.rts) - epoch_us(e.ts) AS delta_us
+FROM e JOIN p ON e.sid = p.sid
+ AND abs(epoch_us(p.rts) - epoch_us(e.ts)) <= 14400000000
+ORDER BY e.sid, e.seq, p.rseq
+""",
+    "media_features": """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_bytes,
+  sha256(text) AS sha256,
+  CAST(64 + length(text) % 192 AS BIGINT) AS width,
+  CAST(64 + (length(text) * 7) % 192 AS BIGINT) AS height
+FROM documents ORDER BY doc_id
+""",
 }
 
 
@@ -407,4 +532,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine": knn_cosine,
     "knn_lsh": knn_lsh,                # rows-only (approximate)
     "embedding_norms": embedding_norms,
+    # temporal joins
+    "asof_purchase_before_error": q_asof_purchase_before_error,
+    "range_join_error_purchase": q_range_join_error_purchase,
+    # relational extras
+    "order_priority_check": order_priority_check,
+    "nation_segment_rollup": nation_segment_rollup,
+    "brand_revenue": brand_revenue,
+    # multimodal plumbing
+    "media_features": q_media_features,
+    "frame_sample": q_frame_sample,    # rows-only (binary payload rows)
 }

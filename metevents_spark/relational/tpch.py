@@ -117,6 +117,69 @@ def top_customers_per_segment(
     )
 
 
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority with at least one late-shipped
+    lineitem (left-semi join — EXISTS semantics, no row duplication)."""
+    orders = load_table(spark, sf_dir, "orders")
+    line = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    filtered = orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    late = filtered.join(
+        line,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def nation_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer counts/balances by nation x segment with ROLLUP
+    subtotals (grouping-sets coverage)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 3).alias("sum_acctbal"),
+        )
+        .orderBy(
+            F.col("n_name").asc_nulls_first(),
+            F.col("c_mktsegment").asc_nulls_first(),
+        )
+    )
+
+
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by part brand for a ship-date window (part-dimension
+    join; scales with SF so no forced broadcast — AQE decides)."""
+    line = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount", "4,2"))
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-07-01 00:00:00").cast("timestamp")
+    return (
+        line.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed rollup of the events stream: per (event_type, day)
     counts and value stats — the hypertable-rollup shape."""
