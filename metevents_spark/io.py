@@ -76,6 +76,40 @@ def series_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def load_csv_series(
+    spark: SparkSession,
+    path: str,
+    ts_col: str = "datetime",
+    value_col: str = "value",
+    sid_col: str | None = None,
+    sid: str = "series",
+) -> DataFrame:
+    """CSV scan parity (reference test path: pd.read_csv with
+    parse_dates + column select, /root/reference/tests/test_events.py:103-107).
+
+    Reads with header, casts the timestamp column (tz offsets like
+    ``+00:00`` normalize to session UTC), selects one value column, and
+    returns the canonical series frame.
+    """
+    raw = spark.read.csv(path, header=True)
+    sid_expr = (
+        F.col(sid_col).cast("string") if sid_col else F.lit(sid)
+    )
+    return raw.select(
+        sid_expr.alias("sid"),
+        F.monotonically_increasing_id().alias("seq"),
+        F.to_timestamp(F.col(ts_col)).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+
+
+def write_events(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Sink: events frames are tiny relative to inputs — a plain
+    parquet write; partition by sid only when callers expect per-series
+    consumption patterns."""
+    df.write.mode(mode).parquet(path)
+
+
 def series_from_columns(
     df: DataFrame, sid_col: str, ts_col: str, value_col: str, seq_col: str | None = None
 ) -> DataFrame:

@@ -15,7 +15,6 @@ SQL-expressible — so the kernel runs per-series inside
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

@@ -18,7 +18,6 @@ itself iterates over *bursts*, not rows).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 
 EVENT_SCHEMA = (

@@ -1,0 +1,86 @@
+"""Physical-plan assertions — the scale contract.
+
+These tests pin the plan properties that make the engine viable at
+100 TB: predicate/column pushdown into the parquet scan, exactly one
+sid exchange feeding window + run aggregation, broadcast of fixed-size
+dims, and no Python in native detector paths.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from metevents_spark.io import load_csv_series, series_frame
+from metevents_spark.operators import extreme_value, flat_line
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_detector_single_series_exchange(spark):
+    df = series_frame(spark, SF)
+    plan = plan_of(extreme_value(df, 400.0, 1.0))
+    # one hash exchange on sid for window+agg; one range exchange for the
+    # final deterministic ordering of the (tiny) events output
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(sid", plan)
+    assert len(hash_exchanges) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_flat_line_windows_share_sort(spark):
+    df = series_frame(spark, SF)
+    plan = plan_of(flat_line(df, 2, 25.0))
+    # lag-diff window and cumsum window must reuse one exchange+sort
+    assert len(re.findall(r"Exchange hashpartitioning\(sid", plan)) == 1, plan
+    assert len(re.findall(r"\bSort \[sid", plan)) <= 2, plan  # window + output
+
+
+def test_scan_prunes_columns(spark):
+    df = series_frame(spark, SF)
+    plan = plan_of(extreme_value(df, 400.0, 1.0))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"event_id", "ts", "user_id", "value"}, cols
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from metevents_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    line = load_table(spark, SF, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    ).select("l_quantity")
+    plan = plan_of(line)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    from metevents_spark.relational import region_revenue
+
+    plan = plan_of(region_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_csv_series_loads_reference_fixture(spark):
+    import pathlib
+
+    flv = "/root/reference/tests/data/mocks/flv.csv"
+    if not pathlib.Path(flv).exists():
+        pytest.skip("reference fixture unavailable")
+    df = load_csv_series(spark, flv, ts_col="datetime", value_col="SNOWDEPTH",
+                         sid_col="site")
+    rows = df.orderBy("ts").collect()
+    assert len(rows) == 240
+    assert rows[0].sid == "FLV"
+    assert rows[0].ts.strftime("%Y-%m-%d %H:%M") == "2022-09-30 08:00"
