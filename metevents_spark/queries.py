@@ -43,6 +43,13 @@ from metevents_spark.relational import (
     revenue_topn,
     top_customers_per_segment,
 )
+from metevents_spark.relational.tpch import (
+    brand_supplier_stats,
+    events_pivot,
+    top_price_orders,
+    value_quantiles,
+)
+from metevents_spark.text.dedup import ngram_jaccard_pairs
 from metevents_spark.session import tune_session
 from metevents_spark.similarity import embedding_norms, knn_cosine, knn_lsh
 from metevents_spark.text import (
@@ -499,6 +506,46 @@ SELECT doc_id,
   CAST(64 + (length(text) * 7) % 192 AS BIGINT) AS height
 FROM documents ORDER BY doc_id
 """,
+    "value_quantiles": """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    "events_pivot": """
+SELECT user_id,
+  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+    "top_price_orders": """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       ROUND((SELECT quantile_cont(o_totalprice, 0.99) FROM orders), 6)
+         AS threshold
+FROM orders
+WHERE o_totalprice > (SELECT quantile_cont(o_totalprice, 0.99) FROM orders)
+ORDER BY o_orderkey
+""",
+    "brand_supplier_stats": """
+SELECT p_brand, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+""",
+    "ngram_jaccard_pairs": """
+WITH t AS (SELECT doc_id, md5(substr(text, 1, 64)) AS ph,
+           list_distinct(string_split(text, ' ')) AS toks FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  ROUND(CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+             AS DOUBLE)
+        / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+FROM t a JOIN t b ON a.ph = b.ph AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+""",
 }
 
 
@@ -542,4 +589,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal plumbing
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,    # rows-only (binary payload rows)
+    # statistics / reshaping
+    "value_quantiles": value_quantiles,
+    "events_pivot": events_pivot,
+    "top_price_orders": top_price_orders,
+    "brand_supplier_stats": brand_supplier_stats,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
 }

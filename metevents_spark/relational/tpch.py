@@ -180,6 +180,80 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles of event value per type (both
+    engines use the same continuous-quantile definition, so results are
+    bit-comparable after rounding)."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.element_at(pct, 1), 6).alias("p25"),
+            F.round(F.element_at(pct, 2), 6).alias("p50"),
+            F.round(F.element_at(pct, 3), 6).alias("p75"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type counts as columns (pivot with an explicit
+    value list so no extra distinct-scan job runs)."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    filled = pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+            for t in EVENT_TYPES
+        ],
+    )
+    return filled.orderBy("user_id")
+
+
+def top_price_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the 99th price percentile (scalar-subquery shape:
+    the threshold aggregate broadcast-joins onto the scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    thr = orders.agg(
+        F.percentile("o_totalprice", F.lit(0.99)).alias("_thr")
+    )
+    return (
+        orders.crossJoin(F.broadcast(thr))
+        .filter(F.col("o_totalprice") > F.col("_thr"))
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            F.round("_thr", 6).alias("threshold"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def brand_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-aggregation coverage: suppliers and parts per brand."""
+    line = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        line.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed rollup of the events stream: per (event_type, day)
     counts and value stats — the hypertable-rollup shape."""

@@ -133,6 +133,37 @@ def minhash_near_dup(
     return pairs
 
 
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, prefix_len: int = 64
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs sharing a content
+    prefix bucket — the verification stage after cheap LSH/prefix
+    blocking. Pairwise work only happens inside buckets, never across
+    the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, prefix_len)).alias("ph"),
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    return (
+        a.join(
+            b,
+            (F.col("a.ph") == F.col("b.ph"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def simhash_fingerprints(
     spark: SparkSession, sf_dir: str, nbits: int = 64
 ) -> DataFrame:
