@@ -51,15 +51,24 @@ from metevents_spark.relational.tpch import (
 )
 from metevents_spark.text.dedup import ngram_jaccard_pairs
 from metevents_spark.session import tune_session
-from metevents_spark.similarity import embedding_norms, knn_cosine, knn_lsh
+from metevents_spark.similarity import (
+    embedding_near_dup,
+    embedding_norms,
+    knn_cosine,
+    knn_ivf,
+    knn_lsh,
+)
 from metevents_spark.text import (
     doc_fingerprint,
     exact_dedup,
     lang_id,
     minhash_near_dup,
     prefix_dedup,
+    rolling_fingerprint,
     simhash_fingerprints,
+    simhash_near_dup,
     text_stats,
+    token_count_bpe,
 )
 
 # --------------------------------------------------------------------------
@@ -546,6 +555,41 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM t a JOIN t b ON a.ph = b.ph AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
 """,
+    "token_count_bpe": r"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]') AS pieces
+  FROM documents)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(len(pieces) AS BIGINT) AS n_pieces,
+       CAST(len(list_distinct(pieces)) AS BIGINT) AS n_distinct_pieces,
+       ROUND(CAST(len(pieces) AS DOUBLE) / n_words, 6) AS pieces_per_word
+FROM t ORDER BY doc_id
+""",
+    "rolling_fingerprint": """
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+           x -> CAST((length(x) * 131 + ascii(x)) % 1000000007 AS BIGINT))
+           AS vals
+  FROM documents)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+         (acc, x) -> (acc * 1000003 + x) % 1000000007) AS rolling_hash,
+       CAST(len(vals) AS BIGINT) AS n_tokens
+FROM t ORDER BY doc_id
+""",
+    "embedding_near_dup": """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+ORDER BY vec_a, vec_b
+""",
 }
 
 
@@ -595,4 +639,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_price_orders": top_price_orders,
     "brand_supplier_stats": brand_supplier_stats,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    # token counting / fingerprints
+    "token_count_bpe": token_count_bpe,
+    "rolling_fingerprint": rolling_fingerprint,
+    # near-dup / ANN extensions
+    "simhash_near_dup": simhash_near_dup,   # rows-only (xxhash64 family)
+    "embedding_near_dup": embedding_near_dup,
+    "knn_ivf": knn_ivf,                # rows-only (approximate)
 }

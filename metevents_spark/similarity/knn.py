@@ -81,6 +81,139 @@ def knn_cosine(
     )
 
 
+def embedding_near_dup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label.
+
+    The blocking key (here ``label``; in production a coarse cluster id
+    or LSH bucket) keeps the pairwise join inside blocks, so the plan is
+    a block-partitioned self-join — never an all-pairs product over the
+    corpus. Cosine is computed JVM-side and rounded to 6 decimals before
+    the threshold filter so both engines cut at the same value.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v"))
+        / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def knn_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: a coarse quantizer of ``n_cells``
+    centroids partitions the corpus into inverted lists; each query
+    probes only its ``nprobe`` nearest cells and runs exact cosine there.
+
+    Centroids are the first ``n_cells`` corpus vectors (deterministic
+    stand-in for trained k-means — swap in MLlib KMeans centers for real
+    data). Cell assignment is map-side only: centroids are embedded as
+    array literals, and the argmax over per-centroid cosines is a pure
+    column expression — no shuffle, no UDF. The only shuffles are the
+    cell-key candidate join and the final per-query top-k.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    cents.sort()
+
+    def cent_lit(vec):
+        arr = F.array(*[F.lit(x) for x in vec])
+        return arr
+
+    def cell_sims(vcol):
+        # cosine of vcol against every centroid, as an array column
+        return F.array(
+            *[
+                _dot(vcol, cent_lit(vec)) / (_norm(vcol) * _norm(cent_lit(vec)))
+                for _, vec in cents
+            ]
+        )
+
+    base = emb.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        _norm(_as_double(F.col("embedding"))).alias("v_norm"),
+    )
+    corpus_sims = cell_sims(F.col("v"))
+    assigned = base.select(
+        "vec_id", "v", "v_norm",
+        (F.array_position(corpus_sims, F.array_max(corpus_sims)) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+
+    # queries probe their nprobe best cells: sort (sim, cell) structs desc
+    probe_arr = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.zip_with(
+                    cell_sims(F.col("q")),
+                    F.array(*[F.lit(i) for i in range(len(cents))]),
+                    lambda s, i: F.struct(s.alias("sim"), i.alias("cell")),
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+    queries = (
+        base.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("q"),
+            F.col("v_norm").alias("q_norm"),
+        )
+        .withColumn("probe", F.explode(probe_arr))
+        .select("q_id", "q", "q_norm", F.col("probe.cell").alias("cell"))
+    )
+
+    sim = F.round(
+        _dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm")), 6
+    )
+    scored = (
+        assigned.join(F.broadcast(queries), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
+
+
 def knn_lsh(
     spark: SparkSession,
     sf_dir: str,

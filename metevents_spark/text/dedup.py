@@ -164,12 +164,10 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_fingerprints(
-    spark: SparkSession, sf_dir: str, nbits: int = 64
-) -> DataFrame:
-    """64-bit SimHash per document: per-bit signed vote over token
-    hashes, JVM-side only (explode -> conditional sums -> bit OR-fold)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _simhash_frame(docs: DataFrame, nbits: int = 64) -> DataFrame:
+    """-> (doc_id, simhash) 64-bit SimHash per document: per-bit signed
+    vote over token hashes, JVM-side only (explode -> conditional sums
+    -> bit OR-fold)."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
@@ -187,4 +185,73 @@ def simhash_fingerprints(
         )
         term = F.shiftleft(bit, b)
         fp = term if fp is None else fp.bitwiseOR(term)
-    return per_doc.select("doc_id", fp.alias("simhash")).orderBy("doc_id")
+    return per_doc.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_fingerprints(
+    spark: SparkSession, sf_dir: str, nbits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document (see _simhash_frame)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _simhash_frame(docs, nbits=nbits).orderBy("doc_id")
+
+
+def simhash_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    nbits: int = 64,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via band-bucket candidate join.
+
+    The 64-bit fingerprint splits into ``bands`` disjoint bit-bands; by
+    pigeonhole, any pair within ``bands - 1`` differing bits shares at
+    least one identical band, so candidates form only inside band-bucket
+    groups (hash join on 16-bit keys — never all-pairs). Survivors are
+    filtered on exact Hamming distance bit_count(a XOR b) <= threshold.
+    With the default max_hamming = bands - 1 the result is EXACT (no
+    false negatives), not approximate. Only (doc_id, 8-byte
+    fingerprint) ever shuffles.
+    """
+    width = nbits // bands
+    mask = (1 << width) - 1
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _simhash_frame(docs, nbits=nbits)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(band_cols).alias("bb")
+    ).select(
+        "doc_id", "simhash",
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    hamming = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    ).cast("long")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )

@@ -84,6 +84,61 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the split GPT-style BPE applies before merges. Same regex dialect
+# subset works in Java (Spark) and RE2 (DuckDB oracle).
+BPE_SPLIT_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and BPE-style pieces
+    (regexp_extract_all — JVM regex inside codegen, no Python). The
+    pieces/words ratio approximates tokens-per-word for budget
+    estimates over a training corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(_tokens()).cast("long")
+    pieces_arr = F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_RE), F.lit(0))
+    pieces = F.size(pieces_arr).cast("long")
+    return docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        pieces.alias("n_pieces"),
+        F.size(F.array_distinct(pieces_arr)).cast("long").alias("n_distinct_pieces"),
+        F.round(pieces.cast("double") / words, 6).alias("pieces_per_word"),
+    ).orderBy("doc_id")
+
+
+# rolling-hash parameters (shared with the DuckDB oracle): token value
+# mixes length and first char; classic polynomial fold mod a prime.
+_RH_TOK_MULT = 131
+_RH_MULT = 1000003
+_RH_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-SENSITIVE document fingerprint: polynomial rolling hash
+    folded over the token stream (vs doc_fingerprint's order-free set
+    hash). Pure higher-order array expressions — transform + aggregate
+    — so the fold runs JVM-side in one pass, no UDF, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    vals = F.transform(
+        _tokens(),
+        lambda x: (
+            (F.length(x).cast("long") * _RH_TOK_MULT + F.ascii(x)) % _RH_MOD
+        ),
+    )
+    rolling = F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * _RH_MULT + x) % _RH_MOD,
+    )
+    return docs.select(
+        "doc_id",
+        rolling.alias("rolling_hash"),
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token set (document-level signature for clustering)."""

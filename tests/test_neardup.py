@@ -1,0 +1,71 @@
+"""Near-dup / ANN extension operators: simhash banding exactness,
+IVF recall against exact cosine, rolling-hash order sensitivity."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from metevents_spark.similarity import knn_cosine, knn_ivf
+from metevents_spark.text import rolling_fingerprint, simhash_near_dup
+from metevents_spark.text.dedup import _simhash_frame
+from metevents_spark.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_simhash_banding_is_exact(spark):
+    """With max_hamming = bands - 1, band-bucket candidates must find
+    every qualifying pair (pigeonhole) — compare to brute-force."""
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dup(spark, SF, max_hamming=3, bands=4).collect()
+    }
+    sig = _simhash_frame(load_table(spark, SF, "documents"))
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_knn_ivf_recall(spark):
+    exact = {(r.q_id, r.vec_id) for r in knn_cosine(spark, SF).collect()}
+    approx = {(r.q_id, r.vec_id) for r in knn_ivf(spark, SF).collect()}
+    assert len(approx) == len(exact)
+    # nprobe=4 of 16 cells: expect most true neighbors found
+    assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "x", "s", 5), (2, "c b a", "x", "s", 5)],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.createOrReplaceTempView("_tmp_docs")
+    from metevents_spark.text.stats import _RH_MOD, _RH_MULT, _RH_TOK_MULT
+
+    vals = F.transform(
+        F.split(F.col("text"), " "),
+        lambda x: (F.length(x).cast("long") * _RH_TOK_MULT + F.ascii(x)) % _RH_MOD,
+    )
+    rolling = F.aggregate(
+        vals, F.lit(0).cast("long"), lambda acc, x: (acc * _RH_MULT + x) % _RH_MOD
+    )
+    out = df.select("doc_id", rolling.alias("rh")).collect()
+    hashes = {r.doc_id: r.rh for r in out}
+    assert hashes[1] != hashes[2]
+
+    # the registered query agrees with itself across runs (determinism)
+    r1 = rolling_fingerprint(spark, SF).collect()
+    r2 = rolling_fingerprint(spark, SF).collect()
+    assert r1 == r2
