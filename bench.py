@@ -56,8 +56,15 @@ def main() -> None:
     spark = get_spark(app_name="metevents-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footer caches outside the timed region
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # warm the JVM, codegen, Arrow and parquet footer caches outside the
+    # timed region with one representative query per engine path
+    # (window+agg native; grouped-map pandas kernel)
+    QUERIES["flat_line"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    QUERIES["storm_find"](spark, sf_dir).limit(1).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

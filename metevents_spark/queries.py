@@ -44,8 +44,14 @@ from metevents_spark.relational import (
     top_customers_per_segment,
 )
 from metevents_spark.relational.tpch import (
+    big_spender_1995,
     brand_supplier_stats,
+    churned_customers,
+    cumulative_revenue,
+    customers_no_order_1996,
     events_pivot,
+    repeat_customers,
+    small_qty_part_revenue,
     top_price_orders,
     value_quantiles,
 )
@@ -590,6 +596,56 @@ FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
 ORDER BY vec_a, vec_b
 """,
+    "customers_no_order_1996": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate BETWEEN '1996-01-01' AND '1996-12-31 23:59:59')
+ORDER BY c_custkey
+""",
+    "big_spender_1995": """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate BETWEEN '1995-01-01' AND '1995-12-31 23:59:59'
+    AND o_totalprice > 40000.0)
+ORDER BY c_custkey
+""",
+    "repeat_customers": """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+ORDER BY custkey
+""",
+    "churned_customers": """
+SELECT DISTINCT custkey FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+  EXCEPT ALL
+  SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996)
+ORDER BY custkey
+""",
+    "small_qty_part_revenue": """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0
+             AS DOUBLE), 3) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey)
+""",
+    "cumulative_revenue": """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS DOUBLE) AS cum_spend
+FROM orders WHERE o_custkey < 50
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
 }
 
 
@@ -646,4 +702,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": simhash_near_dup,   # rows-only (xxhash64 family)
     "embedding_near_dup": embedding_near_dup,
     "knn_ivf": knn_ivf,                # rows-only (approximate)
+    # join variants and set ops
+    "customers_no_order_1996": customers_no_order_1996,
+    "big_spender_1995": big_spender_1995,
+    "repeat_customers": repeat_customers,
+    "churned_customers": churned_customers,
+    "small_qty_part_revenue": small_qty_part_revenue,
+    "cumulative_revenue": cumulative_revenue,
 }

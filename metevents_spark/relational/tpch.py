@@ -254,6 +254,122 @@ def brand_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customers_no_order_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANTI-join shape: customers with zero orders in 1996. The orders
+    side is filtered+projected to the key before the join, so only
+    custkeys shuffle; Catalyst plans a (broadcast) hash anti join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1996-12-31 23:59:59")
+    )
+    return (
+        cust.join(
+            orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def big_spender_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI-join shape: customers having at least one 1995 order above
+    the price cut — EXISTS semantics, no duplicate blowup, only keys
+    shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-12-31 23:59:59")
+        & (F.col("o_totalprice") > 40000.0)
+    )
+    return (
+        cust.join(
+            orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_semi",
+        )
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT shape: custkeys ordering in both 1995 and 1996 (set
+    intersection compiles to an aggregate + semi join — distinct key
+    sets, never full rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def keys(year: int) -> DataFrame:
+        return orders.filter(
+            F.year("o_orderdate") == year
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    return keys(1995).intersect(keys(1996)).orderBy("custkey")
+
+
+def churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT shape: custkeys ordering in 1995 but never in 1996."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def keys(year: int) -> DataFrame:
+        return orders.filter(
+            F.year("o_orderdate") == year
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    return keys(1995).exceptAll(keys(1996)).distinct().orderBy("custkey")
+
+
+def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery, decorrelated): per
+    part, lineitems with quantity below 20% of that part's average
+    quantity. The per-part average and the probe side shuffle on the
+    SAME key (l_partkey), so the join is co-partitioned — one exchange
+    feeds both the aggregate and the join at scale."""
+    line = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    )
+    avg_qty = (
+        line.groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg((F.avg("l_quantity") * 0.2).alias("qty_cut"))
+    )
+    return (
+        line.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")) / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+        .select(F.round("avg_yearly", 3).alias("avg_yearly"))
+    )
+
+
+def cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total window per customer: order-date cumulative spend.
+    DECIMAL accumulation keeps the running sum order-independent in
+    value, and the (date, orderkey) tie-break makes row order — and
+    therefore every prefix — deterministic across engines."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 50
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(_dec("o_totalprice")).over(w).cast("double").alias("cum_spend"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
 def daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed rollup of the events stream: per (event_type, day)
     counts and value stats — the hypertable-rollup shape."""

@@ -9,6 +9,7 @@ buckets; at 100 TB the band-bucket groupBy shuffles fingerprints
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -40,34 +41,50 @@ def prefix_dedup(spark: SparkSession, sf_dir: str, prefix_len: int = 64) -> Data
     )
 
 
-def _shingles(k: int):
-    """Distinct k-token shingles as an array column (JVM-side)."""
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(size(split(text, ' ')) - {k - 1}, 1)),"
-            f" i -> array_join(slice(split(text, ' '), i, {k}), ' '))"
-        )
-    )
-
-
 def minhash_signatures(
     docs: DataFrame, k: int = 3, num_hashes: int = 32
 ) -> DataFrame:
     """-> (doc_id, sig: array<long>) MinHash signature per document.
 
-    Hash family: xxhash64(shingle, seed_i) — JVM built-in, no UDF. The
-    explode/groupBy computes all ``num_hashes`` minima in one shuffle
-    of (doc_id, shingle-hash) pairs.
+    Entirely map-side: the k-token shingle array, two xxhash64 base
+    hashes per shingle, and all ``num_hashes`` minima are higher-order
+    array expressions on the document row — no explode, no shuffle, no
+    UDF. The hash family is Kirsch-Mitzenmacher derived, g_i = h1 +
+    i*h2 (bases masked to 62/32 bits so ANSI bigint math can't
+    overflow), so hashing cost is 2 evaluations per shingle regardless
+    of signature width.
     """
-    sh = docs.select("doc_id", F.explode(_shingles(k)).alias("shingle"))
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    shingled = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("toks") - (k - 1), F.lit(1)),
+                ),
+                lambda i: F.array_join(F.slice("toks", i, k), " "),
+            )
+        ).alias("shingles"),
     )
+    hashed = shingled.select(
+        "doc_id",
+        F.transform(
+            "shingles",
+            lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 62) - 1)),
+        ).alias("h1"),
+        F.transform(
+            "shingles",
+            lambda s: F.xxhash64(s, F.lit(1)).bitwiseAND(F.lit((1 << 32) - 1)),
+        ).alias("h2"),
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.zip_with("h1", "h2", lambda a, b: a + F.lit(i) * b))
+            for i in range(num_hashes)
+        ]
+    )
+    return hashed.select("doc_id", sig.alias("sig"))
 
 
 def minhash_near_dup(
@@ -105,6 +122,11 @@ def minhash_near_dup(
     banded = sig.select("doc_id", "sig", F.explode(band_cols).alias("bb")).select(
         "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    # the banded frame feeds BOTH sides of the self-join; without
+    # persist Spark computes the whole signature pipeline twice (no
+    # cross-branch CSE). At scale this is the "checkpoint signatures
+    # before pairing" stage of a dedup pipeline.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -235,6 +257,9 @@ def simhash_near_dup(
         "doc_id", "simhash",
         F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
     )
+    # persisted for the same reason as minhash_near_dup: the vote
+    # aggregation feeds both self-join sides
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     left, right = banded.alias("l"), banded.alias("r")
     hamming = F.bit_count(
         F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
