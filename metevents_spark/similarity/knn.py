@@ -93,13 +93,17 @@ def embedding_near_dup(
     the threshold filter so both engines cut at the same value.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms are computed once per ROW here, not once per candidate pair
+    # inside the join condition
     base = emb.select(
-        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+        "vec_id",
+        "label",
+        _as_double(F.col("embedding")).alias("v"),
+        _norm(_as_double(F.col("embedding"))).alias("nrm"),
     )
     a, b = base.alias("a"), base.alias("b")
     cos = F.round(
-        _dot(F.col("a.v"), F.col("b.v"))
-        / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
         6,
     )
     return (

@@ -84,3 +84,42 @@ def test_csv_series_loads_reference_fixture(spark):
     assert len(rows) == 240
     assert rows[0].sid == "FLV"
     assert rows[0].ts.strftime("%Y-%m-%d %H:%M") == "2022-09-30 08:00"
+
+
+def test_anti_semi_joins_broadcast_key_side(spark):
+    from metevents_spark.relational import big_spender_1995, customers_no_order_1996
+
+    for fn, jtype in [(customers_no_order_1996, "LeftAnti"),
+                      (big_spender_1995, "LeftSemi")]:
+        plan = plan_of(fn(spark, SF))
+        assert f"BroadcastHashJoin" in plan and jtype in plan, plan
+        # only the custkey reaches the broadcast side
+        assert "o_totalprice" not in re.search(
+            r"BroadcastExchange.*", plan, re.S).group(0).split("Filter")[0], plan
+
+
+def test_q17_pushes_brand_filter_to_scan(spark):
+    from metevents_spark.relational import small_qty_part_revenue
+
+    plan = plan_of(small_qty_part_revenue(spark, SF))
+    assert "PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand,Brand#13)" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_embedding_near_dup_no_cartesian(spark):
+    from metevents_spark.similarity import embedding_near_dup
+
+    plan = plan_of(embedding_near_dup(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_minhash_candidates_join_on_buckets(spark):
+    from metevents_spark.text import minhash_near_dup
+
+    df = minhash_near_dup(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # signature pipeline is persisted for the self-join
+    assert "InMemoryTableScan" in plan, plan
