@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# every registered query, detector kernels first — the benchmark IS the
+# coverage surface (per-query timings recorded by the driver)
 HEADLINE = [
     "extreme_value",
     "flat_line",
@@ -33,13 +35,39 @@ HEADLINE = [
     "revenue_topn",
     "region_revenue",
     "top_customers_per_segment",
+    "order_priority_check",
+    "nation_segment_rollup",
+    "brand_revenue",
+    "brand_supplier_stats",
+    "value_quantiles",
+    "events_pivot",
+    "top_price_orders",
+    "customers_no_order_1996",
+    "big_spender_1995",
+    "repeat_customers",
+    "churned_customers",
+    "small_qty_part_revenue",
+    "cumulative_revenue",
+    "asof_purchase_before_error",
+    "range_join_error_purchase",
     "text_stats",
+    "lang_id",
+    "token_count_bpe",
     "doc_fingerprint",
+    "rolling_fingerprint",
     "exact_dedup",
+    "prefix_dedup",
     "minhash_near_dup",
+    "ngram_jaccard_pairs",
     "simhash_fingerprints",
+    "simhash_near_dup",
     "knn_cosine",
+    "knn_lsh",
+    "knn_ivf",
     "embedding_norms",
+    "embedding_near_dup",
+    "media_features",
+    "frame_sample",
 ]
 
 

@@ -14,6 +14,7 @@ only form within a bucket.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -87,38 +88,40 @@ def embedding_near_dup(
     """Embedding-cosine near-duplicate pairs, blocked by label.
 
     The blocking key (here ``label``; in production a coarse cluster id
-    or LSH bucket) keeps the pairwise join inside blocks, so the plan is
-    a block-partitioned self-join — never an all-pairs product over the
-    corpus. Cosine is computed JVM-side and rounded to 6 decimals before
-    the threshold filter so both engines cut at the same value.
+    or LSH bucket) bounds the pairwise work to within-block — never an
+    all-pairs product over the corpus. Each block's pair matrix is one
+    BLAS gram-matrix multiply inside ``applyInPandas`` (Arrow transfer,
+    numpy float64), which beats per-pair expression evaluation by
+    orders of magnitude; blocks shuffle once on the blocking key and
+    scale out across executors. Cosine uses dot/(|a||b|) in float64 and
+    rounds to 6 decimals before the threshold cut, matching the oracle.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    # norms are computed once per ROW here, not once per candidate pair
-    # inside the join condition
-    base = emb.select(
-        "vec_id",
-        "label",
-        _as_double(F.col("embedding")).alias("v"),
-        _norm(_as_double(F.col("embedding"))).alias("nrm"),
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
     )
-    a, b = base.alias("a"), base.alias("b")
-    cos = F.round(
-        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
-        6,
-    )
+    out_schema = "vec_a long, vec_b long, label int, cosine double"
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        sims = np.round((m @ m.T) / np.outer(norms, norms), 6)
+        ia, ib = np.triu_indices(len(pdf), k=1)
+        keep = sims[ia, ib] >= threshold
+        ia, ib = ia[keep], ib[keep]
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia],
+                "vec_b": ids[ib],
+                "label": pdf["label"].to_numpy()[ia],
+                "cosine": sims[ia, ib],
+            }
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+        emb.groupBy("label")
+        .applyInPandas(block_pairs, out_schema)
         .orderBy("vec_a", "vec_b")
     )
 
@@ -143,53 +146,38 @@ def knn_ivf(
     cell-key candidate join and the final per-query top-k.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = [
+    cents = sorted(
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in emb.filter(F.col("vec_id") < n_cells)
         .select("vec_id", "embedding")
         .collect()
-    ]
-    cents.sort()
+    )
+    # unit-normalized centroid matrix, shipped in the UDF closure —
+    # cell assignment for a whole Arrow batch is ONE numpy matmul
+    cmat = np.array([v for _, v in cents], dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
 
-    def cent_lit(vec):
-        arr = F.array(*[F.lit(x) for x in vec])
-        return arr
+    @F.pandas_udf("int")
+    def nearest_cell(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series((m @ cmat.T).argmax(axis=1).astype(np.int32))
 
-    def cell_sims(vcol):
-        # cosine of vcol against every centroid, as an array column
-        return F.array(
-            *[
-                _dot(vcol, cent_lit(vec)) / (_norm(vcol) * _norm(cent_lit(vec)))
-                for _, vec in cents
-            ]
-        )
+    @F.pandas_udf("array<int>")
+    def probe_cells(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(-(m @ cmat.T), axis=1)[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
 
     base = emb.select(
         "vec_id",
+        "embedding",
         _as_double(F.col("embedding")).alias("v"),
         _norm(_as_double(F.col("embedding"))).alias("v_norm"),
     )
-    corpus_sims = cell_sims(F.col("v"))
     assigned = base.select(
-        "vec_id", "v", "v_norm",
-        (F.array_position(corpus_sims, F.array_max(corpus_sims)) - 1)
-        .cast("int")
-        .alias("cell"),
-    )
-
-    # queries probe their nprobe best cells: sort (sim, cell) structs desc
-    probe_arr = F.slice(
-        F.reverse(
-            F.array_sort(
-                F.zip_with(
-                    cell_sims(F.col("q")),
-                    F.array(*[F.lit(i) for i in range(len(cents))]),
-                    lambda s, i: F.struct(s.alias("sim"), i.alias("cell")),
-                )
-            )
-        ),
-        1,
-        nprobe,
+        "vec_id", "v", "v_norm", nearest_cell("embedding").alias("cell")
     )
     queries = (
         base.filter(F.col("vec_id") < n_queries)
@@ -197,9 +185,8 @@ def knn_ivf(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("q"),
             F.col("v_norm").alias("q_norm"),
+            F.explode(probe_cells("embedding")).alias("cell"),
         )
-        .withColumn("probe", F.explode(probe_arr))
-        .select("q_id", "q", "q_norm", F.col("probe.cell").alias("cell"))
     )
 
     sim = F.round(
