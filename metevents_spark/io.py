@@ -12,6 +12,7 @@ total. The driver's ``events`` table maps user_id->sid, event_id->seq
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -121,3 +122,46 @@ def series_from_columns(
         F.col(ts_col).cast("timestamp").alias("ts"),
         F.col(value_col).cast("double").alias("value"),
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed-table sink: co-locates rows by hash(bucket_col) at WRITE
+    time so later joins/aggregations on that key need NO exchange —
+    the physical layout the 100 TB fact tables should have. Optionally
+    sorted within buckets so sort-merge joins skip the sort too."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # a table location can survive from a previous session while the
+        # catalog entry does not; clear both so overwrite is idempotent
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = os.path.join(warehouse.removeprefix("file:"), table)
+        if loc.startswith("/") and os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)
+
+
+def bucketed_series_tables(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 16
+) -> tuple[str, str]:
+    """Land the events series and a per-user dim as bucketed tables on
+    the same key/bucket count; returns the two table names. Joining
+    them is exchange-free (see tests/test_bucketing.py)."""
+    ser = series_frame(spark, sf_dir)
+    dim = ser.groupBy("sid").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.avg("value").alias("avg_value"),
+    )
+    write_bucketed(ser, "series_bucketed", "sid", n_buckets, sort_col="sid")
+    write_bucketed(dim, "series_dim_bucketed", "sid", n_buckets, sort_col="sid")
+    return "series_bucketed", "series_dim_bucketed"
