@@ -64,17 +64,21 @@ from metevents_spark.similarity import (
     knn_ivf,
     knn_lsh,
 )
+from metevents_spark.operators.seriesstats import rolling_mean, zscore_anomaly
 from metevents_spark.text import (
     doc_fingerprint,
     exact_dedup,
     lang_id,
     minhash_near_dup,
     prefix_dedup,
+    quality_filter,
     rolling_fingerprint,
     simhash_fingerprints,
     simhash_near_dup,
     text_stats,
+    tfidf_top_terms,
     token_count_bpe,
+    vocab_top_terms,
 )
 
 # --------------------------------------------------------------------------
@@ -646,6 +650,69 @@ SELECT o_custkey, o_orderkey, o_orderdate,
 FROM orders WHERE o_custkey < 50
 ORDER BY o_custkey, o_orderdate, o_orderkey
 """,
+    "vocab_top_terms": """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 100
+""",
+    "quality_filter": """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','a','of','and','to','in'))) AS ns
+  FROM documents)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(nd AS DOUBLE) / n_tokens AS distinct_ratio,
+       CAST(ns AS DOUBLE) / n_tokens AS stopword_ratio
+FROM t
+WHERE n_tokens >= 30
+  AND CAST(nd AS DOUBLE) / n_tokens >= 0.30
+  AND CAST(ns AS DOUBLE) / n_tokens <= 0.30
+ORDER BY doc_id
+""",
+    "tfidf_top_terms": """
+WITH terms AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS doc_len,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents),
+per_doc AS (
+  SELECT doc_id, doc_len, term, COUNT(*) AS tc FROM terms GROUP BY ALL),
+dfreq AS (SELECT term, COUNT(*) AS df FROM per_doc GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         ROUND((CAST(tc AS DOUBLE) / doc_len)
+               * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score
+  FROM per_doc JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
+    "rolling_mean": f"""
+WITH {_SERIES}
+SELECT sid, seq, ts,
+       ROUND(AVG(value) OVER (PARTITION BY sid ORDER BY ts, seq
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rmean
+FROM series ORDER BY sid, ts, seq
+""",
+    "zscore_anomaly": f"""
+WITH {_SERIES},
+stats AS (
+  SELECT sid, AVG(value) AS mu, STDDEV_SAMP(value) AS sdev
+  FROM series GROUP BY sid)
+SELECT s.sid, s.seq, s.ts, s.value,
+       ROUND((s.value - mu) / sdev, 6) AS z
+FROM series s JOIN stats USING (sid)
+WHERE ABS(ROUND((s.value - mu) / sdev, 6)) > 3.0
+ORDER BY s.sid, s.ts, s.seq
+""",
 }
 
 
@@ -709,4 +776,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "churned_customers": churned_customers,
     "small_qty_part_revenue": small_qty_part_revenue,
     "cumulative_revenue": cumulative_revenue,
+    # corpus statistics / filtering
+    "vocab_top_terms": vocab_top_terms,
+    "quality_filter": quality_filter,
+    "tfidf_top_terms": tfidf_top_terms,
+    # series statistics beyond the reference
+    "rolling_mean": rolling_mean,
+    "zscore_anomaly": zscore_anomaly,
 }

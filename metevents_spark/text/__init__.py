@@ -1,9 +1,12 @@
 from metevents_spark.text.stats import (  # noqa: F401
     doc_fingerprint,
     lang_id,
+    quality_filter,
     rolling_fingerprint,
     text_stats,
+    tfidf_top_terms,
     token_count_bpe,
+    vocab_top_terms,
 )
 from metevents_spark.text.dedup import (  # noqa: F401
     exact_dedup,

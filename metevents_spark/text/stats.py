@@ -149,3 +149,79 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.size(F.array_distinct(_tokens())).cast("long").alias("n_distinct_tokens"),
     ).orderBy("doc_id")
+
+
+def vocab_top_terms(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: global token frequencies, top-k with a
+    deterministic (count desc, token asc) order — the explode/groupBy
+    shape whose map-side partial aggregation keeps the shuffle at
+    |vocab| rows per partition, not |tokens|."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+# quality-filter thresholds (shared with the oracle SQL)
+QF_MIN_TOKENS = 30
+QF_MIN_DISTINCT_RATIO = 0.30
+QF_MAX_STOPWORD_RATIO = 0.30
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents passing the composite quality gate (length, lexical
+    diversity, stopword saturation) — the keep-list of a pretraining
+    filter stage. Pure column predicates over text_stats metrics."""
+    stats = text_stats(spark, sf_dir)
+    return (
+        stats.filter(
+            (F.col("n_tokens") >= QF_MIN_TOKENS)
+            & (F.col("distinct_ratio") >= QF_MIN_DISTINCT_RATIO)
+            & (F.col("stopword_ratio") <= QF_MAX_STOPWORD_RATIO)
+        )
+        .select("doc_id", "n_tokens", "distinct_ratio", "stopword_ratio")
+        .orderBy("doc_id")
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms.
+
+    tf = term count / doc length; idf = ln((N+1)/(df+1)). One explode
+    feeds both the per-(doc,term) counts and — after a term-level
+    re-aggregation — the document frequencies; the doc-frequency side is
+    vocabulary-sized, so it broadcasts onto the big side at scale.
+    Deterministic rank tie-break: (score desc, term asc).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.size(_tokens()).alias("doc_len"), F.explode(_tokens()).alias("term")
+    )
+    per_doc = terms.groupBy("doc_id", "doc_len", "term").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    df_counts = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    score = F.round(
+        (F.col("tc").cast("double") / F.col("doc_len"))
+        * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        per_doc.join(F.broadcast(df_counts), "term")
+        .select("doc_id", "term", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("doc_id", "rank")
+    )
