@@ -50,9 +50,14 @@ HEADLINE = [
     "cumulative_revenue",
     "asof_purchase_before_error",
     "range_join_error_purchase",
+    "rolling_mean",
+    "zscore_anomaly",
     "text_stats",
     "lang_id",
     "token_count_bpe",
+    "vocab_top_terms",
+    "quality_filter",
+    "tfidf_top_terms",
     "doc_fingerprint",
     "rolling_fingerprint",
     "exact_dedup",

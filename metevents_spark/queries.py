@@ -55,7 +55,7 @@ from metevents_spark.relational.tpch import (
     top_price_orders,
     value_quantiles,
 )
-from metevents_spark.text.dedup import ngram_jaccard_pairs
+from metevents_spark.text.dedup import dedup_clusters, ngram_jaccard_pairs
 from metevents_spark.session import tune_session
 from metevents_spark.similarity import (
     embedding_near_dup,
@@ -783,4 +783,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # series statistics beyond the reference
     "rolling_mean": rolling_mean,
     "zscore_anomaly": zscore_anomaly,
+    # iterative graph: near-dup connected components
+    "dedup_clusters": dedup_clusters,  # rows-only (iterative, minhash family)
 }

@@ -231,3 +231,19 @@ def stream_storm_find(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first arrival of each
+    key, with state bounded by the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — late duplicates beyond the
+    watermark age out of state instead of growing it forever, the only
+    viable contract for an unbounded 100 TB/day stream)."""
+    keys = key_cols or ["event_id"]
+    return stream_df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -280,3 +280,63 @@ def simhash_near_dup(
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Near-duplicate CLUSTER assignment: connected components over the
+    MinHash near-dup pair graph by iterative min-label propagation.
+
+    Each iteration is one join + groupBy (label = min of own and
+    neighbors' labels); convergence in O(component diameter) rounds —
+    near-dup components are shallow (stars/cliques), so 2-3 rounds in
+    practice. Iteration state is persisted and replaced each round, the
+    standard Spark pattern for iterative graph algorithms (Pregel-lite).
+    Output: (doc_id, cluster) where cluster = min doc_id reachable.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_near_dup(spark, sf_dir, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels["doc_id"] == neighbor_min["doc_a"], "left"
+            )
+            .select(
+                labels["doc_id"],
+                F.least(
+                    labels["cluster"], F.coalesce("nmin", labels["cluster"])
+                ).alias("cluster"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")

@@ -69,3 +69,17 @@ def test_rolling_fingerprint_is_order_sensitive(spark):
     r1 = rolling_fingerprint(spark, SF).collect()
     r2 = rolling_fingerprint(spark, SF).collect()
     assert r1 == r2
+
+
+def test_dedup_clusters_consistent_with_pairs(spark):
+    from metevents_spark.text.dedup import dedup_clusters, minhash_near_dup
+
+    labels = {
+        r.doc_id: r.cluster for r in dedup_clusters(spark, SF).collect()
+    }
+    pairs = minhash_near_dup(spark, SF).collect()
+    # every near-dup pair lands in one cluster, labeled by its minimum
+    for p in pairs:
+        assert labels[p.doc_a] == labels[p.doc_b]
+    for d, c in labels.items():
+        assert c <= d

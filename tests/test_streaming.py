@@ -128,3 +128,36 @@ def test_stream_sessions_counts(spark, stream_dir):
     batch = sessionize(series_frame(spark, "/root/testdata/sf0.001"), gap_s=14400.0)
     assert len(streamed) == batch.count()
     assert sum(r.n_events for r in streamed) == 1000
+
+
+def test_stream_dedup_keeps_first_arrival(spark, stream_dir):
+    from metevents_spark.streaming import stream_dedup
+
+    pdf = daily_rows([1, 2, 3, 4])
+    pdf["event_id"] = [10, 11, 11, 12]  # 11 duplicated within watermark
+    Path(stream_dir, "dd").mkdir()
+    pdf.iloc[:2].to_parquet(f"{stream_dir}/dd/c0.parquet", coerce_timestamps="us")
+    time.sleep(0.05)
+    pdf.iloc[2:].to_parquet(f"{stream_dir}/dd/c1.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema("sid string, ts timestamp, value double, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/dd")
+    )
+    q = (
+        stream_dedup(stream, ["event_id"], watermark="10 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", f"{stream_dir}/dd_ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT event_id, value FROM dedup_out ORDER BY event_id"
+    ).collect()
+    assert [(r.event_id, r.value) for r in rows] == [
+        (10, 1.0), (11, 2.0), (12, 4.0)
+    ]
