@@ -1,0 +1,83 @@
+"""Property-based differential test: the gaps-and-islands detector
+pipeline on random series must equal a direct Python transcription of
+the reference semantics (condition -> consecutive runs -> min/max/sum).
+
+Each hypothesis example packs many random series into ONE DataFrame
+(one Spark job checks the whole batch), so coverage per second stays
+high despite Spark's per-job overhead.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from metevents_spark.operators import extreme_value
+
+EXPECTED_MAX, EXPECTED_MIN = 300.0, 0.0
+START = datetime(2023, 1, 1)
+
+values = st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(min_value=-200, max_value=600, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=30,
+)
+series_batch = st.lists(values, min_size=1, max_size=8)
+
+
+def brute_force(vals):
+    """Reference semantics (events.py:333-358): out-of-range predicate,
+    consecutive-True runs, per-run bounds + NaN-skipping total."""
+    events = []
+    run = []
+    for i, v in enumerate(vals + [None]):
+        cond = v is not None and (v > EXPECTED_MAX or v < EXPECTED_MIN)
+        if cond:
+            run.append((i, v))
+        elif run:
+            ts0 = START + timedelta(days=run[0][0])
+            ts1 = START + timedelta(days=run[-1][0])
+            events.append(
+                (
+                    ts0,
+                    ts1,
+                    int((ts1 - ts0).total_seconds() * 1_000_000),
+                    len(run),
+                    round(sum(v for _, v in run), 6),
+                )
+            )
+            run = []
+    return events
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=series_batch)
+def test_extreme_value_matches_reference_semantics(spark, batch):
+    rows = []
+    for s, vals in enumerate(batch):
+        for i, v in enumerate(vals):
+            rows.append(
+                (f"s{s}", i, START + timedelta(days=i), None if v is None else float(v))
+            )
+    df = spark.createDataFrame(
+        rows, schema="sid string, seq long, ts timestamp, value double"
+    )
+    got = {}
+    for r in extreme_value(df, EXPECTED_MAX, EXPECTED_MIN).collect():
+        got.setdefault(r.sid, []).append(
+            (r.start, r.stop, r.duration_us, r.n_points, round(r.total, 6))
+        )
+    for s, vals in enumerate(batch):
+        expected = brute_force([None if v is None else float(v) for v in vals])
+        assert got.get(f"s{s}", []) == expected, (s, vals)
