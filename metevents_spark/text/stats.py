@@ -197,22 +197,25 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     vocabulary-sized, so it broadcasts onto the big side at scale.
     Deterministic rank tie-break: (score desc, term asc).
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     terms = docs.select(
         "doc_id", F.size(_tokens()).alias("doc_len"), F.explode(_tokens()).alias("term")
     )
+    # per_doc feeds BOTH the doc-frequency aggregation and the scoring
+    # join — persist so the explode+aggregate runs once
     per_doc = terms.groupBy("doc_id", "doc_len", "term").agg(
         F.count(F.lit(1)).alias("tc")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     df_counts = per_doc.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
-    )
+    ).crossJoin(F.broadcast(n_docs))
     score = F.round(
         (F.col("tc").cast("double") / F.col("doc_len"))
-        * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+        * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
         6,
     )
     w = Window.partitionBy("doc_id").orderBy(
