@@ -48,6 +48,8 @@ HEADLINE = [
     "churned_customers",
     "small_qty_part_revenue",
     "cumulative_revenue",
+    "events_cube",
+    "price_deciles",
     "asof_purchase_before_error",
     "range_join_error_purchase",
     "rolling_mean",
@@ -69,6 +71,7 @@ HEADLINE = [
     "knn_cosine",
     "knn_lsh",
     "knn_ivf",
+    "dedup_clusters",
     "embedding_norms",
     "embedding_near_dup",
     "media_features",

@@ -45,6 +45,8 @@ from metevents_spark.relational import (
 )
 from metevents_spark.relational.tpch import (
     big_spender_1995,
+    events_cube,
+    price_deciles,
     brand_supplier_stats,
     churned_customers,
     cumulative_revenue,
@@ -713,6 +715,25 @@ FROM series s JOIN stats USING (sid)
 WHERE ABS(ROUND((s.value - mu) / sdev, 6)) > 3.0
 ORDER BY s.sid, s.ts, s.seq
 """,
+    "events_cube": """
+SELECT event_type, CAST(isodow(ts) AS BIGINT) AS isodow,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS sum_value
+FROM events
+GROUP BY CUBE (event_type, CAST(isodow(ts) AS BIGINT))
+ORDER BY event_type, isodow
+""",
+    "price_deciles": """
+WITH t AS (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders)
+SELECT decile, COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi
+FROM t GROUP BY decile ORDER BY decile
+""",
 }
 
 
@@ -785,4 +806,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zscore_anomaly": zscore_anomaly,
     # iterative graph: near-dup connected components
     "dedup_clusters": dedup_clusters,  # rows-only (iterative, minhash family)
+    # grouping sets and ranking families
+    "events_cube": events_cube,
+    "price_deciles": price_deciles,
 }

@@ -370,6 +370,47 @@ def cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets: event counts and value sums across every
+    combination of (event_type, iso weekday) including the grand total
+    — one pass, Expand + single aggregate in the plan."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            (F.weekday("ts") + 1).cast("long").alias("isodow"),
+            "value",
+        )
+        .cube("event_type", "isodow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("value", "12,2")), 2).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type", "isodow")
+    )
+
+
+def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE ranking family: decile bounds of order prices. The global
+    ntile window runs single-partition — fine for ranking a result set;
+    at 100 TB you'd range-partition on the sort key first (as
+    value_quantiles does with percentile aggregation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(10).over(w).cast("long").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
 def daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed rollup of the events stream: per (event_type, day)
     counts and value stats — the hypertable-rollup shape."""
