@@ -318,6 +318,10 @@ def dedup_clusters(
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # labels only ever DECREASE under min-propagation, so the label sum
+    # strictly drops until fixpoint — one aggregate per round detects
+    # convergence, no self-join diff needed
+    prev_sum = None
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
@@ -336,14 +340,10 @@ def dedup_clusters(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("cluster")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.orderBy("doc_id")
