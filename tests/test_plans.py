@@ -123,3 +123,29 @@ def test_minhash_candidates_join_on_buckets(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # signature pipeline is persisted for the self-join
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_no_query_plans_a_cartesian_product(spark):
+    """Global guardrail over the whole registry: no query may plan a
+    CartesianProduct. BroadcastNestedLoopJoin is tolerated only for the
+    single-row scalar-aggregate cross joins (threshold/corpus-count
+    broadcasts), which are O(n) by construction."""
+    import __spark_entry__ as entrymod
+
+    # top_price_orders / tfidf_top_terms: single-row scalar-aggregate
+    # broadcasts; knn_cosine: corpus x tiny broadcast query set (the
+    # exact brute-force baseline is a bounded cross join by design)
+    SINGLE_ROW_SCALAR = {"top_price_orders", "tfidf_top_terms", "knn_cosine"}
+    for name, fn in entrymod.queries().items():
+        plan = plan_of(fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        if name not in SINGLE_ROW_SCALAR:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_oracle_keys_subset_of_queries():
+    import __spark_entry__ as entrymod
+
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(osql) >= 40
