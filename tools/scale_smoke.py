@@ -1,0 +1,93 @@
+"""Scale smoke: replicate the sf0.1 events series N-fold (fresh series
+ids per copy — scaling the parallelism unit, exactly how 100 TB arrives
+as more stations/users, not longer series) and time the core operator
+families on the result.
+
+Usage: python tools/scale_smoke.py [factor] [out_json]
+
+Writes the replicated parquet under /tmp and prints one JSON line:
+  {"factor": N, "rows": R, "series": S, "ops": {name: {"sec": t,
+   "rows_per_sec": r}}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+TMP = "/tmp/metevents-scale-smoke"
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    out_path = sys.argv[2] if len(sys.argv) > 2 else ""
+
+    from pyspark.sql import functions as F
+
+    from metevents_spark.io import load_table, series_frame
+    from metevents_spark.operators import extreme_value, storm_find
+    from metevents_spark.operators.sessions import sessionize
+    from metevents_spark.operators.seriesstats import zscore_anomaly
+    from metevents_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    big_dir = f"{TMP}/events_x{factor}"
+    if not os.path.isdir(big_dir):
+        ev = load_table(spark, BASE, "events")
+        copies = spark.range(factor).select(F.col("id").alias("copy"))
+        big = ev.crossJoin(copies).select(
+            (F.col("user_id") + F.col("copy") * 10_000).alias("user_id"),
+            (F.col("event_id") + F.col("copy") * 1_000_000_000).alias("event_id"),
+            "ts",
+            "event_type",
+            "value",
+        )
+        big.write.mode("overwrite").parquet(big_dir)
+
+    # the smoke reads the replicated parquet through the same loaders
+    sf_big = f"{TMP}/sfbig_x{factor}"
+    os.makedirs(sf_big, exist_ok=True)
+    link = f"{sf_big}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(big_dir, link)
+
+    df = series_frame(spark, sf_big)
+    rows = df.count()
+    series = df.select("sid").distinct().count()
+
+    ops = {
+        "extreme_value": lambda: extreme_value(df, 400.0, 1.0),
+        "storm_find": lambda: storm_find(
+            df, instant_mass_to_start=100.0, min_storm_total=500.0
+        ),
+        "sessionize": lambda: sessionize(df, gap_s=14400.0),
+        "zscore_anomaly": lambda: zscore_anomaly(spark, sf_big),
+    }
+    results = {}
+    for name, fn in ops.items():
+        q = fn()
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        q.write.format("noop").mode("overwrite").save()
+        sec = round(time.perf_counter() - t0, 2)
+        results[name] = {"sec": sec, "rows_per_sec": int(rows / sec)}
+
+    out = {"factor": factor, "rows": rows, "series": series, "ops": results}
+    line = json.dumps(out)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
