@@ -49,6 +49,10 @@ HEADLINE = [
     "small_qty_part_revenue",
     "cumulative_revenue",
     "events_cube",
+    "user_reach",
+    "user_reach_approx",
+    "value_histogram",
+    "lineitem_unpivot",
     "price_deciles",
     "asof_purchase_before_error",
     "range_join_error_purchase",
@@ -76,6 +80,7 @@ HEADLINE = [
     "embedding_near_dup",
     "media_features",
     "frame_sample",
+    "media_resize",
 ]
 
 

@@ -46,7 +46,11 @@ from metevents_spark.relational import (
 from metevents_spark.relational.tpch import (
     big_spender_1995,
     events_cube,
+    lineitem_unpivot,
     price_deciles,
+    user_reach,
+    user_reach_approx,
+    value_histogram,
     brand_supplier_stats,
     churned_customers,
     cumulative_revenue,
@@ -745,6 +749,25 @@ SELECT decile, COUNT(*) AS n,
        ROUND(MAX(o_totalprice), 2) AS hi
 FROM t GROUP BY decile ORDER BY decile
 """,
+    "user_reach": """
+SELECT event_type, COUNT(DISTINCT user_id) AS users
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    "value_histogram": """
+SELECT event_type, CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type, bucket ORDER BY event_type, bucket
+""",
+    "lineitem_unpivot": """
+SELECT metric, COUNT(*) AS n,
+       CAST(SUM(CAST(val AS DECIMAL(14,2))) AS DOUBLE) AS total
+FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+  FROM lineitem)
+UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+GROUP BY metric ORDER BY metric
+""",
 }
 
 
@@ -821,4 +844,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # grouping sets and ranking families
     "events_cube": events_cube,
     "price_deciles": price_deciles,
+    # distinct / sketch / reshape families
+    "user_reach": user_reach,
+    "user_reach_approx": user_reach_approx,  # rows-only (HLL sketch)
+    "value_histogram": value_histogram,
+    "lineitem_unpivot": lineitem_unpivot,
 }

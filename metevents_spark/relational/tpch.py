@@ -411,6 +411,63 @@ def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user reach per event type (the expensive exact
+    form; see user_reach_approx for the sketch path at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .orderBy("event_type")
+    )
+
+
+def user_reach_approx(spark: SparkSession, sf_dir: str, rsd: float = 0.02) -> DataFrame:
+    """HyperLogLog++ distinct-user reach: constant memory per group
+    regardless of cardinality — at 100 TB the sketch (1.5KB/group)
+    replaces a distinct-shuffle of every user id. Approximate, so
+    rows-only checked."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd).alias("users_approx"))
+        .orderBy("event_type")
+    )
+
+
+def value_histogram(spark: SparkSession, sf_dir: str, width: float = 25.0) -> DataFrame:
+    """Fixed-width value histogram per event type (floor-division
+    bucketing — a pure map-side expression, one aggregation shuffle)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.floor(F.col("value") / width).cast("long")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt family: wide lineitem measures to long
+    (metric, val) rows, then per-metric totals — the reshape that feeds
+    metric-agnostic monitoring pipelines."""
+    line = load_table(spark, sf_dir, "lineitem")
+    melted = line.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+    return (
+        melted.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").cast("decimal(14,2)")).cast("double").alias("total"),
+        )
+        .orderBy("metric")
+    )
+
+
 def daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed rollup of the events stream: per (event_type, day)
     counts and value stats — the hypertable-rollup shape."""
