@@ -57,6 +57,7 @@ HEADLINE = [
     "asof_purchase_before_error",
     "range_join_error_purchase",
     "rolling_mean",
+    "trailing_24h_mean",
     "zscore_anomaly",
     "text_stats",
     "lang_id",

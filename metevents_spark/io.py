@@ -165,3 +165,15 @@ def bucketed_series_tables(
     write_bucketed(ser, "series_bucketed", "sid", n_buckets, sort_col="sid")
     write_bucketed(dim, "series_dim_bucketed", "sid", n_buckets, sort_col="sid")
     return "series_bucketed", "series_dim_bucketed"
+
+
+def write_partitioned_events(
+    df: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Date-partitioned parquet sink (partition pruning on read): the
+    lake layout for append-mostly event streams — queries with a date
+    predicate scan only matching directories (PartitionFilters in the
+    plan, asserted in tests/test_partitioned_sink.py)."""
+    df.withColumn("event_date", F.to_date("ts")).write.mode(
+        mode
+    ).partitionBy("event_date").parquet(path)

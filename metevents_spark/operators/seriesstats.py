@@ -52,3 +52,25 @@ def zscore_anomaly(
         .filter(F.abs(F.col("z")) > z_thresh)
         .orderBy("sid", "ts", "seq")
     )
+
+
+def trailing_24h_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: average over each row's trailing 24
+    hours (event-time window, not row count — rows are irregularly
+    spaced). Ordered on epoch micros so the frame bound is numeric and
+    engine-portable."""
+    df = series_frame(spark, sf_dir)
+    day_us = 86_400 * 1_000_000
+    w = (
+        Window.partitionBy("sid")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-day_us, 0)
+    )
+    return (
+        df.select(
+            "sid", "seq", "ts",
+            F.round(F.avg("value").over(w), 6).alias("mean_24h"),
+            F.count("value").over(w).alias("n_24h"),
+        )
+        .orderBy("sid", "ts", "seq")
+    )

@@ -70,7 +70,11 @@ from metevents_spark.similarity import (
     knn_ivf,
     knn_lsh,
 )
-from metevents_spark.operators.seriesstats import rolling_mean, zscore_anomaly
+from metevents_spark.operators.seriesstats import (
+    rolling_mean,
+    trailing_24h_mean,
+    zscore_anomaly,
+)
 from metevents_spark.text import (
     doc_fingerprint,
     exact_dedup,
@@ -719,6 +723,17 @@ SELECT sid, seq, ts,
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rmean
 FROM series ORDER BY sid, ts, seq
 """,
+    "trailing_24h_mean": f"""
+WITH {_SERIES}
+SELECT sid, seq, ts,
+       ROUND(AVG(value) OVER (PARTITION BY sid ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW), 6)
+         AS mean_24h,
+       COUNT(value) OVER (PARTITION BY sid ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+         AS n_24h
+FROM series ORDER BY sid, ts, seq
+""",
     "zscore_anomaly": f"""
 WITH {_SERIES},
 stats AS (
@@ -838,6 +853,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": tfidf_top_terms,
     # series statistics beyond the reference
     "rolling_mean": rolling_mean,
+    "trailing_24h_mean": trailing_24h_mean,
     "zscore_anomaly": zscore_anomaly,
     # iterative graph: near-dup connected components
     "dedup_clusters": dedup_clusters,  # rows-only (iterative, minhash family)
