@@ -161,3 +161,51 @@ def test_stream_dedup_keeps_first_arrival(spark, stream_dir):
     assert [(r.event_id, r.value) for r in rows] == [
         (10, 1.0), (11, 2.0), (12, 4.0)
     ]
+
+
+def test_stream_daily_rollup_matches_batch(spark, stream_dir):
+    from pyspark.sql import functions as F
+
+    from metevents_spark.io import load_table
+    from metevents_spark.streaming import stream_daily_rollup
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "ts", "event_type", "value"
+    )
+    Path(stream_dir, "ru").mkdir()
+    pdf = ev.toPandas()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(f"{stream_dir}/ru/c0.parquet", coerce_timestamps="us")
+    time.sleep(0.05)
+    pdf.iloc[half:].to_parquet(f"{stream_dir}/ru/c1.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/ru")
+    )
+    q = (
+        stream_daily_rollup(stream, watermark="0 seconds")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rollup_out")
+        .option("checkpointLocation", f"{stream_dir}/ru_ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.day, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM rollup_out").collect()
+    }
+    batch = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("s"),
+        )
+        .collect()
+    )
+    expected = {(r.day, r.event_type): (r.n, r.s) for r in batch}
+    assert got == expected
