@@ -34,12 +34,15 @@ HEADLINE = [
     "pricing_summary",
     "revenue_topn",
     "region_revenue",
+    "shipping_priority",
+    "shipmode_priority_counts",
     "top_customers_per_segment",
     "order_priority_check",
     "nation_segment_rollup",
     "brand_revenue",
     "brand_supplier_stats",
     "value_quantiles",
+    "value_quantiles_approx",
     "events_pivot",
     "top_price_orders",
     "customers_no_order_1996",

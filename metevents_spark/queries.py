@@ -47,6 +47,9 @@ from metevents_spark.relational.tpch import (
     big_spender_1995,
     events_cube,
     lineitem_unpivot,
+    shipmode_priority_counts,
+    shipping_priority,
+    value_quantiles_approx,
     price_deciles,
     user_reach,
     user_reach_approx,
@@ -783,6 +786,31 @@ FROM (
 UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
 GROUP BY metric ORDER BY metric
 """,
+    "shipping_priority": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < '1998-01-01'
+  AND l_shipdate > '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    "shipmode_priority_counts": """
+SELECT o_orderstatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate BETWEEN '1997-01-01' AND '1997-12-31 23:59:59'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
 }
 
 
@@ -865,4 +893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_reach_approx": user_reach_approx,  # rows-only (HLL sketch)
     "value_histogram": value_histogram,
     "lineitem_unpivot": lineitem_unpivot,
+    "shipping_priority": shipping_priority,
+    "shipmode_priority_counts": shipmode_priority_counts,
+    "value_quantiles_approx": value_quantiles_approx,  # rows-only (GK sketch)
 }

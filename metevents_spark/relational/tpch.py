@@ -411,6 +411,74 @@ def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 open orders by pending revenue for one
+    market segment. Three-table join where the filtered customer side
+    broadcasts; revenue in DECIMAL for exactness."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    line = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (one - _dec("l_discount", "4,2"))
+    )
+    return (
+        line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per order-status, how many high- vs low-priority
+    orders shipped in 1997 (conditional-aggregation buckets)."""
+    orders = load_table(spark, sf_dir, "orders")
+    line = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1997-01-01", "1997-12-31 23:59:59")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def value_quantiles_approx(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10_000
+) -> DataFrame:
+    """Sketch-based quantiles (Greenwald-Khanna percentile_approx): the
+    scale path next to value_quantiles' exact interpolation — bounded
+    memory per group at any cardinality. Approximate: rows-only check."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile_approx(
+        "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(accuracy)
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.element_at(pct, 1), 6).alias("p25"),
+            F.round(F.element_at(pct, 2), 6).alias("p50"),
+            F.round(F.element_at(pct, 3), 6).alias("p75"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-user reach per event type (the expensive exact
     form; see user_reach_approx for the sketch path at scale)."""

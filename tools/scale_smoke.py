@@ -80,7 +80,48 @@ def main() -> None:
         sec = round(time.perf_counter() - t0, 2)
         results[name] = {"sec": sec, "rows_per_sec": int(rows / sec)}
 
-    out = {"factor": factor, "rows": rows, "series": series, "ops": results}
+    # dedup family over a replicated documents corpus (fresh doc_ids)
+    doc_dir = f"{TMP}/documents_x{factor}"
+    if not os.path.isdir(doc_dir):
+        docs = load_table(spark, BASE, "documents")
+        copies = spark.range(factor).select(F.col("id").alias("copy"))
+        docs.crossJoin(copies).select(
+            (F.col("doc_id") + F.col("copy") * 1_000_000).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        ).write.mode("overwrite").parquet(doc_dir)
+    doc_link = f"{sf_big}/documents.parquet"
+    if not os.path.exists(doc_link):
+        os.symlink(doc_dir, doc_link)
+
+    from metevents_spark.text import (
+        exact_dedup,
+        minhash_near_dup,
+        simhash_fingerprints,
+        text_stats,
+    )
+
+    n_docs = load_table(spark, sf_big, "documents").count()
+    for name, fn in {
+        "exact_dedup": exact_dedup,
+        "text_stats": text_stats,
+        "simhash_fingerprints": simhash_fingerprints,
+        "minhash_near_dup": minhash_near_dup,
+    }.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_big).write.format("noop").mode("overwrite").save()
+        sec = round(time.perf_counter() - t0, 2)
+        results[name] = {"sec": sec, "docs_per_sec": int(n_docs / sec)}
+
+    out = {
+        "factor": factor,
+        "rows": rows,
+        "series": series,
+        "docs": n_docs,
+        "ops": results,
+    }
     line = json.dumps(out)
     print(line)
     if out_path:
