@@ -97,13 +97,15 @@ def minhash_near_dup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    sort: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs.
 
     shingle -> minhash signature -> band buckets -> bucket self-join ->
     estimated Jaccard (fraction of agreeing minhashes) >= threshold.
     Banding with r = num_hashes/bands rows makes the S-curve cutoff
-    ~ (1/bands)^(1/r).
+    ~ (1/bands)^(1/r). `sort=False` skips the deterministic output
+    order for callers (e.g. clustering) that treat pairs as a set.
     """
     rows = num_hashes // bands
     docs = load_table(spark, sf_dir, "documents")
@@ -153,9 +155,8 @@ def minhash_near_dup(
         .groupBy("doc_a", "doc_b")
         .agg(F.max("est_jaccard").alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )
-    return pairs
+    return pairs.orderBy("doc_a", "doc_b") if sort else pairs
 
 
 def ngram_jaccard_pairs(
@@ -303,20 +304,37 @@ def dedup_clusters(
     near-dup components are shallow (stars/cliques), so 2-3 rounds in
     practice. Iteration state is persisted and replaced each round, the
     standard Spark pattern for iterative graph algorithms (Pregel-lite).
+
+    Scale note: the propagation loop runs ONLY over vertices that appear
+    in a near-dup edge — at corpus scale the overwhelming majority of
+    documents are isolated (their own cluster) and must not be dragged
+    through every iteration's shuffle. Isolated docs are attached with a
+    single left join at the end.
+
     Output: (doc_id, cluster) where cluster = min doc_id reachable.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = minhash_near_dup(spark, sf_dir, threshold=threshold).select(
-        "doc_a", "doc_b"
+    # persist the DIRECTED pairs, not the symmetric union: the LSH
+    # self-join behind them is the expensive part and the union would
+    # evaluate it twice (once per branch)
+    pairs = (
+        minhash_near_dup(spark, sf_dir, threshold=threshold, sort=False)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     edges = pairs.union(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # vertices touched by at least one edge — the only ones whose label
+    # can ever change under min-propagation
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # labels only ever DECREASE under min-propagation, so the label sum
     # strictly drops until fixpoint — one aggregate per round detects
@@ -346,4 +364,8 @@ def dedup_clusters(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.orderBy("doc_id")
+    # attach isolated documents (no near-dup edges) as singleton clusters
+    out = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster", F.col("doc_id")).alias("cluster")
+    )
+    return out.orderBy("doc_id")
