@@ -65,6 +65,11 @@ from metevents_spark.relational.tpch import (
     value_quantiles,
 )
 from metevents_spark.text.dedup import dedup_clusters, ngram_jaccard_pairs
+from metevents_spark.text.pipeline import (
+    decontaminate_ngram,
+    sequence_pack,
+    stratified_sample,
+)
 from metevents_spark.session import tune_session
 from metevents_spark.similarity import (
     embedding_near_dup,
@@ -811,6 +816,41 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate BETWEEN '1997-01-01' AND '1997-12-31 23:59:59'
 GROUP BY o_orderstatus ORDER BY o_orderstatus
 """,
+    "decontaminate_ngram": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - 5 + 2)) AS u(i)
+),
+eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+train AS (SELECT * FROM grams WHERE doc_id % 50 <> 0)
+SELECT train.doc_id, COUNT(DISTINCT train.gram) AS n_shared
+FROM train JOIN eval_grams USING (gram)
+GROUP BY train.doc_id ORDER BY doc_id
+""",
+    "sequence_pack": """
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens FROM documents),
+p AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                     - n_tokens) / 512) AS BIGINT) AS pack_id
+  FROM d)
+SELECT source, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) / 512.0 AS fill_ratio
+FROM p GROUP BY source, pack_id ORDER BY source, pack_id
+""",
+    "stratified_sample": """
+WITH r AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id
+         ) AS rank
+  FROM documents)
+SELECT lang, doc_id, rank FROM r WHERE rank <= 50 ORDER BY lang, rank
+""",
 }
 
 
@@ -896,4 +936,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": shipping_priority,
     "shipmode_priority_counts": shipmode_priority_counts,
     "value_quantiles_approx": value_quantiles_approx,  # rows-only (GK sketch)
+    # training-pipeline: decontamination, packing, sampling
+    "decontaminate_ngram": decontaminate_ngram,
+    "sequence_pack": sequence_pack,
+    "stratified_sample": stratified_sample,
 }

@@ -1,0 +1,147 @@
+"""Training-data pipeline operators: decontamination, sequence packing,
+stratified sampling.
+
+All pure JVM-side expressions (split / higher-order array functions /
+window aggregates inside whole-stage codegen) — no Python in the hot
+path. Tokenization is single-space split, matching the rest of the
+text module so every operator shares one tokenizer definition.
+
+Beyond-reference surface: the reference (metevents, events.py) has no
+corpus operators at all; these are the pretraining-pipeline extensions
+called for by the engine charter (SURVEY.md §8.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metevents_spark.io import load_table
+
+
+def decontaminate_ngram(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 5,
+    eval_mod: int = 50,
+) -> DataFrame:
+    """Train/eval n-gram decontamination.
+
+    Documents with ``doc_id % eval_mod == 0`` form the held-out eval
+    set; every other document is training data. A training document is
+    contaminated if it shares at least one token n-gram with any eval
+    document. Output: (doc_id, n_shared) for contaminated docs, where
+    n_shared counts the DISTINCT shared n-grams.
+
+    Scale shape: the eval-side distinct n-gram set is tiny relative to
+    the corpus (eval sets are fixed-size benchmarks), so it broadcasts
+    and the contamination check is a broadcast join against the
+    exploded training n-grams — no corpus-sized shuffle. The n-gram
+    expansion itself is a higher-order-function `transform` over the
+    token array, evaluated inside codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    # starts 0..size-n; empty array when the doc is shorter than n
+    grams = F.when(
+        F.size(toks) >= n,
+        F.expr(
+            f"transform(sequence(0, size(split(text, ' ')) - {n}),"
+            f" i -> array_join(slice(split(text, ' '), i + 1, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    eval_grams = (
+        exploded.filter(F.col("doc_id") % eval_mod == 0)
+        .select("gram")
+        .distinct()
+    )
+    train = exploded.filter(F.col("doc_id") % eval_mod != 0)
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+def sequence_pack(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = 512,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing summary.
+
+    Pretraining packs documents back-to-back into fixed token-budget
+    sequences: within each source shard, documents are laid out in
+    doc_id order and a document belongs to the pack in which it STARTS
+    (pack_id = floor(tokens_before / budget)), so packs can overflow by
+    at most one document's tail — standard concat-then-chunk semantics.
+    Output per (source, pack_id): document count, total tokens, and
+    fill ratio vs the budget.
+
+    Scale shape: the running sum partitions by source shard, so the
+    window sort parallelizes across shards instead of forcing a single
+    global ordering — at corpus scale `source` is the file/shard id and
+    each partition's layout is independent, which is exactly how a
+    distributed packer shards work.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    tokens_before = (
+        F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    packed = docs.withColumn(
+        "pack_id", F.floor(tokens_before / budget).cast("long")
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .withColumn(
+            # exact: pack_tokens / 2^k is exactly representable, so the
+            # double is bit-identical across engines (no rounding step)
+            "fill_ratio",
+            F.col("pack_tokens") / F.lit(float(budget)),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+def stratified_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 50,
+) -> DataFrame:
+    """Deterministic stratified sample: k documents per language.
+
+    Ranks documents inside each language stratum by a fixed
+    linear-congruential mix of doc_id (so the sample is pseudo-random
+    but reproducible across engines and runs — no RNG state) and keeps
+    the first k. Output: (lang, doc_id, rank).
+
+    Scale shape: one hash-partitioned window per stratum; top-k per
+    partition means the sort never materializes more than each
+    stratum's rows, and skewed strata are exactly the case AQE's skew
+    handling covers. The mix constants are the classic glibc LCG;
+    doc_id * 1103515245 stays inside int64 for doc_id < 8.3e9 —
+    for larger id spaces swap in xxhash64 (drops oracle parity, since
+    hash families differ across engines).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    mix = (F.col("doc_id") * 1103515245 + 12345) % 2147483648
+    w = Window.partitionBy("lang").orderBy(mix.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("lang", "doc_id", "rank")
+        .orderBy("lang", "rank")
+    )

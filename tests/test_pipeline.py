@@ -1,0 +1,71 @@
+"""Invariant tests for the training-pipeline operators
+(decontamination, sequence packing, stratified sampling).
+
+Value-level parity with DuckDB is covered by the oracle harness; these
+tests assert the semantic invariants that the hashes alone don't make
+obvious.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metevents_spark.text.pipeline import (
+    decontaminate_ngram,
+    sequence_pack,
+    stratified_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_decontaminate_excludes_eval_docs(spark):
+    out = decontaminate_ngram(spark, SF, eval_mod=10).collect()
+    # eval docs themselves must never be flagged, and counts are positive
+    assert all(r.doc_id % 10 != 0 for r in out)
+    assert all(r.n_shared >= 1 for r in out)
+
+
+def test_decontaminate_short_docs_no_grams(spark):
+    # n larger than any doc -> no n-grams anywhere -> empty result,
+    # and the empty-array guard must not raise on sequence(0, negative)
+    assert decontaminate_ngram(spark, SF, n=10_000).count() == 0
+
+
+def test_sequence_pack_partitions_docs_exactly_once(spark):
+    packs = sequence_pack(spark, SF, budget=512)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    total = packs.agg(
+        F.sum("n_docs").alias("d"), F.sum("pack_tokens").alias("t")
+    ).first()
+    expected = docs.select(
+        F.count(F.lit(1)).alias("d"),
+        F.sum(F.size(F.split("text", " "))).alias("t"),
+    ).first()
+    assert total.d == expected.d
+    assert total.t == expected.t
+
+
+def test_sequence_pack_ids_contiguous_from_zero(spark):
+    rows = sequence_pack(spark, SF, budget=512).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r.pack_id)
+    for ids in by_source.values():
+        assert sorted(ids) == list(range(len(ids)))
+
+
+def test_stratified_sample_k_per_language(spark):
+    out = stratified_sample(spark, SF, k=5)
+    sizes = {r.lang: r.n for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    strata = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(5, strata[lang])
+
+
+def test_stratified_sample_deterministic(spark):
+    a = [tuple(r) for r in stratified_sample(spark, SF, k=7).collect()]
+    b = [tuple(r) for r in stratified_sample(spark, SF, k=7).collect()]
+    assert a == b
