@@ -125,6 +125,26 @@ def test_minhash_candidates_join_on_buckets(spark):
     assert "InMemoryTableScan" in plan, plan
 
 
+def test_decontaminate_broadcasts_eval_grams(spark):
+    from metevents_spark.text.pipeline import decontaminate_ngram
+
+    plan = plan_of(decontaminate_ngram(spark, SF))
+    # the eval-gram set is benchmark-sized, never corpus-sized: the
+    # contamination check must be a broadcast join, not a shuffle join
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sequence_pack_single_shard_exchange(spark):
+    from metevents_spark.text.pipeline import sequence_pack
+
+    plan = plan_of(sequence_pack(spark, SF))
+    # window + partial/final aggregate all reuse one hashpartitioning
+    # on the shard key; a second hash exchange would mean the pack
+    # aggregation re-shuffles what the window already co-located
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
 def test_no_query_plans_a_cartesian_product(spark):
     """Global guardrail over the whole registry: no query may plan a
     CartesianProduct. BroadcastNestedLoopJoin is tolerated only for the
