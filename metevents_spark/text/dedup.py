@@ -106,10 +106,34 @@ def minhash_near_dup(
     Banding with r = num_hashes/bands rows makes the S-curve cutoff
     ~ (1/bands)^(1/r). `sort=False` skips the deterministic output
     order for callers (e.g. clustering) that treat pairs as a set.
+
+    Duplicate-heavy corpora (the norm in web-scale pretraining data)
+    are handled by EXACT-dedup-first: identical texts collapse to one
+    representative per content hash, the signature + LSH self-join
+    pipeline runs over representatives only, and pairs expand back to
+    member documents at output time. Output is identical (exact copies
+    share signatures, so every expanded pair is a pair the naive
+    self-join would emit with the same est_jaccard; intra-group pairs
+    are est_jaccard = 1.0 by construction) but the quadratic bucket
+    self-join cost scales with DISTINCT texts — without this, a bucket
+    holding c copies of one document costs c^2 signature comparisons
+    for pairs we already know are duplicates.
     """
     rows = num_hashes // bands
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs, k=k, num_hashes=num_hashes)
+
+    # exact-duplicate groups: gid = content hash, rep = min doc_id.
+    # only (doc_id, gid) hashes shuffle here, never the text.
+    members = docs.select(
+        "doc_id", F.md5(F.col("text")).alias("gid")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rep_ids = members.groupBy("gid").agg(F.min("doc_id").alias("rep_id"))
+    reps = rep_ids.join(
+        docs.select("doc_id", "text"),
+        rep_ids["rep_id"] == docs["doc_id"],
+    ).select("doc_id", "text")
+
+    sig = minhash_signatures(reps, k=k, num_hashes=num_hashes)
 
     band_cols = F.array(
         *[
@@ -156,7 +180,40 @@ def minhash_near_dup(
         .agg(F.max("est_jaccard").alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
-    return pairs.orderBy("doc_a", "doc_b") if sort else pairs
+
+    # expand representative pairs back to member documents.
+    member_rep = members.join(rep_ids, "gid").select(
+        "doc_id", "rep_id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = member_rep.select(
+        F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("ma")
+    )
+    b = member_rep.select(
+        F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("mb")
+    )
+    cross = (
+        pairs.withColumnRenamed("doc_a", "rep_a")
+        .withColumnRenamed("doc_b", "rep_b")
+        .join(a, "rep_a")
+        .join(b, "rep_b")
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "est_jaccard",
+        )
+    )
+    m1, m2 = member_rep.alias("m1"), member_rep.alias("m2")
+    intra = m1.join(
+        m2,
+        (F.col("m1.rep_id") == F.col("m2.rep_id"))
+        & (F.col("m1.doc_id") < F.col("m2.doc_id")),
+    ).select(
+        F.col("m1.doc_id").alias("doc_a"),
+        F.col("m2.doc_id").alias("doc_b"),
+        F.lit(1.0).alias("est_jaccard"),
+    )
+    out = cross.union(intra)
+    return out.orderBy("doc_a", "doc_b") if sort else out
 
 
 def ngram_jaccard_pairs(

@@ -41,16 +41,22 @@ def decontaminate_ngram(
     token array, evaluated inside codegen.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(F.col("text"), " ")
+    # materialize the token array ONCE per row: referencing split(text)
+    # inside the transform lambda would re-split the document for every
+    # n-gram position (no common-subexpression elimination across
+    # lambda invocations), turning an O(len·n) expansion into O(len²·n)
+    toked = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
     # starts 0..size-n; empty array when the doc is shorter than n
     grams = F.when(
-        F.size(toks) >= n,
+        F.size("t") >= n,
         F.expr(
-            f"transform(sequence(0, size(split(text, ' ')) - {n}),"
-            f" i -> array_join(slice(split(text, ' '), i + 1, {n}), ' '))"
+            f"transform(sequence(0, size(t) - {n}),"
+            f" i -> array_join(slice(t, i + 1, {n}), ' '))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = docs.select(
+    exploded = toked.select(
         "doc_id", F.explode(grams).alias("gram")
     )
     eval_grams = (

@@ -102,6 +102,11 @@ def main() -> None:
         simhash_fingerprints,
         text_stats,
     )
+    from metevents_spark.text.pipeline import (
+        decontaminate_ngram,
+        sequence_pack,
+        stratified_sample,
+    )
 
     n_docs = load_table(spark, sf_big, "documents").count()
     for name, fn in {
@@ -109,6 +114,9 @@ def main() -> None:
         "text_stats": text_stats,
         "simhash_fingerprints": simhash_fingerprints,
         "minhash_near_dup": minhash_near_dup,
+        "decontaminate_ngram": decontaminate_ngram,
+        "sequence_pack": sequence_pack,
+        "stratified_sample": stratified_sample,
     }.items():
         t0 = time.perf_counter()
         fn(spark, sf_big).write.format("noop").mode("overwrite").save()
