@@ -44,6 +44,67 @@ def prefix_dedup(spark: SparkSession, sf_dir: str, prefix_len: int = 64) -> Data
     )
 
 
+def _exact_groups(docs: DataFrame):
+    """Exact-duplicate grouping by content hash for dedup-before-LSH.
+
+    -> (member_rep, reps): member_rep = (doc_id, rep_id) mapping every
+    document to its group representative (min doc_id per md5(text));
+    reps = (doc_id, text) with one row per DISTINCT text. Only hashes
+    and ids shuffle — text moves once, via the rep join.
+    """
+    members = docs.select(
+        "doc_id", F.md5(F.col("text")).alias("gid")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rep_ids = members.groupBy("gid").agg(F.min("doc_id").alias("rep_id"))
+    member_rep = members.join(rep_ids, "gid").select(
+        "doc_id", "rep_id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    reps = rep_ids.join(
+        docs.select("doc_id", "text"),
+        rep_ids["rep_id"] == docs["doc_id"],
+    ).select("doc_id", "text")
+    return member_rep, reps
+
+
+def _expand_pairs(rep_pairs: DataFrame, member_rep: DataFrame, value_col: str, intra_lit):
+    """Expand representative-level near-dup pairs to member documents.
+
+    Cross-group pairs inherit the representatives' similarity value
+    (exact copies share fingerprints, so it is THEIR value too);
+    intra-group pairs get ``intra_lit`` (similarity of a document with
+    its exact copy). Groups are disjoint, so the union is
+    duplicate-free by construction.
+    """
+    a = member_rep.select(
+        F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("ma")
+    )
+    b = member_rep.select(
+        F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("mb")
+    )
+    cross = (
+        rep_pairs.withColumnRenamed("doc_a", "rep_a")
+        .withColumnRenamed("doc_b", "rep_b")
+        .join(a, "rep_a")
+        .join(b, "rep_b")
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            value_col,
+        )
+    )
+    m1, m2 = member_rep.alias("m1"), member_rep.alias("m2")
+    intra = m1.join(
+        m2,
+        (F.col("m1.rep_id") == F.col("m2.rep_id"))
+        & (F.col("m1.doc_id") < F.col("m2.doc_id")),
+    ).select(
+        F.col("m1.doc_id").alias("doc_a"),
+        F.col("m2.doc_id").alias("doc_b"),
+        intra_lit.alias(value_col),
+    )
+    return cross.union(intra)
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = 3, num_hashes: int = 32
 ) -> DataFrame:
@@ -121,18 +182,7 @@ def minhash_near_dup(
     """
     rows = num_hashes // bands
     docs = load_table(spark, sf_dir, "documents")
-
-    # exact-duplicate groups: gid = content hash, rep = min doc_id.
-    # only (doc_id, gid) hashes shuffle here, never the text.
-    members = docs.select(
-        "doc_id", F.md5(F.col("text")).alias("gid")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    rep_ids = members.groupBy("gid").agg(F.min("doc_id").alias("rep_id"))
-    reps = rep_ids.join(
-        docs.select("doc_id", "text"),
-        rep_ids["rep_id"] == docs["doc_id"],
-    ).select("doc_id", "text")
-
+    member_rep, reps = _exact_groups(docs)
     sig = minhash_signatures(reps, k=k, num_hashes=num_hashes)
 
     band_cols = F.array(
@@ -180,39 +230,7 @@ def minhash_near_dup(
         .agg(F.max("est_jaccard").alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
-
-    # expand representative pairs back to member documents.
-    member_rep = members.join(rep_ids, "gid").select(
-        "doc_id", "rep_id"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    a = member_rep.select(
-        F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("ma")
-    )
-    b = member_rep.select(
-        F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("mb")
-    )
-    cross = (
-        pairs.withColumnRenamed("doc_a", "rep_a")
-        .withColumnRenamed("doc_b", "rep_b")
-        .join(a, "rep_a")
-        .join(b, "rep_b")
-        .select(
-            F.least("ma", "mb").alias("doc_a"),
-            F.greatest("ma", "mb").alias("doc_b"),
-            "est_jaccard",
-        )
-    )
-    m1, m2 = member_rep.alias("m1"), member_rep.alias("m2")
-    intra = m1.join(
-        m2,
-        (F.col("m1.rep_id") == F.col("m2.rep_id"))
-        & (F.col("m1.doc_id") < F.col("m2.doc_id")),
-    ).select(
-        F.col("m1.doc_id").alias("doc_a"),
-        F.col("m2.doc_id").alias("doc_b"),
-        F.lit(1.0).alias("est_jaccard"),
-    )
-    out = cross.union(intra)
+    out = _expand_pairs(pairs, member_rep, "est_jaccard", F.lit(1.0))
     return out.orderBy("doc_a", "doc_b") if sort else out
 
 
@@ -278,9 +296,22 @@ def _simhash_frame(docs: DataFrame, nbits: int = 64) -> DataFrame:
 def simhash_fingerprints(
     spark: SparkSession, sf_dir: str, nbits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash per document (see _simhash_frame)."""
+    """64-bit SimHash per document (see _simhash_frame).
+
+    The Arrow-batched vote runs once per DISTINCT text; exact copies
+    take their representative's fingerprint via a hash join on ids
+    (identical text -> identical SimHash, so output is unchanged).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return _simhash_frame(docs, nbits=nbits).orderBy("doc_id")
+    member_rep, reps = _exact_groups(docs)
+    rep_sig = _simhash_frame(reps, nbits=nbits).withColumnRenamed(
+        "doc_id", "rep_id"
+    )
+    return (
+        member_rep.join(rep_sig, "rep_id")
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    )
 
 
 def simhash_near_dup(
@@ -300,11 +331,18 @@ def simhash_near_dup(
     With the default max_hamming = bands - 1 the result is EXACT (no
     false negatives), not approximate. Only (doc_id, 8-byte
     fingerprint) ever shuffles.
+
+    Exact duplicates collapse to one representative per content hash
+    before fingerprinting (see minhash_near_dup) — identical texts have
+    identical SimHashes, so the expanded pairs match the naive
+    self-join's output with intra-group pairs at hamming 0, while the
+    bucket self-join cost scales with distinct texts.
     """
     width = nbits // bands
     mask = (1 << width) - 1
     docs = load_table(spark, sf_dir, "documents")
-    sig = _simhash_frame(docs, nbits=nbits)
+    member_rep, reps = _exact_groups(docs)
+    sig = _simhash_frame(reps, nbits=nbits)
     band_cols = F.array(
         *[
             F.struct(
@@ -329,7 +367,7 @@ def simhash_near_dup(
     hamming = F.bit_count(
         F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
     ).cast("long")
-    return (
+    rep_pairs = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -343,8 +381,10 @@ def simhash_near_dup(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+    return _expand_pairs(
+        rep_pairs, member_rep, "hamming", F.lit(0).cast("long")
+    ).orderBy("doc_a", "doc_b")
 
 
 def dedup_clusters(

@@ -100,6 +100,7 @@ def main() -> None:
         exact_dedup,
         minhash_near_dup,
         simhash_fingerprints,
+        simhash_near_dup,
         text_stats,
     )
     from metevents_spark.text.pipeline import (
@@ -114,6 +115,7 @@ def main() -> None:
         "text_stats": text_stats,
         "simhash_fingerprints": simhash_fingerprints,
         "minhash_near_dup": minhash_near_dup,
+        "simhash_near_dup": simhash_near_dup,
         "decontaminate_ngram": decontaminate_ngram,
         "sequence_pack": sequence_pack,
         "stratified_sample": stratified_sample,
