@@ -102,20 +102,54 @@ def embedding_near_dup(
     out_schema = "vec_a long, vec_b long, label int, cosine double"
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # dedup identical vectors first: the gram multiply and the
+        # rounded sim matrix run over UNIQUE rows, and kept pairs
+        # expand back over the duplicate groups (identical vectors
+        # have cosine 1.0 with each other and their group's sims with
+        # everyone else) — same output, work scales with distinct
+        # vectors instead of copies
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        norms = np.sqrt((m * m).sum(axis=1))
-        sims = np.round((m @ m.T) / np.outer(norms, norms), 6)
-        ia, ib = np.triu_indices(len(pdf), k=1)
-        keep = sims[ia, ib] >= threshold
-        ia, ib = ia[keep], ib[keep]
         ids = pdf["vec_id"].to_numpy()
+        label = pdf["label"].to_numpy()[0] if len(pdf) else None
+        uniq, inverse = np.unique(m, axis=0, return_inverse=True)
+        norms = np.sqrt((uniq * uniq).sum(axis=1))
+        sims = np.round((uniq @ uniq.T) / np.outer(norms, norms), 6)
+        members = [ids[inverse == r] for r in range(len(uniq))]
+        va, vb, cs = [], [], []
+        ra, rb = np.triu_indices(len(uniq), k=1)
+        keep = sims[ra, rb] >= threshold
+        for i, j in zip(ra[keep], rb[keep]):
+            a, b = members[i], members[j]
+            aa = np.repeat(a, len(b))
+            bb = np.tile(b, len(a))
+            va.append(np.minimum(aa, bb))
+            vb.append(np.maximum(aa, bb))
+            cs.append(np.full(len(aa), sims[i, j]))
+        if threshold <= 1.0:
+            for r in range(len(uniq)):
+                a = members[r]
+                if len(a) > 1:
+                    ia, ib = np.triu_indices(len(a), k=1)
+                    va.append(a[ia])
+                    vb.append(a[ib])
+                    cs.append(np.full(len(ia), 1.0))
+        if not va:
+            return pd.DataFrame(
+                {
+                    "vec_a": np.array([], dtype=np.int64),
+                    "vec_b": np.array([], dtype=np.int64),
+                    "label": np.array([], dtype=np.int32),
+                    "cosine": np.array([], dtype=np.float64),
+                }
+            )
+        vec_a = np.concatenate(va)
         return pd.DataFrame(
             {
-                "vec_a": ids[ia],
-                "vec_b": ids[ib],
-                "label": pdf["label"].to_numpy()[ia],
-                "cosine": sims[ia, ib],
+                "vec_a": vec_a,
+                "vec_b": np.concatenate(vb),
+                "label": np.full(len(vec_a), label),
+                "cosine": np.concatenate(cs),
             }
         )
 

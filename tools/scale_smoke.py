@@ -125,11 +125,45 @@ def main() -> None:
         sec = round(time.perf_counter() - t0, 2)
         results[name] = {"sec": sec, "docs_per_sec": int(n_docs / sec)}
 
+    # similarity family over a replicated embedding corpus (fresh vec_ids)
+    emb_dir = f"{TMP}/embeddings_x{factor}"
+    if not os.path.isdir(emb_dir):
+        emb = load_table(spark, BASE, "embeddings")
+        copies = spark.range(factor).select(F.col("id").alias("copy"))
+        emb.crossJoin(copies).select(
+            (F.col("vec_id") + F.col("copy") * 1_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+        ).write.mode("overwrite").parquet(emb_dir)
+    emb_link = f"{sf_big}/embeddings.parquet"
+    if not os.path.exists(emb_link):
+        os.symlink(emb_dir, emb_link)
+
+    from metevents_spark.similarity import (
+        embedding_near_dup,
+        knn_cosine,
+        knn_ivf,
+        knn_lsh,
+    )
+
+    n_vecs = load_table(spark, sf_big, "embeddings").count()
+    for name, fn in {
+        "knn_cosine": knn_cosine,
+        "knn_lsh": knn_lsh,
+        "knn_ivf": knn_ivf,
+        "embedding_near_dup": embedding_near_dup,
+    }.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_big).write.format("noop").mode("overwrite").save()
+        sec = round(time.perf_counter() - t0, 2)
+        results[name] = {"sec": sec, "vecs_per_sec": int(n_vecs / sec)}
+
     out = {
         "factor": factor,
         "rows": rows,
         "series": series,
         "docs": n_docs,
+        "vecs": n_vecs,
         "ops": results,
     }
     line = json.dumps(out)
