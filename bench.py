@@ -85,6 +85,9 @@ HEADLINE = [
     "media_features",
     "frame_sample",
     "media_resize",
+    "decontaminate_ngram",
+    "sequence_pack",
+    "stratified_sample",
 ]
 
 
