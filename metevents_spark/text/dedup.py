@@ -240,9 +240,16 @@ def ngram_jaccard_pairs(
     """Exact token-set Jaccard for candidate pairs sharing a content
     prefix bucket — the verification stage after cheap LSH/prefix
     blocking. Pairwise work only happens inside buckets, never across
-    the corpus."""
+    the corpus.
+
+    Exact duplicates collapse to representatives first (identical text
+    -> identical prefix bucket and token set, so expanded pairs match
+    the naive bucket join with intra-group jaccard 1.0) — token arrays
+    shuffle once per DISTINCT text, not per copy.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
+    member_rep, reps = _exact_groups(docs)
+    t = reps.select(
         "doc_id",
         F.md5(F.substring("text", 1, prefix_len)).alias("ph"),
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
@@ -250,18 +257,17 @@ def ngram_jaccard_pairs(
     a, b = t.alias("a"), t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
-    return (
-        a.join(
-            b,
-            (F.col("a.ph") == F.col("b.ph"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
-        )
-        .orderBy("doc_a", "doc_b")
+    rep_pairs = a.join(
+        b,
+        (F.col("a.ph") == F.col("b.ph"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+    return _expand_pairs(rep_pairs, member_rep, "jaccard", F.lit(1.0)).orderBy(
+        "doc_a", "doc_b"
     )
 
 
