@@ -99,6 +99,7 @@ def main() -> None:
     from metevents_spark.text import (
         exact_dedup,
         minhash_near_dup,
+        ngram_jaccard_pairs,
         simhash_fingerprints,
         simhash_near_dup,
         text_stats,
@@ -116,6 +117,7 @@ def main() -> None:
         "simhash_fingerprints": simhash_fingerprints,
         "minhash_near_dup": minhash_near_dup,
         "simhash_near_dup": simhash_near_dup,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "decontaminate_ngram": decontaminate_ngram,
         "sequence_pack": sequence_pack,
         "stratified_sample": stratified_sample,
