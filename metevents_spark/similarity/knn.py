@@ -52,6 +52,33 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _topk_per_query(scored: DataFrame, k: int, n_salts: int = 32) -> DataFrame:
+    """Exact two-phase top-k of (q_id, vec_id, cosine) per query.
+
+    A window partitioned only by q_id puts every scored candidate for
+    one query on one task — and n_queries is small, so that's the
+    whole corpus (or a corpus-sized bucket) per task at scale. Phase 1
+    ranks within (q_id, salt) buckets in parallel; phase 2 re-ranks
+    the <= k*n_salts survivors per query. Any global top-k row is
+    necessarily top-k within its salt bucket, so the result is
+    identical to the single-window formulation.
+    """
+    order_cols = [F.col("cosine").desc(), F.col("vec_id")]
+    w1 = Window.partitionBy("q_id", "salt").orderBy(*order_cols)
+    survivors = (
+        scored.withColumn("salt", F.col("vec_id") % n_salts)
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(*order_cols)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
+
+
 def knn_cosine(
     spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5
 ) -> DataFrame:
@@ -74,12 +101,7 @@ def knn_cosine(
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", sim.alias("cosine"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .orderBy("q_id", "rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def embedding_near_dup(
@@ -231,12 +253,7 @@ def knn_ivf(
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", sim.alias("cosine"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .orderBy("q_id", "rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def knn_lsh(
@@ -283,9 +300,4 @@ def knn_lsh(
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", sim.alias("cosine"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .orderBy("q_id", "rank")
-    )
+    return _topk_per_query(scored, k)
