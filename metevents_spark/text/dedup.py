@@ -52,17 +52,25 @@ def _exact_groups(docs: DataFrame):
     reps = (doc_id, text) with one row per DISTINCT text. Only hashes
     and ids shuffle — text moves once, via the rep join.
     """
-    members = docs.select(
-        "doc_id", F.md5(F.col("text")).alias("gid")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    rep_ids = members.groupBy("gid").agg(F.min("doc_id").alias("rep_id"))
-    member_rep = members.join(rep_ids, "gid").select(
-        "doc_id", "rep_id"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    reps = rep_ids.join(
-        docs.select("doc_id", "text"),
-        rep_ids["rep_id"] == docs["doc_id"],
-    ).select("doc_id", "text")
+    from pyspark.sql import Window
+
+    # one shuffle: min(doc_id) over the content-hash group gives the
+    # member->rep mapping directly (no groupBy + join-back)
+    member_rep = (
+        docs.select("doc_id", F.md5(F.col("text")).alias("gid"))
+        .select(
+            "doc_id",
+            F.min("doc_id").over(Window.partitionBy("gid")).alias("rep_id"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # fetch rep texts by id: the rep-id side is distinct-text-sized;
+    # AQE broadcasts it at small scale, sort-merge at corpus scale
+    reps = (
+        member_rep.filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
     return member_rep, reps
 
 
@@ -304,20 +312,14 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """64-bit SimHash per document (see _simhash_frame).
 
-    The Arrow-batched vote runs once per DISTINCT text; exact copies
-    take their representative's fingerprint via a hash join on ids
-    (identical text -> identical SimHash, so output is unchanged).
+    Runs the vote directly over every document: fingerprinting is
+    LINEAR, so unlike the pairwise operators there is no quadratic
+    blowup for exact-dedup-first to guard against — collapsing to
+    representatives would trade two shuffles for a map-side constant,
+    a loss at any scale where duplicates are not the majority.
     """
     docs = load_table(spark, sf_dir, "documents")
-    member_rep, reps = _exact_groups(docs)
-    rep_sig = _simhash_frame(reps, nbits=nbits).withColumnRenamed(
-        "doc_id", "rep_id"
-    )
-    return (
-        member_rep.join(rep_sig, "rep_id")
-        .select("doc_id", "simhash")
-        .orderBy("doc_id")
-    )
+    return _simhash_frame(docs, nbits=nbits).orderBy("doc_id")
 
 
 def simhash_near_dup(
