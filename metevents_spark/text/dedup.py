@@ -159,34 +159,20 @@ def minhash_signatures(
     return hashed.select("doc_id", sig.alias("sig"))
 
 
-def minhash_near_dup(
+def _minhash_rep_pairs(
     spark: SparkSession,
     sf_dir: str,
     k: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
-    sort: bool = True,
-) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs.
+):
+    """Representative-level MinHash-LSH near-dup pairs.
 
-    shingle -> minhash signature -> band buckets -> bucket self-join ->
-    estimated Jaccard (fraction of agreeing minhashes) >= threshold.
-    Banding with r = num_hashes/bands rows makes the S-curve cutoff
-    ~ (1/bands)^(1/r). `sort=False` skips the deterministic output
-    order for callers (e.g. clustering) that treat pairs as a set.
-
-    Duplicate-heavy corpora (the norm in web-scale pretraining data)
-    are handled by EXACT-dedup-first: identical texts collapse to one
-    representative per content hash, the signature + LSH self-join
-    pipeline runs over representatives only, and pairs expand back to
-    member documents at output time. Output is identical (exact copies
-    share signatures, so every expanded pair is a pair the naive
-    self-join would emit with the same est_jaccard; intra-group pairs
-    are est_jaccard = 1.0 by construction) but the quadratic bucket
-    self-join cost scales with DISTINCT texts — without this, a bucket
-    holding c copies of one document costs c^2 signature comparisons
-    for pairs we already know are duplicates.
+    -> (rep_pairs(doc_a, doc_b, est_jaccard), member_rep(doc_id, rep_id)).
+    Shared by minhash_near_dup (which expands pairs back to member
+    documents) and dedup_clusters (which propagates labels over the
+    rep graph only and attaches members at the end).
     """
     rows = num_hashes // bands
     docs = load_table(spark, sf_dir, "documents")
@@ -237,6 +223,41 @@ def minhash_near_dup(
         .groupBy("doc_a", "doc_b")
         .agg(F.max("est_jaccard").alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
+    )
+    return pairs, member_rep
+
+
+def minhash_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    sort: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs.
+
+    shingle -> minhash signature -> band buckets -> bucket self-join ->
+    estimated Jaccard (fraction of agreeing minhashes) >= threshold.
+    Banding with r = num_hashes/bands rows makes the S-curve cutoff
+    ~ (1/bands)^(1/r). `sort=False` skips the deterministic output
+    order for callers (e.g. clustering) that treat pairs as a set.
+
+    Duplicate-heavy corpora (the norm in web-scale pretraining data)
+    are handled by EXACT-dedup-first: identical texts collapse to one
+    representative per content hash, the signature + LSH self-join
+    pipeline runs over representatives only, and pairs expand back to
+    member documents at output time. Output is identical (exact copies
+    share signatures, so every expanded pair is a pair the naive
+    self-join would emit with the same est_jaccard; intra-group pairs
+    are est_jaccard = 1.0 by construction) but the quadratic bucket
+    self-join cost scales with DISTINCT texts — without this, a bucket
+    holding c copies of one document costs c^2 signature comparisons
+    for pairs we already know are duplicates.
+    """
+    pairs, member_rep = _minhash_rep_pairs(
+        spark, sf_dir, k=k, num_hashes=num_hashes, bands=bands, threshold=threshold
     )
     out = _expand_pairs(pairs, member_rep, "est_jaccard", F.lit(1.0))
     return out.orderBy("doc_a", "doc_b") if sort else out
@@ -410,23 +431,22 @@ def dedup_clusters(
     practice. Iteration state is persisted and replaced each round, the
     standard Spark pattern for iterative graph algorithms (Pregel-lite).
 
-    Scale note: the propagation loop runs ONLY over vertices that appear
-    in a near-dup edge — at corpus scale the overwhelming majority of
-    documents are isolated (their own cluster) and must not be dragged
-    through every iteration's shuffle. Isolated docs are attached with a
-    single left join at the end.
+    Scale note: the propagation loop runs ONLY over exact-dedup
+    REPRESENTATIVES that appear in a near-dup edge — at corpus scale
+    the overwhelming majority of documents are isolated (their own
+    cluster) and must not be dragged through every iteration's shuffle,
+    and exact copies cannot change the outcome (each rep is already the
+    min doc_id of its copy group, so a member's min-reachable label IS
+    its rep's). Members and isolated docs attach with single joins at
+    the end, outside the loop.
 
     Output: (doc_id, cluster) where cluster = min doc_id reachable.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # persist the DIRECTED pairs, not the symmetric union: the LSH
-    # self-join behind them is the expensive part and the union would
-    # evaluate it twice (once per branch)
-    pairs = (
-        minhash_near_dup(spark, sf_dir, threshold=threshold, sort=False)
-        .select("doc_a", "doc_b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # persist the DIRECTED rep-level pairs, not the symmetric union:
+    # the LSH self-join behind them is the expensive part and the union
+    # would evaluate it twice (once per branch)
+    rep_pairs, member_rep = _minhash_rep_pairs(spark, sf_dir, threshold=threshold)
+    pairs = rep_pairs.select("doc_a", "doc_b").persist(StorageLevel.MEMORY_AND_DISK)
     edges = pairs.union(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -469,8 +489,13 @@ def dedup_clusters(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    # attach isolated documents (no near-dup edges) as singleton clusters
-    out = docs.join(labels, "doc_id", "left").select(
-        "doc_id", F.coalesce("cluster", F.col("doc_id")).alias("cluster")
+    # attach every document via its exact-dedup representative:
+    # edge-less reps (isolated texts) become singleton clusters, exact
+    # copies inherit their rep's label (= min doc_id of the copy group,
+    # which is what intra-group edges would have propagated anyway)
+    out = member_rep.join(
+        labels.withColumnRenamed("doc_id", "rep_id"), "rep_id", "left"
+    ).select(
+        "doc_id", F.coalesce("cluster", F.col("rep_id")).alias("cluster")
     )
     return out.orderBy("doc_id")
