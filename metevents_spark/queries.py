@@ -854,15 +854,17 @@ SELECT lang, doc_id, rank FROM r WHERE rank <= 50 ORDER BY lang, rank
 }
 
 
+# Insertion order matters: the verification driver checks the FIRST 50
+# entries against the DuckDB oracles, so every oracle-backed query comes
+# first and the rows-only (non-SQL-expressible) queries sit at the tail.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- oracle-backed (hash-matched against ORACLE_SQL) ---------------
     # reference detector parity (SURVEY.md §2.7)
     "extreme_value": q_extreme_value,
     "flat_line": q_flat_line,
     "extreme_change": q_extreme_change,
     "data_gap": q_data_gap,
     "freq_infer": q_freq_infer,
-    "storm_find": q_storm_find,        # rows-only (sequential fold)
-    "spike_valley": q_spike_valley,    # rows-only (peak prominence/width)
     # sessionization / rollups
     "sessionize": q_sessionize,
     "daily_rollup": daily_rollup,
@@ -878,11 +880,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup family
     "exact_dedup": exact_dedup,
     "prefix_dedup": prefix_dedup,
-    "minhash_near_dup": q_minhash_near_dup,     # rows-only (xxhash64 family)
-    "simhash_fingerprints": simhash_fingerprints,  # rows-only (xxhash64)
     # similarity search
     "knn_cosine": knn_cosine,
-    "knn_lsh": knn_lsh,                # rows-only (approximate)
     "embedding_norms": embedding_norms,
     # temporal joins
     "asof_purchase_before_error": q_asof_purchase_before_error,
@@ -893,8 +892,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_revenue": brand_revenue,
     # multimodal plumbing
     "media_features": q_media_features,
-    "frame_sample": q_frame_sample,    # rows-only (binary payload rows)
-    "media_resize": q_media_resize,    # rows-only (binary thumbnails)
     # statistics / reshaping
     "value_quantiles": value_quantiles,
     "events_pivot": events_pivot,
@@ -904,10 +901,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # token counting / fingerprints
     "token_count_bpe": token_count_bpe,
     "rolling_fingerprint": rolling_fingerprint,
-    # near-dup / ANN extensions
-    "simhash_near_dup": simhash_near_dup,   # rows-only (xxhash64 family)
+    # near-dup extensions
     "embedding_near_dup": embedding_near_dup,
-    "knn_ivf": knn_ivf,                # rows-only (approximate)
     # join variants and set ops
     "customers_no_order_1996": customers_no_order_1996,
     "big_spender_1995": big_spender_1995,
@@ -923,21 +918,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_mean": rolling_mean,
     "trailing_24h_mean": trailing_24h_mean,
     "zscore_anomaly": zscore_anomaly,
-    # iterative graph: near-dup connected components
-    "dedup_clusters": dedup_clusters,  # rows-only (iterative, minhash family)
     # grouping sets and ranking families
     "events_cube": events_cube,
     "price_deciles": price_deciles,
-    # distinct / sketch / reshape families
+    # distinct / reshape families
     "user_reach": user_reach,
-    "user_reach_approx": user_reach_approx,  # rows-only (HLL sketch)
     "value_histogram": value_histogram,
     "lineitem_unpivot": lineitem_unpivot,
     "shipping_priority": shipping_priority,
     "shipmode_priority_counts": shipmode_priority_counts,
-    "value_quantiles_approx": value_quantiles_approx,  # rows-only (GK sketch)
     # training-pipeline: decontamination, packing, sampling
     "decontaminate_ngram": decontaminate_ngram,
     "sequence_pack": sequence_pack,
     "stratified_sample": stratified_sample,
+    # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
+    "storm_find": q_storm_find,        # sequential fold
+    "spike_valley": q_spike_valley,    # peak prominence/width
+    "minhash_near_dup": q_minhash_near_dup,     # xxhash64 family
+    "simhash_fingerprints": simhash_fingerprints,  # xxhash64
+    "knn_lsh": knn_lsh,                # approximate
+    "frame_sample": q_frame_sample,    # binary payload rows
+    "media_resize": q_media_resize,    # binary thumbnails
+    "simhash_near_dup": simhash_near_dup,   # xxhash64 family
+    "knn_ivf": knn_ivf,                # approximate
+    "dedup_clusters": dedup_clusters,  # iterative, minhash family
+    "user_reach_approx": user_reach_approx,  # HLL sketch
+    "value_quantiles_approx": value_quantiles_approx,  # GK sketch
 }

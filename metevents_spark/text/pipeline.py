@@ -88,23 +88,50 @@ def sequence_pack(
     Output per (source, pack_id): document count, total tokens, and
     fill ratio vs the budget.
 
-    Scale shape: the running sum partitions by source shard, so the
-    window sort parallelizes across shards instead of forcing a single
-    global ordering — at corpus scale `source` is the file/shard id and
-    each partition's layout is independent, which is exactly how a
-    distributed packer shards work.
+    Scale shape: the running token sum is a TWO-PHASE prefix sum, not a
+    single per-source window (a source with billions of documents would
+    sort and prefix-sum on one task). Documents are range-bucketed by
+    ``doc_id div 8192`` — monotone in the doc_id order, so each bucket
+    is a contiguous slice of the layout. Phase 1 computes the local
+    exclusive prefix inside each (source, bucket) in parallel; phase 2
+    prefix-sums the per-bucket token TOTALS (8192× fewer rows) to get
+    each bucket's starting offset, joined back on (source, bucket).
+    tokens_before = bucket offset + local prefix — bit-identical to the
+    single-window formulation (int64 addition is associative). The
+    phase-2 window still orders one source's buckets on one task, but
+    over rows reduced 8192×; recurse the same trick if that ever binds.
     """
+    bucket_width = 8192
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {bucket_width}").alias("bucket"),
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
-    tokens_before = (
-        F.sum("n_tokens").over(w) - F.col("n_tokens")
+    # phase 1: exclusive prefix within each contiguous (source, bucket)
+    w_local = Window.partitionBy("source", "bucket").orderBy("doc_id")
+    local_before = F.sum("n_tokens").over(w_local) - F.col("n_tokens")
+    # phase 2: each bucket's starting offset = running sum of earlier
+    # buckets' totals within the source (bucket-level frame is ~1/8192
+    # the corpus, and the join back is co-partitioned on the same keys)
+    w_bucket = Window.partitionBy("source").orderBy("bucket")
+    offsets = (
+        docs.groupBy("source", "bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .withColumn(
+            "bucket_offset",
+            F.sum("bucket_tokens").over(w_bucket) - F.col("bucket_tokens"),
+        )
+        .drop("bucket_tokens")
     )
-    packed = docs.withColumn(
-        "pack_id", F.floor(tokens_before / budget).cast("long")
+    packed = (
+        docs.withColumn("local_before", local_before)
+        .join(offsets, ["source", "bucket"])
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("bucket_offset") + F.col("local_before")) / budget)
+            .cast("long"),
+        )
     )
     return (
         packed.groupBy("source", "pack_id")

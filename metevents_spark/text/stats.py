@@ -193,8 +193,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
     tf = term count / doc length; idf = ln((N+1)/(df+1)). One explode
     feeds both the per-(doc,term) counts and — after a term-level
-    re-aggregation — the document frequencies; the doc-frequency side is
-    vocabulary-sized, so it broadcasts onto the big side at scale.
+    re-aggregation — the document frequencies. The doc-frequency side is
+    vocabulary-sized (unbounded on a web corpus: typos, numerals, …), so
+    it is NOT broadcast-hinted: both sides shuffle-join on `term`, and
+    AQE is free to downgrade to a broadcast when the vocab is actually
+    small. Only the single-row corpus count `n_docs` is broadcast.
     Deterministic rank tie-break: (score desc, term asc).
     """
     from pyspark import StorageLevel
@@ -222,7 +225,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         F.col("score").desc(), F.col("term")
     )
     return (
-        per_doc.join(F.broadcast(df_counts), "term")
+        per_doc.join(df_counts, "term")
         .select("doc_id", "term", score.alias("score"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
