@@ -100,6 +100,10 @@ def sequence_pack(
     single-window formulation (int64 addition is associative). The
     phase-2 window still orders one source's buckets on one task, but
     over rows reduced 8192×; recurse the same trick if that ever binds.
+
+    Assumes doc_id is non-null (it is the documents table's key): a
+    null doc_id would yield a null bucket and be dropped by the inner
+    offset join, where the single-window form would have kept the row.
     """
     bucket_width = 8192
     docs = load_table(spark, sf_dir, "documents").select(

@@ -135,14 +135,29 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_sequence_pack_single_shard_exchange(spark):
+def test_sequence_pack_two_phase_prefix_sum(spark):
     from metevents_spark.text.pipeline import sequence_pack
 
     plan = plan_of(sequence_pack(spark, SF))
-    # window + partial/final aggregate all reuse one hashpartitioning
-    # on the shard key; a second hash exchange would mean the pack
-    # aggregation re-shuffles what the window already co-located
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    windows = re.findall(r"Window \[.*?windowspecdefinition\((.*?)\)", plan)
+    assert windows, plan
+    # phase 1: the full document frame is windowed on (source, bucket),
+    # never on source alone — a source-only window over raw documents
+    # would put a billion-doc source on one task
+    doc_windows = [s for s in windows if "doc_id#" in s]
+    assert doc_windows, plan
+    for spec in doc_windows:
+        assert "bucket#" in spec, plan
+    # phase 2: the source-only window exists but orders BUCKETS (the
+    # 8192x-reduced aggregate frame), not documents
+    src_windows = [s for s in windows if "doc_id#" not in s]
+    assert src_windows, plan
+    for spec in src_windows:
+        assert "bucket#" in spec, plan
+    # the expected exchanges: (source,bucket) for phase 1, the partial/
+    # final bucket aggregate, source for phase 2, and the final pack
+    # groupBy — anything beyond that means a redundant shuffle crept in
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 4, plan
 
 
 def test_no_query_plans_a_cartesian_product(spark):
