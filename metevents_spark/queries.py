@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from metevents_spark.cache import release_all
 from metevents_spark.io import series_frame
 from metevents_spark.operators import (
     data_gap,
@@ -945,3 +946,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_reach_approx": user_reach_approx,  # HLL sketch
     "value_quantiles_approx": value_quantiles_approx,  # GK sketch
 }
+
+
+def _releasing(fn: Callable[..., DataFrame]) -> Callable[..., DataFrame]:
+    """Release the previous query's tracked persists before building
+    this one (see metevents_spark.cache). Callers — the correctness
+    driver, bench.py, check_oracle — materialize one query at a time,
+    so anything still cached belongs to an already-consumed result."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+        release_all()
+        return fn(spark, sf_dir, **kw)
+
+    return wrapper
+
+
+QUERIES = {name: _releasing(fn) for name, fn in QUERIES.items()}

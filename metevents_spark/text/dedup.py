@@ -16,6 +16,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from metevents_spark.cache import track
 from metevents_spark.io import load_table
 
 
@@ -64,6 +65,7 @@ def _exact_groups(docs: DataFrame):
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    track(member_rep)
     # fetch rep texts by id: the rep-id side is distinct-text-sized;
     # AQE broadcasts it at small scale, sort-merge at corpus scale
     reps = (
@@ -199,7 +201,7 @@ def _minhash_rep_pairs(
     # persist Spark computes the whole signature pipeline twice (no
     # cross-branch CSE). At scale this is the "checkpoint signatures
     # before pairing" stage of a dedup pipeline.
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = track(banded.persist(StorageLevel.MEMORY_AND_DISK))
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -395,7 +397,7 @@ def simhash_near_dup(
     )
     # persisted for the same reason as minhash_near_dup: the vote
     # aggregation feeds both self-join sides
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = track(banded.persist(StorageLevel.MEMORY_AND_DISK))
     left, right = banded.alias("l"), banded.alias("r")
     hamming = F.bit_count(
         F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
@@ -450,7 +452,9 @@ def dedup_clusters(
     # the LSH self-join behind them is the expensive part and the union
     # would evaluate it twice (once per branch)
     rep_pairs, member_rep = _minhash_rep_pairs(spark, sf_dir, threshold=threshold)
-    pairs = rep_pairs.select("doc_a", "doc_b").persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = track(
+        rep_pairs.select("doc_a", "doc_b").persist(StorageLevel.MEMORY_AND_DISK)
+    )
     edges = pairs.union(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -465,6 +469,7 @@ def dedup_clusters(
         .withColumn("cluster", F.col("doc_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    track(labels)
     # labels only ever DECREASE under min-propagation, so the label sum
     # strictly drops until fixpoint — one aggregate per round detects
     # convergence, no self-join diff needed
@@ -487,6 +492,7 @@ def dedup_clusters(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        track(new_labels)
         cur_sum = new_labels.agg(F.sum("cluster")).collect()[0][0]
         labels.unpersist()
         labels = new_labels

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from metevents_spark.cache import track
 from metevents_spark.io import load_table
 
 # marker-token sets for the n-gram/stopword language heuristic
@@ -210,9 +211,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     )
     # per_doc feeds BOTH the doc-frequency aggregation and the scoring
     # join — persist so the explode+aggregate runs once
-    per_doc = terms.groupBy("doc_id", "doc_len", "term").agg(
-        F.count(F.lit(1)).alias("tc")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per_doc = track(
+        terms.groupBy("doc_id", "doc_len", "term")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     df_counts = per_doc.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     ).crossJoin(F.broadcast(n_docs))

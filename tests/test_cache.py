@@ -1,0 +1,38 @@
+"""Persist hygiene: tracked caches drain between registry queries.
+
+The correctness driver and bench run 50-66 queries on one SparkSession;
+operators that persist multi-branch intermediates (LSH band frames,
+exact-dedup member maps, TF-IDF term counts) must not accumulate in the
+storage tier across that session.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tests.conftest import SF_SMALL
+
+
+def persisted_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_registry_queries_release_prior_persists(spark):
+    import __spark_entry__ as entrymod
+    from metevents_spark.cache import release_all
+
+    release_all()
+    qs = entrymod.queries()
+    # minhash_near_dup persists member_rep + banded; materialize it
+    qs["minhash_near_dup"](spark, SF_SMALL).count()
+    assert persisted_rdd_count(spark) >= 1
+    # invoking the NEXT registry query must drop the leftovers before
+    # (or while) building its own
+    qs["exact_dedup"](spark, SF_SMALL).count()
+    assert persisted_rdd_count(spark) == 0
+    # and a persisting query followed by release_all drains fully
+    qs["tfidf_top_terms"](spark, SF_SMALL).count()
+    assert release_all() >= 1
+    assert persisted_rdd_count(spark) == 0
