@@ -3,4 +3,5 @@ from metevents_spark.streaming.detect import (  # noqa: F401
     stream_dedup,
     stream_sessions,
     stream_storm_find,
+    stream_storm_find_tws,
 )

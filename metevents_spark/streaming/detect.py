@@ -138,6 +138,90 @@ def _closed_storms(
     return closed, open_ev
 
 
+def _advance_storm_buffer(
+    prev_state,
+    pdf_iter,
+    instant_mass_to_start: float,
+    min_storm_total: float,
+    hours_to_stop: float,
+    max_storm_hours: float,
+    tstep_us: int | None,
+):
+    """Per-key incremental step shared by BOTH stateful APIs
+    (applyInPandasWithState and transformWithStateInPandas): merge the
+    batch's rows into the buffered open suffix, run the batch kernel,
+    split provably-closed storms from the tentative tail, and trim the
+    buffer past the last emitted stop.
+
+    -> (closed_events, new_state) where new_state is the
+    STORM_STATE_SCHEMA tuple (ts_us list, vals list, at_head flag).
+    """
+    if prev_state is not None:
+        ts_us, vals, at_head = prev_state
+        ts_buf = list(ts_us)
+        val_buf = list(vals)
+    else:
+        ts_buf, val_buf, at_head = [], [], 1
+
+    for pdf in pdf_iter:
+        t = (
+            pd.to_datetime(pdf["ts"])
+            .astype("datetime64[us]")
+            .astype("int64")
+            .tolist()
+        )
+        ts_buf.extend(t)
+        val_buf.extend(pdf["value"].astype(float).tolist())
+
+    order = np.argsort(np.asarray(ts_buf, dtype=np.int64), kind="stable")
+    ts_arr = np.asarray(ts_buf, dtype=np.int64)[order].astype("datetime64[us]")
+    val_arr = np.asarray(val_buf, dtype=np.float64)[order]
+
+    closed, _open_ev = _closed_storms(
+        ts_arr,
+        val_arr,
+        bool(at_head),
+        instant_mass_to_start,
+        min_storm_total,
+        hours_to_stop,
+        max_storm_hours,
+        tstep_us,
+    )
+
+    if closed:
+        # trim buffer to rows after the last closed storm's stop —
+        # bounded state — and remember we dropped the head
+        last_stop = closed[-1][1]
+        keep = ts_arr > last_stop
+        ts_arr = ts_arr[keep]
+        val_arr = val_arr[keep]
+        at_head = 0
+    new_state = (
+        ts_arr.astype("int64").tolist(),
+        val_arr.tolist(),
+        int(at_head),
+    )
+    return closed, new_state
+
+
+def _closed_frame(sid, closed) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "sid": [sid] * len(closed),
+            "start_us": [
+                int(e[0].astype("datetime64[us]").astype(np.int64))
+                for e in closed
+            ],
+            "stop_us": [
+                int(e[1].astype("datetime64[us]").astype(np.int64))
+                for e in closed
+            ],
+            "n_points": [e[3] for e in closed],
+            "total": [e[2] for e in closed],
+        }
+    )
+
+
 def stream_storm_find(
     stream_df: DataFrame,
     instant_mass_to_start: float = 0.1,
@@ -153,70 +237,18 @@ def stream_storm_find(
 
     def fn(key, pdf_iter, state: GroupState):
         (sid,) = key
-        if state.exists:
-            ts_us, vals, at_head = state.get
-            ts_buf = list(ts_us)
-            val_buf = list(vals)
-        else:
-            ts_buf, val_buf, at_head = [], [], 1
-
-        for pdf in pdf_iter:
-            t = (
-                pd.to_datetime(pdf["ts"])
-                .astype("datetime64[us]")
-                .astype("int64")
-                .tolist()
-            )
-            ts_buf.extend(t)
-            val_buf.extend(pdf["value"].astype(float).tolist())
-
-        order = np.argsort(np.asarray(ts_buf, dtype=np.int64), kind="stable")
-        ts_arr = np.asarray(ts_buf, dtype=np.int64)[order].astype("datetime64[us]")
-        val_arr = np.asarray(val_buf, dtype=np.float64)[order]
-
-        closed, open_ev = _closed_storms(
-            ts_arr,
-            val_arr,
-            bool(at_head),
+        closed, new_state = _advance_storm_buffer(
+            state.get if state.exists else None,
+            pdf_iter,
             instant_mass_to_start,
             min_storm_total,
             hours_to_stop,
             max_storm_hours,
             tstep_us,
         )
-
+        state.update(new_state)
         if closed:
-            # trim buffer to rows after the last closed storm's stop —
-            # bounded state — and remember we dropped the head
-            last_stop = closed[-1][1]
-            keep = ts_arr > last_stop
-            ts_arr = ts_arr[keep]
-            val_arr = val_arr[keep]
-            at_head = 0
-        state.update(
-            (
-                ts_arr.astype("int64").tolist(),
-                val_arr.tolist(),
-                int(at_head),
-            )
-        )
-
-        if closed:
-            yield pd.DataFrame(
-                {
-                    "sid": [sid] * len(closed),
-                    "start_us": [
-                        int(e[0].astype("datetime64[us]").astype(np.int64))
-                        for e in closed
-                    ],
-                    "stop_us": [
-                        int(e[1].astype("datetime64[us]").astype(np.int64))
-                        for e in closed
-                    ],
-                    "n_points": [e[3] for e in closed],
-                    "total": [e[2] for e in closed],
-                }
-            )
+            yield _closed_frame(sid, closed)
 
     return (
         stream_df.select(
@@ -229,6 +261,62 @@ def stream_storm_find(
             STORM_STATE_SCHEMA,
             "append",
             GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_storm_find_tws(
+    stream_df: DataFrame,
+    instant_mass_to_start: float = 0.1,
+    min_storm_total: float = 0.5,
+    hours_to_stop: float = 24,
+    max_storm_hours: float = 336,
+    tstep_us: int | None = None,
+) -> DataFrame:
+    """Storm detection on Spark 4's ``transformWithStateInPandas`` —
+    the forward-compatible stateful surface (SPARK-45939, the successor
+    to applyInPandasWithState). Same per-key step and emit-once
+    semantics as stream_storm_find; the buffer lives in a ValueState
+    backed by the RocksDB state store (the session must set
+    ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
+    provider — transformWithState requires it)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class StormProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._buf = handle.getValueState("storm_buf", STORM_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (sid,) = key
+            closed, new_state = _advance_storm_buffer(
+                self._buf.get() if self._buf.exists() else None,
+                rows,
+                instant_mass_to_start,
+                min_storm_total,
+                hours_to_stop,
+                max_storm_hours,
+                tstep_us,
+            )
+            self._buf.update(new_state)
+            if closed:
+                yield _closed_frame(sid, closed)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream_df.select(
+            F.col("sid"), F.col("ts"), F.col("value").cast("double")
+        )
+        .groupBy("sid")
+        .transformWithStateInPandas(
+            statefulProcessor=StormProcessor(),
+            outputStructType=STORM_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
         )
     )
 

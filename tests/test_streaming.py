@@ -16,7 +16,22 @@ import pandas as pd
 import pytest
 
 from metevents_spark.operators.storms import storm_find_numpy
-from metevents_spark.streaming import stream_sessions, stream_storm_find
+from metevents_spark.streaming import (
+    stream_sessions,
+    stream_storm_find,
+    stream_storm_find_tws,
+)
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+try:  # transformWithState's Python worker speaks a protobuf protocol
+    from google.protobuf import descriptor  # noqa: F401
+
+    HAVE_PROTOBUF = True
+except ImportError:
+    HAVE_PROTOBUF = False
 
 US = 1_000_000
 DAY_US = 86_400 * US
@@ -39,7 +54,21 @@ def daily_rows(values, sid="s1", start=datetime(2023, 1, 1)):
     )
 
 
-def test_stream_storms_incremental(spark, stream_dir):
+@pytest.mark.parametrize(
+    "api",
+    [
+        "apply_in_pandas_with_state",
+        pytest.param(
+            "transform_with_state",
+            marks=pytest.mark.skipif(
+                not HAVE_PROTOBUF,
+                reason="transformWithStateInPandas state protocol needs "
+                "google.protobuf (absent in this container)",
+            ),
+        ),
+    ],
+)
+def test_stream_storms_incremental(spark, stream_dir, api):
     # three storms separated by long dry gaps; chunk split mid-series
     values = (
         [0, 2, 2, 0, 0, 0, 0]      # storm 1 (closed by later data)
@@ -57,22 +86,38 @@ def test_stream_storms_incremental(spark, stream_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{stream_dir}/in")
     )
-    out = stream_storm_find(
+    detector = (
+        stream_storm_find
+        if api == "apply_in_pandas_with_state"
+        else stream_storm_find_tws
+    )
+    out = detector(
         stream, instant_mass_to_start=1.0, min_storm_total=2.0, hours_to_stop=24
     )
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("storms_out")
-        .option("checkpointLocation", f"{stream_dir}/ckpt")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    if api == "transform_with_state":
+        # transformWithState requires the RocksDB state store
+        spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"storms_out_{api}")
+            .option("checkpointLocation", f"{stream_dir}/ckpt_{api}")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     got = [
         (r.start_us, r.stop_us, r.n_points, r.total)
         for r in spark.sql(
-            "SELECT * FROM storms_out ORDER BY start_us"
+            f"SELECT * FROM storms_out_{api} ORDER BY start_us"
         ).collect()
     ]
 
@@ -96,6 +141,24 @@ def test_stream_storms_incremental(spark, stream_dir):
     ]
     assert len(expected) >= 2  # sanity: the fixture closes >= 2 storms
     assert got == expected
+
+
+def test_tws_storm_plan_builds(spark, stream_dir):
+    """transformWithStateInPandas analysis is driver-side: the unresolved
+    plan must build and carry the output schema even where the protobuf
+    state protocol (needed only at execution) is unavailable."""
+    pdf = daily_rows([0, 2, 2, 0])
+    Path(stream_dir, "tws").mkdir()
+    pdf.to_parquet(f"{stream_dir}/tws/c0.parquet", coerce_timestamps="us")
+    stream = (
+        spark.readStream.schema("sid string, ts timestamp, value double")
+        .parquet(f"{stream_dir}/tws")
+    )
+    out = stream_storm_find_tws(stream, instant_mass_to_start=1.0)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "sid", "start_us", "stop_us", "n_points", "total",
+    ]
 
 
 def test_stream_sessions_counts(spark, stream_dir):

@@ -104,6 +104,7 @@ def main() -> None:
         simhash_near_dup,
         text_stats,
     )
+    from metevents_spark.text.dedup import dedup_clusters
     from metevents_spark.text.pipeline import (
         decontaminate_ngram,
         sequence_pack,
@@ -121,6 +122,7 @@ def main() -> None:
         "decontaminate_ngram": decontaminate_ngram,
         "sequence_pack": sequence_pack,
         "stratified_sample": stratified_sample,
+        "dedup_clusters": dedup_clusters,
     }.items():
         t0 = time.perf_counter()
         fn(spark, sf_big).write.format("noop").mode("overwrite").save()
