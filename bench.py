@@ -88,6 +88,9 @@ HEADLINE = [
     "decontaminate_ngram",
     "sequence_pack",
     "stratified_sample",
+    "source_mix_sample",
+    "repetition_stats",
+    "label_centroids",
 ]
 
 

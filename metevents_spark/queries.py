@@ -69,6 +69,7 @@ from metevents_spark.text.dedup import dedup_clusters, ngram_jaccard_pairs
 from metevents_spark.text.pipeline import (
     decontaminate_ngram,
     sequence_pack,
+    source_mix_sample,
     stratified_sample,
 )
 from metevents_spark.session import tune_session
@@ -78,6 +79,7 @@ from metevents_spark.similarity import (
     knn_cosine,
     knn_ivf,
     knn_lsh,
+    label_centroids,
 )
 from metevents_spark.operators.seriesstats import (
     rolling_mean,
@@ -91,6 +93,7 @@ from metevents_spark.text import (
     minhash_near_dup,
     prefix_dedup,
     quality_filter,
+    repetition_stats,
     rolling_fingerprint,
     simhash_fingerprints,
     simhash_near_dup,
@@ -852,6 +855,41 @@ WITH r AS (
   FROM documents)
 SELECT lang, doc_id, rank FROM r WHERE rank <= 50 ORDER BY lang, rank
 """,
+    "source_mix_sample": """
+SELECT doc_id, source,
+       ROUND(((CAST(substr(source, 4) AS BIGINT) % 4) + 1) / 5.0, 6)
+           AS keep_rate
+FROM documents
+WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 5
+      < (CAST(substr(source, 4) AS BIGINT) % 4) + 1
+ORDER BY doc_id
+""",
+    "repetition_stats": """
+WITH g AS (
+  SELECT doc_id,
+         unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE len(string_split(text, ' ')) >= 2)
+), c AS (
+  SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_grams,
+       CAST(MAX(n) AS BIGINT) AS top_gram_count,
+       ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS rep2_share
+FROM c GROUP BY doc_id ORDER BY doc_id
+""",
+    "label_centroids": """
+WITH e AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) - 1 AS pos
+  FROM embeddings
+)
+SELECT label, CAST(pos AS BIGINT) AS pos,
+       ROUND(AVG(v), 6) AS centroid,
+       COUNT(*) AS n_vecs
+FROM e GROUP BY label, pos ORDER BY label, pos
+""",
 }
 
 
@@ -932,6 +970,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_ngram": decontaminate_ngram,
     "sequence_pack": sequence_pack,
     "stratified_sample": stratified_sample,
+    "source_mix_sample": source_mix_sample,
+    "repetition_stats": repetition_stats,
+    "label_centroids": label_centroids,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width

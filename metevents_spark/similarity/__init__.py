@@ -4,4 +4,5 @@ from metevents_spark.similarity.knn import (  # noqa: F401
     knn_cosine,
     knn_ivf,
     knn_lsh,
+    label_centroids,
 )

@@ -301,3 +301,28 @@ def knn_lsh(
         .select("q_id", "vec_id", sim.alias("cosine"))
     )
     return _topk_per_query(scored, k)
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, exploded to (label, pos, centroid)
+    rows — the k-means E-step / cluster-profile primitive over an
+    embedding corpus.
+
+    Scale shape: posexplode + groupBy(label, pos) looks like it
+    shuffles corpus_size x dim rows, but partial aggregation collapses
+    each partition to at most |labels| x dim partial sums before the
+    exchange — the shuffle is O(partitions x labels x dim), independent
+    of corpus size. Pure JVM expressions end to end.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v")
+    )
+    return (
+        exploded.groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.round(F.avg("v"), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("label", "pos")
+    )

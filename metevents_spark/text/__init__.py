@@ -2,6 +2,7 @@ from metevents_spark.text.stats import (  # noqa: F401
     doc_fingerprint,
     lang_id,
     quality_filter,
+    repetition_stats,
     rolling_fingerprint,
     text_stats,
     tfidf_top_terms,

@@ -200,3 +200,30 @@ def stratified_sample(
         .select("lang", "doc_id", "rank")
         .orderBy("lang", "rank")
     )
+
+
+def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source mixing: downsample each source
+    shard at its own rate — the "data mixing" stage that rebalances
+    corpus proportions before training.
+
+    Per-source keep rates are k/5 where k = source_number % 4 + 1
+    (20/40/60/80% — a stand-in for externally supplied mixture
+    weights); a document is kept when the LCG mix of its doc_id lands
+    in the first k of 5 residue classes. All-integer arithmetic, so the
+    sample is exactly reproducible across engines and runs.
+
+    Scale shape: a pure map-side filter on the scan — no shuffle at
+    all beyond the deterministic output sort; at 100 TB this is the
+    cheapest possible operator shape (predicate evaluated inside the
+    parquet scan's codegen stage).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    k = F.substring("source", 4, 10).cast("long") % 4 + 1
+    mix = (F.col("doc_id") * 1103515245 + 12345) % 2147483648
+    return (
+        docs.withColumn("keep_rate", F.round(k.cast("double") / 5, 6))
+        .filter(mix % 5 < k)
+        .select("doc_id", "source", "keep_rate")
+        .orderBy("doc_id")
+    )

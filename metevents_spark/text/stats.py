@@ -234,3 +234,56 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .orderBy("doc_id", "rank")
     )
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: share of token 2-grams taken by the
+    single most frequent 2-gram (the Gopher-style "duplicate n-gram
+    fraction" quality rule — high shares mark boilerplate/spam).
+
+    Output per document (docs with >= 2 tokens): total 2-gram count,
+    the top 2-gram's count, and rep2_share = top / total.
+
+    Scale shape: ENTIRELY map-side. The 2-gram list is built with a
+    higher-order transform, sorted, and the longest equal run is found
+    by a single aggregate fold over the sorted array — all inside
+    whole-stage codegen, zero shuffle (a groupBy(doc_id, gram)
+    formulation would shuffle every gram of the corpus; this shuffles
+    nothing and the final orderBy is the only exchange).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    with_grams = toked.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.array_sort(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(t[i - 1], ' ', t[i]))"
+            )
+        ).alias("grams"),
+    )
+    # fold over the sorted grams tracking (previous gram, current run
+    # length, best run length); the best run IS the top 2-gram's count
+    best_run = F.expr(
+        "aggregate(grams,"
+        " struct(cast('' as string) AS prev, 0L AS run, 0L AS best),"
+        " (acc, g) -> struct("
+        "   g AS prev,"
+        "   IF(g = acc.prev, acc.run + 1, 1L) AS run,"
+        "   GREATEST(acc.best, IF(g = acc.prev, acc.run + 1, 1L)) AS best),"
+        " acc -> acc.best)"
+    )
+    return (
+        with_grams.select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_grams"),
+            best_run.alias("top_gram_count"),
+        )
+        .withColumn(
+            "rep2_share",
+            F.round(
+                F.col("top_gram_count").cast("double") / F.col("n_grams"), 6
+            ),
+        )
+        .orderBy("doc_id")
+    )
