@@ -177,3 +177,21 @@ def write_partitioned_events(
     df.withColumn("event_date", F.to_date("ts")).write.mode(
         mode
     ).partitionBy("event_date").parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every star-schema table plus the canonical ``series``
+    frame as temp views, opening the raw ``spark.sql`` surface over the
+    engine's data model (ANSI SQL against the same scans the DataFrame
+    operators use — filter pushdown and column pruning apply
+    unchanged, since a temp view is just a named logical plan).
+
+    Returns the view names registered.
+    """
+    names = []
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        names.append(t)
+    series_frame(spark, sf_dir).createOrReplaceTempView("series")
+    names.append("series")
+    return names

@@ -96,3 +96,22 @@ def test_detector_registry(spark):
         detect("nope", df)
     register_detector("always_empty", lambda d, **kw: d.limit(0))
     assert detect("always_empty", df).count() == 0
+
+
+def test_register_views_sql_surface(spark):
+    from metevents_spark.io import register_views
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert "series" in names and "lineitem" in names
+    # raw SQL over the views matches the DataFrame surface
+    n = spark.sql(
+        "SELECT COUNT(DISTINCT sid) AS n FROM series"
+    ).collect()[0]["n"]
+    assert n > 0
+    top = spark.sql(
+        """
+        SELECT l_returnflag, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    ).collect()
+    assert len(top) >= 2
