@@ -160,6 +160,28 @@ def test_sequence_pack_two_phase_prefix_sum(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 4, plan
 
 
+def test_repetition_stats_zero_shuffle_fold(spark):
+    from metevents_spark.text.stats import repetition_stats
+
+    plan = plan_of(repetition_stats(spark, SF))
+    # the top-gram count is a map-side aggregate fold over the sorted
+    # gram array: no hash exchange anywhere — a groupBy(doc_id, gram)
+    # formulation would shuffle every 2-gram of the corpus
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_source_mix_sample_is_map_side(spark):
+    from metevents_spark.text.pipeline import source_mix_sample
+
+    plan = plan_of(source_mix_sample(spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan
+    # only doc_id + source are read (the mixing predicate needs no text)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) <= {
+        "doc_id:bigint", "source:string"
+    }, plan
+
+
 def test_no_query_plans_a_cartesian_product(spark):
     """Global guardrail over the whole registry: no query may plan a
     CartesianProduct. BroadcastNestedLoopJoin is tolerated only for the
