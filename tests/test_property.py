@@ -81,3 +81,54 @@ def test_extreme_value_matches_reference_semantics(spark, batch):
     for s, vals in enumerate(batch):
         expected = brute_force([None if v is None else float(v) for v in vals])
         assert got.get(f"s{s}", []) == expected, (s, vals)
+
+
+# --- repetition fold: max-run aggregate vs a Counter reference ----------
+
+docs_batch = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "aa", "x"]),
+        min_size=2,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=docs_batch)
+def test_repetition_fold_matches_counter(spark, batch, tmp_path_factory):
+    """The zero-shuffle sorted-array fold in repetition_stats must equal
+    the obvious Counter formulation for the top 2-gram count, on random
+    token streams drawn from a tiny alphabet (maximally repetitive —
+    the regime the fold's run-tracking must get right)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from metevents_spark.text.stats import repetition_stats
+
+    d = tmp_path_factory.mktemp("repdocs")
+    pd.DataFrame(
+        {
+            "doc_id": range(len(batch)),
+            "text": [" ".join(toks) for toks in batch],
+            "lang": "en",
+            "source": "src0",
+            "n_chars": [len(" ".join(toks)) for toks in batch],
+        }
+    ).to_parquet(f"{d}/documents.parquet")
+
+    got = {
+        r.doc_id: (r.n_grams, r.top_gram_count)
+        for r in repetition_stats(spark, str(d)).collect()
+    }
+    for i, toks in enumerate(batch):
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        assert got[i] == (len(grams), max(Counter(grams).values())), toks
