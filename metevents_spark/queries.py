@@ -37,11 +37,14 @@ from metevents_spark.functions import freq_infer
 from metevents_spark.relational import (
     brand_revenue,
     daily_rollup,
+    funnel_conversion,
     nation_segment_rollup,
     order_priority_check,
     pricing_summary,
     region_revenue,
+    retention_cohorts,
     revenue_topn,
+    rolling_7d_active,
     top_customers_per_segment,
 )
 from metevents_spark.relational.tpch import (
@@ -65,7 +68,12 @@ from metevents_spark.relational.tpch import (
     top_price_orders,
     value_quantiles,
 )
-from metevents_spark.text.dedup import dedup_clusters, ngram_jaccard_pairs
+from metevents_spark.text.dedup import (
+    dedup_clusters,
+    edit_distance_pairs,
+    ngram_jaccard_pairs,
+)
+from metevents_spark.text.scrub import domain_stats, pii_redact
 from metevents_spark.text.pipeline import (
     decontaminate_ngram,
     sequence_pack,
@@ -890,6 +898,114 @@ SELECT label, CAST(pos AS BIGINT) AS pos,
        COUNT(*) AS n_vecs
 FROM e GROUP BY label, pos ORDER BY label, pos
 """,
+    # first-touch funnel: stage k converts iff the user's FIRST stage-k
+    # event is at-or-after their qualified stage-(k-1) time (NULLs
+    # propagate forward through the CASE chain)
+    "funnel_conversion": """
+WITH pu AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+  FROM events GROUP BY user_id),
+a AS (SELECT t2, t3, t0 AS q0,
+             CASE WHEN t1 >= t0 THEN t1 END AS q1 FROM pu),
+b AS (SELECT t3, q0, q1,
+             CASE WHEN t2 >= q1 THEN t2 END AS q2 FROM a),
+c AS (SELECT q0, q1, q2,
+             CASE WHEN t3 >= q2 THEN t3 END AS q3 FROM b),
+n AS (SELECT count(q0) AS n0, count(q1) AS n1,
+             count(q2) AS n2, count(q3) AS n3 FROM c)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event_type,
+         n0 AS n_users,
+         ROUND(CAST(n0 AS DOUBLE) / NULLIF(n0, 0), 6) AS conv_from_prev
+  FROM n
+  UNION ALL
+  SELECT 2, 'view', n1, ROUND(CAST(n1 AS DOUBLE) / NULLIF(n0, 0), 6) FROM n
+  UNION ALL
+  SELECT 3, 'click', n2, ROUND(CAST(n2 AS DOUBLE) / NULLIF(n1, 0), 6) FROM n
+  UNION ALL
+  SELECT 4, 'purchase', n3, ROUND(CAST(n3 AS DOUBLE) / NULLIF(n2, 0), 6) FROM n
+) ORDER BY stage
+""",
+    "retention_cohorts": """
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+  FROM events)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_no,
+       count(DISTINCT user_id) AS n_active
+FROM active JOIN cohort USING (user_id)
+GROUP BY cohort_week, week_no
+ORDER BY cohort_week, week_no
+""",
+    "rolling_7d_active": """
+WITH pairs AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+days AS (SELECT DISTINCT day FROM pairs)
+SELECT d.day, count(DISTINCT p.user_id) AS active_users
+FROM days d JOIN pairs p
+  ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day ORDER BY d.day
+""",
+    "pii_redact": r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' user' || doc_id || '@mail' || (doc_id % 7) || '.example.com'
+         || CASE WHEN doc_id % 4 <> 0
+                 THEN ' +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || ' 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.42'
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' 192.168.' || (doc_id % 100) || '.7' ELSE '' END
+      AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(text,
+       '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text,
+       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+    AS n_ips,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+    AS redacted
+FROM aug ORDER BY doc_id
+""",
+    "domain_stats": """
+WITH aug AS (
+  SELECT doc_id,
+    text || ' https://www.site' || (doc_id % 23) || '.example.com/p/' || doc_id
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' http://cdn' || (doc_id % 7) || '.example.org/x'
+                 ELSE '' END AS text
+  FROM documents),
+d AS (SELECT doc_id,
+             lower(unnest(regexp_extract_all(
+                 text, 'https?://([A-Za-z0-9.-]+)', 1))) AS domain
+      FROM aug)
+SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+FROM d GROUP BY domain ORDER BY domain
+""",
+    "edit_distance_pairs": """
+WITH t AS (SELECT doc_id, md5(substr(text, 1, 64)) AS ph,
+                  substr(text, 1, 1024) AS text FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+FROM t a JOIN t b ON a.ph = b.ph AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+""",
 }
 
 
@@ -973,6 +1089,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_mix_sample": source_mix_sample,
     "repetition_stats": repetition_stats,
     "label_centroids": label_centroids,
+    # product analytics over the event log
+    "funnel_conversion": funnel_conversion,
+    "retention_cohorts": retention_cohorts,
+    "rolling_7d_active": rolling_7d_active,
+    # PII scrubbing / URL analysis / char-level near-dup verification
+    "pii_redact": pii_redact,
+    "domain_stats": domain_stats,
+    "edit_distance_pairs": edit_distance_pairs,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width

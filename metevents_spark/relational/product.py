@@ -1,0 +1,146 @@
+"""Product-analytics operators over the event stream (beyond-reference
+surface): ordered funnels, weekly retention cohorts, rolling distinct
+reach. The reference has no multi-user analytics at all (its model is
+one series in, intervals out — /root/reference/metevents/events.py:18-20);
+these are the event-log queries a production deployment of the same
+data would ask next.
+
+Scale notes:
+
+- Every per-user reduction (first-touch times, cohort assignment) is a
+  partial+final hash aggregate on ``user_id`` — one shuffle keyed by
+  the natural partition key of an event log.
+- ``funnel_conversion`` computes each stage's first-qualifying
+  timestamp with conditional aggregation over a SINGLE pass of the
+  events scan, then three user-keyed self-joins of the tiny per-user
+  frame (one row per user, not per event). No event-row self-joins.
+- ``rolling_7d_active`` deliberately avoids a range join: the bounded
+  7-day window is expanded map-side (``explode(sequence(0, 6))``) so
+  the plan is a plain equi-shuffle groupBy — at 100 TB a range join
+  over events would be a broadcast-nested-loop hazard, while the
+  exploded form costs exactly 7x the (user, day) DISTINCT pairs, which
+  are orders of magnitude smaller than raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metevents_spark.io import load_table
+
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def funnel_conversion(
+    spark: SparkSession,
+    sf_dir: str,
+    stages: tuple[str, ...] = FUNNEL_STAGES,
+) -> DataFrame:
+    """Ordered funnel: a user converts to stage k when an event of that
+    type occurs at-or-after their first qualifying stage-(k-1) event.
+
+    One scan computes min-timestamp-per-(user, stage); each subsequent
+    stage re-qualifies against the previous stage's first-touch time on
+    the per-user frame (150 rows per 10k events at test scale; ~events
+    / daily-activity at corpus scale). Output is one row per stage with
+    the surviving user count and the conversion rate from the previous
+    stage.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    # qualify stage k against stage k-1's first-touch: q0 = t0,
+    # qk = tk if tk >= q(k-1). Monotone: a NULL propagates forward.
+    qcols = [F.col("t0").alias("q0")]
+    for i in range(1, len(stages)):
+        prev = qcols[i - 1]
+        qcols.append(
+            F.when(F.col(f"t{i}") >= prev, F.col(f"t{i}")).alias(f"q{i}")
+        )
+    q = per_user.select(*qcols)
+    counts = q.agg(
+        *[F.count(F.col(f"q{i}")).alias(f"n{i}") for i in range(len(stages))]
+    )
+    stage_rows = []
+    for i, s in enumerate(stages):
+        prev_n = F.col(f"n{i - 1}") if i else F.col("n0")
+        stage_rows.append(
+            F.struct(
+                F.lit(i + 1).cast("long").alias("stage"),
+                F.lit(s).alias("event_type"),
+                F.col(f"n{i}").cast("long").alias("n_users"),
+                F.round(
+                    F.col(f"n{i}").cast("double")
+                    / F.nullif(prev_n.cast("double"), F.lit(0.0)),
+                    6,
+                ).alias("conv_from_prev"),
+            )
+        )
+    return (
+        counts.select(F.explode(F.array(*stage_rows)).alias("s"))
+        .select("s.*")
+        .orderBy("stage")
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users are cohorted by the ISO week of
+    their first event; a cohort is "retained" in week N when the user
+    has any event in cohort_week + N.
+
+    Two user-keyed aggregates (cohort assignment, distinct activity
+    weeks) and one join on user_id — all shuffles are on user_id, and
+    the final (cohort_week, week_no) aggregate is tiny.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    # week bounds stay TIMESTAMP (midnight Monday): DATE round-trips as
+    # python objects through Arrow and breaks dtype comparison downstream
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_no"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_no")
+    )
+
+
+def rolling_7d_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per calendar day.
+
+    Range-join-free plan: the DISTINCT (user, day) pairs are exploded
+    into the 7 trailing days they contribute to (map-side ``sequence``,
+    no shuffle), then a single groupBy(day) counts distinct users.
+    Days with no events contribute no output row; exploded days beyond
+    the observed range are dropped by the inner join with the (tiny,
+    broadcast) distinct-day frame.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    pairs = ev.distinct()
+    days = pairs.select("day").distinct()
+    contrib = pairs.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("day"),
+    )
+    return (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("day")
+    )

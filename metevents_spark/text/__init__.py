@@ -10,10 +10,15 @@ from metevents_spark.text.stats import (  # noqa: F401
     vocab_top_terms,
 )
 from metevents_spark.text.dedup import (  # noqa: F401
+    edit_distance_pairs,
     exact_dedup,
     minhash_near_dup,
     ngram_jaccard_pairs,
     prefix_dedup,
     simhash_fingerprints,
     simhash_near_dup,
+)
+from metevents_spark.text.scrub import (  # noqa: F401
+    domain_stats,
+    pii_redact,
 )

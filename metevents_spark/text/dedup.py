@@ -509,3 +509,37 @@ def dedup_clusters(
         "doc_id", F.coalesce("cluster", F.col("rep_id")).alias("cluster")
     )
     return out.orderBy("doc_id")
+
+
+def edit_distance_pairs(
+    spark: SparkSession, sf_dir: str, prefix_len: int = 64, cap_len: int = 1024
+) -> DataFrame:
+    """Exact Levenshtein distance for candidate pairs sharing a content
+    prefix bucket — the character-level verification stage companion to
+    :func:`ngram_jaccard_pairs` (token-level). Levenshtein is
+    O(len_a * len_b) per pair, so it only ever runs inside prefix
+    buckets after exact-duplicate collapse, and on at most ``cap_len``
+    characters per side (a bounded-cost guarantee the 100 TB plan
+    needs; corpus texts below the cap get the exact full distance).
+
+    Exact copies expand from representative pairs with distance 0.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    member_rep, reps = _exact_groups(docs)
+    t = reps.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, prefix_len)).alias("ph"),
+        F.substring("text", 1, cap_len).alias("text"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    rep_pairs = a.join(
+        b,
+        (F.col("a.ph") == F.col("b.ph")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.text"), F.col("b.text")).cast("long").alias("edit_dist"),
+    )
+    return _expand_pairs(
+        rep_pairs, member_rep, "edit_dist", F.lit(0).cast("long")
+    ).orderBy("doc_a", "doc_b")

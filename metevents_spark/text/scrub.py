@@ -1,0 +1,126 @@
+"""PII scrubbing and URL/domain analysis for pretraining corpora
+(beyond-reference surface; the reference has no text processing at
+all — /root/reference/metevents is numeric-series only).
+
+Both operators are pure JVM regex expressions (``regexp_extract_all``
+/ ``regexp_replace`` inside whole-stage codegen) — no Python in the
+hot path, so they scale with the parquet scan. The regexes stick to
+the syntax subset shared by Java (Spark) and RE2 (DuckDB oracle): no
+backreferences, no lookaround.
+
+The synthetic ``documents`` corpus contains no natural PII or URLs,
+so the registry queries *inject* deterministic spans derived from
+``doc_id`` before scrubbing — the injection is part of the query (and
+mirrored in the oracle SQL) purely to exercise the machinery on
+varied, verifiable content; the operators themselves
+(:func:`pii_scrub_columns`, :func:`extract_domains`) apply to any
+string column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metevents_spark.io import load_table
+
+# Shared Java/RE2 syntax. Email before phone/IP during replacement so
+# digit runs inside a redacted span can't be re-matched.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+URL_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def pii_scrub_columns(text: Column) -> list[Column]:
+    """Per-kind match counts plus the fully redacted text for one
+    string column. Counting happens on the raw text; replacement is
+    sequential (email -> phone -> IPv4)."""
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(name)
+        for name, pat in (
+            ("n_emails", EMAIL_RE),
+            ("n_phones", PHONE_RE),
+            ("n_ips", IPV4_RE),
+        )
+    ]
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ),
+        IPV4_RE,
+        "<IP>",
+    ).alias("redacted")
+    return [*counts, redacted]
+
+
+def _with_injected_pii(docs: DataFrame) -> DataFrame:
+    """Deterministic PII spans keyed off doc_id: always one email,
+    a phone for 3 of every 4 docs, one IP plus a second for every
+    fifth doc — so counts vary and the redaction paths all exercise."""
+    d = F.col("doc_id")
+    email = F.concat(
+        F.lit(" user"), d, F.lit("@mail"), d % 7, F.lit(".example.com")
+    )
+    phone = F.when(
+        d % 4 != 0,
+        F.concat(F.lit(" +1-555-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    ip = F.concat(F.lit(" 10."), d % 256, F.lit("."), (d * 7) % 256, F.lit(".42"))
+    ip2 = F.when(
+        d % 5 == 0, F.concat(F.lit(" 192.168."), d % 100, F.lit(".7"))
+    ).otherwise(F.lit(""))
+    return docs.withColumn(
+        "text", F.concat(F.col("text"), email, phone, ip, ip2)
+    )
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: inject deterministic PII into every document,
+    then count and redact it. Output one row per document with the
+    per-kind counts and the scrubbed text."""
+    docs = _with_injected_pii(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return docs.select(
+        "doc_id", *pii_scrub_columns(F.col("text"))
+    ).orderBy("doc_id")
+
+
+def extract_domains(text: Column) -> Column:
+    """All lowercased URL host names in a string column (array)."""
+    return F.transform(
+        F.regexp_extract_all(text, F.lit(URL_DOMAIN_RE), F.lit(1)),
+        lambda x: F.lower(x),
+    )
+
+
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: inject deterministic URLs (one per doc, a second
+    for even doc_ids), extract hostnames, and aggregate per-domain URL
+    and document counts. The explode is map-side; the only shuffle is
+    the final small groupBy(domain)."""
+    d = F.col("doc_id")
+    url1 = F.concat(
+        F.lit(" https://www.site"), d % 23, F.lit(".example.com/p/"), d
+    )
+    url2 = F.when(
+        d % 2 == 0, F.concat(F.lit(" http://cdn"), d % 7, F.lit(".example.org/x"))
+    ).otherwise(F.lit(""))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.concat("text", url1, url2).alias("text"))
+    )
+    return (
+        docs.select("doc_id", F.explode(extract_domains(F.col("text"))).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("domain")
+    )

@@ -1,0 +1,170 @@
+"""Semantic and plan tests for the product-analytics family
+(funnel/cohorts/rolling reach) and the text-scrubbing family
+(PII redaction, domain extraction, edit-distance verification).
+
+Oracle hash-parity for all six lives in tools/check_oracle.py and
+tests/test_oracle_parity.py (they sit past the driver's 50-slot cap);
+these tests pin the semantics a hash can't explain and the plan
+properties that matter at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from metevents_spark.relational import (
+    funnel_conversion,
+    retention_cohorts,
+    rolling_7d_active,
+)
+from metevents_spark.text import domain_stats, edit_distance_pairs, pii_redact
+from metevents_spark.text.scrub import EMAIL_RE, IPV4_RE, PHONE_RE
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_funnel_monotone_nonincreasing(spark):
+    rows = funnel_conversion(spark, SF).collect()
+    assert [r.stage for r in rows] == [1, 2, 3, 4]
+    counts = [r.n_users for r in rows]
+    assert counts == sorted(counts, reverse=True), counts
+    assert counts[0] > 0
+    # conversion rates are fractions of the previous stage
+    for r in rows:
+        assert r.conv_from_prev is None or 0.0 <= r.conv_from_prev <= 1.0
+
+
+def test_funnel_single_event_scan(spark):
+    # the per-user first-touch times come from ONE pass over events:
+    # exactly one scan of the events parquet in the plan
+    plan = plan_of(funnel_conversion(spark, SF))
+    assert len(re.findall(r"events\.parquet", plan)) == 1, plan
+
+
+def test_retention_week0_counts_every_user(spark):
+    from metevents_spark.io import load_table
+
+    ret = retention_cohorts(spark, SF).collect()
+    n_users = (
+        load_table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    week0 = sum(r.n_active for r in ret if r.week_no == 0)
+    # every user is active in their own cohort week by construction
+    assert week0 == sum(
+        r.n_active for r in ret if r.week_no == 0
+    ) and week0 <= n_users
+    cohort0 = {r.week_no: r.n_active for r in ret}
+    assert 0 in cohort0
+    # retained users never exceed the cohort's week-0 size per cohort
+    by_cohort: dict = {}
+    for r in ret:
+        by_cohort.setdefault(r.cohort_week, {})[r.week_no] = r.n_active
+    for weeks in by_cohort.values():
+        assert all(v <= weeks[0] for v in weeks.values())
+
+
+def test_rolling_active_dominates_daily_active(spark):
+    from metevents_spark.io import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    daily = {
+        r.day: r.n
+        for r in ev.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rolling = rolling_7d_active(spark, SF).collect()
+    assert len(rolling) == len(daily)
+    for r in rolling:
+        assert r.active_users >= daily[r.day]
+
+
+def test_rolling_active_no_range_join(spark):
+    # the 7-day window must be the exploded equi-join plan, never a
+    # broadcast-nested-loop range join over events
+    plan = plan_of(rolling_7d_active(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pii_redaction_removes_every_match(spark):
+    out = pii_redact(spark, SF)
+    # counting found them; redaction must leave zero residual matches
+    residual = out.select(
+        *[
+            F.sum(
+                F.size(F.regexp_extract_all("redacted", F.lit(pat), F.lit(0)))
+            ).alias(name)
+            for name, pat in (
+                ("emails", EMAIL_RE),
+                ("phones", PHONE_RE),
+                ("ips", IPV4_RE),
+            )
+        ]
+    ).collect()[0]
+    assert residual.emails == 0 and residual.phones == 0 and residual.ips == 0
+    # injection guarantees at least one of each kind corpus-wide
+    totals = out.agg(
+        F.sum("n_emails").alias("e"), F.sum("n_phones").alias("p"),
+        F.sum("n_ips").alias("i"),
+    ).collect()[0]
+    assert totals.e > 0 and totals.p > 0 and totals.i > 0
+
+
+def test_scrub_paths_stay_jvm_side(spark):
+    # regex scrubbing and domain extraction are codegen'd JVM
+    # expressions — no Python evaluation anywhere in the plan
+    for q in (pii_redact, domain_stats):
+        plan = plan_of(q(spark, SF))
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+
+
+def test_edit_distance_pairs_bucket_scoped(spark):
+    out = edit_distance_pairs(spark, SF)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan, plan
+    rows = out.collect()
+    # identical texts (exact-copy expansion) must report distance 0,
+    # and every pair is ordered doc_a < doc_b
+    assert all(r.doc_a < r.doc_b for r in rows)
+    assert all(r.edit_dist >= 0 for r in rows)
+
+
+def test_edit_distance_matches_python_reference(spark):
+    """Differential: Spark's levenshtein agrees with a pure-Python DP
+    on the actual candidate pairs."""
+    from metevents_spark.io import load_table
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents").select(
+            "doc_id", "text"
+        ).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[len(b)]
+
+    rows = edit_distance_pairs(spark, SF).collect()
+    assert rows, "expected at least one candidate pair at sf0.001"
+    for r in rows[:20]:
+        assert r.edit_dist == lev(
+            texts[r.doc_a][:1024], texts[r.doc_b][:1024]
+        ), (r.doc_a, r.doc_b)
