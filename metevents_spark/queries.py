@@ -75,10 +75,12 @@ from metevents_spark.text.dedup import (
 )
 from metevents_spark.text.scrub import domain_stats, pii_redact
 from metevents_spark.text.pipeline import (
+    cross_doc_ngram_share,
     decontaminate_ngram,
     sequence_pack,
     source_mix_sample,
     stratified_sample,
+    unigram_logprob,
 )
 from metevents_spark.session import tune_session
 from metevents_spark.similarity import (
@@ -1006,6 +1008,32 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM t a JOIN t b ON a.ph = b.ph AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
 """,
+    "cross_doc_ngram_share": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS g
+  FROM toks, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+),
+per AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS nd FROM grams)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS dup_share
+FROM per GROUP BY doc_id ORDER BY doc_id
+""",
+    "unigram_logprob": """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+tot AS (SELECT count(*) AS t FROM toks),
+pd AS (SELECT doc_id, count(*) AS n_tokens, sum(ln(tf)) AS s
+       FROM toks JOIN tf USING (term) GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       ROUND((s - n_tokens * ln((SELECT t FROM tot))) / n_tokens, 5)
+         AS avg_logprob
+FROM pd ORDER BY doc_id
+""",
 }
 
 
@@ -1097,6 +1125,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": pii_redact,
     "domain_stats": domain_stats,
     "edit_distance_pairs": edit_distance_pairs,
+    # duplication / quality signals
+    "cross_doc_ngram_share": cross_doc_ngram_share,
+    "unigram_logprob": unigram_logprob,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width

@@ -227,3 +227,84 @@ def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "keep_rate")
         .orderBy("doc_id")
     )
+
+
+def cross_doc_ngram_share(
+    spark: SparkSession, sf_dir: str, n: int = 8
+) -> DataFrame:
+    """Per-document share of its DISTINCT token n-grams that also occur
+    in at least one OTHER document — the cheap, shuffle-friendly proxy
+    for exact-substring duplication (long shared spans show up as runs
+    of duplicated n-grams; corpus-level dedup pipelines use this signal
+    to pick span-removal candidates).
+
+    Scale shape: n-grams are expanded and md5-collapsed map-side
+    (``transform`` + ``array_distinct`` inside codegen — only 32-char
+    digests ever shuffle, never the gram text), then ONE hash exchange
+    on the digest feeds a count window, and the per-doc rollup reuses
+    nothing corpus-sized. Documents shorter than n tokens emit nothing.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    grams = F.when(
+        F.size("t") >= n,
+        F.expr(
+            f"array_distinct(transform(sequence(0, size(t) - {n}),"
+            f" i -> md5(array_join(slice(t, i + 1, {n}), ' '))))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = toked.select("doc_id", F.explode(grams).alias("g"))
+    per = exploded.withColumn(
+        "nd", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            dup.cast("long").alias("n_dup_grams"),
+            F.round(dup / F.count(F.lit(1)), 6).alias("dup_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-likelihood under the corpus's own
+    unigram LM — the classic perplexity-proxy quality score (low values
+    flag gibberish / vocabulary-atypical documents for filtering).
+
+    Two aggregates and one join, all keyed naturally: corpus term
+    frequencies (vocab-sized, AQE broadcasts when small, shuffle-hash
+    otherwise), token->tf join on term, then a per-doc rollup. The
+    corpus total is a one-row frame cross-joined via broadcast. The
+    final score rounds to 5 decimals so the DuckDB oracle comparison
+    is robust to last-ulp ``ln`` differences across math libraries.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").alias("t"))
+    per_doc = (
+        toks.join(tf, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log("tf")).alias("s"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                (F.col("s") - F.col("n_tokens") * F.log("t"))
+                / F.col("n_tokens"),
+                5,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

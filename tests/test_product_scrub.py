@@ -168,3 +168,56 @@ def test_edit_distance_matches_python_reference(spark):
         assert r.edit_dist == lev(
             texts[r.doc_a][:1024], texts[r.doc_b][:1024]
         ), (r.doc_a, r.doc_b)
+
+
+def test_cross_doc_ngram_share_matches_python_reference(spark):
+    """Differential: the distributed dup-gram share equals a direct
+    per-document set computation in Python (feasible at sf0.001)."""
+    from metevents_spark.io import load_table
+    from metevents_spark.text.pipeline import cross_doc_ngram_share
+
+    texts = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    gram_sets = {
+        d: {tuple(t[i : i + 8]) for i in range(len(t) - 7)}
+        for d, t in texts.items()
+        if len(t) >= 8
+    }
+    from collections import Counter
+
+    freq = Counter(g for s in gram_sets.values() for g in s)
+    out = {r.doc_id: r for r in cross_doc_ngram_share(spark, SF).collect()}
+    assert set(out) == set(gram_sets)
+    for d, s in gram_sets.items():
+        dup = sum(1 for g in s if freq[g] >= 2)
+        assert out[d].n_grams == len(s), d
+        assert out[d].n_dup_grams == dup, d
+
+
+def test_cross_doc_ngram_share_single_gram_exchange(spark):
+    # digests are deduped map-side; one hash exchange on the digest
+    # feeds the count window, one on doc_id for the rollup
+    from metevents_spark.text.pipeline import cross_doc_ngram_share
+
+    plan = plan_of(cross_doc_ngram_share(spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning\(g", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_logprob_scores_are_sane(spark):
+    from metevents_spark.text.pipeline import unigram_logprob
+
+    rows = unigram_logprob(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # log-prob of a real token is negative and bounded by ln(1/T)
+        assert -30.0 < r.avg_logprob < 0.0, r
+    # a doc made of the corpus's most common tokens scores higher than
+    # one with the rarest: verify ordering correlates with token rarity
+    best = max(rows, key=lambda r: r.avg_logprob)
+    worst = min(rows, key=lambda r: r.avg_logprob)
+    assert best.avg_logprob > worst.avg_logprob
