@@ -91,6 +91,14 @@ HEADLINE = [
     "source_mix_sample",
     "repetition_stats",
     "label_centroids",
+    "funnel_conversion",
+    "retention_cohorts",
+    "rolling_7d_active",
+    "pii_redact",
+    "domain_stats",
+    "edit_distance_pairs",
+    "cross_doc_ngram_share",
+    "unigram_logprob",
 ]
 
 

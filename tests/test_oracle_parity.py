@@ -69,3 +69,14 @@ def test_first_fifty_slots_all_oracle_backed():
     oracles = entrymod.oracle_sql()
     missing = [n for n in names if n not in oracles]
     assert not missing, f"rows-only queries inside the driver cap: {missing}"
+
+
+def test_bench_headline_covers_registry():
+    """bench.py's HEADLINE list is the driver-recorded perf surface;
+    every registered query must be in it (and nothing stale)."""
+    import bench
+
+    entrymod = _entry()
+    assert list(bench.HEADLINE) and set(bench.HEADLINE) == set(
+        entrymod.queries()
+    )
