@@ -99,6 +99,8 @@ HEADLINE = [
     "edit_distance_pairs",
     "cross_doc_ngram_share",
     "unigram_logprob",
+    "source_lang_matrix",
+    "corpus_summary",
 ]
 
 
@@ -117,13 +119,22 @@ def main() -> None:
 
     # warm the JVM, codegen, Arrow and parquet footer caches outside the
     # timed region with one representative query per engine path
-    # (window+agg native; grouped-map pandas kernel)
+    # (window+agg native; grouped-map pandas kernel; regex + higher-order
+    # lambda codegen on a one-row dummy — compiles the classes, touches
+    # no benchmark data)
     QUERIES["flat_line"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
     QUERIES["storm_find"](spark, sf_dir).limit(1).write.format("noop").mode(
         "overwrite"
     ).save()
+    from pyspark.sql import functions as F
+
+    from metevents_spark.text.scrub import extract_domains, pii_scrub_columns
+
+    spark.createDataFrame([("x http://a.example.com y",)], ["text"]).select(
+        extract_domains(F.col("text")), *pii_scrub_columns(F.col("text"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

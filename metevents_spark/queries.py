@@ -97,6 +97,7 @@ from metevents_spark.operators.seriesstats import (
     zscore_anomaly,
 )
 from metevents_spark.text import (
+    corpus_summary,
     doc_fingerprint,
     exact_dedup,
     lang_id,
@@ -107,6 +108,7 @@ from metevents_spark.text import (
     rolling_fingerprint,
     simhash_fingerprints,
     simhash_near_dup,
+    source_lang_matrix,
     text_stats,
     tfidf_top_terms,
     token_count_bpe,
@@ -966,24 +968,23 @@ WITH aug AS (
          || CASE WHEN doc_id % 5 = 0
                  THEN ' 192.168.' || (doc_id % 100) || '.7' ELSE '' END
       AS text
-  FROM documents)
+  FROM documents),
+r1 AS (SELECT doc_id, regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+         AS s1 FROM aug),
+r2 AS (SELECT doc_id, s1, regexp_replace(s1,
+         '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS s2 FROM r1),
+r3 AS (SELECT doc_id, s1, s2, regexp_replace(s2,
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+         AS s3 FROM r2)
 SELECT doc_id,
-  CAST(len(regexp_extract_all(text,
-       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+  CAST((len(s1) - len(replace(s1, '<EMAIL>', ''))) / 7 AS BIGINT)
     AS n_emails,
-  CAST(len(regexp_extract_all(text,
-       '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
-  CAST(len(regexp_extract_all(text,
-       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
-    AS n_ips,
-  regexp_replace(
-    regexp_replace(
-      regexp_replace(text,
-        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
-    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
-    AS redacted
-FROM aug ORDER BY doc_id
+  CAST((len(s2) - len(replace(s2, '<PHONE>', ''))) / 7 AS BIGINT)
+    AS n_phones,
+  CAST((len(s3) - len(replace(s3, '<IP>', ''))) / 4 AS BIGINT) AS n_ips,
+  s3 AS redacted
+FROM r3 ORDER BY doc_id
 """,
     "domain_stats": """
 WITH aug AS (
@@ -1033,6 +1034,38 @@ SELECT doc_id, n_tokens,
        ROUND((s - n_tokens * ln((SELECT t FROM tot))) / n_tokens, 5)
          AS avg_logprob
 FROM pd ORDER BY doc_id
+""",
+    "source_lang_matrix": """
+SELECT source,
+  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+  CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+  CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+FROM documents GROUP BY source ORDER BY source
+""",
+    "corpus_summary": """
+WITH per_doc AS (
+  SELECT source, lang, md5(text) AS digest,
+         len(string_split(text, ' ')) AS n_tokens,
+         CASE WHEN len(string_split(text, ' ')) >= 30
+               AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) >= 0.30
+               AND CAST(len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                     AS DOUBLE)
+                   / len(string_split(text, ' ')) <= 0.30
+              THEN 1 ELSE 0 END AS q
+  FROM documents)
+SELECT source,
+  COUNT(*) AS n_docs,
+  COUNT(DISTINCT digest) AS n_distinct_texts,
+  ROUND(1.0 - CAST(COUNT(DISTINCT digest) AS DOUBLE) / COUNT(*), 6)
+    AS dup_share,
+  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
+  ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS quality_pass_share,
+  COUNT(DISTINCT lang) AS n_langs
+FROM per_doc GROUP BY source ORDER BY source
 """,
 }
 
@@ -1128,6 +1161,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # duplication / quality signals
     "cross_doc_ngram_share": cross_doc_ngram_share,
     "unigram_logprob": unigram_logprob,
+    # corpus reporting
+    "source_lang_matrix": source_lang_matrix,
+    "corpus_summary": corpus_summary,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width

@@ -32,13 +32,12 @@ from metevents_spark.io import load_table
 FUNNEL_STAGES = ("signup", "view", "click", "purchase")
 
 
-def funnel_conversion(
-    spark: SparkSession,
-    sf_dir: str,
-    stages: tuple[str, ...] = FUNNEL_STAGES,
+def funnel_frame(
+    ev: DataFrame, stages: tuple[str, ...] = FUNNEL_STAGES
 ) -> DataFrame:
-    """Ordered funnel: a user converts to stage k when an event of that
-    type occurs at-or-after their first qualifying stage-(k-1) event.
+    """Ordered funnel over an (user_id, event_type, ts) frame: a user
+    converts to stage k when an event of that type occurs at-or-after
+    their first qualifying stage-(k-1) event.
 
     One scan computes min-timestamp-per-(user, stage); each subsequent
     stage re-qualifies against the previous stage's first-touch time on
@@ -47,7 +46,6 @@ def funnel_conversion(
     the surviving user count and the conversion rate from the previous
     stage.
     """
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     per_user = ev.groupBy("user_id").agg(
         *[
             F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t{i}")
@@ -88,16 +86,28 @@ def funnel_conversion(
     )
 
 
-def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly retention matrix: users are cohorted by the ISO week of
-    their first event; a cohort is "retained" in week N when the user
-    has any event in cohort_week + N.
+def funnel_conversion(
+    spark: SparkSession,
+    sf_dir: str,
+    stages: tuple[str, ...] = FUNNEL_STAGES,
+) -> DataFrame:
+    """Registry entry: :func:`funnel_frame` over the events table."""
+    return funnel_frame(
+        load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts"),
+        stages,
+    )
+
+
+def retention_frame(ev: DataFrame) -> DataFrame:
+    """Weekly retention matrix over an (user_id, ts) frame: users are
+    cohorted by the ISO week of their first event; a cohort is
+    "retained" in week N when the user has any event in
+    cohort_week + N.
 
     Two user-keyed aggregates (cohort assignment, distinct activity
     weeks) and one join on user_id — all shuffles are on user_id, and
     the final (cohort_week, week_no) aggregate is tiny.
     """
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     # week bounds stay TIMESTAMP (midnight Monday): DATE round-trips as
     # python objects through Arrow and breaks dtype comparison downstream
     cohort = ev.groupBy("user_id").agg(
@@ -117,25 +127,35 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def rolling_7d_active(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 7-day distinct active users per calendar day.
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: :func:`retention_frame` over the events table."""
+    return retention_frame(
+        load_table(spark, sf_dir, "events").select("user_id", "ts")
+    )
+
+
+def rolling_active_frame(ev: DataFrame, window_days: int = 7) -> DataFrame:
+    """Rolling ``window_days``-day distinct active users per calendar
+    day over an (user_id, ts) frame.
 
     Range-join-free plan: the DISTINCT (user, day) pairs are exploded
-    into the 7 trailing days they contribute to (map-side ``sequence``,
+    into the trailing days they contribute to (map-side ``sequence``,
     no shuffle), then a single groupBy(day) counts distinct users.
     Days with no events contribute no output row; exploded days beyond
     the observed range are dropped by the inner join with the (tiny,
     broadcast) distinct-day frame.
     """
-    ev = load_table(spark, sf_dir, "events").select(
+    pairs = ev.select(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-    )
-    pairs = ev.distinct()
+    ).distinct()
     days = pairs.select("day").distinct()
     contrib = pairs.select(
         "user_id",
         F.explode(
-            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+            F.expr(
+                f"sequence(day, day + interval {window_days - 1} days,"
+                " interval 1 day)"
+            )
         ).alias("day"),
     )
     return (
@@ -143,4 +163,11 @@ def rolling_7d_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("day")
+    )
+
+
+def rolling_7d_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: :func:`rolling_active_frame` over events."""
+    return rolling_active_frame(
+        load_table(spark, sf_dir, "events").select("user_id", "ts")
     )

@@ -1,9 +1,11 @@
 from metevents_spark.text.stats import (  # noqa: F401
+    corpus_summary,
     doc_fingerprint,
     lang_id,
     quality_filter,
     repetition_stats,
     rolling_fingerprint,
+    source_lang_matrix,
     text_stats,
     tfidf_top_terms,
     token_count_bpe,

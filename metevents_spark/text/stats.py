@@ -287,3 +287,63 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x language document-count matrix (explicit pivot values
+    keep the plan a single pass: partial counts map-side, one exchange
+    on source, no second value-discovery job)."""
+    langs = ["de", "en", "es", "fr", "zh"]
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang")
+    out = docs.groupBy("source").pivot("lang", langs).count()
+    return out.select(
+        "source",
+        *[F.coalesce(F.col(lg), F.lit(0)).cast("long").alias(lg) for lg in langs],
+    ).orderBy("source")
+
+
+def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report: volume, exact-duplicate share,
+    token-length profile, quality-gate pass rate, language spread —
+    the one-page rollup a pretraining data dashboard renders.
+
+    ONE scan, one exchange on source: every per-document metric
+    (content digest, token count, quality predicate) is computed
+    map-side in the same projection, so at corpus scale this is a
+    straight partial+final aggregate over the parquet scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_stop = F.expr(
+        f"size(filter(split(text, ' '), x -> x IN ({stop_list})))"
+    ).cast("long")
+    quality_ok = (
+        (n_tokens >= QF_MIN_TOKENS)
+        & ((n_distinct.cast("double") / n_tokens) >= QF_MIN_DISTINCT_RATIO)
+        & ((n_stop.cast("double") / n_tokens) <= QF_MAX_STOPWORD_RATIO)
+    )
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("digest"),
+        n_tokens.alias("n_tokens"),
+        quality_ok.cast("long").alias("q"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.countDistinct("digest").alias("n_distinct_texts"),
+            F.round(
+                F.lit(1.0) - F.countDistinct("digest").cast("double") / n, 6
+            ).alias("dup_share"),
+            F.round(F.sum("n_tokens").cast("double") / n, 4).alias("avg_tokens"),
+            F.round(F.sum("q").cast("double") / n, 6).alias("quality_pass_share"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )

@@ -189,10 +189,16 @@ def test_no_query_plans_a_cartesian_product(spark):
     broadcasts), which are O(n) by construction."""
     import __spark_entry__ as entrymod
 
-    # top_price_orders / tfidf_top_terms: single-row scalar-aggregate
-    # broadcasts; knn_cosine: corpus x tiny broadcast query set (the
-    # exact brute-force baseline is a bounded cross join by design)
-    SINGLE_ROW_SCALAR = {"top_price_orders", "tfidf_top_terms", "knn_cosine"}
+    # top_price_orders / tfidf_top_terms / unigram_logprob: single-row
+    # scalar-aggregate broadcasts; knn_cosine: corpus x tiny broadcast
+    # query set (the exact brute-force baseline is a bounded cross join
+    # by design)
+    SINGLE_ROW_SCALAR = {
+        "top_price_orders",
+        "tfidf_top_terms",
+        "knn_cosine",
+        "unigram_logprob",
+    }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, SF))
         assert "CartesianProduct" not in plan, name

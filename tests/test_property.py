@@ -132,3 +132,85 @@ def test_repetition_fold_matches_counter(spark, batch, tmp_path_factory):
     for i, toks in enumerate(batch):
         grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
         assert got[i] == (len(grams), max(Counter(grams).values())), toks
+
+
+# ---------------------------------------------------------------------------
+# product analytics: funnel / rolling reach vs brute force
+
+
+ts_int = st.integers(min_value=0, max_value=40)  # day offsets
+user_ids = st.integers(min_value=0, max_value=5)
+stage_idx = st.integers(min_value=0, max_value=3)
+
+event_logs = st.lists(
+    st.tuples(user_ids, stage_idx, ts_int), min_size=1, max_size=60
+)
+
+_STAGES = ("signup", "view", "click", "purchase")
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(log=event_logs)
+def test_funnel_matches_brute_force(spark, log):
+    from metevents_spark.relational.product import funnel_frame
+
+    rows = [
+        (u, _STAGES[s], START + timedelta(days=t)) for u, s, t in log
+    ]
+    ev = spark.createDataFrame(
+        rows, schema="user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r.stage: r.n_users for r in funnel_frame(ev, _STAGES).collect()
+    }
+
+    # brute force: first-touch chain per user
+    by_user: dict = {}
+    for u, s, t in log:
+        cur = by_user.setdefault(u, [None] * len(_STAGES))
+        if cur[s] is None or t < cur[s]:
+            cur[s] = t
+    want = [0] * len(_STAGES)
+    for firsts in by_user.values():
+        q = firsts[0]
+        if q is None:
+            continue
+        want[0] += 1
+        for k in range(1, len(_STAGES)):
+            if firsts[k] is not None and q is not None and firsts[k] >= q:
+                q = firsts[k]
+                want[k] += 1
+            else:
+                q = None
+                break
+    assert [got[i + 1] for i in range(len(_STAGES))] == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(st.tuples(user_ids, ts_int), min_size=1, max_size=60)
+)
+def test_rolling_active_matches_brute_force(spark, pairs):
+    from metevents_spark.relational.product import rolling_active_frame
+
+    rows = [(u, START + timedelta(days=t)) for u, t in pairs]
+    ev = spark.createDataFrame(rows, schema="user_id long, ts timestamp")
+    got = {
+        r.day.date(): r.active_users
+        for r in rolling_active_frame(ev, window_days=7).collect()
+    }
+
+    days = sorted({t for _, t in pairs})
+    for d in days:
+        active = {u for u, t in pairs if d - 6 <= t <= d}
+        key = (START + timedelta(days=d)).date()
+        assert got[key] == len(active), (d, active)
+    assert len(got) == len(days)
