@@ -1196,3 +1196,26 @@ def _releasing(fn: Callable[..., DataFrame]) -> Callable[..., DataFrame]:
 
 
 QUERIES = {name: _releasing(fn) for name, fn in QUERIES.items()}
+
+
+def register_operator_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> list[str]:
+    """Expose registry queries as SQL temp views (``q_<name>``), so the
+    whole operator surface is reachable from ``spark.sql`` — e.g.
+    ``SELECT * FROM q_corpus_summary WHERE dup_share > 0``. A temp view
+    is a named logical plan: Catalyst folds view access into the
+    caller's query, so filter pushdown / column pruning / AQE apply
+    through the view exactly as through the DataFrame API.
+
+    Default scope is every ORACLE_SQL-backed query — those build pure
+    lazy plans. Rows-only queries are excluded by default because some
+    materialize driver state while BUILDING the plan (the clustering
+    loop, IVF centroid fetch); pass ``names`` to opt in explicitly.
+    """
+    chosen = names if names is not None else list(ORACLE_SQL)
+    registered = []
+    for name in chosen:
+        QUERIES[name](spark, sf_dir).createOrReplaceTempView(f"q_{name}")
+        registered.append(f"q_{name}")
+    return registered

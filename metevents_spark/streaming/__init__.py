@@ -5,3 +5,7 @@ from metevents_spark.streaming.detect import (  # noqa: F401
     stream_storm_find,
     stream_storm_find_tws,
 )
+from metevents_spark.streaming.funnel import (  # noqa: F401
+    advance_funnel,
+    stream_funnel,
+)

@@ -221,3 +221,18 @@ def test_unigram_logprob_scores_are_sane(spark):
     best = max(rows, key=lambda r: r.avg_logprob)
     worst = min(rows, key=lambda r: r.avg_logprob)
     assert best.avg_logprob > worst.avg_logprob
+
+
+def test_register_operator_views_sql_surface(spark):
+    """Every oracle-backed operator is reachable from raw spark.sql as
+    a view, and predicates push through the view into the plan."""
+    from metevents_spark.queries import ORACLE_SQL, register_operator_views
+
+    views = register_operator_views(spark, SF)
+    assert len(views) == len(ORACLE_SQL)
+    out = spark.sql(
+        "SELECT source, dup_share FROM q_corpus_summary WHERE n_docs > 0"
+    )
+    assert out.count() > 0
+    funnel = spark.sql("SELECT * FROM q_funnel_conversion WHERE stage = 1")
+    assert funnel.count() == 1

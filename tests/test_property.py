@@ -214,3 +214,29 @@ def test_rolling_active_matches_brute_force(spark, pairs):
         key = (START + timedelta(days=d)).date()
         assert got[key] == len(active), (d, active)
     assert len(got) == len(days)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    log=st.lists(
+        st.tuples(st.sampled_from(_STAGES + ("error",)), ts_int),
+        max_size=40,
+    ),
+    split=st.integers(min_value=0, max_value=40),
+)
+def test_stream_funnel_chunking_invariance(log, split):
+    """Feeding a time-ordered log in ONE chunk or split at ANY boundary
+    must produce identical emissions and final state — the property
+    that makes the streaming funnel's multi-batch behavior equal its
+    batch replay."""
+    from metevents_spark.streaming import advance_funnel
+
+    events = sorted(
+        [(e, t * 1_000_000) for e, t in log], key=lambda r: r[1]
+    )
+    one, st_one = advance_funnel(None, events, _STAGES)
+    k = min(split, len(events))
+    first, st_mid = advance_funnel(None, events[:k], _STAGES)
+    second, st_two = advance_funnel(st_mid, events[k:], _STAGES)
+    assert one == first + second
+    assert st_one == st_two

@@ -272,3 +272,72 @@ def test_stream_daily_rollup_matches_batch(spark, stream_dir):
     )
     expected = {(r.day, r.event_type): (r.n, r.s) for r in batch}
     assert got == expected
+
+
+def test_stream_funnel_progression(spark, stream_dir):
+    """Multi-batch funnel: emissions are exactly the progression chain
+    of the time-ordered log, each (user, stage) emitted once, across
+    chunk boundaries."""
+    from metevents_spark.streaming import advance_funnel, stream_funnel
+
+    t0 = datetime(2024, 1, 1)
+    log = [
+        # user 1 completes the funnel across the two chunks
+        (1, "signup", 0), (1, "view", 1), (2, "signup", 2), (1, "click", 3),
+        # user 2's click precedes its view -> stuck at view until day 8
+        (2, "click", 4), (2, "view", 5),
+        # chunk 2
+        (1, "purchase", 6), (2, "click", 8), (3, "view", 9),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _ in log],
+            "event_type": [e for _, e, _ in log],
+            "ts": [t0 + timedelta(days=d) for _, _, d in log],
+        }
+    )
+    Path(stream_dir, "fin").mkdir()
+    pdf.iloc[:6].to_parquet(f"{stream_dir}/fin/c0.parquet", coerce_timestamps="us")
+    time.sleep(0.05)
+    pdf.iloc[6:].to_parquet(f"{stream_dir}/fin/c1.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/fin")
+    )
+    q = (
+        stream_funnel(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_out")
+        .option("checkpointLocation", f"{stream_dir}/fckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.stage): (r.event_type, r.reached_us)
+        for r in spark.sql("SELECT * FROM funnel_out").collect()
+    }
+
+    # pure-Python expectation over the full time-ordered log
+    US_ = 1_000_000
+    by_user: dict = {}
+    for u, e, d in sorted(log, key=lambda x: x[2]):
+        by_user.setdefault(u, []).append((e, d * 86_400 * US_ +
+                                          int(t0.timestamp()) * US_))
+    expected = {}
+    for u, events in by_user.items():
+        emitted, _ = advance_funnel(None, events, ("signup", "view", "click", "purchase"))
+        for stage, etype, ts_us in emitted:
+            expected[(u, stage)] = (etype, ts_us)
+    assert got == expected
+    # the duplicate-count invariant: one emission per (user, stage)
+    n_rows = spark.sql("SELECT COUNT(*) AS n FROM funnel_out").collect()[0].n
+    assert n_rows == len(expected)
+    # semantic spot checks: user 1 completes; user 2 recovers at day 8;
+    # user 3 never signs up
+    assert (1, 4) in got and got[(1, 4)][0] == "purchase"
+    assert (2, 3) in got  # click at day 8 (the day-4 click was too early)
+    assert all(u != 3 for u, _ in got)
