@@ -101,6 +101,7 @@ HEADLINE = [
     "unigram_logprob",
     "source_lang_matrix",
     "corpus_summary",
+    "props_value_stats",
 ]
 
 

@@ -41,6 +41,7 @@ from metevents_spark.relational import (
     nation_segment_rollup,
     order_priority_check,
     pricing_summary,
+    props_value_stats,
     region_revenue,
     retention_cohorts,
     revenue_topn,
@@ -1067,6 +1068,19 @@ SELECT source,
   COUNT(DISTINCT lang) AS n_langs
 FROM per_doc GROUP BY source ORDER BY source
 """,
+    "props_value_stats": """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+  COUNT(k) AS n_with_k,
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  MIN(k) AS min_k,
+  MAX(k) AS max_k,
+  ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 4) AS avg_k
+FROM e GROUP BY event_type ORDER BY event_type
+""",
 }
 
 
@@ -1164,6 +1178,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # corpus reporting
     "source_lang_matrix": source_lang_matrix,
     "corpus_summary": corpus_summary,
+    # semi-structured (JSON) extraction
+    "props_value_stats": props_value_stats,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width

@@ -171,3 +171,30 @@ def rolling_7d_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_active_frame(
         load_table(spark, sf_dir, "events").select("user_id", "ts")
     )
+
+
+def props_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: extract a typed value from the JSON
+    ``props`` column (``get_json_object`` — JVM-side JSON path, no
+    Python) and aggregate it per event type. The JSON parse is
+    map-side in the same projection as the scan; only the tiny
+    per-type aggregate shuffles.
+
+    The schema-on-read pattern for event streams whose payloads are
+    heterogeneous: parse the paths a query needs, leave the rest as
+    bytes.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("k").cast("double") / F.count("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )

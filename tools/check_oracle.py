@@ -40,13 +40,19 @@ def canon_value(v) -> str:
 
 
 def frame_hash(pdf: pd.DataFrame) -> str:
+    """Order-insensitive value hash. Vectorized per column (iterrows
+    was the bottleneck at million-row results); byte-identical to the
+    per-row formulation."""
     cols = sorted(pdf.columns)
-    rows = [
-        "|".join(canon_value(row[c]) for c in cols)
-        for _, row in pdf.iterrows()
-    ]
-    rows.sort()
-    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+    if not len(pdf) or not cols:
+        return hashlib.sha256(b"").hexdigest()
+    parts = [pdf[c].map(canon_value).astype(str) for c in cols]
+    rows = (
+        parts[0].str.cat(parts[1:], sep="|") if len(parts) > 1 else parts[0]
+    )
+    return hashlib.sha256(
+        "\n".join(sorted(rows.tolist())).encode()
+    ).hexdigest()
 
 
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
