@@ -32,17 +32,27 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", "4,2"))
     charge = disc_price * (one + _dec("l_tax", "4,2"))
     n = F.count(F.lit(1))
+    # sums stay DECIMAL-exact; the final double is rounded to 3
+    # decimals because decimal->double casts are correctly rounded in
+    # the JVM but not in every engine (observed 1-ulp drift vs DuckDB
+    # at 1e10 magnitudes on the tenfold dataset)
     return (
         line.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / n).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
-            (F.sum(_dec("l_discount", "4,2")).cast("double") / n).alias("avg_disc"),
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 3).alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 3).alias(
+                "sum_base_price"
+            ),
+            F.round(F.sum(disc_price).cast("double"), 3).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 3).alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / n, 3).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / n, 3).alias(
+                "avg_price"
+            ),
+            F.round(F.sum(_dec("l_discount", "4,2")).cast("double") / n, 3).alias(
+                "avg_disc"
+            ),
             n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

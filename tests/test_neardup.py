@@ -83,3 +83,47 @@ def test_dedup_clusters_consistent_with_pairs(spark):
         assert labels[p.doc_a] == labels[p.doc_b]
     for d, c in labels.items():
         assert c <= d
+
+
+def test_knn_lsh_candidates_are_similarity_biased(spark):
+    """The synthetic corpus has no high-similarity vector pairs (max
+    pair cosine ~0.36), so recall@k against exact top-k is not a
+    meaningful LSH metric here. The testable property on this data:
+    bucket-restricted candidates are strongly biased toward similar
+    vectors — mean cosine of LSH picks far above the ~0 mean of random
+    pairs."""
+    import numpy as np
+
+    from metevents_spark.similarity import knn_lsh
+
+    picks = knn_lsh(spark, SF).collect()
+    assert picks and all(r.rank <= 5 for r in picks)
+    assert float(np.mean([r.cosine for r in picks])) > 0.05
+
+
+def test_sign_lsh_collides_high_similarity_pairs():
+    """Design validation for the sketch parameters (nbits=8, Hamming-1
+    multi-probe): for genuinely near-duplicate vectors (cosine >= 0.95,
+    the regime sign-LSH serves), the query's probe set must cover the
+    partner's bucket for the large majority of pairs. Uses the same
+    seeded hyperplanes as knn_lsh."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    planes = rng.randn(8, 64)
+    weights = (1 << np.arange(8)).astype(np.int64)
+
+    def sketch(v):
+        return int(((v @ planes.T) > 0) @ weights)
+
+    gen = np.random.RandomState(7)
+    hits = 0
+    n = 500
+    for _ in range(n):
+        a = gen.randn(64)
+        # small perturbation -> cosine ~0.95+
+        b = a + 0.25 * gen.randn(64)
+        assert a @ b / np.linalg.norm(a) / np.linalg.norm(b) > 0.9
+        hamming = bin(sketch(a) ^ sketch(b)).count("1")
+        hits += hamming <= 1
+    assert hits / n >= 0.6, hits / n
