@@ -43,15 +43,22 @@ class StationDataSource(DataSource):
     def reader(self, schema) -> "StationReader":
         return StationReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        """Incremental micro-batch tail of the station feed
+        (``spark.readStream.format("station")``): each batch reads only
+        rows with ``event_id`` past the committed high-watermark — the
+        append-only-log contract of a station ingest pipeline. Offsets
+        replay exactly (``readBetweenOffsets``), so recovery from a
+        checkpoint re-produces identical batches. Driver-side reads
+        (SimpleDataSourceStreamReader) fit a control-plane-sized feed;
+        a partition-planned DataSourceStreamReader slots in when batch
+        volume demands executor-side fetch."""
+        return _station_stream_reader(_station_path(self.options))
+
 
 class StationReader(DataSourceReader):
     def __init__(self, options):
-        path = options.get("path")
-        if not path:
-            raise ValueError("station source requires .option('path', ...)")
-        if not path.endswith(".parquet"):
-            path = f"{path}/events.parquet"
-        self.path = path
+        self.path = _station_path(options)
         self.stations = [
             s for s in (options.get("stations") or "").split(",") if s
         ]
@@ -90,3 +97,50 @@ class StationReader(DataSourceReader):
 
 def register_station_source(spark) -> None:
     spark.dataSource.register(StationDataSource)
+
+
+def _station_path(options) -> str:
+    path = options.get("path")
+    if not path:
+        raise ValueError("station source requires .option('path', ...)")
+    if not path.endswith(".parquet"):
+        path = f"{path}/events.parquet"
+    return path
+
+
+def _station_stream_reader(path: str):
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class StationStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"max_seq": -1}
+
+        def _query(self, lo: int, hi: int | None):
+            import duckdb
+
+            bound = f"AND event_id <= {hi}" if hi is not None else ""
+            return duckdb.sql(
+                f"""
+                SELECT CAST(user_id AS VARCHAR) AS sid,
+                       event_id AS seq,
+                       CAST(ts AS TIMESTAMP) AS ts,
+                       CAST(value AS DOUBLE) AS value
+                FROM '{path}'
+                WHERE event_id > {lo} {bound}
+                ORDER BY event_id
+                """
+            ).fetchall()
+
+        def read(self, start):
+            rows = self._query(int(start["max_seq"]), None)
+            if not rows:
+                return iter([]), start
+            new_max = max(r[1] for r in rows)
+            return iter(rows), {"max_seq": int(new_max)}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                self._query(int(start["max_seq"]), int(end["max_seq"]))
+            )
+
+    return StationStreamReader()

@@ -34,3 +34,52 @@ def test_station_source_discovers_partitions(spark):
     df = spark.read.format("station").option("path", SF).load()
     expected = series_frame(spark, SF).select("sid").distinct().count()
     assert df.select("sid").distinct().count() == expected > 0
+
+
+def test_station_stream_reader_tails_new_rows(spark, tmp_path):
+    """The streaming station source is an event_id-watermark tail:
+    first micro-batch delivers the current store, later batches deliver
+    ONLY rows appended since the committed offset — no replays, no
+    gaps."""
+    import duckdb
+
+    register_station_source(spark)
+    store = str(tmp_path / "events.parquet")
+    src = "/root/testdata/sf0.001/events.parquet"
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{src}' WHERE event_id < 60) TO '{store}'"
+    )
+
+    stream = (
+        spark.readStream.format("station").option("path", store).load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("station_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql(
+            "SELECT COUNT(*) AS n, MAX(seq) AS mx FROM station_tail"
+        ).collect()[0]
+        assert first.n == 60 and first.mx == 59
+
+        # grow the store; the next micro-batch must pick up ONLY the tail
+        duckdb.sql(
+            f"COPY (SELECT * FROM '{src}' WHERE event_id < 100) TO '{store}'"
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT seq, COUNT(*) AS c FROM station_tail GROUP BY seq "
+            "HAVING COUNT(*) > 1"
+        ).collect()
+        assert rows == []  # no duplicates across batches
+        total = spark.sql(
+            "SELECT COUNT(*) AS n, MAX(seq) AS mx FROM station_tail"
+        ).collect()[0]
+        assert total.n == 100 and total.mx == 99
+    finally:
+        q.stop()
