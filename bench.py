@@ -102,6 +102,7 @@ HEADLINE = [
     "source_lang_matrix",
     "corpus_summary",
     "props_value_stats",
+    "media_dedup",
 ]
 
 

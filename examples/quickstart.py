@@ -53,4 +53,23 @@ text_stats(spark, sf_dir).show(5)
 print("top-5 cosine neighbors of the first 5 vectors:")
 knn_cosine(spark, sf_dir).show(5)
 
+# --- product analytics + corpus reporting --------------------------------
+from metevents_spark.relational import funnel_conversion
+from metevents_spark.text import corpus_summary
+
+print("signup -> view -> click -> purchase funnel:")
+funnel_conversion(spark, sf_dir).show()
+print("per-source corpus health:")
+corpus_summary(spark, sf_dir).show(5)
+
+# --- the whole registry as a SQL surface ---------------------------------
+from metevents_spark.queries import register_operator_views
+
+register_operator_views(spark, sf_dir)
+print("ANSI SQL over any operator result (q_<name> views):")
+spark.sql(
+    "SELECT source, dup_share, quality_pass_share "
+    "FROM q_corpus_summary ORDER BY dup_share DESC LIMIT 5"
+).show()
+
 spark.stop()

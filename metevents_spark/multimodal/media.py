@@ -168,3 +168,23 @@ def media_pipeline(spark, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return media_features(attach_fake_media(docs))
+
+
+def media_dedup(media_df: DataFrame) -> DataFrame:
+    """Exact content-hash dedup over binary payloads — the first stage
+    of any multimodal ingest (identical images/audio recur massively in
+    web crawls). Only 64-char digests shuffle; payloads never leave the
+    scan. Output maps every document to its canonical representative
+    (min doc_id per digest) with the copy count.
+    """
+    from pyspark.sql import Window
+
+    digests = media_df.select(
+        "doc_id", F.sha2(F.col("media"), 256).alias("digest")
+    )
+    w = Window.partitionBy("digest")
+    return digests.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("rep_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_copies"),
+    ).orderBy("doc_id")

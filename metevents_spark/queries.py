@@ -267,6 +267,17 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_pipeline(spark, sf_dir)
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup over the synthesized binary payloads (the
+    multimodal ingest first stage)."""
+    from metevents_spark.io import load_table
+    from metevents_spark.multimodal.media import attach_fake_media, media_dedup
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return media_dedup(attach_fake_media(docs))
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize shape: payload -> deterministic fixed-size
     thumbnail via mapInPandas (stub resampler; real codecs slot in)."""
@@ -1072,6 +1083,13 @@ SELECT source,
   COUNT(DISTINCT lang) AS n_langs
 FROM per_doc GROUP BY source ORDER BY source
 """,
+    "media_dedup": """
+WITH d AS (SELECT doc_id, sha256(text) AS digest FROM documents)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY digest) AS rep_id,
+       COUNT(*) OVER (PARTITION BY digest) AS n_copies
+FROM d ORDER BY doc_id
+""",
     "props_value_stats": """
 WITH e AS (
   SELECT event_type,
@@ -1184,6 +1202,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_summary": corpus_summary,
     # semi-structured (JSON) extraction
     "props_value_stats": props_value_stats,
+    # multimodal content-hash dedup
+    "media_dedup": q_media_dedup,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width
