@@ -103,6 +103,8 @@ HEADLINE = [
     "corpus_summary",
     "props_value_stats",
     "media_dedup",
+    "corpus_summary_approx",
+    "cooccurrence_counts",
 ]
 
 

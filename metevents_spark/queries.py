@@ -76,6 +76,7 @@ from metevents_spark.text.dedup import (
 )
 from metevents_spark.text.scrub import domain_stats, pii_redact
 from metevents_spark.text.pipeline import (
+    cooccurrence_counts,
     cross_doc_ngram_share,
     decontaminate_ngram,
     sequence_pack,
@@ -99,6 +100,7 @@ from metevents_spark.operators.seriesstats import (
 )
 from metevents_spark.text import (
     corpus_summary,
+    corpus_summary_approx,
     doc_fingerprint,
     exact_dedup,
     lang_id,
@@ -1090,6 +1092,22 @@ SELECT doc_id,
        COUNT(*) OVER (PARTITION BY digest) AS n_copies
 FROM d ORDER BY doc_id
 """,
+    "cooccurrence_counts": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks
+),
+pairs AS (
+  SELECT t[i] AS center, t[j] AS context
+  FROM pos, UNNEST(range(GREATEST(1, i - 2), LEAST(len(t), i + 2) + 1))
+       AS u(j)
+  WHERE j <> i
+)
+SELECT center, context, COUNT(*) AS n
+FROM pairs GROUP BY center, context
+HAVING COUNT(*) >= 5
+ORDER BY n DESC, center, context
+""",
     "props_value_stats": """
 WITH e AS (
   SELECT event_type,
@@ -1204,6 +1222,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_value_stats": props_value_stats,
     # multimodal content-hash dedup
     "media_dedup": q_media_dedup,
+    # co-occurrence statistics (embedding-training corpus prep)
+    "cooccurrence_counts": cooccurrence_counts,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width
@@ -1216,6 +1236,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivf": knn_ivf,                # approximate
     "dedup_clusters": dedup_clusters,  # iterative, minhash family
     "user_reach_approx": user_reach_approx,  # HLL sketch
+    "corpus_summary_approx": corpus_summary_approx,  # HLL sketch
     "value_quantiles_approx": value_quantiles_approx,  # GK sketch
 }
 

@@ -1,5 +1,6 @@
 from metevents_spark.text.stats import (  # noqa: F401
     corpus_summary,
+    corpus_summary_approx,
     doc_fingerprint,
     lang_id,
     quality_filter,

@@ -308,3 +308,42 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def cooccurrence_counts(
+    spark: SparkSession, sf_dir: str, window: int = 2, min_count: int = 5
+) -> DataFrame:
+    """Token co-occurrence counts within a symmetric +-``window`` token
+    context — the corpus statistic embedding trainers (GloVe-style)
+    and collocation miners consume. Pairs are ordered (center,
+    context) so directionality is preserved.
+
+    Scale shape: context pairs are generated MAP-SIDE with higher-order
+    array expressions (flatten of per-position neighbor slices) and
+    aggregated through one hash exchange on the pair key; partial
+    aggregation collapses each partition to its distinct-pair set
+    before the shuffle, so the exchange carries |vocab-pairs| rows,
+    not |token-positions|.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toked = docs.select(F.split(F.col("text"), " ").alias("t"))
+    # for every position i, pair t[i] with t[i-w..i+w] minus itself;
+    # slice() clamps at array bounds via greatest/least arithmetic
+    pairs = F.expr(
+        f"""
+        flatten(transform(sequence(1, size(t)), i ->
+          transform(
+            filter(sequence(greatest(1, i - {window}),
+                            least(size(t), i + {window})), j -> j != i),
+            j -> struct(element_at(t, i) AS center,
+                        element_at(t, j) AS context))))
+        """
+    )
+    return (
+        toked.select(F.explode(pairs).alias("p"))
+        .select("p.center", "p.context")
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), "center", "context")
+    )

@@ -307,10 +307,16 @@ def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-length profile, quality-gate pass rate, language spread —
     the one-page rollup a pretraining data dashboard renders.
 
-    ONE scan, one exchange on source: every per-document metric
-    (content digest, token count, quality predicate) is computed
-    map-side in the same projection, so at corpus scale this is a
-    straight partial+final aggregate over the parquet scan.
+    ONE scan; every per-document metric (content digest, token count,
+    quality predicate) is computed map-side in the same projection.
+    The two exact DISTINCT aggregates make Catalyst plan an Expand (3
+    rows per doc, one per grouping id) feeding two keyed exchanges —
+    the (source, digest) level is distinct-content-sized, which is the
+    floor for EXACT dup counting. partial aggregation collapses each
+    level map-side before it shuffles. If the exactness isn't needed
+    at the 100 TB tier, swap ``countDistinct`` for
+    ``approx_count_distinct`` and the plan becomes a single
+    partial+final aggregate with sketch merge (no Expand).
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens()
@@ -344,6 +350,38 @@ def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_tokens").cast("double") / n, 4).alias("avg_tokens"),
             F.round(F.sum("q").cast("double") / n, 6).alias("quality_pass_share"),
             F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-tier variant of :func:`corpus_summary`: HLL sketches
+    for the distinct counts (``approx_count_distinct``), which removes
+    the Expand and makes the whole report ONE partial+final aggregate
+    over the scan — sketches merge map-side, so the exchange carries
+    |sources| rows regardless of corpus size. Dup share within the
+    sketch's ~2% standard error."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks).cast("long")
+    n = F.count(F.lit(1))
+    approx_texts = F.approx_count_distinct(F.md5("text"))
+    return (
+        docs.select("source", "lang", "text")
+        .groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            approx_texts.alias("n_distinct_texts_approx"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0) - approx_texts.cast("double") / n,
+                ),
+                6,
+            ).alias("dup_share_approx"),
+            F.round(F.sum(n_tokens).cast("double") / n, 4).alias("avg_tokens"),
+            F.approx_count_distinct("lang").alias("n_langs_approx"),
         )
         .orderBy("source")
     )
