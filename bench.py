@@ -105,6 +105,9 @@ HEADLINE = [
     "media_dedup",
     "corpus_summary_approx",
     "cooccurrence_counts",
+    "robust_zscore",
+    "gap_fill_hourly",
+    "doc_chunking",
 ]
 
 

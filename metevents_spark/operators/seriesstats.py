@@ -54,6 +54,43 @@ def zscore_anomaly(
     )
 
 
+def robust_zscore(
+    spark: SparkSession, sf_dir: str, z_thresh: float = 3.5
+) -> DataFrame:
+    """Outliers by the modified z-score 0.6745*(x - median)/MAD
+    (Iglewicz-Hoaglin), the robust counterpart of `zscore_anomaly`:
+    a handful of extreme spikes inflate mean/stddev and mask each
+    other, but leave median/MAD untouched.
+
+    Spark has no exact-median window function, so this is two grouped
+    medians: per-sid median, join back, per-sid median of |x - med|
+    (= MAD), join back again. Three exchanges on sid — the joins reuse
+    the same hash partitioning, and the grouped sides are |sids| rows,
+    so the raw frame shuffles once and the rest is sid-sized. Series
+    with MAD = 0 (constant-valued) yield no rows (NULLIF guard).
+    """
+    df = series_frame(spark, sf_dir)
+    med = df.groupBy("sid").agg(F.median("value").alias("med"))
+    mad = (
+        df.join(med, "sid")
+        .groupBy("sid")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    z = F.round(
+        F.lit(0.6745)
+        * (F.col("value") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0)),
+        6,
+    )
+    return (
+        df.join(med, "sid")
+        .join(mad, "sid")
+        .select("sid", "seq", "ts", "value", z.alias("mz"))
+        .filter(F.abs(F.col("mz")) > z_thresh)
+        .orderBy("sid", "ts", "seq")
+    )
+
+
 def trailing_24h_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based RANGE frame: average over each row's trailing 24
     hours (event-time window, not row count — rows are irregularly

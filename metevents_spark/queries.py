@@ -79,6 +79,7 @@ from metevents_spark.text.pipeline import (
     cooccurrence_counts,
     cross_doc_ngram_share,
     decontaminate_ngram,
+    doc_chunking,
     sequence_pack,
     source_mix_sample,
     stratified_sample,
@@ -93,7 +94,9 @@ from metevents_spark.similarity import (
     knn_lsh,
     label_centroids,
 )
+from metevents_spark.operators.resample import gap_fill_hourly
 from metevents_spark.operators.seriesstats import (
+    robust_zscore,
     rolling_mean,
     trailing_24h_mean,
     zscore_anomaly,
@@ -776,6 +779,55 @@ SELECT sid, seq, ts,
          AS n_24h
 FROM series ORDER BY sid, ts, seq
 """,
+    "robust_zscore": f"""
+WITH {_SERIES},
+med AS (SELECT sid, MEDIAN(value) AS med FROM series GROUP BY sid),
+mad AS (
+  SELECT s.sid, MEDIAN(ABS(s.value - m.med)) AS mad
+  FROM series s JOIN med m USING (sid) GROUP BY s.sid)
+SELECT s.sid, s.seq, s.ts, s.value,
+       ROUND(0.6745 * (s.value - med) / NULLIF(mad, 0.0), 6) AS mz
+FROM series s JOIN med USING (sid) JOIN mad USING (sid)
+WHERE ABS(ROUND(0.6745 * (s.value - med) / NULLIF(mad, 0.0), 6)) > 3.5
+ORDER BY s.sid, s.ts, s.seq
+""",
+    "gap_fill_hourly": f"""
+WITH {_SERIES},
+hourly AS (
+  SELECT sid, date_trunc('hour', ts) AS hr,
+         ROUND(AVG(value), 6) AS v_hour, COUNT(value) AS n_hour
+  FROM series GROUP BY sid, date_trunc('hour', ts)),
+bounds AS (
+  SELECT sid, MIN(hr) AS hr_lo, MAX(hr) AS hr_hi FROM hourly GROUP BY sid),
+grid AS (
+  SELECT sid, unnest(generate_series(hr_lo, hr_hi, INTERVAL 1 HOUR)) AS hr
+  FROM bounds),
+g AS (
+  SELECT grid.sid, grid.hr, hourly.v_hour, COALESCE(hourly.n_hour, 0) AS n_hour
+  FROM grid LEFT JOIN hourly ON grid.sid = hourly.sid AND grid.hr = hourly.hr),
+filled AS (
+  SELECT sid, hr, v_hour, n_hour,
+         LAST_VALUE(v_hour IGNORE NULLS) OVER (PARTITION BY sid ORDER BY hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         LAST_VALUE(CASE WHEN v_hour IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER (PARTITION BY sid ORDER BY hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+         FIRST_VALUE(v_hour IGNORE NULLS) OVER (PARTITION BY sid ORDER BY hr
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         FIRST_VALUE(CASE WHEN v_hour IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER (PARTITION BY sid ORDER BY hr
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM g)
+SELECT sid, hr, v_hour, n_hour, prev_v AS v_ffill,
+       CASE WHEN v_hour IS NOT NULL THEN v_hour
+            WHEN prev_v IS NULL THEN next_v
+            WHEN next_v IS NULL THEN prev_v
+            ELSE prev_v + (next_v - prev_v)
+                 * (CAST(epoch_us(hr) - epoch_us(prev_t) AS DOUBLE)
+                    / CAST(epoch_us(next_t) - epoch_us(prev_t) AS DOUBLE))
+       END AS v_interp
+FROM filled ORDER BY sid, hr
+""",
     "zscore_anomaly": f"""
 WITH {_SERIES},
 stats AS (
@@ -1108,6 +1160,19 @@ FROM pairs GROUP BY center, context
 HAVING COUNT(*) >= 5
 ORDER BY n DESC, center, context
 """,
+    "doc_chunking": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+starts AS (
+  SELECT doc_id, t,
+         unnest(range(1, GREATEST(len(t), 1) + 1, 48)) AS s
+  FROM toks)
+SELECT doc_id,
+       CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
+       CAST(LEAST(64, len(t) - s + 1) AS BIGINT) AS n_tokens,
+       md5(array_to_string(t[s:LEAST(s + 63, len(t))], ' ')) AS digest
+FROM starts ORDER BY doc_id, chunk_id
+""",
     "props_value_stats": """
 WITH e AS (
   SELECT event_type,
@@ -1188,6 +1253,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_mean": rolling_mean,
     "trailing_24h_mean": trailing_24h_mean,
     "zscore_anomaly": zscore_anomaly,
+    "robust_zscore": robust_zscore,
+    "gap_fill_hourly": gap_fill_hourly,
     # grouping sets and ranking families
     "events_cube": events_cube,
     "price_deciles": price_deciles,
@@ -1224,6 +1291,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_dedup": q_media_dedup,
     # co-occurrence statistics (embedding-training corpus prep)
     "cooccurrence_counts": cooccurrence_counts,
+    # context-window chunking (documents -> training sequences)
+    "doc_chunking": doc_chunking,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width

@@ -347,3 +347,48 @@ def cooccurrence_counts(
         .filter(F.col("n") >= min_count)
         .orderBy(F.col("n").desc(), "center", "context")
     )
+
+
+def doc_chunking(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    the context-window chunking step that turns raw documents into
+    training sequences (stride < chunk_tokens gives the overlap that
+    preserves cross-boundary context).
+
+    Output per chunk: (doc_id, chunk_id, n_tokens, digest) where
+    digest = md5 of the space-rejoined chunk text; downstream exact
+    dedup runs on the digest without re-materializing chunk text.
+
+    Scale shape: ENTIRELY map-side — tokenization, start-position
+    sequence, slice, and digest are higher-order array expressions in
+    whole-stage codegen; the explode multiplies rows ~(len/stride)x
+    but never shuffles (final orderBy is the only exchange). At corpus
+    scale this is the shape you want: chunking is embarrassingly
+    parallel and the plan keeps it that way.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    exploded = toked.select(
+        "doc_id",
+        F.col("t"),
+        F.explode(
+            F.expr(f"sequence(1, greatest(size(t), 1), {stride})")
+        ).alias("s"),
+    )
+    chunk = F.expr(f"slice(t, s, {chunk_tokens})")
+    return (
+        exploded.select(
+            "doc_id",
+            F.expr(f"CAST((s - 1) DIV {stride} AS BIGINT)").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("digest"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
