@@ -108,6 +108,8 @@ HEADLINE = [
     "robust_zscore",
     "gap_fill_hourly",
     "doc_chunking",
+    "event_pair_lift",
+    "ewma_smooth",
 ]
 
 

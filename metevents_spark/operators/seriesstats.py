@@ -91,6 +91,52 @@ def robust_zscore(
     )
 
 
+def ewma_smooth(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.2
+) -> DataFrame:
+    """Exponentially weighted moving average per series
+    (pandas-`ewm(alpha, adjust=False)` semantics: y_i = (1-a)*y_{i-1}
+    + a*x_i, seeded with the first observation).
+
+    Genuinely recursive — the closed form sum(a*(1-a)^(i-j)*x_j) needs
+    (1-a)^(-i) intermediate terms that overflow past a few thousand
+    rows, so no window/SQL formulation exists and the driver check is
+    rows-only; tests/test_seriesstats.py holds it to pandas' ewm
+    differentially. Runs on the streaming sorted-partition kernel
+    (operators/grouped.py): ONE sid exchange, one numpy pass per
+    series, state O(1). NaN inputs emit the carried mean and leave
+    state unchanged (pandas ignore_na=True).
+    """
+    import numpy as np
+
+    from metevents_spark.operators.grouped import map_series_kernel
+
+    def kernel(sid: str, ts: np.ndarray, values: np.ndarray) -> list[tuple]:
+        out = np.empty_like(values)
+        m = np.nan
+        started = False
+        for i, x in enumerate(values):
+            if np.isnan(x):
+                out[i] = m if started else np.nan
+                continue
+            m = x if not started else (1.0 - alpha) * m + alpha * x
+            started = True
+            out[i] = m
+        return list(zip([sid] * len(ts), ts, values, np.round(out, 6)))
+
+    return map_series_kernel(
+        series_frame(spark, sf_dir).select("sid", "ts", "value", F.col("seq")),
+        kernel,
+        schema="sid string, ts timestamp, value double, ewma double",
+        out_columns=["sid", "ts", "value", "ewma"],
+        out_dtypes={
+            "ts": "datetime64[us]",
+            "value": "float64",
+            "ewma": "float64",
+        },
+    ).orderBy("sid", "ts")
+
+
 def trailing_24h_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based RANGE frame: average over each row's trailing 24
     hours (event-time window, not row count — rows are irregularly

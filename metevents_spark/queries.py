@@ -37,6 +37,7 @@ from metevents_spark.functions import freq_infer
 from metevents_spark.relational import (
     brand_revenue,
     daily_rollup,
+    event_pair_lift,
     funnel_conversion,
     nation_segment_rollup,
     order_priority_check,
@@ -96,6 +97,7 @@ from metevents_spark.similarity import (
 )
 from metevents_spark.operators.resample import gap_fill_hourly
 from metevents_spark.operators.seriesstats import (
+    ewma_smooth,
     robust_zscore,
     rolling_mean,
     trailing_24h_mean,
@@ -1173,6 +1175,24 @@ SELECT doc_id,
        md5(array_to_string(t[s:LEAST(s + 63, len(t))], ' ')) AS digest
 FROM starts ORDER BY doc_id, chunk_id
 """,
+    "event_pair_lift": """
+WITH bt AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d, event_type
+  FROM events),
+baskets AS (SELECT user_id, d FROM bt GROUP BY user_id, d),
+n AS (SELECT COUNT(*) AS n_baskets FROM baskets),
+tc AS (SELECT event_type AS t, COUNT(*) AS n_t FROM bt GROUP BY event_type),
+pc AS (
+  SELECT x.event_type AS a, y.event_type AS b, COUNT(*) AS n_ab
+  FROM bt x JOIN bt y
+    ON x.user_id = y.user_id AND x.d = y.d AND x.event_type < y.event_type
+  GROUP BY 1, 2)
+SELECT a, b, n_ab,
+       ROUND(CAST(n_ab AS DOUBLE) * n_baskets / (ta.n_t * tb.n_t), 6) AS lift
+FROM pc JOIN tc ta ON pc.a = ta.t JOIN tc tb ON pc.b = tb.t CROSS JOIN n
+WHERE n_ab >= 5
+ORDER BY a, b
+""",
     "props_value_stats": """
 WITH e AS (
   SELECT event_type,
@@ -1255,6 +1275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zscore_anomaly": zscore_anomaly,
     "robust_zscore": robust_zscore,
     "gap_fill_hourly": gap_fill_hourly,
+    "event_pair_lift": event_pair_lift,
     # grouping sets and ranking families
     "events_cube": events_cube,
     "price_deciles": price_deciles,
@@ -1304,6 +1325,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": simhash_near_dup,   # xxhash64 family
     "knn_ivf": knn_ivf,                # approximate
     "dedup_clusters": dedup_clusters,  # iterative, minhash family
+    "ewma_smooth": ewma_smooth,        # recursive state, closed form overflows
     "user_reach_approx": user_reach_approx,  # HLL sketch
     "corpus_summary_approx": corpus_summary_approx,  # HLL sketch
     "value_quantiles_approx": value_quantiles_approx,  # GK sketch

@@ -198,3 +198,73 @@ def props_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def event_pair_lift(
+    spark: SparkSession, sf_dir: str, min_baskets: int = 5
+) -> DataFrame:
+    """Market-basket lift between event types: for every unordered
+    type pair (a < b), how much more often they land in the same
+    (user, day) basket than independence predicts —
+    lift = P(a,b) / (P(a) * P(b)) over baskets.
+
+    Scale shape: ONE exchange on (user_id, day) builds the per-basket
+    distinct-type array (collect_set folds map-side); pairs are
+    generated map-side from the sorted array (cardinality of
+    event_type is small, so a k-type basket emits k*(k-1)/2 rows
+    without touching the shuffle); the pair and per-type aggregates
+    then exchange pair-count-sized data only. The single-row basket
+    total and the per-type counts broadcast into the final join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    baskets = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            "event_type",
+        )
+        .groupBy("user_id", "d")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+    )
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    pairs = F.expr(
+        """
+        flatten(transform(sequence(1, size(types) - 1), i ->
+          transform(sequence(i + 1, size(types)), j ->
+            struct(element_at(types, i) AS a, element_at(types, j) AS b))))
+        """
+    )
+    pair_counts = (
+        baskets.filter(F.size("types") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy("p.a", "p.b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    type_counts = (
+        baskets.select(F.explode("types").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    ta = type_counts.select(
+        F.col("t").alias("a"), F.col("n_t").alias("n_a")
+    )
+    tb = type_counts.select(
+        F.col("t").alias("b"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pair_counts.join(F.broadcast(ta), "a")
+        .join(F.broadcast(tb), "b")
+        .crossJoin(F.broadcast(n_baskets))
+        .filter(F.col("n_ab") >= min_baskets)
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n_baskets")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("a", "b")
+    )
