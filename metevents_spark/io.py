@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 TABLES = (
@@ -195,3 +195,64 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     series_frame(spark, sf_dir).createOrReplaceTempView("series")
     names.append("series")
     return names
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_col: str = "event_date",
+    order_col: str = "ts",
+) -> None:
+    """Merge-by-key upsert into a date-partitioned parquet table:
+    the latest row per key (by ``order_col``, update batch beating the
+    table on ties) wins. Without a table format that supports MERGE
+    (Delta/Iceberg), parquet upserts rewrite whole partitions — so the
+    whole design is about rewriting only the partitions the batch
+    touches:
+
+    1. the distinct partition values of the update batch are computed
+       ON the batch (small) and pushed as a partition-pruning filter
+       into the existing table's scan — untouched partitions are never
+       read;
+    2. existing + updates union, rank per key by (order_col, source
+       priority), keep rank 1;
+    3. write with ``partitionOverwriteMode=dynamic`` so only the
+       partitions present in the result are replaced — untouched
+       partitions are never written either.
+
+    Read/merge/write cost scales with the batch's partition footprint,
+    not table size.
+    """
+    if partition_col not in updates.columns:
+        updates = updates.withColumn(partition_col, F.to_date(order_col))
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    upd = updates.withColumn("_src", F.lit(1))
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col(partition_col).isin(touched))
+            .withColumn("_src", F.lit(0))
+        )
+        merged = existing.unionByName(upd)
+    except AnalysisException:  # first batch: no table to merge with yet
+        merged = upd
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(), F.col("_src").desc()
+    )
+    result = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        result.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -22,3 +22,60 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
         series_frame(spark, SF).filter(F.to_date("ts") == "2024-01-15").count()
     )
     assert n_pruned == n_full > 0
+
+
+def test_upsert_partitioned_merges_and_leaves_untouched_partitions(
+    spark, tmp_path
+):
+    import os
+
+    from metevents_spark.io import upsert_partitioned
+
+    out = str(tmp_path / "events_upsert")
+    base = series_frame(spark, SF).select("sid", "seq", "ts", "value")
+    upsert_partitioned(spark, base, out, key_cols=["sid", "seq"])
+    n0 = spark.read.parquet(out).count()
+    assert n0 == base.count()
+
+    # snapshot file mtimes per partition directory
+    def files(p):
+        return {
+            os.path.join(d, f): os.path.getmtime(os.path.join(d, f))
+            for d, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    before = files(out)
+
+    # batch 2: bump the value of every row on one day, add one new row
+    day = "2024-01-15"
+    upd = (
+        base.filter(F.to_date("ts") == day)
+        .withColumn("value", F.col("value") + 1000.0)
+        # same (sid, seq) key and same ts: the update must beat the
+        # table row via source priority
+    )
+    one_new = base.limit(0).unionByName(
+        spark.createDataFrame(
+            [("brandnew", 999999, __import__("datetime").datetime(2024, 1, 15, 12), 42.0)],
+            "sid string, seq long, ts timestamp, value double",
+        )
+    )
+    upsert_partitioned(
+        spark, upd.unionByName(one_new), out, key_cols=["sid", "seq"]
+    )
+
+    back = spark.read.parquet(out)
+    assert back.count() == n0 + 1  # upserts replaced, one insert
+    # every updated key carries the new value
+    got = back.filter(F.col("event_date") == day)
+    assert got.filter(F.col("sid") != "brandnew").filter(
+        F.col("value") < 1000.0
+    ).count() == 0
+    assert got.filter(F.col("sid") == "brandnew").count() == 1
+    # untouched partitions: identical files, untouched mtimes
+    after = files(out)
+    untouched_before = {p: m for p, m in before.items() if f"event_date={day}" not in p}
+    untouched_after = {p: m for p, m in after.items() if f"event_date={day}" not in p}
+    assert untouched_before == untouched_after
