@@ -110,6 +110,7 @@ HEADLINE = [
     "doc_chunking",
     "event_pair_lift",
     "ewma_smooth",
+    "bigram_logprob",
 ]
 
 

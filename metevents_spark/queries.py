@@ -77,6 +77,7 @@ from metevents_spark.text.dedup import (
 )
 from metevents_spark.text.scrub import domain_stats, pii_redact
 from metevents_spark.text.pipeline import (
+    bigram_logprob,
     cooccurrence_counts,
     cross_doc_ngram_share,
     decontaminate_ngram,
@@ -1175,6 +1176,22 @@ SELECT doc_id,
        md5(array_to_string(t[s:LEAST(s + 63, len(t))], ' ')) AS digest
 FROM starts ORDER BY doc_id, chunk_id
 """,
+    "bigram_logprob": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+br AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2),
+bg AS (SELECT w1, w2, COUNT(*) AS c2 FROM br GROUP BY 1, 2),
+ug AS (SELECT w1, COUNT(*) AS c1 FROM br GROUP BY 1),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT unnest(t) AS w FROM toks))
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(ln((c2 + 1.0) / (c1 + v))), 5) AS avg_logprob
+FROM br JOIN bg USING (w1, w2) JOIN ug USING (w1) CROSS JOIN vocab
+GROUP BY doc_id ORDER BY doc_id
+""",
     "event_pair_lift": """
 WITH bt AS (
   SELECT DISTINCT user_id, date_trunc('day', ts) AS d, event_type
@@ -1314,6 +1331,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cooccurrence_counts": cooccurrence_counts,
     # context-window chunking (documents -> training sequences)
     "doc_chunking": doc_chunking,
+    # second-order LM quality score
+    "bigram_logprob": bigram_logprob,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width

@@ -543,3 +543,31 @@ def edit_distance_pairs(
     return _expand_pairs(
         rep_pairs, member_rep, "edit_dist", F.lit(0).cast("long")
     ).orderBy("doc_a", "doc_b")
+
+
+def dedup_keep_list(
+    spark: SparkSession, sf_dir: str, **cluster_kwargs
+) -> DataFrame:
+    """The user-facing end of the dedup pipeline: one keep/drop
+    decision per document. Canonical = the minimum doc_id of each
+    near-dup cluster (deterministic, id-stable across runs); everything
+    else in the cluster is dropped with a pointer to its canonical.
+
+    Adds ONE cluster-keyed aggregate + one join on top of
+    :func:`dedup_clusters`; the aggregate side is |clusters| rows.
+    Output: (doc_id, cluster, canonical_id, keep).
+    """
+    clusters = dedup_clusters(spark, sf_dir, **cluster_kwargs)
+    canon = clusters.groupBy("cluster").agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+    return (
+        clusters.join(canon, "cluster")
+        .select(
+            "doc_id",
+            "cluster",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

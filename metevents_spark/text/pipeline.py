@@ -392,3 +392,66 @@ def doc_chunking(
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-likelihood under the corpus's own
+    add-one-smoothed bigram LM: mean over positions of
+    ln((c(w1,w2) + 1) / (c_hist(w1) + V)) — the second-order
+    perplexity proxy (catches scrambled-word salad that unigram
+    statistics miss, since every token can be common while every
+    TRANSITION is rare).
+
+    c_hist(w1) counts w1 as a bigram history (positions 1..n-1), V is
+    corpus vocabulary size. Docs with < 2 tokens drop out (no
+    transitions to score).
+
+    Scale shape: bigram rows are generated map-side (higher-order
+    transform, one explode); corpus bigram counts and history counts
+    are keyed aggregates of the same exploded frame; the scoring joins
+    shuffle on the bigram/term key where AQE broadcast-downgrades when
+    the vocab side is small. The one-row V frame broadcasts. Rounded
+    to 5 decimals (cross-engine ln ulp).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    br = (
+        toked.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> "
+                    "struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    bg = br.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ug = br.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toked.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    return (
+        br.join(bg, ["w1", "w2"])
+        .join(ug, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("c2") + 1.0)
+                        / (F.col("c1") + F.col("v"))
+                    )
+                ),
+                5,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -127,3 +127,24 @@ def test_sign_lsh_collides_high_similarity_pairs():
         hamming = bin(sketch(a) ^ sketch(b)).count("1")
         hits += hamming <= 1
     assert hits / n >= 0.6, hits / n
+
+
+def test_dedup_keep_list_one_canonical_per_cluster(spark):
+    from metevents_spark.text.dedup import dedup_clusters, dedup_keep_list
+
+    keep = dedup_keep_list(spark, SF).toPandas()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert len(keep) == n_docs
+    # exactly one kept doc per cluster, and it's the cluster min
+    per_cluster = keep.groupby("cluster")
+    assert (per_cluster["keep"].sum() == 1).all()
+    assert (per_cluster["canonical_id"].nunique() == 1).all()
+    mins = per_cluster["doc_id"].min()
+    canon = per_cluster["canonical_id"].first()
+    assert (mins == canon).all()
+    # keep flag is exactly doc == canonical
+    assert (keep["keep"] == (keep["doc_id"] == keep["canonical_id"])).all()
+    # cluster assignment agrees with dedup_clusters verbatim
+    cl = dedup_clusters(spark, SF).toPandas().set_index("doc_id")["cluster"]
+    got = keep.set_index("doc_id")["cluster"]
+    assert got.sort_index().equals(cl.sort_index())

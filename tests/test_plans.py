@@ -198,6 +198,8 @@ def test_no_query_plans_a_cartesian_product(spark):
         "tfidf_top_terms",
         "knn_cosine",
         "unigram_logprob",
+        "bigram_logprob",
+        "event_pair_lift",
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, SF))
