@@ -111,6 +111,7 @@ HEADLINE = [
     "event_pair_lift",
     "ewma_smooth",
     "bigram_logprob",
+    "data_expectations",
 ]
 
 

@@ -1,0 +1,108 @@
+"""Declarative data-quality expectations and table maintenance.
+
+The reference validates inputs only implicitly (detector preconditions
+on the pandas frame); a production table needs explicit, cheap,
+always-on checks. `expect` evaluates a rule set in ONE pass — every
+rule folds into the same partial aggregate, so a 100-rule suite over a
+100 TB table still costs exactly one scan and one single-row exchange.
+`compact_parquet` is the companion maintenance op: small-file-itis is
+the classic lake failure mode (a 1e6-file table spends more time in
+scheduler/open() than in I/O).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metevents_spark.io import load_table
+
+
+def expect(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Evaluate boolean expectation ``rules`` over ``df`` in one scan.
+
+    Returns one row per rule: (rule, n_rows, n_violations,
+    violation_rate). A NULL rule result counts as a violation (the
+    expectation did not hold).
+
+    Plan shape: all rules become SUM(CASE...) columns of a single
+    global aggregate (map-side partial -> one-row final), then a
+    ``stack`` generator unpivots the one row to rule-per-row — no
+    joins, no per-rule scans.
+    """
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+        ).alias(f"_r{i}")
+        for i, cond in enumerate(rules.values())
+    ]
+    row = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    stack_args = ", ".join(
+        f"'{name}', _r{i}" for i, name in enumerate(rules.keys())
+    )
+    return (
+        row.select(
+            F.col("_n").alias("n_rows"),
+            F.expr(
+                f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"
+            ),
+        )
+        .select(
+            "rule",
+            "n_rows",
+            "n_violations",
+            F.round(
+                F.col("n_violations").cast("double") / F.col("n_rows"), 6
+            ).alias("violation_rate"),
+        )
+        .orderBy("rule")
+    )
+
+
+def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing expectation suite for the events table."""
+    ev = load_table(spark, sf_dir, "events")
+    known_types = ["click", "view", "purchase", "error", "signup"]
+    return expect(
+        ev,
+        {
+            "event_id_nonnull": F.col("event_id").isNotNull(),
+            "event_type_known": F.col("event_type").isin(known_types),
+            "ts_in_2024": (F.col("ts") >= F.lit("2024-01-01"))
+            & (F.col("ts") < F.lit("2025-01-01")),
+            "user_id_positive": F.col("user_id") > 0,
+            "value_nonnull": F.col("value").isNotNull(),
+            "value_sane": F.abs(F.col("value")) < 1e6,
+        },
+    )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_mb``-sized
+    files; returns the output file count.
+
+    Sizing comes from the SOURCE bytes on disk (already-compressed
+    parquet, so the estimate carries over), and the rewrite is a
+    round-robin ``repartition`` — a shuffle, but the only way to get
+    evenly sized outputs from skewed inputs; ``coalesce`` would glue
+    neighbors and keep the skew. Compaction is an offline maintenance
+    pass, so the one shuffle is the accepted cost.
+    """
+    total = 0
+    for d, _, fs in os.walk(src):
+        for f in fs:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(d, f))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(src).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(dst)
+    return n_files

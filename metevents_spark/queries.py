@@ -97,6 +97,7 @@ from metevents_spark.similarity import (
     label_centroids,
 )
 from metevents_spark.operators.resample import gap_fill_hourly
+from metevents_spark.quality import data_expectations
 from metevents_spark.operators.seriesstats import (
     ewma_smooth,
     robust_zscore,
@@ -1176,6 +1177,29 @@ SELECT doc_id,
        md5(array_to_string(t[s:LEAST(s + 63, len(t))], ' ')) AS digest
 FROM starts ORDER BY doc_id, chunk_id
 """,
+    "data_expectations": """
+WITH agg AS (
+  SELECT COUNT(*) AS n_rows,
+    SUM(CASE WHEN event_id IS NOT NULL THEN 0 ELSE 1 END) AS r0,
+    SUM(CASE WHEN event_type IN
+        ('click','view','purchase','error','signup') THEN 0 ELSE 1 END) AS r1,
+    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01'
+         AND ts < TIMESTAMP '2025-01-01' THEN 0 ELSE 1 END) AS r2,
+    SUM(CASE WHEN user_id > 0 THEN 0 ELSE 1 END) AS r3,
+    SUM(CASE WHEN value IS NOT NULL THEN 0 ELSE 1 END) AS r4,
+    SUM(CASE WHEN ABS(value) < 1000000.0 THEN 0 ELSE 1 END) AS r5
+  FROM events),
+rules AS (
+  SELECT 'event_id_nonnull' AS rule, n_rows, CAST(r0 AS BIGINT) AS n_violations FROM agg
+  UNION ALL SELECT 'event_type_known', n_rows, CAST(r1 AS BIGINT) FROM agg
+  UNION ALL SELECT 'ts_in_2024', n_rows, CAST(r2 AS BIGINT) FROM agg
+  UNION ALL SELECT 'user_id_positive', n_rows, CAST(r3 AS BIGINT) FROM agg
+  UNION ALL SELECT 'value_nonnull', n_rows, CAST(r4 AS BIGINT) FROM agg
+  UNION ALL SELECT 'value_sane', n_rows, CAST(r5 AS BIGINT) FROM agg)
+SELECT rule, n_rows, n_violations,
+       ROUND(CAST(n_violations AS DOUBLE) / n_rows, 6) AS violation_rate
+FROM rules ORDER BY rule
+""",
     "bigram_logprob": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 br AS (
@@ -1293,6 +1317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_zscore": robust_zscore,
     "gap_fill_hourly": gap_fill_hourly,
     "event_pair_lift": event_pair_lift,
+    "data_expectations": data_expectations,
     # grouping sets and ranking families
     "events_cube": events_cube,
     "price_deciles": price_deciles,
