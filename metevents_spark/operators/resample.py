@@ -62,16 +62,21 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hr")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the forward look runs on a DESCENDING running frame: a
+    # (currentRow, unboundedFollowing) frame recomputes its aggregate
+    # per row in Spark — O(rows^2) per series (measured 93 s vs 3 s at
+    # sf0.1) — while both running frames are a single O(rows) pass;
+    # same sid exchange, one extra in-partition sort.
     w_fwd = (
         Window.partitionBy("sid")
-        .orderBy("hr")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("hr").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_hr = F.when(F.col("v_hour").isNotNull(), F.col("hr"))
     prev_v = F.last("v_hour", ignorenulls=True).over(w_back)
     prev_t = F.last(obs_hr, ignorenulls=True).over(w_back)
-    next_v = F.first("v_hour", ignorenulls=True).over(w_fwd)
-    next_t = F.first(obs_hr, ignorenulls=True).over(w_fwd)
+    next_v = F.last("v_hour", ignorenulls=True).over(w_fwd)
+    next_t = F.last(obs_hr, ignorenulls=True).over(w_fwd)
     frac = (
         (F.unix_micros(F.col("hr")) - F.unix_micros(prev_t)).cast("double")
         / (F.unix_micros(next_t) - F.unix_micros(prev_t)).cast("double")
