@@ -28,44 +28,99 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: tuple[str, ...] = ("value",),
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
-    """Each left row gains the most recent right row's ``value_cols``
-    (at or before its timestamp; right wins ties)."""
+    """Each left row gains the matched right row's ``value_cols``:
+    the most recent at-or-before row (``direction='backward'``), the
+    earliest at-or-after row (``'forward'``), or whichever of the two
+    is closer in time (``'nearest'``, backward wins ties) — pandas
+    ``merge_asof`` surface (reference dep; pandas.merge_asof docs),
+    including ``tolerance_s`` which voids matches farther than the
+    given seconds.
+
+    Both directions are O(rows) running windows over ONE sid exchange
+    (the forward look orders descending rather than using an
+    unbounded-following frame, which Spark recomputes per row). The
+    matched row's timestamp and values are carried as a single struct,
+    so a right row whose value column is NULL can never mix with a
+    neighbor's timestamp.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest: {direction}")
+    lt_cols = [c for c in left.columns if c not in (on, left_ts)]
     lt = left.select(
         F.col(on), F.col(left_ts).alias("_t"), F.lit(0).alias("_side"),
-        *[F.col(c) for c in left.columns if c not in (on, left_ts)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+        *[F.col(c) for c in lt_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}")
           for c in value_cols],
-        F.lit(None).cast("timestamp").alias(f"{right_ts}{suffix}"),
     )
-    rt_cols = [c for c in left.columns if c not in (on, left_ts)]
     rt = right.select(
         F.col(on), F.col(right_ts).alias("_t"), F.lit(1).alias("_side"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in rt_cols],
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lt_cols],
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
     )
     unioned = lt.unionByName(rt)
-    # right rows sort before left rows at equal timestamps so a
-    # same-instant right row is visible to the left row (ties: right wins)
-    w = (
+    # the matched right row travels as ONE nullable struct
+    payload = F.when(
+        F.col("_side") == 1,
+        F.struct(
+            F.col("_t").alias("_rt"),
+            *[F.col(f"_v_{c}").alias(c) for c in value_cols],
+        ),
+    )
+    # right rows sort before left rows at equal timestamps in BOTH
+    # orderings, so a same-instant right row is visible either way
+    w_back = (
         Window.partitionBy(on)
-        .orderBy(F.col("_t"), F.col("_side").desc())
+        .orderBy(F.col("_t").asc(), F.col("_side").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t").desc(), F.col("_side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    look = []  # only the windows the direction needs (each is a sort)
+    if direction in ("backward", "nearest"):
+        look.append(F.last(payload, ignorenulls=True).over(w_back).alias("_back"))
+    if direction in ("forward", "nearest"):
+        look.append(F.last(payload, ignorenulls=True).over(w_fwd).alias("_fwd"))
     carried = unioned.select(
         F.col(on), F.col("_t"), F.col("_side"),
-        *[F.col(c) for c in rt_cols],
-        *[
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
-        F.last(F.col(f"{right_ts}{suffix}"), ignorenulls=True)
-        .over(w)
-        .alias(f"{right_ts}{suffix}"),
-    )
-    return carried.filter(F.col("_side") == 0).drop("_side").withColumnRenamed(
-        "_t", left_ts
+        *[F.col(c) for c in lt_cols],
+        *look,
+    ).filter(F.col("_side") == 0)
+
+    def _gated(cand):
+        """NULL the candidate when it misses the tolerance window."""
+        if tolerance_s is None:
+            return cand
+        within = (
+            F.abs(F.unix_micros(F.col("_t")) - F.unix_micros(cand["_rt"]))
+            <= int(tolerance_s * 1_000_000)
+        )
+        return F.when(within, cand)
+
+    if direction == "backward":
+        chosen = _gated(F.col("_back"))
+    elif direction == "forward":
+        chosen = _gated(F.col("_fwd"))
+    else:
+        back, fwd = _gated(F.col("_back")), _gated(F.col("_fwd"))
+        d_back = F.unix_micros(F.col("_t")) - F.unix_micros(back["_rt"])
+        d_fwd = F.unix_micros(fwd["_rt"]) - F.unix_micros(F.col("_t"))
+        chosen = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(d_fwd < d_back, fwd)
+            .otherwise(back)  # equidistant: backward wins (pandas)
+        )
+    return carried.select(
+        F.col(on), F.col("_t").alias(left_ts),
+        *[F.col(c) for c in lt_cols],
+        *[chosen[c].alias(f"{c}{suffix}") for c in value_cols],
+        chosen["_rt"].alias(f"{right_ts}{suffix}"),
     )
 
 
