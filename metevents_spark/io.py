@@ -256,3 +256,35 @@ def upsert_partitioned(
         result.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def load_jsonl_documents(
+    spark: SparkSession,
+    path: str,
+    schema: str = "doc_id long, source string, lang string, text string",
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL corpus reader with corrupt-record quarantine — the raw
+    ingestion face of the documents table (crawl dumps arrive as
+    json-lines, not parquet).
+
+    Returns (good, bad): ``good`` rows parsed against the EXPLICIT
+    schema (never inferred — schema inference is a full extra pass
+    over 100 TB and locks in whatever the first sample happened to
+    contain), ``bad`` the raw lines that failed to parse, kept for
+    quarantine/replay instead of being silently dropped
+    (PERMISSIVE + columnNameOfCorruptRecord).
+
+    Parsing is one pass, line-splittable (JSONL, unlike multiline
+    JSON, parallelizes by input split at any scale).
+    """
+    full = spark.read.schema(schema + ", _corrupt string").option(
+        "mode", "PERMISSIVE"
+    ).option("columnNameOfCorruptRecord", "_corrupt").json(path)
+    # Spark requires a materialization barrier (cache) before
+    # filtering on the corrupt-record column alone
+    full = full.cache()
+    good = full.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    bad = full.filter(F.col("_corrupt").isNotNull()).select(
+        F.col("_corrupt").alias("raw_line")
+    )
+    return good, bad

@@ -49,3 +49,21 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     )
     assert n_dst == n_out == 1  # tiny table -> one right-sized file
     assert spark.read.parquet(dst).count() == ev.count()
+
+
+def test_jsonl_reader_quarantines_corrupt_lines(spark, tmp_path):
+    from metevents_spark.io import load_jsonl_documents
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "source": "web", "lang": "en", "text": "hello world"}\n'
+        '{"doc_id": 2, "source": "web", "lang": "de", "text": "hallo"}\n'
+        "{this is not json at all\n"
+        '{"doc_id": 3, "source": "books", "lang": "en", "text": "ok"}\n'
+    )
+    good, bad = load_jsonl_documents(spark, str(p))
+    assert good.count() == 3
+    assert good.columns == ["doc_id", "source", "lang", "text"]
+    assert set(r.doc_id for r in good.collect()) == {1, 2, 3}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "not json" in bad_rows[0].raw_line
