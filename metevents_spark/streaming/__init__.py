@@ -4,6 +4,7 @@ from metevents_spark.streaming.detect import (  # noqa: F401
     stream_sessions,
     stream_storm_find,
     stream_storm_find_tws,
+    stream_zscore,
 )
 from metevents_spark.streaming.funnel import (  # noqa: F401
     advance_funnel,

@@ -335,3 +335,100 @@ def stream_dedup(
     return stream_df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+ZSCORE_OUTPUT_SCHEMA = "sid string, ts timestamp, value double, z double"
+ZSCORE_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s1", DoubleType()),
+        StructField("s2", DoubleType()),
+    ]
+)
+
+
+def _advance_zscore(
+    state: tuple | None,
+    pdf_iter,
+    z_thresh: float,
+    min_n: int,
+):
+    """Prior-history z-score step: each point is scored against the
+    running mean/std of everything BEFORE it, then folded into the
+    state — so the verdict on a point never depends on how the stream
+    was chunked into micro-batches (the chunking-invariance property
+    test pins this). Vectorized per batch: prefix sums shifted by one
+    give every row its prior (n, sum, sumsq) in one numpy pass.
+    """
+    import numpy as np
+
+    n0, s1_0, s2_0 = state if state is not None else (0, 0.0, 0.0)
+    out = []
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values("ts")
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        k = len(v)
+        n_prior = n0 + np.arange(k, dtype=np.int64)
+        s1_prior = s1_0 + np.concatenate(([0.0], np.cumsum(v)[:-1]))
+        s2_prior = s2_0 + np.concatenate(([0.0], np.cumsum(v * v)[:-1]))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s1_prior / n_prior
+            var = (s2_prior - s1_prior * s1_prior / n_prior) / (n_prior - 1)
+            sd = np.sqrt(np.maximum(var, 0.0))
+            z = (v - mean) / sd
+        ok = (n_prior >= min_n) & (sd > 0) & (np.abs(z) > z_thresh)
+        if ok.any():
+            hit = pdf.iloc[np.flatnonzero(ok)]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "sid": hit["sid"].to_numpy(),
+                        "ts": hit["ts"].to_numpy(),
+                        "value": v[ok],
+                        "z": np.round(z[ok], 6),
+                    }
+                )
+            )
+        n0 += k
+        s1_0 += float(v.sum())
+        s2_0 += float((v * v).sum())
+    return out, (n0, s1_0, s2_0)
+
+
+def stream_zscore(
+    stream_df: DataFrame,
+    z_thresh: float = 3.0,
+    min_n: int = 30,
+) -> DataFrame:
+    """Streaming z-score anomalies: the incremental counterpart of
+    ``zscore_anomaly`` (operators/seriesstats.py). State per series is
+    THREE numbers (count, sum, sum-of-squares) — constant regardless
+    of stream length, no watermark needed. Sum-of-squares running
+    variance is numerically fine at sensor value magnitudes; a
+    Welford rewrite drops in behind the same state schema if inputs
+    ever reach 1e8+.
+    """
+
+    def fn(key, pdf_iter, state: GroupState):
+        (sid,) = key
+        prior = tuple(state.get) if state.exists else None
+        frames, new_state = _advance_zscore(prior, pdf_iter, z_thresh, min_n)
+        state.update(new_state)
+        for f in frames:
+            yield f
+
+    return (
+        stream_df.select(
+            F.col("sid"), F.col("ts"), F.col("value").cast("double")
+        )
+        .groupBy("sid")
+        .applyInPandasWithState(
+            fn,
+            ZSCORE_OUTPUT_SCHEMA,
+            ZSCORE_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -341,3 +341,65 @@ def test_stream_funnel_progression(spark, stream_dir):
     assert (1, 4) in got and got[(1, 4)][0] == "purchase"
     assert (2, 3) in got  # click at day 8 (the day-4 click was too early)
     assert all(u != 3 for u, _ in got)
+
+
+@pytest.mark.parametrize("split", [5, 17, 60])
+def test_stream_zscore_chunk_invariant_and_matches_expanding(
+    spark, stream_dir, split
+):
+    """Output must equal the batch expanding-prior z-score and be
+    identical however the stream is chunked into micro-batches."""
+    from metevents_spark.streaming.detect import stream_zscore
+
+    rng = np.random.RandomState(3)
+    values = list(rng.randn(60) * 2 + 10)
+    values[40] = 40.0  # unambiguous spike after warmup
+    values[55] = -25.0
+    pdf = daily_rows(values)
+    Path(stream_dir, "in").mkdir()
+    pdf.iloc[:split].to_parquet(
+        f"{stream_dir}/in/chunk0.parquet", coerce_timestamps="us"
+    )
+    time.sleep(0.05)
+    if split < len(pdf):
+        pdf.iloc[split:].to_parquet(
+            f"{stream_dir}/in/chunk1.parquet", coerce_timestamps="us"
+        )
+
+    stream = (
+        spark.readStream.schema("sid string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/in")
+    )
+    name = f"zscore_out_{split}"
+    q = (
+        stream_zscore(stream, z_thresh=3.0, min_n=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{stream_dir}/ckpt_z{split}")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql(f"SELECT * FROM {name}")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+
+    # batch reference: expanding mean/std over PRIOR points only
+    s = pd.Series(values)
+    prior_mean = s.expanding().mean().shift(1)
+    prior_sd = s.expanding().std(ddof=1).shift(1)
+    z = (s - prior_mean) / prior_sd
+    mask = (np.arange(len(s)) >= 30) & (z.abs() > 3.0)
+    want = pdf[mask.to_numpy()].reset_index(drop=True)
+    assert len(got) == len(want) >= 2
+    assert (got["ts"].to_numpy() == want["ts"].to_numpy()).all()
+    np.testing.assert_allclose(
+        got["z"].to_numpy(),
+        z[mask.to_numpy()].round(6).to_numpy(),
+        atol=1e-6,
+    )
