@@ -112,6 +112,7 @@ HEADLINE = [
     "ewma_smooth",
     "bigram_logprob",
     "data_expectations",
+    "nation_trade_flow",
 ]
 
 

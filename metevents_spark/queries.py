@@ -40,6 +40,7 @@ from metevents_spark.relational import (
     event_pair_lift,
     funnel_conversion,
     nation_segment_rollup,
+    nation_trade_flow,
     order_priority_check,
     pricing_summary,
     props_value_stats,
@@ -547,6 +548,23 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
 GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    "nation_trade_flow": """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+         AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
 """,
     "nation_segment_rollup": """
 SELECT n_name, c_mktsegment, COUNT(*) AS n_customers,
@@ -1285,6 +1303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational extras
     "order_priority_check": order_priority_check,
     "nation_segment_rollup": nation_segment_rollup,
+    "nation_trade_flow": nation_trade_flow,
     "brand_revenue": brand_revenue,
     # multimodal plumbing
     "media_features": q_media_features,
