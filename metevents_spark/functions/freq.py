@@ -11,6 +11,7 @@ delta per series, countDistinct + min per sid. Single shuffle on sid.
 
 from __future__ import annotations
 
+from metevents_spark.timeutil import epoch_us
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -26,7 +27,7 @@ def freq_infer(df: DataFrame) -> DataFrame:
     w = series_window()
     rn = F.row_number().over(w)
     cnt = F.count(F.lit(1)).over(Window.partitionBy("sid"))
-    delta = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    delta = epoch_us(F.col("ts")) - epoch_us(F.lag("ts").over(w))
     deltas = (
         df.withColumn("rn", rn)
         .withColumn("n", cnt)

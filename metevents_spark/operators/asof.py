@@ -16,6 +16,7 @@ shuffles on (key, bucket).
 
 from __future__ import annotations
 
+from metevents_spark.timeutil import epoch_us
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -97,7 +98,7 @@ def asof_join(
         if tolerance_s is None:
             return cand
         within = (
-            F.abs(F.unix_micros(F.col("_t")) - F.unix_micros(cand["_rt"]))
+            F.abs(epoch_us(F.col("_t")) - epoch_us(cand["_rt"]))
             <= int(tolerance_s * 1_000_000)
         )
         return F.when(within, cand)
@@ -108,8 +109,8 @@ def asof_join(
         chosen = _gated(F.col("_fwd"))
     else:
         back, fwd = _gated(F.col("_back")), _gated(F.col("_fwd"))
-        d_back = F.unix_micros(F.col("_t")) - F.unix_micros(back["_rt"])
-        d_fwd = F.unix_micros(fwd["_rt"]) - F.unix_micros(F.col("_t"))
+        d_back = epoch_us(F.col("_t")) - epoch_us(back["_rt"])
+        d_fwd = epoch_us(fwd["_rt"]) - epoch_us(F.col("_t"))
         chosen = (
             F.when(back.isNull(), fwd)
             .when(fwd.isNull(), back)
@@ -140,9 +141,9 @@ def range_join(
     bucket_us = int(bucket_s * 1_000_000)
     window_us = int(window_s * 1_000_000)
 
-    lb = left.withColumn("_lb", (F.unix_micros(F.col(left_ts)) / bucket_us).cast("long"))
+    lb = left.withColumn("_lb", (epoch_us(F.col(left_ts)) / bucket_us).cast("long"))
     rb = right.withColumn(
-        "_rb", (F.unix_micros(F.col(right_ts)) / bucket_us).cast("long")
+        "_rb", (epoch_us(F.col(right_ts)) / bucket_us).cast("long")
     )
     neighbors = F.explode(
         F.array(F.col("_lb") - 1, F.col("_lb"), F.col("_lb") + 1)
@@ -155,7 +156,7 @@ def range_join(
         )
         .filter(
             F.abs(
-                F.unix_micros(rb[right_ts]) - F.unix_micros(lbx[left_ts])
+                epoch_us(rb[right_ts]) - epoch_us(lbx[left_ts])
             )
             <= window_us
         )

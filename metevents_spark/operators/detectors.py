@@ -10,6 +10,7 @@ series frame ``(sid, seq, ts, value)`` and return the events frame
 
 from __future__ import annotations
 
+from metevents_spark.timeutil import epoch_us
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -101,7 +102,7 @@ def data_gap(
     w = series_window()
     prev_ts = F.lag("ts").over(w)
     prev_val = F.lag("value").over(w)
-    delta_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+    delta_us = epoch_us(F.col("ts")) - epoch_us(prev_ts)
     gap_events = (
         df.withColumn("prev_ts", prev_ts)
         .withColumn("prev_val", prev_val)

@@ -20,6 +20,7 @@ grid, so the expensive raw data is touched exactly once.
 
 from __future__ import annotations
 
+from metevents_spark.timeutil import epoch_us
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -78,8 +79,8 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     next_v = F.last("v_hour", ignorenulls=True).over(w_fwd)
     next_t = F.last(obs_hr, ignorenulls=True).over(w_fwd)
     frac = (
-        (F.unix_micros(F.col("hr")) - F.unix_micros(prev_t)).cast("double")
-        / (F.unix_micros(next_t) - F.unix_micros(prev_t)).cast("double")
+        (epoch_us(F.col("hr")) - epoch_us(prev_t)).cast("double")
+        / (epoch_us(next_t) - epoch_us(prev_t)).cast("double")
     )
     # NOT rounded: the inputs (6-digit hourly means, exact micros
     # ratios) are already cross-engine stable, and the same IEEE

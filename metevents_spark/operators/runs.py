@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from metevents_spark.timeutil import epoch_us
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -77,7 +78,7 @@ def runs_to_events(
             F.sum(value_col).alias("total"),
         )
         .withColumn(
-            "duration_us", F.unix_micros(F.col("stop")) - F.unix_micros(F.col("start"))
+            "duration_us", epoch_us(F.col("stop")) - epoch_us(F.col("start"))
         )
         .select(*part_cols, "start", "stop", "duration_us", "n_points", "total")
     )

@@ -9,6 +9,7 @@ single sid exchange.
 
 from __future__ import annotations
 
+from metevents_spark.timeutil import epoch_us
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -146,7 +147,7 @@ def trailing_24h_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_us = 86_400 * 1_000_000
     w = (
         Window.partitionBy("sid")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(epoch_us("ts"))
         .rangeBetween(-day_us, 0)
     )
     return (

@@ -9,6 +9,7 @@ window-cumsum shape; the batch-SQL dual of Structured Streaming's
 
 from __future__ import annotations
 
+from metevents_spark.timeutil import epoch_us
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -19,7 +20,7 @@ def sessionize(df: DataFrame, gap_s: float = 14400.0) -> DataFrame:
     """-> (sid, session_id, start, stop, duration_us, n_events, total)"""
     gap_us = int(gap_s * 1_000_000)
     w = series_window()
-    delta = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    delta = epoch_us(F.col("ts")) - epoch_us(F.lag("ts").over(w))
     new_session = F.when(delta.isNull() | (delta > gap_us), 1).otherwise(0)
     cum = Window.partitionBy("sid").orderBy("ts", "seq").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -34,7 +35,7 @@ def sessionize(df: DataFrame, gap_s: float = 14400.0) -> DataFrame:
             F.round(F.sum("value"), 3).alias("total"),
         )
         .withColumn(
-            "duration_us", F.unix_micros(F.col("stop")) - F.unix_micros(F.col("start"))
+            "duration_us", epoch_us(F.col("stop")) - epoch_us(F.col("start"))
         )
         .select("sid", "session_id", "start", "stop", "duration_us", "n_events", "total")
         .orderBy("sid", "session_id")

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from metevents_spark.timeutil import epoch_us
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -264,7 +265,7 @@ def q_range_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "sid", "seq", "ts", "rseq", "rts",
-        (F.unix_micros("rts") - F.unix_micros("ts")).alias("delta_us"),
+        (epoch_us("rts") - epoch_us("ts")).alias("delta_us"),
     ).orderBy("sid", "seq", "rseq")
 
 
