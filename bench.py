@@ -111,6 +111,9 @@ HEADLINE = [
     "event_pair_lift",
     "ewma_smooth",
     "bigram_logprob",
+    "session_overlap",
+    "seasonal_anomaly",
+    "quality_bucket_sample",
     "data_expectations",
     "nation_trade_flow",
 ]

@@ -16,18 +16,31 @@ from pyspark.sql import functions as F
 from metevents_spark.operators.runs import series_window
 
 
-def sessionize(df: DataFrame, gap_s: float = 14400.0) -> DataFrame:
-    """-> (sid, session_id, start, stop, duration_us, n_events, total)"""
+def sessionize(
+    df: DataFrame, gap_s: float = 14400.0, by: tuple[str, ...] = ("sid",)
+) -> DataFrame:
+    """-> (*by, session_id, start, stop, duration_us, n_events, total)
+
+    ``by`` extends the session key beyond the series id (e.g.
+    ``("sid", "event_type")`` sessionizes every event type of every
+    user in ONE scan and one exchange instead of one pipeline per
+    type); session_id numbering restarts per key group.
+    """
     gap_us = int(gap_s * 1_000_000)
-    w = series_window()
+    keys = list(by)
+    w = (
+        series_window()
+        if keys == ["sid"]
+        else Window.partitionBy(*keys).orderBy("ts", "seq")
+    )
     delta = epoch_us(F.col("ts")) - epoch_us(F.lag("ts").over(w))
     new_session = F.when(delta.isNull() | (delta > gap_us), 1).otherwise(0)
-    cum = Window.partitionBy("sid").orderBy("ts", "seq").rowsBetween(
+    cum = Window.partitionBy(*keys).orderBy("ts", "seq").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
         df.withColumn("session_id", F.sum(new_session).over(cum))
-        .groupBy("sid", "session_id")
+        .groupBy(*keys, "session_id")
         .agg(
             F.min("ts").alias("start"),
             F.max("ts").alias("stop"),
@@ -37,6 +50,6 @@ def sessionize(df: DataFrame, gap_s: float = 14400.0) -> DataFrame:
         .withColumn(
             "duration_us", epoch_us(F.col("stop")) - epoch_us(F.col("start"))
         )
-        .select("sid", "session_id", "start", "stop", "duration_us", "n_events", "total")
-        .orderBy("sid", "session_id")
+        .select(*keys, "session_id", "start", "stop", "duration_us", "n_events", "total")
+        .orderBy(*keys, "session_id")
     )

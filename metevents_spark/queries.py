@@ -33,6 +33,7 @@ from metevents_spark.operators import (
     spike_valley,
     storm_find,
 )
+from metevents_spark.operators.intervals import interval_overlap_join
 from metevents_spark.operators.sessions import sessionize
 from metevents_spark.functions import freq_infer
 from metevents_spark.relational import (
@@ -84,6 +85,7 @@ from metevents_spark.text.pipeline import (
     cross_doc_ngram_share,
     decontaminate_ngram,
     doc_chunking,
+    quality_bucket_sample,
     sequence_pack,
     source_mix_sample,
     stratified_sample,
@@ -104,6 +106,7 @@ from metevents_spark.operators.seriesstats import (
     ewma_smooth,
     robust_zscore,
     rolling_mean,
+    seasonal_anomaly,
     trailing_24h_mean,
     zscore_anomaly,
 )
@@ -267,6 +270,45 @@ def q_range_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sid", "seq", "ts", "rseq", "rts",
         (epoch_us("rts") - epoch_us("ts")).alias("delta_us"),
     ).orderBy("sid", "seq", "rseq")
+
+
+def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which error sessions overlapped which purchase sessions, per
+    user: sessionize each event type independently (4h inactivity gap)
+    then bucketized interval-overlap join (1-day buckets) — the
+    interval×interval temporal join over two operator OUTPUTS."""
+    from metevents_spark.io import load_table
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("error", "purchase")
+    ).select(
+        F.col("user_id").cast("string").alias("sid"),
+        F.col("event_id").cast("long").alias("seq"),
+        "ts",
+        F.col("value").cast("double").alias("value"),
+        "event_type",
+    )
+    # both event types sessionized in ONE scan + one exchange, then the
+    # (tiny, aggregated) session frame is cut once — localCheckpoint so
+    # the two join branches don't each recompute the pipeline
+    sess = sessionize(ev, gap_s=14400.0, by=("sid", "event_type")).select(
+        "sid", "event_type", "session_id", "start", "stop"
+    ).localCheckpoint()
+    cols = ["sid", "session_id", "start", "stop"]
+    err = sess.filter(F.col("event_type") == "error").select(*cols)
+    pur = sess.filter(F.col("event_type") == "purchase").select(*cols)
+    out = interval_overlap_join(err, pur, on="sid", bucket_s=86400.0)
+    return out.select(
+        "sid",
+        F.col("session_id_a").alias("err_session"),
+        F.col("start_a").alias("err_start"),
+        F.col("stop_a").alias("err_stop"),
+        F.col("session_id_b").alias("pur_session"),
+        F.col("start_b").alias("pur_start"),
+        F.col("stop_b").alias("pur_stop"),
+        "overlap_us",
+    ).orderBy("sid", "err_session", "pur_session")
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1266,6 +1308,61 @@ SELECT event_type,
   ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 4) AS avg_k
 FROM e GROUP BY event_type ORDER BY event_type
 """,
+    "session_overlap": """
+WITH ser AS (SELECT CAST(user_id AS VARCHAR) AS sid, event_id AS seq, ts,
+                    event_type
+             FROM events WHERE event_type IN ('error', 'purchase')),
+lagged AS (SELECT sid, event_type, seq, ts,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER (
+             PARTITION BY sid, event_type ORDER BY ts, seq)) AS d
+           FROM ser),
+flagged AS (SELECT *, CASE WHEN d IS NULL OR d > 14400000000
+            THEN 1 ELSE 0 END AS ns FROM lagged),
+sess AS (SELECT *, CAST(SUM(ns) OVER (PARTITION BY sid, event_type
+         ORDER BY ts, seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS session_id FROM flagged),
+agg AS (SELECT sid, event_type, session_id, MIN(ts) AS s, MAX(ts) AS e
+        FROM sess GROUP BY sid, event_type, session_id)
+SELECT a.sid, a.session_id AS err_session, a.s AS err_start, a.e AS err_stop,
+       b.session_id AS pur_session, b.s AS pur_start, b.e AS pur_stop,
+       epoch_us(LEAST(a.e, b.e)) - epoch_us(GREATEST(a.s, b.s)) AS overlap_us
+FROM agg a JOIN agg b
+  ON a.sid = b.sid AND a.event_type = 'error' AND b.event_type = 'purchase'
+ AND a.s <= b.e AND b.s <= a.e
+ORDER BY a.sid, err_session, pur_session
+""",
+    "seasonal_anomaly": f"""
+WITH {_SERIES},
+h AS (SELECT sid, seq, ts, value,
+      CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS BIGINT) AS tod FROM series),
+s AS (SELECT sid, seq, ts, value, tod,
+      ROUND((value - AVG(value) OVER (PARTITION BY sid, tod))
+            / STDDEV_SAMP(value) OVER (PARTITION BY sid, tod), 6) AS z
+      FROM h)
+SELECT * FROM s WHERE ABS(z) > 1.5 ORDER BY sid, ts, seq
+""",
+    "quality_bucket_sample": """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+tot AS (SELECT count(*) AS t FROM toks),
+pd AS (SELECT doc_id, count(*) AS n_tokens, sum(ln(tf)) AS s
+       FROM toks JOIN tf USING (term) GROUP BY doc_id),
+scored AS (SELECT d.doc_id, d.source,
+           ROUND((s - n_tokens * ln((SELECT t FROM tot))) / n_tokens, 5)
+             AS avg_logprob
+           FROM pd JOIN documents d ON pd.doc_id = d.doc_id),
+ranked AS (SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY avg_logprob DESC, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n FROM scored)
+SELECT doc_id, source, avg_logprob,
+       CAST(CEIL(rn * 10.0 / n) AS BIGINT) AS decile
+FROM ranked
+WHERE (doc_id * 1103515245 + 12345) % 2147483648 % 10
+      < 11 - CAST(CEIL(rn * 10.0 / n) AS BIGINT)
+ORDER BY doc_id
+""",
 }
 
 
@@ -1378,6 +1475,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunking": doc_chunking,
     # second-order LM quality score
     "bigram_logprob": bigram_logprob,
+    # interval×interval temporal join over sessionized event types
+    "session_overlap": q_session_overlap,
+    # seasonality-aware (hour-of-day stratum) anomaly detection
+    "seasonal_anomaly": seasonal_anomaly,
+    # perplexity-bucketed quality sampling (two-phase exact deciles)
+    "quality_bucket_sample": quality_bucket_sample,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width

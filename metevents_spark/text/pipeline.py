@@ -229,6 +229,61 @@ def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware downsampling: rank documents per source by their
+    unigram-LM quality score (:func:`unigram_logprob`), cut each source
+    into deciles, and keep documents at a rate that falls with quality
+    — decile 1 (best) keeps 100%, decile 10 (worst) keeps 10%. The
+    standard "perplexity-bucketed mixing" stage between quality scoring
+    and training.
+
+    Exact decile = ``ceil(10 * rank / n)`` over (score DESC, doc_id)
+    order. The rank is computed with a TWO-PHASE scheme, never a
+    per-source global-sort window: ``floor(score)`` is monotone in the
+    sort key, so unit-wide score buckets are contiguous runs of the
+    per-source order — a local row_number inside (source, score-bucket)
+    plus the count of docs in strictly better buckets (a bucket-level
+    running sum over a |sources|x|score-range| frame) IS the global
+    rank. Keeping is the engine-portable LCG residue test used by
+    :func:`source_mix_sample` — no RNG state, bit-identical everywhere.
+    """
+    scored = unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = scored.join(src, "doc_id").withColumn(
+        "qb", F.floor("avg_logprob").cast("long")
+    )
+    w_local = Window.partitionBy("source", "qb").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    )
+    # bucket sizes -> docs in strictly better (higher) buckets + per-source n
+    sizes = docs.groupBy("source", "qb").agg(F.count(F.lit(1)).alias("cnt"))
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy(F.col("qb").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = sizes.select(
+        "source",
+        "qb",
+        (F.sum("cnt").over(w_run) - F.col("cnt")).alias("better"),
+        F.sum("cnt").over(Window.partitionBy("source")).alias("n"),
+    )
+    ranked = (
+        docs.withColumn("lr", F.row_number().over(w_local))
+        .join(offsets, ["source", "qb"])
+        .withColumn("rank", (F.col("better") + F.col("lr")).cast("long"))
+        .withColumn(
+            "decile", F.ceil(F.col("rank") * 10.0 / F.col("n")).cast("long")
+        )
+    )
+    mix = (F.col("doc_id") * 1103515245 + 12345) % 2147483648
+    return (
+        ranked.filter(mix % 10 < 11 - F.col("decile"))
+        .select("doc_id", "source", "avg_logprob", "decile")
+        .orderBy("doc_id")
+    )
+
+
 def cross_doc_ngram_share(
     spark: SparkSession, sf_dir: str, n: int = 8
 ) -> DataFrame:
