@@ -6,13 +6,15 @@ The driver-generated parquet stores naive microsecond timestamps
 ``F.unix_micros`` rejects NTZ input outright, so every operator that
 needs epoch math goes through :func:`epoch_us` instead.
 
-``epoch_us`` computes micros since 1970-01-01 via ``timestamp_diff`` on
-the NTZ wall-clock fields — fully independent of the session time zone
-for NTZ input (the common case), and identical to ``unix_micros`` for
-tz-aware input under the UTC session zone our factory pins
-(metevents_spark/session.py:32).  The DuckDB oracle computes
-``epoch(ts)`` over the same naive values, so naive-as-UTC is exactly
-the comparison semantics the correctness gate uses.
+``epoch_us`` computes micros since 1970-01-01 as
+``unix_micros(cast(ts as timestamp))``: NTZ wall-clock values are
+interpreted in the session time zone, which every entry point pins to
+UTC (``get_spark`` at metevents_spark/session.py:32, ``tune_session``
+for driver-supplied sessions) — so NTZ naive values read as UTC
+instants, exactly how the DuckDB oracle's ``epoch_us(ts)`` treats the
+same naive parquet values.  The cast stays inside whole-stage codegen;
+the tz-independent ``timestamp_diff`` formulation measured 14x slower
+(5.3s vs 0.38s per 20M-row pass) because it falls out of codegen.
 """
 
 from __future__ import annotations
@@ -20,11 +22,6 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 __all__ = ["epoch_us", "to_ntz"]
-
-def _epoch_ntz() -> Column:
-    # Built lazily: F.lit needs an active SparkContext at call time.
-    return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-
 
 def _as_col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
@@ -44,7 +41,8 @@ def epoch_us(c: Column | str) -> Column:
     """Microseconds since epoch as BIGINT, for TIMESTAMP or TIMESTAMP_NTZ.
 
     Drop-in replacement for ``F.unix_micros`` that tolerates the NTZ
-    columns Spark infers from the driver's parquet.  Pure JVM
-    expression — stays inside whole-stage codegen.
+    columns Spark infers from the driver's parquet.  Requires the UTC
+    session time zone every entry point pins (see module docstring).
+    Pure JVM expression — stays inside whole-stage codegen.
     """
-    return F.timestamp_diff("MICROSECOND", _epoch_ntz(), to_ntz(c))
+    return F.unix_micros(_as_col(c).cast("timestamp"))
