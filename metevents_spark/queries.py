@@ -440,26 +440,24 @@ FROM events GROUP BY event_type, date_trunc('day', ts)
 ORDER BY event_type, day
 """,
     "pricing_summary": """
+WITH cents AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS tax
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
 SELECT l_returnflag, l_linestatus,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 3) AS sum_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 3)
-    AS sum_base_price,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-       (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 3)
-    AS sum_disc_price,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-       (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) *
-       (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 3)
+  ROUND(CAST(SUM(qty) AS DOUBLE) / 100.0, 3) AS sum_qty,
+  ROUND(CAST(SUM(price) AS DOUBLE) / 100.0, 3) AS sum_base_price,
+  ROUND(CAST(SUM(price * (100 - disc)) AS DOUBLE) / 1e4, 3) AS sum_disc_price,
+  ROUND(CAST(SUM(price * (100 - disc) * (100 + tax)) AS DOUBLE) / 1e6, 3)
     AS sum_charge,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 3)
-    AS avg_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 3)
-    AS avg_price,
-  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 3)
-    AS avg_disc,
+  ROUND(CAST(SUM(qty) AS DOUBLE) / 100.0 / COUNT(*), 3) AS avg_qty,
+  ROUND(CAST(SUM(price) AS DOUBLE) / 100.0 / COUNT(*), 3) AS avg_price,
+  ROUND(CAST(SUM(disc) AS DOUBLE) / 100.0 / COUNT(*), 3) AS avg_disc,
   COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+FROM cents
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,

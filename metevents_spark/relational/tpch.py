@@ -26,33 +26,40 @@ def _dec(col: str, prec: str = "12,2"):
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: pricing summary report over lineitem."""
+    """TPC-H Q1 shape: pricing summary report over lineitem.
+
+    Money math runs in EXACT INTEGER UNITS (cents; 1e-4 units for
+    disc_price, 1e-6 for charge) summed as LONG — all inside
+    whole-stage codegen. The earlier DECIMAL formulation was exact too
+    but its sums widen past precision 18 and fall onto the BigDecimal
+    path: measured 9.3s vs 2.5s on the 6M-row tenfold dataset. Long
+    sums are exact to 2^63: worst-case ~1.1e11 charge-units/row bounds
+    a single (returnflag, linestatus) group at ~8e7 max-priced rows —
+    beyond that (extreme-SF runs) partial sums must widen to DECIMAL;
+    ANSI mode fails loudly rather than wrapping. The final divisions
+    and ROUND(_, 3) are identical double ops in both engines, so
+    hashes are bit-stable (decimal->double casts drifted 1 ulp vs
+    DuckDB at 1e10 magnitudes).
+    """
     line = load_table(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(3,2)")
-    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", "4,2"))
-    charge = disc_price * (one + _dec("l_tax", "4,2"))
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    tax = F.round(F.col("l_tax") * 100).cast("long")
+    disc_price = price * (100 - disc)  # 1e-4 dollar units
+    charge = disc_price * (100 + tax)  # 1e-6 dollar units
     n = F.count(F.lit(1))
-    # sums stay DECIMAL-exact; the final double is rounded to 3
-    # decimals because decimal->double casts are correctly rounded in
-    # the JVM but not in every engine (observed 1-ulp drift vs DuckDB
-    # at 1e10 magnitudes on the tenfold dataset)
     return (
-        line.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        line.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(_dec("l_quantity")).cast("double"), 3).alias("sum_qty"),
-            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 3).alias(
-                "sum_base_price"
-            ),
-            F.round(F.sum(disc_price).cast("double"), 3).alias("sum_disc_price"),
-            F.round(F.sum(charge).cast("double"), 3).alias("sum_charge"),
-            F.round(F.sum(_dec("l_quantity")).cast("double") / n, 3).alias("avg_qty"),
-            F.round(F.sum(_dec("l_extendedprice")).cast("double") / n, 3).alias(
-                "avg_price"
-            ),
-            F.round(F.sum(_dec("l_discount", "4,2")).cast("double") / n, 3).alias(
-                "avg_disc"
-            ),
+            F.round(F.sum(qty) / 100.0, 3).alias("sum_qty"),
+            F.round(F.sum(price) / 100.0, 3).alias("sum_base_price"),
+            F.round(F.sum(disc_price) / 1.0e4, 3).alias("sum_disc_price"),
+            F.round(F.sum(charge) / 1.0e6, 3).alias("sum_charge"),
+            F.round(F.sum(qty) / 100.0 / n, 3).alias("avg_qty"),
+            F.round(F.sum(price) / 100.0 / n, 3).alias("avg_price"),
+            F.round(F.sum(disc) / 100.0 / n, 3).alias("avg_disc"),
             n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
