@@ -114,6 +114,8 @@ HEADLINE = [
     "session_overlap",
     "seasonal_anomaly",
     "quality_bucket_sample",
+    "value_drift_psi",
+    "vocab_top_terms_approx",
     "data_expectations",
     "nation_trade_flow",
 ]

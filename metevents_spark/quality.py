@@ -106,3 +106,63 @@ def compact_parquet(
         "overwrite"
     ).parquet(dst)
     return n_files
+
+
+def value_drift_psi(
+    spark: SparkSession,
+    sf_dir: str,
+    split_ts: str = "2024-01-16 00:00:00",
+    bin_width: float = 50.0,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Distribution drift between two time windows, per event_type:
+    the Population Stability Index over a fixed-width value histogram
+    (PSI = sum_bins (p_a - p_b) * ln(p_a / p_b), Laplace-smoothed so
+    empty bins stay finite). PSI > 0.2 is the classic "investigate"
+    threshold for feature drift between a training snapshot and
+    serving traffic — the monitoring stage of a data pipeline.
+
+    Scale shape: binning is map-side arithmetic inside the scan's
+    codegen stage; ONE exchange on (event_type, bin) carries
+    conditional partial counts, and everything after operates on the
+    |types| x |bins| histogram — input volume never shuffles. Fixed
+    bins (not quantiles) are what keep this one-pass and
+    merge-friendly at 100 TB; quantile-based PSI needs the two-phase
+    rank machinery instead (see quality_bucket_sample).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    b = F.least(
+        F.floor(F.col("value") / bin_width).cast("long"), F.lit(n_bins - 1)
+    )
+    win_a = F.col("ts") < split_ts
+    hist = (
+        ev.select("event_type", b.alias("bin"), win_a.alias("wa"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("wa"), 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(~F.col("wa"), 1).otherwise(0)).alias("n_b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("event_type")
+    pa = (F.col("n_a") + 1.0) / (F.sum("n_a").over(wt) + F.lit(float(n_bins)))
+    pb = (F.col("n_b") + 1.0) / (F.sum("n_b").over(wt) + F.lit(float(n_bins)))
+    contrib = (pa - pb) * F.log(pa / pb)
+    return (
+        hist.select(
+            "event_type",
+            F.col("n_a"),
+            F.col("n_b"),
+            contrib.alias("c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_a").alias("n_a"),
+            F.sum("n_b").alias("n_b"),
+            F.round(F.sum("c"), 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )

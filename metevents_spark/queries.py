@@ -101,7 +101,7 @@ from metevents_spark.similarity import (
     label_centroids,
 )
 from metevents_spark.operators.resample import gap_fill_hourly
-from metevents_spark.quality import data_expectations
+from metevents_spark.quality import data_expectations, value_drift_psi
 from metevents_spark.operators.seriesstats import (
     ewma_smooth,
     robust_zscore,
@@ -126,6 +126,7 @@ from metevents_spark.text import (
     source_lang_matrix,
     text_stats,
     tfidf_top_terms,
+    vocab_top_terms_approx,
     token_count_bpe,
     vocab_top_terms,
 )
@@ -1361,6 +1362,26 @@ WHERE (doc_id * 1103515245 + 12345) % 2147483648 % 10
       < 11 - CAST(CEIL(rn * 10.0 / n) AS BIGINT)
 ORDER BY doc_id
 """,
+    "value_drift_psi": """
+WITH ev AS (SELECT event_type, value, ts FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)),
+hist AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bin,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS n_b
+  FROM ev GROUP BY 1, 2),
+tot AS (SELECT *, SUM(n_a) OVER (PARTITION BY event_type) AS ta,
+               SUM(n_b) OVER (PARTITION BY event_type) AS tb FROM hist),
+c AS (SELECT event_type, n_a, n_b,
+      ((n_a + 1.0) / (ta + 10.0) - (n_b + 1.0) / (tb + 10.0))
+        * ln(((n_a + 1.0) / (ta + 10.0)) / ((n_b + 1.0) / (tb + 10.0))) AS contrib
+      FROM tot)
+SELECT event_type, CAST(SUM(n_a) AS BIGINT) AS n_a,
+       CAST(SUM(n_b) AS BIGINT) AS n_b,
+       ROUND(SUM(contrib), 6) AS psi
+FROM c GROUP BY event_type ORDER BY event_type
+""",
 }
 
 
@@ -1479,6 +1500,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_anomaly": seasonal_anomaly,
     # perplexity-bucketed quality sampling (two-phase exact deciles)
     "quality_bucket_sample": quality_bucket_sample,
+    # distribution drift monitoring (histogram PSI between time windows)
+    "value_drift_psi": value_drift_psi,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width
@@ -1493,6 +1516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma_smooth": ewma_smooth,        # recursive state, closed form overflows
     "user_reach_approx": user_reach_approx,  # HLL sketch
     "corpus_summary_approx": corpus_summary_approx,  # HLL sketch
+    "vocab_top_terms_approx": vocab_top_terms_approx,  # frequent-items sketch
     "value_quantiles_approx": value_quantiles_approx,  # GK sketch
 }
 

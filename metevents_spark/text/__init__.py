@@ -11,6 +11,7 @@ from metevents_spark.text.stats import (  # noqa: F401
     tfidf_top_terms,
     token_count_bpe,
     vocab_top_terms,
+    vocab_top_terms_approx,
 )
 from metevents_spark.text.dedup import (  # noqa: F401
     edit_distance_pairs,

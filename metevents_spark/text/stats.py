@@ -167,6 +167,59 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame
     )
 
 
+def vocab_top_terms_approx(
+    spark: SparkSession, sf_dir: str, k: int = 30, counters: int = 512
+) -> DataFrame:
+    """Top-k corpus terms via a two-pass heavy-hitters sketch — the
+    frequent-items member of the sketch family (alongside HLL distinct
+    counts and GK quantiles).
+
+    Pass 1 (candidates): each Arrow batch computes its own exact token
+    counts vectorized (pandas value_counts) and keeps only its top
+    ``counters`` — a Misra-Gries-style local summary whose merge
+    (groupBy-sum) shuffles at most counters x partitions rows, NEVER
+    the |vocab|-sized aggregate the exact ``vocab_top_terms`` must
+    exchange (unbounded on a web corpus). Pass 2 (exact recount): the
+    merged candidate set broadcasts back and the corpus recounts ONLY
+    candidate tokens, restoring exact counts for every candidate. Any
+    term whose corpus share exceeds 1/counters per partition is
+    guaranteed into the candidate set; with counters >> k the result
+    matches the exact top-k in practice (asserted against
+    vocab_top_terms in tests) but adversarial splits can differ —
+    rows-only check, like the other sketches.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+
+    def local_top(batches):
+        for pdf in batches:
+            counts = (
+                pdf["text"].str.split(" ").explode().value_counts()
+            )
+            top = counts.iloc[:counters]
+            yield pd.DataFrame(
+                {"token": top.index.astype(str), "n": top.to_numpy()}
+            )
+
+    cand = (
+        docs.mapInPandas(local_top, "token string, n long")
+        .groupBy("token")
+        .agg(F.sum("n").alias("n_lower"))
+        .orderBy(F.col("n_lower").desc(), F.col("token"))
+        .limit(counters)
+        .select("token")
+    )
+    exploded = docs.select(F.explode(_tokens()).alias("token"))
+    return (
+        exploded.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
 # quality-filter thresholds (shared with the oracle SQL)
 QF_MIN_TOKENS = 30
 QF_MIN_DISTINCT_RATIO = 0.30

@@ -69,3 +69,17 @@ def test_stratified_sample_deterministic(spark):
     a = [tuple(r) for r in stratified_sample(spark, SF, k=7).collect()]
     b = [tuple(r) for r in stratified_sample(spark, SF, k=7).collect()]
     assert a == b
+
+
+def test_vocab_top_terms_approx_matches_exact(spark):
+    """The frequent-items sketch recovers the exact top-k on the test
+    corpus (counters=512 >> true heavy-hitter count)."""
+    from metevents_spark.text import vocab_top_terms, vocab_top_terms_approx
+
+    from tests.conftest import SF_SMALL
+
+    exact = vocab_top_terms(spark, SF_SMALL, k=20).collect()
+    approx = vocab_top_terms_approx(spark, SF_SMALL, k=20).collect()
+    assert [(r["token"], r["n"]) for r in exact] == [
+        (r["token"], r["n"]) for r in approx
+    ]
