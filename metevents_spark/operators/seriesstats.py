@@ -135,38 +135,80 @@ def ewma_smooth(
     (1-a)^(-i) intermediate terms that overflow past a few thousand
     rows, so no window/SQL formulation exists and the driver check is
     rows-only; tests/test_seriesstats.py holds it to pandas' ewm
-    differentially. Runs on the streaming sorted-partition kernel
-    (operators/grouped.py): ONE sid exchange, one numpy pass per
-    series, state O(1). NaN inputs emit the carried mean and leave
-    state unchanged (pandas ignore_na=True).
+    differentially. ONE sid exchange + in-partition sort, then a
+    dedicated mapInPandas: series boundaries found vectorized
+    (np.flatnonzero), each segment folded by pandas' C-implemented
+    ``ewm(adjust=False, ignore_na=True)``, and the output assembled
+    as COLUMN ARRAYS — the generic tuple-per-row kernel protocol
+    (operators/grouped.py) measured ~4x slower here because EWMA
+    emits one row per input row and the tuple list dominates. NaN
+    inputs emit the carried mean and leave state unchanged.
     """
+    from collections.abc import Iterator
+
     import numpy as np
+    import pandas as pd
 
-    from metevents_spark.operators.grouped import map_series_kernel
+    df = series_frame(spark, sf_dir)
+    num_partitions = int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    prepared = df.select("sid", "ts", "value", "seq").repartition(
+        num_partitions, "sid"
+    ).sortWithinPartitions("sid", "ts", "seq")
 
-    def kernel(sid: str, ts: np.ndarray, values: np.ndarray) -> list[tuple]:
-        out = np.empty_like(values)
-        m = np.nan
-        started = False
-        for i, x in enumerate(values):
-            if np.isnan(x):
-                out[i] = m if started else np.nan
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_sid: str | None = None
+        c_ts = c_v = None  # carried arrays for the partition-tail series
+
+        def fold(sid, ts, vals) -> pd.DataFrame:
+            ew = (
+                pd.Series(vals)
+                .ewm(alpha=alpha, adjust=False, ignore_na=True)
+                .mean()
+                .to_numpy()
+            )
+            return pd.DataFrame(
+                {
+                    "sid": np.repeat(np.array([sid], dtype=object), len(ts)),
+                    "ts": ts,
+                    "value": vals,
+                    "ewma": np.round(ew, 6),
+                }
+            )
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
                 continue
-            m = x if not started else (1.0 - alpha) * m + alpha * x
-            started = True
-            out[i] = m
-        return list(zip([sid] * len(ts), ts, values, np.round(out, 6)))
+            sids = pdf["sid"].to_numpy(dtype=object)
+            ts = pdf["ts"].to_numpy(dtype="datetime64[us]")
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            change = np.flatnonzero(sids[1:] != sids[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [n]))
+            outs = []
+            for i in range(len(starts)):
+                s, e = int(starts[i]), int(ends[i])
+                sid, seg_ts, seg_v = sids[s], ts[s:e], vals[s:e]
+                if c_sid is not None:
+                    if c_sid == sid:
+                        seg_ts = np.concatenate((c_ts, seg_ts))
+                        seg_v = np.concatenate((c_v, seg_v))
+                    else:
+                        outs.append(fold(c_sid, c_ts, c_v))
+                    c_sid = None
+                if i == len(starts) - 1:
+                    c_sid, c_ts, c_v = sid, seg_ts, seg_v
+                else:
+                    outs.append(fold(sid, seg_ts, seg_v))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+        if c_sid is not None:
+            yield fold(c_sid, c_ts, c_v)
 
-    return map_series_kernel(
-        series_frame(spark, sf_dir).select("sid", "ts", "value", F.col("seq")),
-        kernel,
-        schema="sid string, ts timestamp, value double, ewma double",
-        out_columns=["sid", "ts", "value", "ewma"],
-        out_dtypes={
-            "ts": "datetime64[us]",
-            "value": "float64",
-            "ewma": "float64",
-        },
+    return prepared.mapInPandas(
+        run, "sid string, ts timestamp, value double, ewma double"
     ).orderBy("sid", "ts")
 
 
