@@ -10,3 +10,7 @@ from metevents_spark.streaming.funnel import (  # noqa: F401
     advance_funnel,
     stream_funnel,
 )
+from metevents_spark.streaming.drift import (  # noqa: F401
+    drift_reference,
+    stream_drift,
+)

@@ -403,3 +403,82 @@ def test_stream_zscore_chunk_invariant_and_matches_expanding(
         z[mask.to_numpy()].round(6).to_numpy(),
         atol=1e-6,
     )
+
+
+def test_stream_drift_matches_batch(spark, stream_dir):
+    """Streaming per-window PSI equals the same computation done in
+    batch over the full input (complete mode, zero watermark)."""
+    from pyspark.sql import functions as F
+
+    from metevents_spark.io import load_table
+    from metevents_spark.streaming.drift import (
+        N_BINS,
+        _bin,
+        drift_reference,
+        stream_drift,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("ts", "event_type", "value")
+    Path(stream_dir, "dr").mkdir()
+    pdf = ev.toPandas()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(f"{stream_dir}/dr/c0.parquet", coerce_timestamps="us")
+    time.sleep(0.05)
+    pdf.iloc[half:].to_parquet(f"{stream_dir}/dr/c1.parquet", coerce_timestamps="us")
+
+    ref = drift_reference(spark, sf)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/dr")
+    )
+    q = (
+        stream_drift(stream, ref, window="1 week", watermark="0 seconds")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("drift_out")
+        .option("checkpointLocation", f"{stream_dir}/dr_ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.win_start, r.event_type): (r.n, r.psi)
+        for r in spark.sql("SELECT * FROM drift_out").collect()
+    }
+    assert got, "stream produced no windows"
+
+    # batch equivalent over the same data
+    evf = ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    hist = evf.groupBy(
+        F.window("ts", "1 week").alias("win"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(_bin(F.col("value")) == i, 1).otherwise(0)).alias(f"c{i}")
+            for i in range(N_BINS)
+        ],
+    )
+    pa = [
+        (F.col(f"c{i}") + 1.0) / (F.col("n") + F.lit(float(N_BINS)))
+        for i in range(N_BINS)
+    ]
+    psi = sum(
+        (pa[i] - F.col(f"r{i}")) * F.log(pa[i] / F.col(f"r{i}"))
+        for i in range(N_BINS)
+    )
+    batch = (
+        hist.join(ref, "event_type")
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            F.round(psi, 6).alias("psi"),
+        )
+        .collect()
+    )
+    expected = {(r.win_start, r.event_type): (r.n, r.psi) for r in batch}
+    assert got == expected
+    # sanity: PSI of a window against its own corpus-wide reference is small
+    assert all(abs(v[1]) < 1.0 for v in got.values())
