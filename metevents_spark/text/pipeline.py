@@ -247,10 +247,19 @@ def quality_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank. Keeping is the engine-portable LCG residue test used by
     :func:`source_mix_sample` — no RNG state, bit-identical everywhere.
     """
+    from pyspark import StorageLevel
+
+    from metevents_spark.cache import track
+
     scored = unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    docs = scored.join(src, "doc_id").withColumn(
-        "qb", F.floor("avg_logprob").cast("long")
+    # doc-level scored frame feeds the local-rank window, the bucket
+    # sizes, and the offsets join; without a persist each consumer
+    # re-runs the whole unigram-LM pipeline (8 corpus scans observed)
+    docs = track(
+        scored.join(src, "doc_id")
+        .withColumn("qb", F.floor("avg_logprob").cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     w_local = Window.partitionBy("source", "qb").orderBy(
         F.col("avg_logprob").desc(), F.col("doc_id").asc()
