@@ -116,6 +116,8 @@ HEADLINE = [
     "quality_bucket_sample",
     "value_drift_psi",
     "vocab_top_terms_approx",
+    "cusum_alarm",
+    "series_trend",
     "data_expectations",
     "nation_trade_flow",
 ]

@@ -92,6 +92,32 @@ def robust_zscore(
     )
 
 
+def series_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series linear trend via the SQL regression aggregates:
+    slope (value units per HOUR), intercept, fit quality (r²), and
+    point count — the operator family (regr_*) nothing else in the
+    registry exercises. One groupBy exchange; the x coordinate is
+    epoch-hours so slopes stay in human magnitudes. NULL/NaN points
+    drop first (regr_* would skip NULLs anyway; NaNs would poison the
+    sums). Series need >= 2 points for a defined slope.
+    """
+    df = series_frame(spark, sf_dir).filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    x = (epoch_us(F.col("ts")) / F.lit(3.6e9)).alias("x")
+    out = (
+        df.select("sid", F.col("value").alias("y"), x)
+        .groupBy("sid")
+        .agg(
+            F.regr_count("y", "x").alias("n_points"),
+            F.round(F.regr_slope("y", "x"), 5).alias("slope_per_hour"),
+            F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+            F.round(F.regr_r2("y", "x"), 5).alias("r2"),
+        )
+    )
+    return out.filter(F.col("n_points") >= 2).orderBy("sid")
+
+
 def seasonal_anomaly(
     spark: SparkSession, sf_dir: str, z_thresh: float = 1.5
 ) -> DataFrame:

@@ -102,11 +102,13 @@ from metevents_spark.similarity import (
 )
 from metevents_spark.operators.resample import gap_fill_hourly
 from metevents_spark.quality import data_expectations, value_drift_psi
+from metevents_spark.operators.changepoint import cusum_alarm
 from metevents_spark.operators.seriesstats import (
     ewma_smooth,
     robust_zscore,
     rolling_mean,
     seasonal_anomaly,
+    series_trend,
     trailing_24h_mean,
     zscore_anomaly,
 )
@@ -1382,6 +1384,37 @@ SELECT event_type, CAST(SUM(n_a) AS BIGINT) AS n_a,
        ROUND(SUM(contrib), 6) AS psi
 FROM c GROUP BY event_type ORDER BY event_type
 """,
+    "cusum_alarm": f"""
+WITH {_SERIES},
+clean AS (SELECT * FROM series WHERE value IS NOT NULL AND NOT isnan(value)),
+std AS (SELECT sid, seq, ts, value,
+        (value - AVG(value) OVER (PARTITION BY sid))
+          / STDDEV_SAMP(value) OVER (PARTITION BY sid) AS d
+        FROM clean),
+cum AS (SELECT sid, seq, ts, value,
+        SUM(d) OVER (PARTITION BY sid ORDER BY ts, seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM std),
+st AS (SELECT sid, seq, ts, value,
+       ROUND(c - MIN(c) OVER (PARTITION BY sid ORDER BY ts, seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS s_pos,
+       ROUND(MAX(c) OVER (PARTITION BY sid ORDER BY ts, seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c, 6) AS s_neg
+       FROM cum)
+SELECT * FROM st WHERE s_pos > 5.0 OR s_neg > 5.0 ORDER BY sid, ts, seq
+""",
+    "series_trend": f"""
+WITH {_SERIES},
+clean AS (SELECT sid, value AS y, epoch_us(ts) / 3.6e9 AS x
+          FROM series WHERE value IS NOT NULL AND NOT isnan(value)),
+fit AS (SELECT sid,
+        CAST(regr_count(y, x) AS BIGINT) AS n_points,
+        ROUND(regr_slope(y, x), 5) AS slope_per_hour,
+        ROUND(regr_intercept(y, x), 4) AS intercept,
+        ROUND(regr_r2(y, x), 5) AS r2
+        FROM clean GROUP BY sid)
+SELECT * FROM fit WHERE n_points >= 2 ORDER BY sid
+""",
 }
 
 
@@ -1502,6 +1535,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_bucket_sample": quality_bucket_sample,
     # distribution drift monitoring (histogram PSI between time windows)
     "value_drift_psi": value_drift_psi,
+    # change-point detection (windowed CUSUM, no recursion)
+    "cusum_alarm": cusum_alarm,
+    # per-series regression-aggregate trend fit
+    "series_trend": series_trend,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width
