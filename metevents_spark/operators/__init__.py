@@ -7,3 +7,7 @@ from metevents_spark.operators.detectors import (  # noqa: F401
 )
 from metevents_spark.operators.storms import storm_find  # noqa: F401
 from metevents_spark.operators.spikes import spike_valley  # noqa: F401
+from metevents_spark.operators.changepoint import cusum_alarm  # noqa: F401
+from metevents_spark.operators.intervals import (  # noqa: F401
+    interval_overlap_join,
+)
