@@ -101,3 +101,32 @@ def test_overlap_join_plan_has_no_cartesian(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_overlap_join_property_fuzz(spark):
+    """Hypothesis-style fuzz without per-example Spark jobs: many random
+    interval regimes packed into one frame pair, compared to the naive
+    join, across bucket sizes that straddle the interval lengths."""
+    import itertools
+
+    for seed, bucket_s in itertools.product([11, 29, 47], [120.0, 3600.0, 86400.0]):
+        left = _intervals(spark, seed, 80, 5000.0)
+        right = _intervals(spark, seed + 1000, 60, 5000.0)
+        got = (
+            interval_overlap_join(
+                left.select("sid", "iid", "start", "stop"),
+                right.select("sid", "iid", "start", "stop"),
+                bucket_s=bucket_s,
+            )
+            .select("sid", "iid_a", "iid_b", "overlap_us")
+            .toPandas()
+            .sort_values(["sid", "iid_a", "iid_b"])
+            .reset_index(drop=True)
+        )
+        want = (
+            _naive(left, right)
+            .toPandas()
+            .sort_values(["sid", "iid_a", "iid_b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False), (seed, bucket_s)
