@@ -115,3 +115,60 @@ def test_register_views_sql_surface(spark):
         """
     ).collect()
     assert len(top) >= 2
+
+
+def test_remaining_event_classes_find(spark):
+    """FlatLine/ExtremeChange/SpikeValley parity classes run end-to-end
+    on pandas Series input (reference events.py class surface)."""
+    from metevents_spark.api import (
+        ExtremeChangeEvent,
+        FlatLineEvent,
+        SpikeValleyEvent,
+    )
+
+    flat = FlatLineEvent(
+        daily_series([1.0, 1.0, 1.0, 1.0, 5.0, 6.0, 7.0]), spark=spark
+    )
+    flat.find(min_len=3, slope_thresh=0.0)
+    assert flat.N == 1
+    p = flat.events[0]
+    # reference diff semantics: the first point has no previous diff,
+    # so the flat run is points 2..4 -> a 2-day span
+    assert (p.stop - p.start).days == 2
+
+    chg = ExtremeChangeEvent(
+        daily_series([0.0, 0.0, 10.0, 10.0, 0.0]), spark=spark
+    )
+    chg.find(min_len=1, positive_slope_thresh=5.0, negative_slope_thresh=-5.0)
+    assert chg.N == 2  # one up-jump, one down-jump
+
+    # reference golden shape: one prominent spike -> one event
+    vals = [0.0] * 10 + [500.0] + [0.0] * 10
+    spike = SpikeValleyEvent(daily_series(vals), spark=spark)
+    spike.find(prominence=100.0)
+    assert spike.N == 1
+
+
+def test_io_sink_and_adapter_roundtrip(spark, tmp_path):
+    """write_events sink + series_from_columns adapter round-trip."""
+    import pandas as pd
+
+    from metevents_spark.io import series_from_columns, write_events
+
+    pdf = pd.DataFrame(
+        {
+            "station": ["a", "a", "b"],
+            "when": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-01"]
+            ),
+            "reading": [1.0, 2.0, 3.0],
+        }
+    )
+    src = spark.createDataFrame(pdf)
+    ser = series_from_columns(src, "station", "when", "reading")
+    assert ser.columns == ["sid", "seq", "ts", "value"]
+    out = str(tmp_path / "events_out")
+    write_events(ser, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert set(back.columns) == {"sid", "seq", "ts", "value"}
