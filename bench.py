@@ -118,6 +118,8 @@ HEADLINE = [
     "vocab_top_terms_approx",
     "cusum_alarm",
     "series_trend",
+    "loyal_customers",
+    "nation_revenue_share",
     "data_expectations",
     "nation_trade_flow",
 ]

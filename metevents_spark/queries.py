@@ -38,6 +38,8 @@ from metevents_spark.operators.sessions import sessionize
 from metevents_spark.functions import freq_infer
 from metevents_spark.relational import (
     brand_revenue,
+    loyal_customers,
+    nation_revenue_share,
     daily_rollup,
     event_pair_lift,
     funnel_conversion,
@@ -1415,6 +1417,36 @@ fit AS (SELECT sid,
         FROM clean GROUP BY sid)
 SELECT * FROM fit WHERE n_points >= 2 ORDER BY sid
 """,
+    "loyal_customers": """
+WITH q AS (
+  SELECT o_custkey, COUNT(*) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY o_custkey
+  HAVING COUNT(DISTINCT year(o_orderdate)) = 3)
+SELECT c_custkey, c_name, CAST(n_orders AS BIGINT) AS n_orders
+FROM q JOIN customer ON o_custkey = c_custkey
+ORDER BY c_custkey
+""",
+    "nation_revenue_share": """
+WITH pn AS (
+  SELECT r_name AS region, n_name AS nation,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name)
+SELECT region, nation,
+  ROUND(CAST(cents AS DOUBLE) / 100.0, 3) AS revenue,
+  ROUND(CAST(cents AS DOUBLE)
+        / CAST(SUM(cents) OVER (PARTITION BY region) AS DOUBLE), 6)
+    AS share_region,
+  ROUND(CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER () AS DOUBLE), 6)
+    AS share_global
+FROM pn ORDER BY region, nation
+""",
 }
 
 
@@ -1539,6 +1571,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_alarm": cusum_alarm,
     # per-series regression-aggregate trend fit
     "series_trend": series_trend,
+    # relational division ("for all" shape) and ratio-to-report windows
+    "loyal_customers": loyal_customers,
+    "nation_revenue_share": nation_revenue_share,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width

@@ -654,3 +654,79 @@ def nation_trade_flow(
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+def loyal_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION: customers with at least one order in EVERY
+    year 1995-1997 — the "for all" query shape (division = grouped
+    distinct-count equal to the divisor's cardinality; no join per
+    divisor row). One orders scan with the year filter pushed down,
+    one groupBy on custkey, then a broadcast-eligible join to pick up
+    the customer name.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    qualified = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01 00:00:00")
+            & (F.col("o_orderdate") < "1998-01-01 00:00:00")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.countDistinct(F.year("o_orderdate")).alias("n_years"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_years") == 3)
+    )
+    return (
+        qualified.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey"), F.col("c_name"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each customer nation's order revenue as a share
+    of its region and of the world — windows OVER an aggregate (the
+    two denominator sums are partition-total window aggregates on the
+    |nations|-sized rollup, so the expensive exchange happens once on
+    the fact side and the shares are free). Money in exact cents.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_nation = (
+        orders.select("o_custkey", cents.alias("cents"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.sum("cents").alias("cents"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "cents",
+        )
+    )
+    w_reg = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return (
+        per_nation.select(
+            "region",
+            "nation",
+            F.round(F.col("cents") / 100.0, 3).alias("revenue"),
+            F.round(
+                F.col("cents").cast("double") / F.sum("cents").over(w_reg), 6
+            ).alias("share_region"),
+            F.round(
+                F.col("cents").cast("double") / F.sum("cents").over(w_all), 6
+            ).alias("share_global"),
+        )
+        .orderBy("region", "nation")
+    )
