@@ -118,6 +118,7 @@ HEADLINE = [
     "vocab_top_terms_approx",
     "cusum_alarm",
     "series_trend",
+    "series_quantile_bands",
     "loyal_customers",
     "nation_revenue_share",
     "data_expectations",

@@ -118,6 +118,52 @@ def series_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("n_points") >= 2).orderBy("sid")
 
 
+def series_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series exact interpolated percentile bands (p10/p50/p90),
+    IQR, and the count of points outside the Tukey 1.5×IQR fences —
+    grouped exact percentiles, where ``value_quantiles`` is global.
+
+    Two exchanges: the percentile aggregate per sid (sid-sized output)
+    joins back to the scan for the fence count — AQE broadcasts the
+    stats side. Both engines use the same continuous-quantile
+    interpolation, so the bands hash bit-stably after rounding.
+    """
+    df = series_frame(spark, sf_dir).filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    pct = F.percentile(
+        "value",
+        F.array(*[F.lit(q) for q in (0.1, 0.25, 0.5, 0.75, 0.9)]),
+    )
+    stats = df.groupBy("sid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.element_at(pct, 1).alias("q10"),
+        F.element_at(pct, 2).alias("q25"),
+        F.element_at(pct, 3).alias("q50"),
+        F.element_at(pct, 4).alias("q75"),
+        F.element_at(pct, 5).alias("q90"),
+    )
+    iqr = F.col("q75") - F.col("q25")
+    lo = F.col("q25") - 1.5 * iqr
+    hi = F.col("q75") + 1.5 * iqr
+    out_flag = (F.col("value") < lo) | (F.col("value") > hi)
+    return (
+        df.join(stats, "sid")
+        .groupBy("sid")
+        .agg(
+            F.first("n").alias("n"),
+            F.round(F.first("q10"), 6).alias("p10"),
+            F.round(F.first("q50"), 6).alias("p50"),
+            F.round(F.first("q90"), 6).alias("p90"),
+            F.round(F.first(iqr), 6).alias("iqr"),
+            F.sum(F.when(out_flag, 1).otherwise(0)).cast("long").alias(
+                "n_outliers"
+            ),
+        )
+        .orderBy("sid")
+    )
+
+
 def seasonal_anomaly(
     spark: SparkSession, sf_dir: str, z_thresh: float = 1.5
 ) -> DataFrame:

@@ -110,6 +110,7 @@ from metevents_spark.operators.seriesstats import (
     robust_zscore,
     rolling_mean,
     seasonal_anomaly,
+    series_quantile_bands,
     series_trend,
     trailing_24h_mean,
     zscore_anomaly,
@@ -1447,6 +1448,24 @@ SELECT region, nation,
     AS share_global
 FROM pn ORDER BY region, nation
 """,
+    "series_quantile_bands": f"""
+WITH {_SERIES},
+clean AS (SELECT sid, value FROM series
+          WHERE value IS NOT NULL AND NOT isnan(value)),
+stats AS (SELECT sid, COUNT(*) AS n,
+          quantile_cont(value, 0.1) AS q10, quantile_cont(value, 0.25) AS q25,
+          quantile_cont(value, 0.5) AS q50, quantile_cont(value, 0.75) AS q75,
+          quantile_cont(value, 0.9) AS q90
+          FROM clean GROUP BY sid)
+SELECT c.sid, MIN(n) AS n,
+       ROUND(MIN(q10), 6) AS p10, ROUND(MIN(q50), 6) AS p50,
+       ROUND(MIN(q90), 6) AS p90, ROUND(MIN(q75 - q25), 6) AS iqr,
+       CAST(SUM(CASE WHEN value < q25 - 1.5 * (q75 - q25)
+                       OR value > q75 + 1.5 * (q75 - q25)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM clean c JOIN stats s ON c.sid = s.sid
+GROUP BY c.sid ORDER BY c.sid
+""",
 }
 
 
@@ -1571,6 +1590,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_alarm": cusum_alarm,
     # per-series regression-aggregate trend fit
     "series_trend": series_trend,
+    # per-series exact percentile bands + Tukey-fence outlier counts
+    "series_quantile_bands": series_quantile_bands,
     # relational division ("for all" shape) and ratio-to-report windows
     "loyal_customers": loyal_customers,
     "nation_revenue_share": nation_revenue_share,
