@@ -158,6 +158,8 @@ def main() -> None:
         extract_domains(F.col("text")), *pii_scrub_columns(F.col("text"))
     ).write.format("noop").mode("overwrite").save()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -165,6 +167,12 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # outside the timed region: drop the query's DataFrame refs so
+        # the ContextCleaner can release its localCheckpoint blocks —
+        # across 100 queries the retained blocks otherwise build GC
+        # pressure that pollutes later per-query timings
+        del df
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(

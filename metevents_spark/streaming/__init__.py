@@ -13,4 +13,5 @@ from metevents_spark.streaming.funnel import (  # noqa: F401
 from metevents_spark.streaming.drift import (  # noqa: F401
     drift_reference,
     stream_drift,
+    stream_value_quantiles,
 )

@@ -56,6 +56,41 @@ def drift_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_value_quantiles(
+    stream_df: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 day",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """-> (win_start, event_type, n, p25, p50, p75) per tumbling
+    window: streaming quantile monitoring on the mergeable
+    approx-percentile (KLL/GK-family) sketch — exact quantiles need a
+    global sort, which a stream cannot do, so the sketch IS the
+    streaming-native (and 100 TB) formulation; ``accuracy`` trades
+    state size for error exactly like the batch
+    ``value_quantiles_approx``."""
+    pct = F.percentile_approx(
+        "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+        F.lit(accuracy),
+    )
+    return (
+        stream_df.filter(
+            F.col("value").isNotNull() & ~F.isnan("value")
+        )
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), pct.alias("p"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            F.round(F.element_at("p", 1), 6).alias("p25"),
+            F.round(F.element_at("p", 2), 6).alias("p50"),
+            F.round(F.element_at("p", 3), 6).alias("p75"),
+        )
+    )
+
+
 def stream_drift(
     stream_df: DataFrame,
     reference: DataFrame,

@@ -482,3 +482,62 @@ def test_stream_drift_matches_batch(spark, stream_dir):
     assert got == expected
     # sanity: PSI of a window against its own corpus-wide reference is small
     assert all(abs(v[1]) < 1.0 for v in got.values())
+
+
+def test_stream_value_quantiles_matches_batch(spark, stream_dir):
+    """Streaming per-window approx quantiles equal the identical batch
+    sketch computation (same accuracy, same windows)."""
+    from pyspark.sql import functions as F
+
+    from metevents_spark.io import load_table
+    from metevents_spark.streaming import stream_value_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("ts", "event_type", "value")
+    Path(stream_dir, "vq").mkdir()
+    pdf = ev.toPandas()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(f"{stream_dir}/vq/c0.parquet", coerce_timestamps="us")
+    time.sleep(0.05)
+    pdf.iloc[half:].to_parquet(f"{stream_dir}/vq/c1.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/vq")
+    )
+    q = (
+        stream_value_quantiles(stream, window="1 week", watermark="0 seconds")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("vq_out")
+        .option("checkpointLocation", f"{stream_dir}/vq_ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.win_start, r.event_type): (r.n, r.p25, r.p50, r.p75)
+        for r in spark.sql("SELECT * FROM vq_out").collect()
+    }
+    assert got
+
+    pct = F.percentile_approx(
+        "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+    )
+    batch = (
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy(F.window("ts", "1 week").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), pct.alias("p"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n",
+            F.round(F.element_at("p", 1), 6).alias("p25"),
+            F.round(F.element_at("p", 2), 6).alias("p50"),
+            F.round(F.element_at("p", 3), 6).alias("p75"),
+        )
+        .collect()
+    )
+    expected = {
+        (r.win_start, r.event_type): (r.n, r.p25, r.p50, r.p75) for r in batch
+    }
+    assert got == expected
