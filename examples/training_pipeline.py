@@ -1,0 +1,70 @@
+"""End-to-end training-data pipeline over the documents corpus:
+
+    dedup (exact -> MinHash clusters -> keep list)
+      -> quality gate (composite filter + unigram-LM deciles)
+      -> decontamination (eval n-gram overlap)
+      -> packing (token budget sequences)
+
+Run: python examples/training_pipeline.py [sf_dir]
+Every stage is the registry operator the correctness gate checks;
+this script just chains them the way a pipeline owner would.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+from pyspark.sql import functions as F
+
+from metevents_spark.session import get_spark
+from metevents_spark.text.dedup import dedup_keep_list, exact_dedup
+from metevents_spark.text.pipeline import (
+    decontaminate_ngram,
+    quality_bucket_sample,
+    sequence_pack,
+)
+from metevents_spark.text import quality_filter
+
+spark = get_spark(master="local[8]", shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+
+n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+print(f"corpus: {n_docs} documents")
+
+# 1. dedup: exact groups, then near-dup clusters -> one keeper per cluster
+groups = exact_dedup(spark, sf_dir)
+print(f"  exact-distinct texts: {groups.count()}")
+keep = dedup_keep_list(spark, sf_dir, threshold=0.5)
+kept = keep.filter("keep")
+print(f"  after near-dup clustering keep: {kept.count()}")
+
+# 2. quality: composite gate + quality-decile downsampling
+passed = quality_filter(spark, sf_dir)
+print(f"  quality gate passes: {passed.count()}")
+sampled = quality_bucket_sample(spark, sf_dir)
+print(f"  quality-bucket sample keeps: {sampled.count()}")
+
+# 3. decontamination report (eval-set n-gram overlap)
+contam = decontaminate_ngram(spark, sf_dir)
+print(f"  docs flagged by eval-overlap: {contam.count()}")
+
+# 4. the surviving set -> packed training sequences
+survivors = (
+    kept.select("doc_id")
+    .join(passed.select("doc_id"), "doc_id")
+    .join(sampled.select("doc_id"), "doc_id")
+    .join(contam.select("doc_id"), "doc_id", "left_anti")
+)
+n_surv = survivors.count()
+packs = sequence_pack(spark, sf_dir)
+print(f"survivors into packing: {n_surv}")
+print(
+    f"packed sequences (whole corpus): {packs.count()} "
+    f"(mean fill {packs.agg(F.round(F.avg('fill_ratio'), 3)).collect()[0][0]})"
+)
+spark.stop()
