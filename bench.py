@@ -119,6 +119,7 @@ HEADLINE = [
     "cusum_alarm",
     "series_trend",
     "series_quantile_bands",
+    "embedding_quantize",
     "loyal_customers",
     "nation_revenue_share",
     "data_expectations",

@@ -97,6 +97,7 @@ from metevents_spark.session import tune_session
 from metevents_spark.similarity import (
     embedding_near_dup,
     embedding_norms,
+    embedding_quantize,
     knn_cosine,
     knn_ivf,
     knn_lsh,
@@ -1466,6 +1467,23 @@ SELECT c.sid, MIN(n) AS n,
 FROM clean c JOIN stats s ON c.sid = s.sid
 GROUP BY c.sid ORDER BY c.sid
 """,
+    "embedding_quantize": """
+WITH q AS (
+  SELECT vec_id, len(embedding) AS dim,
+         list_max(list_transform(embedding,
+                  v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings),
+e AS (
+  SELECT m.vec_id, q.dim, q.scale,
+         sqrt(list_aggregate(list_transform(m.embedding, v ->
+             pow(CAST(v AS DOUBLE)
+                 - floor(CAST(v AS DOUBLE) / q.scale + 0.5) * q.scale, 2)),
+           'sum') / q.dim) AS rms
+  FROM embeddings m JOIN q USING (vec_id))
+SELECT vec_id, CAST(dim AS BIGINT) AS dim, ROUND(scale, 9) AS scale,
+       CASE WHEN scale = 0.0 THEN 0.0 ELSE ROUND(rms, 9) END AS rms_err
+FROM e ORDER BY vec_id
+""",
 }
 
 
@@ -1590,6 +1608,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_alarm": cusum_alarm,
     # per-series regression-aggregate trend fit
     "series_trend": series_trend,
+    # int8 quantization + reconstruction-error audit over embeddings
+    "embedding_quantize": embedding_quantize,
     # per-series exact percentile bands + Tukey-fence outlier counts
     "series_quantile_bands": series_quantile_bands,
     # relational division ("for all" shape) and ratio-to-report windows

@@ -1,6 +1,7 @@
 from metevents_spark.similarity.knn import (  # noqa: F401
     embedding_near_dup,
     embedding_norms,
+    embedding_quantize,
     knn_cosine,
     knn_ivf,
     knn_lsh,

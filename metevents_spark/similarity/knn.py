@@ -52,6 +52,42 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization report per vector: absmax scale
+    (absmax/127) and the RMS reconstruction error of
+    ``round(v/scale) * scale`` — the compression step a vector store
+    applies before indexing billions of embeddings, plus the error
+    audit that decides whether int8 is safe for the corpus.
+
+    Entirely map-side higher-order array expressions (transform /
+    aggregate fold, no explode, no shuffle except the output sort).
+    Rounding uses ``floor(x + 0.5)`` — engine-portable, unlike
+    round-half-even vs half-up divergence at exact .5 ties.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = absmax / F.lit(127.0)
+    err_sq = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.pow(x - F.floor(x / scale + 0.5) * scale, 2),
+    )
+    rms = F.sqrt(err_sq / F.size(v))
+    return (
+        emb.select(
+            "vec_id",
+            F.size(v).cast("long").alias("dim"),
+            F.round(scale, 9).alias("scale"),
+            F.when(absmax == 0.0, F.lit(0.0))
+            .otherwise(F.round(rms, 9))
+            .alias("rms_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def _topk_per_query(scored: DataFrame, k: int, n_salts: int = 32) -> DataFrame:
     """Exact two-phase top-k of (q_id, vec_id, cosine) per query.
 
