@@ -2,13 +2,14 @@
 reference's threshold detectors can't express (a slow mean shift never
 trips a per-point threshold).
 
-The textbook recursion S_i = max(0, S_{i-1} + d_i) looks stateful, but
-has a closed windowed form: with C = running_sum(d),
-``S_i = C_i - running_min(C)_i`` (and the downward side
-``running_max(C)_i - C_i``) — so the whole detector is three running
-frames over one (sid) exchange, O(n) per series, fully
-whole-stage-codegen and expressible in ANSI SQL for the oracle. No
-kernel, no recursion.
+The textbook one-sided recursion S_i = max(0, S_{i-1} + z_i - k)
+(slack k absorbs stationary noise so the statistic only accumulates
+sustained shifts) looks stateful, but has a closed windowed form:
+with C = running_sum(z - k), ``S_i = C_i - running_min(C)_i`` — and
+the downward side is the same form over ``-z - k``. So the whole
+two-sided detector is running frames over one (sid) exchange, O(n)
+per series, fully whole-stage-codegen and expressible in ANSI SQL for
+the oracle. No kernel, no recursion.
 """
 
 from __future__ import annotations
@@ -21,15 +22,19 @@ from metevents_spark.io import series_frame
 
 
 def cusum_alarm(
-    spark: SparkSession, sf_dir: str, h: float = 5.0
+    spark: SparkSession, sf_dir: str, h: float = 5.0, slack: float = 0.5
 ) -> DataFrame:
-    """Rows where the standardized CUSUM statistic exceeds ``h`` in
-    either direction: s_pos flags upward mean shifts, s_neg downward.
+    """Rows where the two-sided CUSUM statistic exceeds ``h``: s_pos
+    flags upward mean shifts, s_neg downward.
 
-    d_i standardizes each point against ITS series' mean/std (so ``h``
-    is in sigma units); NULL/NaN points are excluded up front — a NaN
-    would poison every later cumulative sum, and NaN comparison
-    semantics differ across engines.
+    z_i standardizes each point against ITS series' mean/std, so
+    ``h`` and ``slack`` are in sigma units (the classic h=5, k=0.5
+    tuning: ~0 false alarms on stationary noise, fast detection of
+    sustained >=1-sigma shifts — without the slack a stationary
+    series' statistic random-walks past any threshold). NULL/NaN
+    points are excluded up front — a NaN would poison every later
+    cumulative sum, and NaN comparison semantics differ across
+    engines.
     """
     df = series_frame(spark, sf_dir).filter(
         F.col("value").isNotNull() & ~F.isnan("value")
@@ -40,14 +45,16 @@ def cusum_alarm(
         .orderBy("ts", "seq")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    d = (F.col("value") - F.avg("value").over(wp)) / F.stddev_samp(
+    z = (F.col("value") - F.avg("value").over(wp)) / F.stddev_samp(
         "value"
     ).over(wp)
     stat = (
-        df.withColumn("d", d)
-        .withColumn("c", F.sum("d").over(run))
-        .withColumn("s_pos", F.round(F.col("c") - F.min("c").over(run), 6))
-        .withColumn("s_neg", F.round(F.max("c").over(run) - F.col("c"), 6))
+        df.withColumn("dp", z - slack)
+        .withColumn("dn", -z - slack)
+        .withColumn("cp", F.sum("dp").over(run))
+        .withColumn("cn", F.sum("dn").over(run))
+        .withColumn("s_pos", F.round(F.col("cp") - F.min("cp").over(run), 6))
+        .withColumn("s_neg", F.round(F.col("cn") - F.min("cn").over(run), 6))
     )
     return (
         stat.filter((F.col("s_pos") > h) | (F.col("s_neg") > h))

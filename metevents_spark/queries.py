@@ -1393,17 +1393,19 @@ WITH {_SERIES},
 clean AS (SELECT * FROM series WHERE value IS NOT NULL AND NOT isnan(value)),
 std AS (SELECT sid, seq, ts, value,
         (value - AVG(value) OVER (PARTITION BY sid))
-          / STDDEV_SAMP(value) OVER (PARTITION BY sid) AS d
+          / STDDEV_SAMP(value) OVER (PARTITION BY sid) AS z
         FROM clean),
 cum AS (SELECT sid, seq, ts, value,
-        SUM(d) OVER (PARTITION BY sid ORDER BY ts, seq
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        SUM(z - 0.5) OVER (PARTITION BY sid ORDER BY ts, seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        SUM(-z - 0.5) OVER (PARTITION BY sid ORDER BY ts, seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
         FROM std),
 st AS (SELECT sid, seq, ts, value,
-       ROUND(c - MIN(c) OVER (PARTITION BY sid ORDER BY ts, seq
+       ROUND(cp - MIN(cp) OVER (PARTITION BY sid ORDER BY ts, seq
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS s_pos,
-       ROUND(MAX(c) OVER (PARTITION BY sid ORDER BY ts, seq
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c, 6) AS s_neg
+       ROUND(cn - MIN(cn) OVER (PARTITION BY sid ORDER BY ts, seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS s_neg
        FROM cum)
 SELECT * FROM st WHERE s_pos > 5.0 OR s_neg > 5.0 ORDER BY sid, ts, seq
 """,

@@ -1,4 +1,5 @@
 from metevents_spark.streaming.detect import (  # noqa: F401
+    stream_cusum,
     stream_daily_rollup,
     stream_dedup,
     stream_sessions,

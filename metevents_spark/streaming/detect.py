@@ -432,3 +432,122 @@ def stream_zscore(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CUSUM_OUTPUT_SCHEMA = (
+    "sid string, ts timestamp, value double, s_pos double, s_neg double"
+)
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s1", DoubleType()),
+        StructField("s2", DoubleType()),
+        StructField("cp", DoubleType()),
+        StructField("cpmin", DoubleType()),
+        StructField("cn", DoubleType()),
+        StructField("cnmin", DoubleType()),
+    ]
+)
+
+
+def _advance_cusum(
+    state: tuple | None,
+    pdf_iter,
+    h: float,
+    min_n: int,
+    slack: float = 0.5,
+):
+    """Two-sided CUSUM step with prior-history standardization: each
+    point's z-score uses the running mean/std of everything BEFORE it
+    (chunking-invariant, like ``_advance_zscore``). Each side folds
+    z -/+ slack into its cumulative path; the statistic is
+    path - running_min(path) (the closed form of
+    ``max(0, S + z - k)``), so the slack absorbs stationary noise and
+    only sustained shifts accumulate. State is seven numbers per
+    series. Vectorized: shifted prefix sums for the prior stats,
+    cumsum for the paths, minimum.accumulate for the extrema.
+    """
+    import numpy as np
+
+    n0, s1_0, s2_0, cp0, cpmin0, cn0, cnmin0 = (
+        state if state is not None else (0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    )
+    out = []
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values("ts")
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        k = len(v)
+        n_prior = n0 + np.arange(k, dtype=np.int64)
+        s1_prior = s1_0 + np.concatenate(([0.0], np.cumsum(v)[:-1]))
+        s2_prior = s2_0 + np.concatenate(([0.0], np.cumsum(v * v)[:-1]))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s1_prior / n_prior
+            var = (s2_prior - s1_prior * s1_prior / n_prior) / (n_prior - 1)
+            sd = np.sqrt(np.maximum(var, 0.0))
+            z = (v - mean) / sd
+        live = (n_prior >= min_n) & (sd > 0)
+        dp = np.where(live, z - slack, 0.0)
+        dn = np.where(live, -z - slack, 0.0)
+        cp = cp0 + np.cumsum(dp)
+        cn = cn0 + np.cumsum(dn)
+        cpmin = np.minimum(cpmin0, np.minimum.accumulate(cp))
+        cnmin = np.minimum(cnmin0, np.minimum.accumulate(cn))
+        s_pos = cp - cpmin
+        s_neg = cn - cnmin
+        ok = (s_pos > h) | (s_neg > h)
+        if ok.any():
+            hit = pdf.iloc[np.flatnonzero(ok)]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "sid": hit["sid"].to_numpy(),
+                        "ts": hit["ts"].to_numpy(),
+                        "value": v[ok],
+                        "s_pos": np.round(s_pos[ok], 6),
+                        "s_neg": np.round(s_neg[ok], 6),
+                    }
+                )
+            )
+        n0 += k
+        s1_0 += float(v.sum())
+        s2_0 += float((v * v).sum())
+        cp0, cpmin0 = float(cp[-1]), float(cpmin[-1])
+        cn0, cnmin0 = float(cn[-1]), float(cnmin[-1])
+    return out, (n0, s1_0, s2_0, cp0, cpmin0, cn0, cnmin0)
+
+
+def stream_cusum(
+    stream_df: DataFrame,
+    h: float = 5.0,
+    min_n: int = 30,
+) -> DataFrame:
+    """Streaming CUSUM mean-shift alarms: the incremental counterpart
+    of the batch ``cusum_alarm`` (operators/changepoint.py). State per
+    series is SIX numbers — running count/sum/sumsq for the
+    standardizer plus the cumulative path value and its running
+    extrema — constant regardless of stream length, no watermark
+    needed."""
+
+    def fn(key, pdf_iter, state: GroupState):
+        (sid,) = key
+        prior = tuple(state.get) if state.exists else None
+        frames, new_state = _advance_cusum(prior, pdf_iter, h, min_n)
+        state.update(new_state)
+        for f in frames:
+            yield f
+
+    return (
+        stream_df.select(
+            F.col("sid"), F.col("ts"), F.col("value").cast("double")
+        )
+        .groupBy("sid")
+        .applyInPandasWithState(
+            fn,
+            CUSUM_OUTPUT_SCHEMA,
+            CUSUM_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

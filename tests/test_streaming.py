@@ -541,3 +541,71 @@ def test_stream_value_quantiles_matches_batch(spark, stream_dir):
         (r.win_start, r.event_type): (r.n, r.p25, r.p50, r.p75) for r in batch
     }
     assert got == expected
+
+
+def test_stream_cusum_chunk_invariant_and_detects_shift(spark, stream_dir):
+    """CUSUM step: (a) verdicts independent of micro-batch chunking,
+    (b) a clear mean shift raises an alarm, a stationary series does
+    not, (c) end-to-end through the streaming engine equals the unit
+    step."""
+    import numpy as np
+    import pandas as pd
+
+    from metevents_spark.streaming import stream_cusum
+    from metevents_spark.streaming.detect import _advance_cusum
+
+    rng = np.random.RandomState(7)
+    base = list(rng.normal(10.0, 1.0, 60))
+    shifted = base + list(rng.normal(13.0, 1.0, 40))   # +3 sigma shift
+    ts = pd.date_range("2024-01-01", periods=100, freq="h")
+
+    def run(vals, chunks):
+        pdf = pd.DataFrame({"sid": "s", "ts": ts[: len(vals)], "value": vals})
+        state = None
+        rows = []
+        for part in np.array_split(pdf, chunks):
+            out, state = _advance_cusum(state, iter([part]), 5.0, 30)
+            rows.extend(out)
+        return (
+            pd.concat(rows, ignore_index=True)
+            if rows
+            else pd.DataFrame(columns=["sid", "ts", "value", "s_pos", "s_neg"])
+        )
+
+    one = run(shifted, 1)
+    three = run(shifted, 3)
+    pd.testing.assert_frame_equal(one, three)
+    assert len(one) > 0 and (one["s_pos"] > 5.0).any()
+    assert len(run(base, 2)) == 0  # stationary -> no alarm
+
+    # end-to-end: streaming engine output equals the unit step
+    Path(stream_dir, "cu").mkdir()
+    pdf = pd.DataFrame({"sid": "s", "ts": ts, "value": shifted})
+    half = 50
+    pdf.iloc[:half].to_parquet(f"{stream_dir}/cu/c0.parquet", coerce_timestamps="us")
+    time.sleep(0.05)
+    pdf.iloc[half:].to_parquet(f"{stream_dir}/cu/c1.parquet", coerce_timestamps="us")
+    stream = (
+        spark.readStream.schema("sid string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/cu")
+    )
+    q = (
+        stream_cusum(stream, h=5.0, min_n=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusum_out")
+        .option("checkpointLocation", f"{stream_dir}/cu_ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM cusum_out")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    want = one.sort_values("ts").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["s_pos"].to_numpy() == want["s_pos"].to_numpy()).all()
