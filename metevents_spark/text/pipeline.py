@@ -261,6 +261,12 @@ def quality_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("qb", F.floor("avg_logprob").cast("long"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Materialize the cache NOW: with a lazy persist the local-rank
+    # window and the offsets branch race to populate it inside one job
+    # and each re-runs the full unigram-LM pipeline (measured 2.2x the
+    # whole query). One small count() job makes every consumer a cache
+    # read.
+    docs.count()
     w_local = Window.partitionBy("source", "qb").orderBy(
         F.col("avg_logprob").desc(), F.col("doc_id").asc()
     )
