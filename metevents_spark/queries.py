@@ -1492,74 +1492,25 @@ FROM e ORDER BY vec_id
 # Insertion order matters: the verification driver checks the FIRST 50
 # entries against the DuckDB oracles, so every oracle-backed query comes
 # first and the rows-only (non-SQL-expressible) queries sit at the tail.
+#
+# ROTATION (round 5): the driver only ever sees slots 1-50, so the
+# oracle-backed queries past the cap had no hard driver signal. Slots
+# 1-5 keep the SURVEY §2 reference detectors (the parity core, checked
+# every round); slots 6-42 are the 37 oracle-backed queries that sat
+# past the cap through r04; slots 43-50 re-check one representative per
+# family from the r04-green set. The 37 r04-green queries now past the
+# cap stay pinned by tests/test_oracle_parity.py (same hash comparison,
+# runs in every pytest suite).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracle-backed (hash-matched against ORACLE_SQL) ---------------
-    # reference detector parity (SURVEY.md §2.7)
+    # reference detector parity (SURVEY.md §2.7) — always in-slot
     "extreme_value": q_extreme_value,
     "flat_line": q_flat_line,
     "extreme_change": q_extreme_change,
     "data_gap": q_data_gap,
     "freq_infer": q_freq_infer,
-    # sessionization / rollups
-    "sessionize": q_sessionize,
-    "daily_rollup": daily_rollup,
-    # relational star-schema analytics
-    "pricing_summary": pricing_summary,
-    "revenue_topn": revenue_topn,
-    "region_revenue": region_revenue,
-    "top_customers_per_segment": top_customers_per_segment,
-    # text analysis
-    "text_stats": text_stats,
-    "lang_id": lang_id,
-    "doc_fingerprint": doc_fingerprint,
-    # dedup family
-    "exact_dedup": exact_dedup,
-    "prefix_dedup": prefix_dedup,
-    # similarity search
-    "knn_cosine": knn_cosine,
-    "embedding_norms": embedding_norms,
-    # temporal joins
-    "asof_purchase_before_error": q_asof_purchase_before_error,
-    "range_join_error_purchase": q_range_join_error_purchase,
-    # relational extras
-    "order_priority_check": order_priority_check,
-    "nation_segment_rollup": nation_segment_rollup,
-    "nation_trade_flow": nation_trade_flow,
-    "brand_revenue": brand_revenue,
-    # multimodal plumbing
-    "media_features": q_media_features,
-    # statistics / reshaping
-    "value_quantiles": value_quantiles,
-    "events_pivot": events_pivot,
-    "top_price_orders": top_price_orders,
-    "brand_supplier_stats": brand_supplier_stats,
-    "ngram_jaccard_pairs": ngram_jaccard_pairs,
-    # token counting / fingerprints
-    "token_count_bpe": token_count_bpe,
-    "rolling_fingerprint": rolling_fingerprint,
-    # near-dup extensions
-    "embedding_near_dup": embedding_near_dup,
-    # join variants and set ops
-    "customers_no_order_1996": customers_no_order_1996,
-    "big_spender_1995": big_spender_1995,
-    "repeat_customers": repeat_customers,
-    "churned_customers": churned_customers,
-    "small_qty_part_revenue": small_qty_part_revenue,
-    "cumulative_revenue": cumulative_revenue,
-    # corpus statistics / filtering
-    "vocab_top_terms": vocab_top_terms,
-    "quality_filter": quality_filter,
-    "tfidf_top_terms": tfidf_top_terms,
-    # series statistics beyond the reference
-    "rolling_mean": rolling_mean,
-    "trailing_24h_mean": trailing_24h_mean,
-    "zscore_anomaly": zscore_anomaly,
-    "robust_zscore": robust_zscore,
-    "gap_fill_hourly": gap_fill_hourly,
-    "event_pair_lift": event_pair_lift,
-    "data_expectations": data_expectations,
+    # --- rotated into the driver window this round (r04 slots 51-87) --
     # grouping sets and ranking families
-    "events_cube": events_cube,
     "price_deciles": price_deciles,
     # distinct / reshape families
     "user_reach": user_reach,
@@ -1617,6 +1568,53 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational division ("for all" shape) and ratio-to-report windows
     "loyal_customers": loyal_customers,
     "nation_revenue_share": nation_revenue_share,
+    # --- slots 43-50: one r04-green representative per family ---------
+    "sessionize": q_sessionize,
+    "pricing_summary": pricing_summary,
+    "exact_dedup": exact_dedup,
+    "knn_cosine": knn_cosine,
+    "embedding_near_dup": embedding_near_dup,
+    "asof_purchase_before_error": q_asof_purchase_before_error,
+    "gap_fill_hourly": gap_fill_hourly,
+    "tfidf_top_terms": tfidf_top_terms,
+    # --- past the driver cap: r04-green, pinned by test_oracle_parity --
+    "daily_rollup": daily_rollup,
+    "revenue_topn": revenue_topn,
+    "region_revenue": region_revenue,
+    "top_customers_per_segment": top_customers_per_segment,
+    "text_stats": text_stats,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "prefix_dedup": prefix_dedup,
+    "embedding_norms": embedding_norms,
+    "range_join_error_purchase": q_range_join_error_purchase,
+    "order_priority_check": order_priority_check,
+    "nation_segment_rollup": nation_segment_rollup,
+    "nation_trade_flow": nation_trade_flow,
+    "brand_revenue": brand_revenue,
+    "media_features": q_media_features,
+    "value_quantiles": value_quantiles,
+    "events_pivot": events_pivot,
+    "top_price_orders": top_price_orders,
+    "brand_supplier_stats": brand_supplier_stats,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "token_count_bpe": token_count_bpe,
+    "rolling_fingerprint": rolling_fingerprint,
+    "customers_no_order_1996": customers_no_order_1996,
+    "big_spender_1995": big_spender_1995,
+    "repeat_customers": repeat_customers,
+    "churned_customers": churned_customers,
+    "small_qty_part_revenue": small_qty_part_revenue,
+    "cumulative_revenue": cumulative_revenue,
+    "vocab_top_terms": vocab_top_terms,
+    "quality_filter": quality_filter,
+    "rolling_mean": rolling_mean,
+    "trailing_24h_mean": trailing_24h_mean,
+    "zscore_anomaly": zscore_anomaly,
+    "robust_zscore": robust_zscore,
+    "event_pair_lift": event_pair_lift,
+    "data_expectations": data_expectations,
+    "events_cube": events_cube,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width
