@@ -115,6 +115,55 @@ def _expand_pairs(rep_pairs: DataFrame, member_rep: DataFrame, value_col: str, i
     return cross.union(intra)
 
 
+# Default LSH bucket-membership cap (representatives per (band, bucket)
+# group admitted to the candidate self-join). A degenerate hot bucket —
+# boilerplate near-identical texts that survive exact-dedup because a
+# few tokens differ — concentrates one band's hash and goes quadratic
+# inside its bucket at corpus scale. Production dedup pipelines cap or
+# drop such buckets; pairs lost from a dropped band are still found by
+# any other band the pair collides in. The default is far above any
+# bucket the test corpora produce (sf0.1 max observed bucket size is
+# well under 100), so normal outputs are byte-identical.
+HOT_BUCKET_CAP = 1000
+
+# name -> {"dropped_buckets": DataFrame} recorded by the LAST build of
+# each guarded operator: a lazy (band, bucket, bsz) frame of the
+# over-cap buckets the guard dropped. Count/collect it on demand (a
+# test, a monitoring job) — it reads the operator's persisted banded
+# frame, so the check is bucket-cardinality cheap. (An inline
+# df.observe metric was tried first, but AQE empty-relation
+# propagation prunes the CollectMetrics node whenever the capped
+# result is empty — exactly the degenerate case worth logging.)
+LAST_GUARD_METRICS: dict[str, dict] = {}
+
+
+def _cap_hot_buckets(banded: DataFrame, cap: int, name: str) -> DataFrame:
+    """Drop (band, bucket) groups with more than ``cap`` members before
+    the candidate self-join.
+
+    Shape: groupBy bucket counts (partial-agg collapses map-side, the
+    exchange carries |buckets| rows) -> filter to the over-cap set —
+    empty on healthy corpora, a handful of rows on degenerate ones —
+    -> broadcast ANTI-join back onto the banded frame. Near-free next
+    to a window count, which would force a full sort of the banded
+    frame and defeat the broadcast self-join AQE picks at small band
+    cardinalities (measured 2.6x on simhash_near_dup). The caller must
+    pass an already-persisted ``banded`` or accept the sizes branch
+    recomputing its lineage.
+    """
+    over = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") > cap)
+    )
+    LAST_GUARD_METRICS[name] = {"dropped_buckets": over}
+    return banded.join(
+        F.broadcast(over.select("band", "bucket")),
+        ["band", "bucket"],
+        "left_anti",
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = 3, num_hashes: int = 32
 ) -> DataFrame:
@@ -167,13 +216,16 @@ def _minhash_rep_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket: int = HOT_BUCKET_CAP,
 ):
     """Representative-level MinHash-LSH near-dup pairs.
 
     -> (rep_pairs(doc_a, doc_b, est_jaccard), member_rep(doc_id, rep_id)).
     Shared by minhash_near_dup (which expands pairs back to member
     documents) and dedup_clusters (which propagates labels over the
-    rep graph only and attaches members at the end).
+    rep graph only and attaches members at the end). Buckets larger
+    than ``max_bucket`` are dropped before the self-join (see
+    _cap_hot_buckets).
     """
     rows = num_hashes // bands
     docs = load_table(spark, sf_dir, "documents")
@@ -196,11 +248,17 @@ def _minhash_rep_pairs(
     banded = sig.select("doc_id", "sig", F.explode(band_cols).alias("bb")).select(
         "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    # the banded frame feeds BOTH sides of the self-join; without
-    # persist Spark computes the whole signature pipeline twice (no
-    # cross-branch CSE). At scale this is the "checkpoint signatures
-    # before pairing" stage of a dedup pipeline.
+    # the banded frame feeds BOTH sides of the self-join AND the
+    # hot-bucket size scan; without persist Spark computes the whole
+    # signature pipeline once per consumer (no cross-branch CSE). At
+    # scale this is the "checkpoint signatures before pairing" stage
+    # of a dedup pipeline.
     banded = track(banded.persist(StorageLevel.MEMORY_AND_DISK))
+    # materialize NOW: the guard's broadcast side and the two self-join
+    # sides otherwise race to populate the cache inside one job, each
+    # recomputing the signature pipeline
+    banded.count()
+    banded = _cap_hot_buckets(banded, max_bucket, "minhash_lsh_guard")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -236,6 +294,7 @@ def minhash_near_dup(
     bands: int = 8,
     threshold: float = 0.5,
     sort: bool = True,
+    max_bucket: int = HOT_BUCKET_CAP,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs.
 
@@ -258,7 +317,8 @@ def minhash_near_dup(
     for pairs we already know are duplicates.
     """
     pairs, member_rep = _minhash_rep_pairs(
-        spark, sf_dir, k=k, num_hashes=num_hashes, bands=bands, threshold=threshold
+        spark, sf_dir, k=k, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, max_bucket=max_bucket,
     )
     out = _expand_pairs(pairs, member_rep, "est_jaccard", F.lit(1.0))
     return out.orderBy("doc_a", "doc_b") if sort else out
@@ -354,6 +414,7 @@ def simhash_near_dup(
     max_hamming: int = 3,
     bands: int = 4,
     nbits: int = 64,
+    max_bucket: int = HOT_BUCKET_CAP,
 ) -> DataFrame:
     """SimHash near-duplicate pairs via band-bucket candidate join.
 
@@ -395,8 +456,10 @@ def simhash_near_dup(
         F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
     )
     # persisted for the same reason as minhash_near_dup: the vote
-    # aggregation feeds both self-join sides
+    # aggregation feeds both self-join sides and the hot-bucket scan
     banded = track(banded.persist(StorageLevel.MEMORY_AND_DISK))
+    banded.count()
+    banded = _cap_hot_buckets(banded, max_bucket, "simhash_lsh_guard")
     left, right = banded.alias("l"), banded.alias("r")
     hamming = F.bit_count(
         F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
