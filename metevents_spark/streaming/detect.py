@@ -279,7 +279,37 @@ def stream_storm_find_tws(
     semantics as stream_storm_find; the buffer lives in a ValueState
     backed by the RocksDB state store (the session must set
     ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
-    provider — transformWithState requires it)."""
+    provider — transformWithState requires it).
+
+    The transformWithState Python worker speaks a protobuf protocol to
+    the JVM; where ``google.protobuf`` is not installed the query
+    would die at runtime inside the worker, so this entry point falls
+    back to the applyInPandasWithState engine (identical per-key step,
+    state contents, and output schema — only the state-store surface
+    differs) with a warning rather than failing."""
+    import importlib.util
+    import warnings
+
+    try:
+        have_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no parent 'google' package at all
+        have_protobuf = False
+    if not have_protobuf:
+        warnings.warn(
+            "transformWithStateInPandas needs google.protobuf, which is "
+            "not installed; falling back to the applyInPandasWithState "
+            "storm engine (same semantics and output schema)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return stream_storm_find(
+            stream_df,
+            instant_mass_to_start=instant_mass_to_start,
+            min_storm_total=min_storm_total,
+            hours_to_stop=hours_to_stop,
+            max_storm_hours=max_storm_hours,
+            tstep_us=tstep_us,
+        )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -337,6 +367,26 @@ def stream_dedup(
     )
 
 
+def _sort_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic micro-batch order for the incremental folds: by
+    (ts, seq) when the stream carries a seq/ingest-order column, by ts
+    alone otherwise — always a STABLE sort, so equal timestamps keep
+    their arrival order instead of folding in quicksort-nondeterministic
+    order (the batch counterparts order by (ts, seq); see
+    operators/changepoint.py:45)."""
+    keys = ["ts", "seq"] if "seq" in pdf.columns else ["ts"]
+    return pdf.sort_values(keys, kind="stable")
+
+
+def _clean_series_cols(stream_df: DataFrame) -> list:
+    """(sid, ts, value[, seq]) projection for the per-series folds;
+    seq rides along as the order tiebreaker when the source has it."""
+    cols = [F.col("sid"), F.col("ts"), F.col("value").cast("double")]
+    if "seq" in stream_df.columns:
+        cols.append(F.col("seq"))
+    return cols
+
+
 ZSCORE_OUTPUT_SCHEMA = "sid string, ts timestamp, value double, z double"
 ZSCORE_STATE_SCHEMA = StructType(
     [
@@ -367,7 +417,7 @@ def _advance_zscore(
     for pdf in pdf_iter:
         if not len(pdf):
             continue
-        pdf = pdf.sort_values("ts")
+        pdf = _sort_batch(pdf)
         v = pdf["value"].to_numpy(dtype=np.float64)
         k = len(v)
         n_prior = n0 + np.arange(k, dtype=np.int64)
@@ -420,9 +470,8 @@ def stream_zscore(
             yield f
 
     return (
-        stream_df.select(
-            F.col("sid"), F.col("ts"), F.col("value").cast("double")
-        )
+        stream_df.select(*_clean_series_cols(stream_df))
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .groupBy("sid")
         .applyInPandasWithState(
             fn,
@@ -476,7 +525,7 @@ def _advance_cusum(
     for pdf in pdf_iter:
         if not len(pdf):
             continue
-        pdf = pdf.sort_values("ts")
+        pdf = _sort_batch(pdf)
         v = pdf["value"].to_numpy(dtype=np.float64)
         k = len(v)
         n_prior = n0 + np.arange(k, dtype=np.int64)
@@ -525,10 +574,12 @@ def stream_cusum(
 ) -> DataFrame:
     """Streaming CUSUM mean-shift alarms: the incremental counterpart
     of the batch ``cusum_alarm`` (operators/changepoint.py). State per
-    series is SIX numbers — running count/sum/sumsq for the
-    standardizer plus the cumulative path value and its running
-    extrema — constant regardless of stream length, no watermark
-    needed."""
+    series is SEVEN numbers — running count/sum/sumsq for the
+    standardizer plus each side's cumulative path value and running
+    minimum — constant regardless of stream length, no watermark
+    needed. NULL/NaN values are filtered up front like the batch
+    operator: one NaN reaching the numpy fold would make every later
+    cumulative sum (and so every future alarm) NaN for that series."""
 
     def fn(key, pdf_iter, state: GroupState):
         (sid,) = key
@@ -539,9 +590,8 @@ def stream_cusum(
             yield f
 
     return (
-        stream_df.select(
-            F.col("sid"), F.col("ts"), F.col("value").cast("double")
-        )
+        stream_df.select(*_clean_series_cols(stream_df))
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .groupBy("sid")
         .applyInPandasWithState(
             fn,

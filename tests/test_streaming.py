@@ -26,13 +26,6 @@ ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
 
-try:  # transformWithState's Python worker speaks a protobuf protocol
-    from google.protobuf import descriptor  # noqa: F401
-
-    HAVE_PROTOBUF = True
-except ImportError:
-    HAVE_PROTOBUF = False
-
 US = 1_000_000
 DAY_US = 86_400 * US
 
@@ -54,19 +47,12 @@ def daily_rows(values, sid="s1", start=datetime(2023, 1, 1)):
     )
 
 
+# Without google.protobuf the TWS entry point falls back to the
+# applyInPandasWithState engine (same semantics), so the e2e assertion
+# runs either way; where protobuf exists it exercises the real
+# transformWithStateInPandas + RocksDB path.
 @pytest.mark.parametrize(
-    "api",
-    [
-        "apply_in_pandas_with_state",
-        pytest.param(
-            "transform_with_state",
-            marks=pytest.mark.skipif(
-                not HAVE_PROTOBUF,
-                reason="transformWithStateInPandas state protocol needs "
-                "google.protobuf (absent in this container)",
-            ),
-        ),
-    ],
+    "api", ["apply_in_pandas_with_state", "transform_with_state"]
 )
 def test_stream_storms_incremental(spark, stream_dir, api):
     # three storms separated by long dry gaps; chunk split mid-series
@@ -607,5 +593,74 @@ def test_stream_cusum_chunk_invariant_and_detects_shift(spark, stream_dir):
         .reset_index(drop=True)
     )
     want = one.sort_values("ts").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["s_pos"].to_numpy() == want["s_pos"].to_numpy()).all()
+
+
+def test_stream_cusum_survives_null_and_nan_values(spark, stream_dir):
+    """Dirty-data parity with the batch operator: NULL/NaN points are
+    dropped before the fold, so one bad sensor reading must not poison
+    the cumulative state and silently disable every later alarm."""
+    import numpy as np
+    import pandas as pd
+
+    from metevents_spark.streaming import stream_cusum
+    from metevents_spark.streaming.detect import _advance_cusum
+
+    rng = np.random.RandomState(11)
+    clean = list(rng.normal(10.0, 1.0, 60)) + list(rng.normal(13.0, 1.0, 40))
+    ts = pd.date_range("2024-01-01", periods=105, freq="h")
+    # inject NaNs early (inside the history-building prefix) and right
+    # before the shift
+    dirty_vals, clean_ts = [], []
+    j = 0
+    for i in range(105):
+        if i in (5, 20, 58, 61, 75):
+            dirty_vals.append(float("nan"))
+        else:
+            dirty_vals.append(clean[j])
+            clean_ts.append(ts[i])
+            j += 1
+    dirty = pd.DataFrame({"sid": "s", "ts": ts, "value": dirty_vals})
+
+    Path(stream_dir, "nan").mkdir()
+    half = 55
+    dirty.iloc[:half].to_parquet(
+        f"{stream_dir}/nan/c0.parquet", coerce_timestamps="us"
+    )
+    time.sleep(0.05)
+    dirty.iloc[half:].to_parquet(
+        f"{stream_dir}/nan/c1.parquet", coerce_timestamps="us"
+    )
+    stream = (
+        spark.readStream.schema("sid string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/nan")
+    )
+    q = (
+        stream_cusum(stream, h=5.0, min_n=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusum_nan_out")
+        .option("checkpointLocation", f"{stream_dir}/nan_ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM cusum_nan_out")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    # oracle: the unit-step fold over the CLEAN subset
+    clean_pdf = pd.DataFrame(
+        {"sid": "s", "ts": clean_ts, "value": clean}
+    )
+    rows, state = _advance_cusum(None, iter([clean_pdf]), 5.0, 30)
+    want = (
+        pd.concat(rows, ignore_index=True).sort_values("ts").reset_index(drop=True)
+    )
+    assert len(got) > 0, "NaNs silenced every alarm"
     assert len(got) == len(want)
     assert (got["s_pos"].to_numpy() == want["s_pos"].to_numpy()).all()
