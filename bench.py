@@ -176,6 +176,12 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(timings.values()), 3)
+    # Stop Spark BEFORE printing: JVM shutdown can emit trailing log
+    # lines, and the driver parses the LAST stdout line as the result.
+    # Compact separators keep the line as short as possible — the
+    # driver keeps only a bounded tail of stdout, and a line longer
+    # than that window cannot be recovered (r04: "parsed": null).
+    spark.stop()
     print(
         json.dumps(
             {
@@ -184,10 +190,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
-        )
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
