@@ -125,6 +125,19 @@ def test_minhash_candidates_join_on_buckets(spark):
     assert "InMemoryTableScan" in plan, plan
 
 
+def test_embedding_quantize_hoists_scale_out_of_fold(spark):
+    """The absmax-derived scale must be projected ONCE per row, not
+    inlined into the F.aggregate lambda — inlining re-evaluates the
+    O(dim) absmax scan at every fold step, O(dim^2) interpreted work
+    per row (measured 13x the registry median before the hoist). Pin
+    it by counting array_max in the optimized plan: exactly one
+    occurrence means CollapseProject kept the projection boundary."""
+    from metevents_spark.similarity import embedding_quantize
+
+    plan = optimized_of(embedding_quantize(spark, SF))
+    assert plan.count("array_max") == 1, plan
+
+
 def test_decontaminate_broadcasts_eval_grams(spark):
     from metevents_spark.text.pipeline import decontaminate_ngram
 
