@@ -139,17 +139,21 @@ LAST_GUARD_METRICS: dict[str, dict] = {}
 
 def _cap_hot_buckets(banded: DataFrame, cap: int, name: str) -> DataFrame:
     """Drop (band, bucket) groups with more than ``cap`` members before
-    the candidate self-join.
+    the candidate self-join. ``banded`` must already be persisted; this
+    call materializes it (its one action doubles as the eager cache
+    fill the downstream multi-consumer plan needs).
 
-    Shape: groupBy bucket counts (partial-agg collapses map-side, the
-    exchange carries |buckets| rows) -> filter to the over-cap set —
-    empty on healthy corpora, a handful of rows on degenerate ones —
-    -> broadcast ANTI-join back onto the banded frame. Near-free next
-    to a window count, which would force a full sort of the banded
-    frame and defeat the broadcast self-join AQE picks at small band
-    cardinalities (measured 2.6x on simhash_near_dup). The caller must
-    pass an already-persisted ``banded`` or accept the sizes branch
-    recomputing its lineage.
+    ADAPTIVE shape: count the over-cap buckets first — a groupBy whose
+    partial aggregation collapses map-side, so the exchange carries
+    |buckets| rows and the action returns one scalar. On a healthy
+    corpus that count is 0 and the banded frame is returned UNTOUCHED:
+    the candidate join runs the exact pre-guard plan, zero overhead.
+    Only when hot buckets exist does the plan grow a broadcast
+    anti-join against the (tiny) over-cap bucket list. A window count
+    was tried first but forces a full sort of the banded frame and
+    defeats the broadcast self-join AQE picks at small band
+    cardinalities; an unconditional anti-join still cost ~1-2s per
+    query in the cold bench.
     """
     over = (
         banded.groupBy("band", "bucket")
@@ -157,6 +161,8 @@ def _cap_hot_buckets(banded: DataFrame, cap: int, name: str) -> DataFrame:
         .filter(F.col("bsz") > cap)
     )
     LAST_GUARD_METRICS[name] = {"dropped_buckets": over}
+    if over.count() == 0:
+        return banded
     return banded.join(
         F.broadcast(over.select("band", "bucket")),
         ["band", "bucket"],
@@ -254,10 +260,9 @@ def _minhash_rep_pairs(
     # scale this is the "checkpoint signatures before pairing" stage
     # of a dedup pipeline.
     banded = track(banded.persist(StorageLevel.MEMORY_AND_DISK))
-    # materialize NOW: the guard's broadcast side and the two self-join
-    # sides otherwise race to populate the cache inside one job, each
-    # recomputing the signature pipeline
-    banded.count()
+    # the guard's bucket-count action also fills the cache eagerly —
+    # the two self-join sides would otherwise race to populate it
+    # inside one job, each recomputing the signature pipeline
     banded = _cap_hot_buckets(banded, max_bucket, "minhash_lsh_guard")
 
     left = banded.alias("l")
@@ -458,7 +463,6 @@ def simhash_near_dup(
     # persisted for the same reason as minhash_near_dup: the vote
     # aggregation feeds both self-join sides and the hot-bucket scan
     banded = track(banded.persist(StorageLevel.MEMORY_AND_DISK))
-    banded.count()
     banded = _cap_hot_buckets(banded, max_bucket, "simhash_lsh_guard")
     left, right = banded.alias("l"), banded.alias("r")
     hamming = F.bit_count(
