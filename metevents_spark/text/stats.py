@@ -263,7 +263,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         "doc_id", F.size(_tokens()).alias("doc_len"), F.explode(_tokens()).alias("term")
     )
     # per_doc feeds BOTH the doc-frequency aggregation and the scoring
-    # join — persist so the explode+aggregate runs once
+    # join — persist so the explode+aggregate runs once (lazy on
+    # purpose: the consumers sit in separate stages of one job, so
+    # there is no cache-fill race; an eager count() measured slightly
+    # SLOWER by adding a job)
     per_doc = track(
         terms.groupBy("doc_id", "doc_len", "term")
         .agg(F.count(F.lit(1)).alias("tc"))
