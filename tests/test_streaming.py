@@ -664,3 +664,65 @@ def test_stream_cusum_survives_null_and_nan_values(spark, stream_dir):
     assert len(got) > 0, "NaNs silenced every alarm"
     assert len(got) == len(want)
     assert (got["s_pos"].to_numpy() == want["s_pos"].to_numpy()).all()
+
+
+def test_stream_zscore_survives_null_and_nan_values(spark, stream_dir):
+    """Same dirty-data contract as stream_cusum: NULL/NaN readings are
+    dropped before the fold instead of poisoning the (n, sum, sumsq)
+    state and silencing every later anomaly."""
+    import numpy as np
+    import pandas as pd
+
+    from metevents_spark.streaming.detect import _advance_zscore, stream_zscore
+
+    rng = np.random.RandomState(23)
+    clean = list(rng.normal(5.0, 1.0, 80)) + [25.0]  # blatant outlier last
+    ts = pd.date_range("2024-03-01", periods=85, freq="h")
+    dirty_vals, clean_ts = [], []
+    j = 0
+    for i in range(85):
+        if i in (3, 40, 41, 70):
+            dirty_vals.append(float("nan"))
+        else:
+            dirty_vals.append(clean[j])
+            clean_ts.append(ts[i])
+            j += 1
+    dirty = pd.DataFrame({"sid": "s", "ts": ts, "value": dirty_vals})
+
+    Path(stream_dir, "znan").mkdir()
+    dirty.iloc[:50].to_parquet(
+        f"{stream_dir}/znan/c0.parquet", coerce_timestamps="us"
+    )
+    time.sleep(0.05)
+    dirty.iloc[50:].to_parquet(
+        f"{stream_dir}/znan/c1.parquet", coerce_timestamps="us"
+    )
+    stream = (
+        spark.readStream.schema("sid string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/znan")
+    )
+    q = (
+        stream_zscore(stream, z_thresh=3.0, min_n=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("zscore_nan_out")
+        .option("checkpointLocation", f"{stream_dir}/znan_ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM zscore_nan_out")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    clean_pdf = pd.DataFrame({"sid": "s", "ts": clean_ts, "value": clean})
+    rows, _ = _advance_zscore(None, iter([clean_pdf]), 3.0, 30)
+    want = (
+        pd.concat(rows, ignore_index=True).sort_values("ts").reset_index(drop=True)
+    )
+    assert len(got) > 0, "NaNs silenced every anomaly"
+    assert len(got) == len(want)
+    assert (got["z"].to_numpy() == want["z"].to_numpy()).all()
