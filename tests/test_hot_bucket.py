@@ -62,6 +62,17 @@ def test_hot_bucket_guard_observes_sizes(spark, tmp_path):
     assert dropped.count() > 0
 
 
+def test_guard_is_adaptive_no_antijoin_on_healthy_corpus(spark):
+    """On a corpus with no over-cap bucket the guard must return the
+    banded frame untouched — the candidate join runs the exact
+    pre-guard plan (no LeftAnti join node), so healthy corpora pay
+    zero plan overhead for the protection."""
+    from metevents_spark.text.dedup import minhash_near_dup as mnd
+
+    plan = mnd(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan, plan
+
+
 def test_default_cap_does_not_change_normal_output(spark):
     """On the real fixture every bucket is far below HOT_BUCKET_CAP, so
     the guarded output must equal the unguarded one."""
