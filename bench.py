@@ -98,6 +98,7 @@ HEADLINE = [
     "domain_stats",
     "edit_distance_pairs",
     "cross_doc_ngram_share",
+    "duplicate_spans",
     "unigram_logprob",
     "source_lang_matrix",
     "corpus_summary",

@@ -77,6 +77,7 @@ from metevents_spark.relational.tpch import (
 )
 from metevents_spark.text.dedup import (
     dedup_clusters,
+    duplicate_spans,
     edit_distance_pairs,
     ngram_jaccard_pairs,
 )
@@ -1486,6 +1487,29 @@ SELECT vec_id, CAST(dim AS BIGINT) AS dim, ROUND(scale, 9) AS scale,
        CASE WHEN scale = 0.0 THEN 0.0 ELSE ROUND(rms, 9) END AS rms_err
 FROM e ORDER BY vec_id
 """,
+    "duplicate_spans": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pg AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(t[i:i+7], ' ')) AS g
+  FROM toks, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+),
+dupg AS (SELECT g FROM pg GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+m AS (SELECT doc_id, pos FROM pg JOIN dupg USING (g)),
+runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+  FROM m
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS start_pos,
+       CAST(MAX(pos) AS BIGINT) AS end_pos,
+       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM runs GROUP BY doc_id, rid
+HAVING COUNT(*) >= 3
+ORDER BY doc_id, start_pos
+""",
 }
 
 
@@ -1615,6 +1639,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_pair_lift": event_pair_lift,
     "data_expectations": data_expectations,
     "events_cube": events_cube,
+    # exact-substring duplicate spans (cut-list for span-removal dedup)
+    "duplicate_spans": duplicate_spans,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width

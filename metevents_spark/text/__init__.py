@@ -14,6 +14,7 @@ from metevents_spark.text.stats import (  # noqa: F401
     vocab_top_terms_approx,
 )
 from metevents_spark.text.dedup import (  # noqa: F401
+    duplicate_spans,
     edit_distance_pairs,
     exact_dedup,
     minhash_near_dup,

@@ -632,3 +632,83 @@ def dedup_keep_list(
         )
         .orderBy("doc_id")
     )
+
+
+def duplicate_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 8,
+    min_run: int = 3,
+) -> DataFrame:
+    """Exact-substring duplicate SPANS: per document, the maximal runs
+    of consecutive token positions whose ``n``-grams also occur in at
+    least one OTHER document — the span-removal stage of
+    "deduplicate long common substrings" training-data pipelines
+    (:func:`cross_doc_ngram_share` reports the per-doc share; this
+    operator reports WHERE the shared material sits so it can be cut).
+    A run of ``r`` consecutive duplicated n-gram positions is a shared
+    substring of ``r + n - 1`` tokens; only runs with
+    ``r >= min_run`` are reported.
+
+    Scale shape — never pairwise, two digest-keyed exchanges:
+      1. positions x n-grams expand MAP-SIDE (higher-order transform;
+         only 32-char md5 digests leave the scan, never gram text);
+      2. one hash exchange on the digest for the
+         count-distinct-docs >= 2 aggregate (partial agg collapses
+         per-partition duplicates first);
+      3. duplicated positions join back digest-keyed, then
+         gaps-and-islands per doc — ``pos - row_number()`` constant
+         within a consecutive run (the engine's run_group kernel,
+         SURVEY §2.1, applied to token positions instead of
+         timestamps) — one doc-keyed exchange for the window + span
+         aggregate.
+
+    Output: (doc_id, start_pos, end_pos, span_tokens, n_grams),
+    1-based token positions, ordered (doc_id, start_pos).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (n - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice("t", i, n), " ")).alias("g"),
+        ),
+    )
+    pos_grams = toked.select(
+        "doc_id", F.explode(grams).alias("pg")
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    # "occurs in >= 2 distinct docs" == min(doc_id) != max(doc_id):
+    # min/max partial-aggregate map-side, so this is ONE digest
+    # exchange — countDistinct would plan an Expand plus a second
+    # exchange on (g, doc_id)
+    dup_g = (
+        pos_grams.groupBy("g")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("g")
+    )
+    marked = pos_grams.join(dup_g, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = marked.withColumn("rid", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "rid")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            F.max("pos").cast("long").alias("end_pos"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .filter(F.col("n_grams") >= min_run)
+        .select(
+            "doc_id",
+            "start_pos",
+            "end_pos",
+            (F.col("end_pos") - F.col("start_pos") + n).alias("span_tokens"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+        )
+        .orderBy("doc_id", "start_pos")
+    )

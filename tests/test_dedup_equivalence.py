@@ -124,3 +124,30 @@ def test_blocked_cosine_matches_naive_gram(spark):
         tuple(r) for r in embedding_near_dup(spark, SF).collect()
     )
     assert got == sorted(expected)
+
+
+def test_duplicate_spans_exact_semantics(spark, tmp_path):
+    """Hand-built corpus: two docs share a 12-token run embedded in
+    unique context; with n=8 the shared run yields 5 consecutive
+    duplicated gram positions in each doc. A third doc shares nothing
+    and must be absent."""
+    from metevents_spark.text.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (0, f"u0 u1 {shared} v0", "en", "src0", 99),
+        (1, f"w0 {shared} x0 x1", "en", "src0", 99),
+        (2, " ".join(f"z{i}" for i in range(16)), "en", "src0", 99),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = [
+        (r.doc_id, r.start_pos, r.end_pos, r.span_tokens, r.n_grams)
+        for r in duplicate_spans(spark, str(tmp_path), n=8, min_run=3).collect()
+    ]
+    # doc0: shared tokens at 3..14 -> dup gram positions 3..7
+    # doc1: shared tokens at 2..13 -> dup gram positions 2..6
+    assert got == [(0, 3, 7, 12, 5), (1, 2, 6, 12, 5)]
