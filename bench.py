@@ -99,6 +99,7 @@ HEADLINE = [
     "edit_distance_pairs",
     "cross_doc_ngram_share",
     "duplicate_spans",
+    "remove_duplicate_spans",
     "unigram_logprob",
     "source_lang_matrix",
     "corpus_summary",

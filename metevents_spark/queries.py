@@ -80,6 +80,7 @@ from metevents_spark.text.dedup import (
     duplicate_spans,
     edit_distance_pairs,
     ngram_jaccard_pairs,
+    remove_duplicate_spans,
 )
 from metevents_spark.text.scrub import domain_stats, pii_redact
 from metevents_spark.text.pipeline import (
@@ -1510,6 +1511,50 @@ FROM runs GROUP BY doc_id, rid
 HAVING COUNT(*) >= 3
 ORDER BY doc_id, start_pos
 """,
+    "remove_duplicate_spans": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pg AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(t[i:i+7], ' ')) AS g
+  FROM toks, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+),
+dupg AS (SELECT g FROM pg GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+m AS (SELECT doc_id, pos FROM pg JOIN dupg USING (g)),
+runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+  FROM m
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS a, MAX(pos) + 7 AS b
+  FROM runs GROUP BY doc_id, rid HAVING COUNT(*) >= 3
+),
+tok_pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+removed AS (
+  SELECT DISTINCT tp.doc_id, tp.pos
+  FROM tok_pos tp JOIN spans s
+    ON tp.doc_id = s.doc_id AND tp.pos BETWEEN s.a AND s.b
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tok_pos tp LEFT JOIN removed r
+    ON tp.doc_id = r.doc_id AND tp.pos = r.pos
+  WHERE r.pos IS NULL
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+""",
 }
 
 
@@ -1641,6 +1686,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cube": events_cube,
     # exact-substring duplicate spans (cut-list for span-removal dedup)
     "duplicate_spans": duplicate_spans,
+    # ...and the applied rewrite: tokens under any span removed
+    "remove_duplicate_spans": remove_duplicate_spans,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width

@@ -16,6 +16,7 @@ from metevents_spark.text.stats import (  # noqa: F401
 from metevents_spark.text.dedup import (  # noqa: F401
     duplicate_spans,
     edit_distance_pairs,
+    remove_duplicate_spans,
     exact_dedup,
     minhash_near_dup,
     ngram_jaccard_pairs,

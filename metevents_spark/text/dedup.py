@@ -712,3 +712,61 @@ def duplicate_spans(
         )
         .orderBy("doc_id", "start_pos")
     )
+
+
+def remove_duplicate_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 8,
+    min_run: int = 3,
+) -> DataFrame:
+    """Apply the :func:`duplicate_spans` cut-list: drop every token
+    covered by a reported span (a span of gram positions a..b covers
+    tokens a .. b+n-1) and re-join the survivors — the actual
+    span-removal rewrite step of exact-substring dedup pipelines.
+
+    Scale shape: spans collapse to one tiny array per affected doc
+    (|spans| rows, far smaller than the corpus), LEFT-join onto the
+    documents, and the cut itself is a map-side higher-order
+    filter-with-exists over the token array — no token-level explode,
+    no token-level join; untouched documents stream through with an
+    empty span list.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text), one row per
+    document, ordered by doc_id.
+    """
+    spans = duplicate_spans(spark, sf_dir, n=n, min_run=min_run)
+    span_lists = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("start_pos").alias("a"),
+                (F.col("end_pos") + (n - 1)).alias("b"),
+            )
+        ).alias("spans")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    joined = toked.join(span_lists, "doc_id", "left").withColumn(
+        "spans", F.coalesce("spans", F.array().cast("array<struct<a:long,b:long>>"))
+    )
+    indexed = F.transform(
+        F.col("t"), lambda x, i: F.struct(x.alias("tok"), (i + 1).alias("pos"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("spans"),
+            lambda sp: (s["pos"] >= sp["a"]) & (s["pos"] <= sp["b"]),
+        ),
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            (F.size("t") - F.size(kept)).cast("long").alias("n_removed"),
+            F.array_join(F.transform(kept, lambda k: k["tok"]), " ").alias(
+                "clean_text"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -151,3 +151,33 @@ def test_duplicate_spans_exact_semantics(spark, tmp_path):
     # doc0: shared tokens at 3..14 -> dup gram positions 3..7
     # doc1: shared tokens at 2..13 -> dup gram positions 2..6
     assert got == [(0, 3, 7, 12, 5), (1, 2, 6, 12, 5)]
+
+
+def test_remove_duplicate_spans_rewrite(spark, tmp_path):
+    """The applied rewrite drops exactly the tokens under each span
+    (gram positions a..b cover tokens a..b+n-1) and leaves untouched
+    docs byte-identical."""
+    from metevents_spark.text.dedup import remove_duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    unique2 = " ".join(f"z{i}" for i in range(16))
+    rows = [
+        (0, f"u0 u1 {shared} v0", "en", "src0", 99),
+        (1, f"w0 {shared} x0 x1", "en", "src0", 99),
+        (2, unique2, "en", "src0", 99),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in remove_duplicate_spans(spark, str(tmp_path), n=8, min_run=3).collect()
+    }
+    # doc0: span grams 3..7 -> tokens 3..14 removed (the 12 shared)
+    assert got[0] == (15, 12, "u0 u1 v0")
+    # doc1: span grams 2..6 -> tokens 2..13 removed
+    assert got[1] == (15, 12, "w0 x0 x1")
+    # doc2 untouched
+    assert got[2] == (16, 0, unique2)
