@@ -43,6 +43,16 @@ keep = dedup_keep_list(spark, sf_dir, threshold=0.5)
 kept = keep.filter("keep")
 print(f"  after near-dup clustering keep: {kept.count()}")
 
+# 1b. exact-substring span removal on the survivors: report where
+# cross-document duplicated runs sit, then cut them out
+from metevents_spark.text.dedup import duplicate_spans, remove_duplicate_spans
+
+spans = duplicate_spans(spark, sf_dir)
+print(f"  duplicate spans found: {spans.count()}")
+rewritten = remove_duplicate_spans(spark, sf_dir)
+cut = rewritten.filter("n_removed > 0")
+print(f"  docs with spans cut: {cut.count()}")
+
 # 2. quality: composite gate + quality-decile downsampling
 passed = quality_filter(spark, sf_dir)
 print(f"  quality gate passes: {passed.count()}")
