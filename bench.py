@@ -126,6 +126,12 @@ HEADLINE = [
     "nation_revenue_share",
     "data_expectations",
     "nation_trade_flow",
+    "min_cost_supplier",
+    "important_parts",
+    "top_supplier",
+    "large_volume_customers",
+    "sole_return_supplier",
+    "rich_idle_customers",
 ]
 
 

@@ -74,6 +74,12 @@ from metevents_spark.relational.tpch import (
     small_qty_part_revenue,
     top_price_orders,
     value_quantiles,
+    min_cost_supplier,
+    important_parts,
+    top_supplier,
+    large_volume_customers,
+    sole_return_supplier,
+    rich_idle_customers,
 )
 from metevents_spark.text.dedup import (
     dedup_clusters,
@@ -1555,6 +1561,92 @@ SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
 FROM toks t LEFT JOIN agg a USING (doc_id)
 ORDER BY t.doc_id
 """,
+    "min_cost_supplier": """
+WITH priced AS (
+  SELECT l_partkey, p_name, l_suppkey,
+         ROUND(l_extendedprice / l_quantity, 6) AS unit_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY l_partkey ORDER BY unit_price, l_suppkey) AS rk
+  FROM priced
+)
+SELECT l_partkey AS p_partkey, p_name, s_name, s_acctbal, unit_price
+FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+WHERE rk = 1
+ORDER BY p_partkey
+""",
+    "important_parts": """
+WITH per_part AS (
+  SELECT l_partkey, SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT *, SUM(cents) OVER () AS total_cents FROM per_part
+)
+SELECT l_partkey AS p_partkey,
+       ROUND(cents / 100.0, 2) AS part_value,
+       ROUND(CAST(cents AS DOUBLE) / total_cents, 8) AS value_share
+FROM tot
+WHERE cents > total_cents / 2000.0
+ORDER BY part_value DESC, p_partkey
+""",
+    "top_supplier": """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+           AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+), m AS (SELECT *, MAX(total_rev) OVER () AS max_rev FROM per_supp)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM m JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = max_rev
+ORDER BY s_suppkey
+""",
+    "large_volume_customers": """
+WITH big AS (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING ROUND(SUM(l_quantity), 2) > 300.0
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+""",
+    "sole_return_supplier": """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+           AS n_ret,
+         MIN(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS ret_suppkey
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                       WHERE o_orderstatus = 'F')
+  GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON ret_suppkey = s_suppkey
+WHERE n_supp >= 2 AND n_ret = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+""",
+    "rich_idle_customers": """
+SELECT n_name,
+       COUNT(*) AS n_custs,
+       ROUND(SUM(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY n_name ORDER BY n_name
+""",
 }
 
 
@@ -1688,6 +1780,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_spans": duplicate_spans,
     # ...and the applied rewrite: tokens under any span removed
     "remove_duplicate_spans": remove_duplicate_spans,
+    # round-5 TPC-H breadth: Q2/Q11/Q15/Q18/Q21/Q22 shapes
+    "min_cost_supplier": min_cost_supplier,
+    "important_parts": important_parts,
+    "top_supplier": top_supplier,
+    "large_volume_customers": large_volume_customers,
+    "sole_return_supplier": sole_return_supplier,
+    "rich_idle_customers": rich_idle_customers,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width

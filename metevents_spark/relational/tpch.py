@@ -730,3 +730,207 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "nation")
     )
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to this schema (no partsupp table): for
+    each part of one type family, the supplier observed offering the
+    lowest unit price on lineitem (extendedprice/quantity), supplier
+    identity carried through.
+
+    The per-part minimum is a rank-1 window over the SAME key the probe
+    would shuffle on (l_partkey), so one exchange serves both the
+    "aggregate" and the selection — the decorrelated form of Q2's
+    correlated MIN subquery. Supplier and part dims broadcast. Unit
+    price rounds to 6 decimals BEFORE ranking so the rank-1 row is
+    engine-stable; (suppkey) breaks exact ties.
+    """
+    line = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    return (
+        line.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey", "p_name", "l_suppkey", unit.alias("unit_price")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            F.col("s_acctbal").alias("s_acctbal"),
+            "unit_price",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape adapted (no partsupp): parts whose total lineitem
+    value exceeds a fixed fraction of the corpus-wide total — the
+    group-HAVING-vs-global-scalar pattern. Both the per-part sums and
+    the global total come off ONE exact cents aggregation (the global
+    is a partition-total window over the per-part rollup, ~|parts|
+    rows), so the fact table is scanned and shuffled exactly once.
+    """
+    line = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per_part = (
+        line.select("l_partkey", cents.alias("cents"))
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w_all = Window.partitionBy()
+    return (
+        per_part.withColumn("total_cents", F.sum("cents").over(w_all))
+        .filter(F.col("cents") > F.col("total_cents") / F.lit(2000.0))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("cents") / 100.0, 2).alias("part_value"),
+            F.round(
+                F.col("cents").cast("double") / F.col("total_cents"), 8
+            ).alias("value_share"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("p_partkey"))
+    )
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose revenue over one quarter
+    equals the maximum supplier revenue (the CREATE VIEW + scalar MAX
+    of the original). Revenue is summed in exact cents-decimal so the
+    equality against MAX is safe; the max is a partition-total window
+    over the ~|suppliers| rollup, not a second scan.
+    """
+    line = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount", "4,2"))
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    per_supp = (
+        line.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue).alias("total_rev"))
+    )
+    w_all = Window.partitionBy()
+    return (
+        per_supp.withColumn("max_rev", F.max("total_rev").over(w_all))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"),
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers with any order whose total quantity exceeds
+    300. The qualifying-order set is a groupBy-HAVING on the fact table
+    projected to (orderkey, qty) — only keys and one long shuffle — and
+    the detail join back to orders/customer happens on the tiny
+    qualified set (AQE broadcasts it).
+    """
+    line = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        line.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300.0)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+def sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape adapted to this schema (no receipt/commit dates;
+    l_returnflag = 'R' stands in for "failed delivery"): suppliers who
+    were the ONLY supplier with returned lines on a finished ('F')
+    multi-supplier order, counted per supplier.
+
+    The original's EXISTS / NOT EXISTS pair collapses into one
+    aggregation: per order, distinct suppliers and distinct returning
+    suppliers — then orders with >= 2 suppliers but exactly 1 returner
+    attribute that returner. One shuffle on orderkey, one on suppkey;
+    the orders status filter is a broadcast semi-join reduced to keys.
+    """
+    line = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    per_order = (
+        line.join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("n_ret"),
+            F.min(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("ret_suppkey"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 1))
+    )
+    return (
+        per_order.groupBy("ret_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("ret_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+    )
+
+
+def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape adapted: customers with an account balance above
+    the positive-balance average who placed NO order since 2000-01-01,
+    grouped by nation. Scalar-subquery average (broadcast onto the
+    scan) + anti join on pre-filtered order keys + tiny rollup — the
+    expensive side never carries more than (custkey).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(
+            orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
