@@ -132,6 +132,9 @@ HEADLINE = [
     "large_volume_customers",
     "sole_return_supplier",
     "rich_idle_customers",
+    "series_acf",
+    "classifier_score",
+    "bpe_pair_counts",
 ]
 
 

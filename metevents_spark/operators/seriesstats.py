@@ -304,3 +304,44 @@ def trailing_24h_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sid", "ts", "seq")
     )
+
+
+def series_acf(
+    spark: SparkSession, sf_dir: str, max_lag: int = 3
+) -> DataFrame:
+    """Per-series autocorrelation at lags 1..max_lag — the
+    stationarity / seasonality diagnostic run before fitting any
+    forecasting model on the series store.
+
+    The lag columns come off ONE window pass (same (sid | ts, seq)
+    exchange every series operator shares), and all lags reduce in ONE
+    groupBy via corr aggregates — max_lag never adds scans or
+    shuffles. NULL/NaN points drop first (corr pairs with a NULL lag
+    are skipped by the aggregate on both engines, so series boundaries
+    need no special casing). Rounded to 5 decimals: corr's co-moment
+    merge is parallel-order dependent in the last ulps.
+    """
+    df = series_frame(spark, sf_dir).filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    w = Window.partitionBy("sid").orderBy("ts", "seq")
+    lagged = df.select(
+        "sid",
+        "value",
+        *[
+            F.lag("value", k).over(w).alias(f"_lag{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    return (
+        lagged.groupBy("sid")
+        .agg(
+            F.count("value").alias("n_points"),
+            *[
+                F.round(F.corr("value", f"_lag{k}"), 5).alias(f"acf_lag{k}")
+                for k in range(1, max_lag + 1)
+            ],
+        )
+        .filter(F.col("n_points") > max_lag)
+        .orderBy("sid")
+    )

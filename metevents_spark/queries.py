@@ -116,6 +116,7 @@ from metevents_spark.quality import data_expectations, value_drift_psi
 from metevents_spark.operators.changepoint import cusum_alarm
 from metevents_spark.operators.seriesstats import (
     ewma_smooth,
+    series_acf,
     robust_zscore,
     rolling_mean,
     seasonal_anomaly,
@@ -125,6 +126,8 @@ from metevents_spark.operators.seriesstats import (
     zscore_anomaly,
 )
 from metevents_spark.text import (
+    bpe_pair_counts,
+    classifier_score,
     corpus_summary,
     corpus_summary_approx,
     doc_fingerprint,
@@ -1647,6 +1650,47 @@ WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
                   AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY n_name ORDER BY n_name
 """,
+    "series_acf": """
+WITH s AS (
+  SELECT CAST(user_id AS VARCHAR) AS sid, event_id AS seq, ts, value
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), l AS (
+  SELECT sid, value,
+         lag(value, 1) OVER (PARTITION BY sid ORDER BY ts, seq) AS _lag1,
+         lag(value, 2) OVER (PARTITION BY sid ORDER BY ts, seq) AS _lag2,
+         lag(value, 3) OVER (PARTITION BY sid ORDER BY ts, seq) AS _lag3
+  FROM s)
+SELECT sid, COUNT(value) AS n_points,
+       ROUND(corr(value, _lag1), 5) AS acf_lag1,
+       ROUND(corr(value, _lag2), 5) AS acf_lag2,
+       ROUND(corr(value, _lag3), 5) AS acf_lag3
+FROM l GROUP BY sid HAVING COUNT(value) > 3 ORDER BY sid
+""",
+    "classifier_score": """
+WITH t AS (
+  SELECT doc_id, list_transform(string_split(text, ' '),
+    x -> (((length(x) * 131 + ascii(x) * 7919 + ascii(reverse(x)) * 104729)
+           % 4093) * 2654435761) % 1000003) AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         ROUND(CAST(list_sum(ws) AS DOUBLE) / (len(ws) * 1000003.0) - 0.5, 6)
+           AS margin
+  FROM t)
+SELECT doc_id, n_tokens, margin, margin > 0 AS keep
+FROM m ORDER BY doc_id
+""",
+    "bpe_pair_counts": """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(t)),
+                i -> substring(t, CAST(i AS INTEGER), 2))) AS pair
+  FROM toks WHERE length(t) >= 2
+)
+SELECT pair, COUNT(*) AS n FROM pairs
+GROUP BY pair ORDER BY n DESC, pair LIMIT 50
+""",
 }
 
 
@@ -1787,6 +1831,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_customers": large_volume_customers,
     "sole_return_supplier": sole_return_supplier,
     "rich_idle_customers": rich_idle_customers,
+    # round-5 series/pipeline breadth
+    "series_acf": series_acf,
+    "classifier_score": classifier_score,
+    "bpe_pair_counts": bpe_pair_counts,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width

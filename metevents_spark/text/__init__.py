@@ -1,4 +1,6 @@
 from metevents_spark.text.stats import (  # noqa: F401
+    bpe_pair_counts,
+    classifier_score,
     corpus_summary,
     corpus_summary_approx,
     doc_fingerprint,

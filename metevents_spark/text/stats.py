@@ -441,3 +441,95 @@ def corpus_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# hashed-feature linear classifier: engine-portable token bucket hash
+# (integer-only until one final division, so Spark and any SQL oracle
+# agree bit-for-bit) and pseudo-weights derived from the bucket id by
+# multiplicative mixing.
+_CLF_BUCKETS = 4093
+_CLF_MIX = 2654435761       # Knuth multiplicative constant
+_CLF_WMOD = 1000003
+
+
+def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style hashed linear classifier scoring — the
+    quality-classifier gate a pretraining pipeline runs over every
+    document (CCNet / fineweb-edu style), expressed as pure map-side
+    codegen: tokens hash into ``_CLF_BUCKETS`` feature buckets, each
+    bucket carries a fixed weight, and the document score is the mean
+    bucket weight.
+
+    At 100 TB this is the ideal operator shape: zero shuffle (the
+    output sort is for the deterministic contract only), no Python, no
+    model file to distribute — the "weights" are a pure function of the
+    bucket id. Swapping in real trained weights changes ONE expression
+    (a broadcast map lookup); the scan/fold plumbing is identical.
+
+    Determinism: bucket ids and weight integers accumulate in exact
+    LONG arithmetic (fold order irrelevant — addition of integers is
+    associative); the only double op is the final mean, then one
+    ROUND(x, 6). The sigmoid is deliberately omitted: it is monotone,
+    so thresholding the linear margin is equivalent, and exp() is not
+    bit-identical across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    def bucket(x):
+        return (
+            F.length(x).cast("long") * 131
+            + F.ascii(x).cast("long") * 7919
+            + F.ascii(F.reverse(x)).cast("long") * 104729
+        ) % _CLF_BUCKETS
+
+    def weight_int(x):
+        return (bucket(x) * _CLF_MIX) % _CLF_WMOD
+
+    wsum = F.aggregate(
+        F.transform(toks, weight_int),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(toks).cast("long")
+    margin = F.round(
+        wsum.cast("double") / (n * F.lit(float(_CLF_WMOD))) - 0.5, 6
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        margin.alias("margin"),
+        (margin > 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """The merge-selection step of BPE tokenizer training: corpus-wide
+    counts of adjacent character pairs inside tokens, top-k by count.
+    A full BPE trainer iterates this (count -> merge best pair ->
+    recount); the count step is the distributed-scale part — the merge
+    table itself is tiny driver state.
+
+    Pair generation is a map-side higher-order expression (sequence +
+    substr over the token array — no Python, no per-char explode); the
+    single shuffle is the partial+final count on the pair key, bounded
+    by the pair vocabulary (<= alphabet^2 per language), NOT corpus
+    size. Deterministic top-k via (count desc, pair asc).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = F.flatten(
+        F.transform(
+            F.filter(_tokens(), lambda t: F.length(t) >= 2),
+            lambda t: F.transform(
+                F.sequence(F.lit(1), F.length(t) - 1),
+                lambda i: F.substr(t, i, F.lit(2)),
+            ),
+        )
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(k)
+    )
