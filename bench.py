@@ -135,6 +135,7 @@ HEADLINE = [
     "series_acf",
     "classifier_score",
     "bpe_pair_counts",
+    "lttb_downsample",
 ]
 
 

@@ -111,6 +111,7 @@ from metevents_spark.similarity import (
     knn_lsh,
     label_centroids,
 )
+from metevents_spark.operators.downsample import lttb_downsample
 from metevents_spark.operators.resample import gap_fill_hourly
 from metevents_spark.quality import data_expectations, value_drift_psi
 from metevents_spark.operators.changepoint import cusum_alarm
@@ -1847,6 +1848,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivf": knn_ivf,                # approximate
     "dedup_clusters": dedup_clusters,  # iterative, minhash family
     "ewma_smooth": ewma_smooth,        # recursive state, closed form overflows
+    "lttb_downsample": lttb_downsample,  # sequential triangle selection
     "user_reach_approx": user_reach_approx,  # HLL sketch
     "corpus_summary_approx": corpus_summary_approx,  # HLL sketch
     "vocab_top_terms_approx": vocab_top_terms_approx,  # frequent-items sketch
