@@ -136,6 +136,8 @@ HEADLINE = [
     "classifier_score",
     "bpe_pair_counts",
     "lttb_downsample",
+    "semantic_dedup",
+    "kmeans_embeddings",
 ]
 
 

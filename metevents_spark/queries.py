@@ -104,6 +104,8 @@ from metevents_spark.text.pipeline import (
 from metevents_spark.session import tune_session
 from metevents_spark.similarity import (
     embedding_near_dup,
+    kmeans_embeddings,
+    semantic_dedup,
     embedding_norms,
     embedding_quantize,
     knn_cosine,
@@ -1849,6 +1851,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": dedup_clusters,  # iterative, minhash family
     "ewma_smooth": ewma_smooth,        # recursive state, closed form overflows
     "lttb_downsample": lttb_downsample,  # sequential triangle selection
+    "semantic_dedup": semantic_dedup,    # iterative k-means + greedy sweep
+    "kmeans_embeddings": kmeans_embeddings,  # iterative Lloyd rounds
     "user_reach_approx": user_reach_approx,  # HLL sketch
     "corpus_summary_approx": corpus_summary_approx,  # HLL sketch
     "vocab_top_terms_approx": vocab_top_terms_approx,  # frequent-items sketch

@@ -7,3 +7,7 @@ from metevents_spark.similarity.knn import (  # noqa: F401
     knn_lsh,
     label_centroids,
 )
+from metevents_spark.similarity.semdedup import (  # noqa: F401
+    kmeans_embeddings,
+    semantic_dedup,
+)
