@@ -786,9 +786,12 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("cents").alias("cents"))
     )
-    w_all = Window.partitionBy()
+    # the global total as a 1-row scalar aggregate broadcast onto the
+    # rollup — NOT a partition-less window, which would funnel the
+    # whole |parts|-sized rollup through a single task at scale
+    total = per_part.agg(F.sum("cents").alias("total_cents"))
     return (
-        per_part.withColumn("total_cents", F.sum("cents").over(w_all))
+        per_part.crossJoin(F.broadcast(total))
         .filter(F.col("cents") > F.col("total_cents") / F.lit(2000.0))
         .select(
             F.col("l_partkey").alias("p_partkey"),
@@ -814,14 +817,21 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (one - _dec("l_discount", "4,2"))
     lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
     hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
-    per_supp = (
+    from metevents_spark.cache import track
+
+    # the |suppliers|-sized rollup is persisted so the scalar-MAX
+    # branch and the equality filter read ONE materialization — one
+    # lineitem scan, one exchange; a partition-less window would
+    # single-task the rollup instead
+    per_supp = track(
         line.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
         .groupBy("l_suppkey")
         .agg(F.sum(revenue).alias("total_rev"))
+        .persist()
     )
-    w_all = Window.partitionBy()
+    max_rev = per_supp.agg(F.max("total_rev").alias("max_rev"))
     return (
-        per_supp.withColumn("max_rev", F.max("total_rev").over(w_all))
+        per_supp.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(

@@ -214,6 +214,9 @@ def test_no_query_plans_a_cartesian_product(spark):
         "bigram_logprob",
         "event_pair_lift",
         "quality_bucket_sample",  # inherits unigram_logprob's 1-row total
+        "rich_idle_customers",    # Q22 avg-balance scalar broadcast
+        "important_parts",        # Q11 global-total scalar broadcast
+        "top_supplier",           # Q15 max-revenue scalar broadcast
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, SF))
