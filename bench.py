@@ -138,6 +138,7 @@ HEADLINE = [
     "lttb_downsample",
     "semantic_dedup",
     "kmeans_embeddings",
+    "seasonal_decompose",
 ]
 
 

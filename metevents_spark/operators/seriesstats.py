@@ -345,3 +345,79 @@ def series_acf(
         .filter(F.col("n_points") > max_lag)
         .orderBy("sid")
     )
+
+
+def seasonal_decompose(
+    spark: SparkSession, sf_dir: str, half_window: int = 12
+) -> DataFrame:
+    """Classical additive decomposition (statsmodels
+    ``seasonal_decompose`` flavor, moving-average trend — not LOESS
+    STL): value = trend + seasonal + resid.
+
+    trend    = centered +-``half_window``-row moving average per series
+               (boundary rows average over the rows that exist —
+               deterministic, no NULL edges);
+    seasonal = mean detrended value of the row's (series, hour-of-day)
+               stratum — the diurnal profile;
+    resid    = what's left.
+
+    All components live in EXACT integer micro-units (value * 1e6 as
+    LONG): the windowed sums are associative integer adds, and each
+    component does ONE double division + floor — so results are
+    bit-identical across engines. A double formulation is NOT (window
+    avg summation order differs between Spark's running frame and an
+    oracle's segment tree; the ulp drift flips rounded digits —
+    observed on this dataset).
+
+    Two window families: the rows-frame trend shares the per-sid
+    exchange every series operator uses; the seasonal stratum window
+    repartitions FINER on (sid, hour) — same skew-friendly shape as
+    seasonal_anomaly. All double math rounds to 6 decimals at the
+    output boundary.
+    """
+    df = series_frame(spark, sf_dir).filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    w_trend = (
+        Window.partitionBy("sid")
+        .orderBy("ts", "seq")
+        .rowsBetween(-half_window, half_window)
+    )
+    v_u = F.round(F.col("value") * 1e6).cast("long")
+    with_trend = df.select(
+        "sid",
+        "seq",
+        "ts",
+        "value",
+        v_u.alias("_vu"),
+        F.floor(
+            F.sum(v_u).over(w_trend)
+            / F.count(F.lit(1)).over(w_trend)
+            + F.lit(0.5)
+        ).alias("_tu"),
+        F.hour("ts").cast("long").alias("_hod"),
+    )
+    w_season = Window.partitionBy("sid", "_hod")
+    det = F.col("_vu") - F.col("_tu")
+    with_season = with_trend.select(
+        "sid",
+        "seq",
+        "ts",
+        "value",
+        "_vu",
+        "_tu",
+        F.floor(
+            F.sum(det).over(w_season)
+            / F.count(F.lit(1)).over(w_season)
+            + F.lit(0.5)
+        ).alias("_su"),
+    )
+    return with_season.select(
+        "sid",
+        "seq",
+        "ts",
+        "value",
+        (F.col("_tu") / 1e6).alias("trend"),
+        (F.col("_su") / 1e6).alias("seasonal"),
+        ((F.col("_vu") - F.col("_tu") - F.col("_su")) / 1e6).alias("resid"),
+    ).orderBy("sid", "ts", "seq")

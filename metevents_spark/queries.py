@@ -119,6 +119,7 @@ from metevents_spark.quality import data_expectations, value_drift_psi
 from metevents_spark.operators.changepoint import cusum_alarm
 from metevents_spark.operators.seriesstats import (
     ewma_smooth,
+    seasonal_decompose,
     series_acf,
     robust_zscore,
     rolling_mean,
@@ -1683,6 +1684,35 @@ WITH t AS (
 SELECT doc_id, n_tokens, margin, margin > 0 AS keep
 FROM m ORDER BY doc_id
 """,
+    "seasonal_decompose": """
+WITH s AS (
+  SELECT CAST(user_id AS VARCHAR) AS sid, event_id AS seq, ts, value,
+         CAST(ROUND(value * 1e6) AS BIGINT) AS _vu
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), t AS (
+  SELECT sid, seq, ts, value, _vu,
+         CAST(FLOOR(
+           CAST(SUM(_vu) OVER w AS DOUBLE) / COUNT(*) OVER w + 0.5
+         ) AS BIGINT) AS _tu,
+         CAST(hour(ts) AS BIGINT) AS _hod
+  FROM s
+  WINDOW w AS (PARTITION BY sid ORDER BY ts, seq
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), se AS (
+  SELECT sid, seq, ts, value, _vu, _tu,
+         CAST(FLOOR(
+           CAST(SUM(_vu - _tu) OVER ws AS DOUBLE)
+           / COUNT(*) OVER ws + 0.5
+         ) AS BIGINT) AS _su
+  FROM t
+  WINDOW ws AS (PARTITION BY sid, _hod)
+)
+SELECT sid, seq, ts, value,
+       _tu / 1e6 AS trend,
+       _su / 1e6 AS seasonal,
+       (_vu - _tu - _su) / 1e6 AS resid
+FROM se ORDER BY sid, ts, seq
+""",
     "bpe_pair_counts": """
 WITH toks AS (
   SELECT unnest(string_split(text, ' ')) AS t FROM documents
@@ -1838,6 +1868,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "series_acf": series_acf,
     "classifier_score": classifier_score,
     "bpe_pair_counts": bpe_pair_counts,
+    "seasonal_decompose": seasonal_decompose,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width
