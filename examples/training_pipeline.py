@@ -53,9 +53,21 @@ rewritten = remove_duplicate_spans(spark, sf_dir)
 cut = rewritten.filter("n_removed > 0")
 print(f"  docs with spans cut: {cut.count()}")
 
-# 2. quality: composite gate + quality-decile downsampling
+# 1c. semantic dedup over the embedding corpus (SemDeDup: k-means
+# clusters bound the pairwise cosine sweep)
+from metevents_spark.similarity import semantic_dedup
+
+sem = semantic_dedup(spark, sf_dir)
+print(f"  semantic-dedup drops: {sem.filter('NOT keep').count()} vectors")
+
+# 2. quality: composite gate + hashed-classifier margin +
+# quality-decile downsampling
+from metevents_spark.text import classifier_score
+
 passed = quality_filter(spark, sf_dir)
 print(f"  quality gate passes: {passed.count()}")
+clf = classifier_score(spark, sf_dir)
+print(f"  classifier gate keeps: {clf.filter('keep').count()}")
 sampled = quality_bucket_sample(spark, sf_dir)
 print(f"  quality-bucket sample keeps: {sampled.count()}")
 
