@@ -139,6 +139,7 @@ HEADLINE = [
     "semantic_dedup",
     "kmeans_embeddings",
     "seasonal_decompose",
+    "latest_event_per_user",
 ]
 
 

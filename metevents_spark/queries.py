@@ -38,6 +38,7 @@ from metevents_spark.operators.sessions import sessionize
 from metevents_spark.functions import freq_infer
 from metevents_spark.relational import (
     brand_revenue,
+    latest_event_per_user,
     loyal_customers,
     nation_revenue_share,
     daily_rollup,
@@ -1713,6 +1714,17 @@ SELECT sid, seq, ts, value,
        (_vu - _tu - _su) / 1e6 AS resid
 FROM se ORDER BY sid, ts, seq
 """,
+    "latest_event_per_user": """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events)
+SELECT user_id, ts AS last_ts, event_id AS last_seq,
+       event_type AS last_type, value AS last_value, n_events
+FROM ranked WHERE rk = 1 ORDER BY user_id
+""",
     "bpe_pair_counts": """
 WITH toks AS (
   SELECT unnest(string_split(text, ' ')) AS t FROM documents
@@ -1869,6 +1881,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_score": classifier_score,
     "bpe_pair_counts": bpe_pair_counts,
     "seasonal_decompose": seasonal_decompose,
+    "latest_event_per_user": latest_event_per_user,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width

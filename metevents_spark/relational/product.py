@@ -301,3 +301,36 @@ def event_pair_lift(
         )
         .orderBy("a", "b")
     )
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key via ``max_by`` — the aggregate formulation of
+    "each user's most recent event".
+
+    At scale this beats the row_number()-window formulation decisively:
+    max_by is a partial+final hash aggregate (each map task keeps ONE
+    candidate row per user before the exchange — no sort, shuffle is
+    |users| rows), where the window must shuffle and SORT every event.
+    Determinism on timestamp ties comes from the (ts, seq) struct
+    ordering key. The DuckDB oracle states the same semantics as a
+    QUALIFY row_number() = 1 — different mechanism, same rows, which is
+    exactly what the hash comparison should prove.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.struct(
+        F.col("ts"), F.col("event_id"), F.col("event_type"), F.col("value")
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max_by(payload, key).alias("p"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("p.ts").alias("last_ts"),
+            F.col("p.event_id").alias("last_seq"),
+            F.col("p.event_type").alias("last_type"),
+            F.col("p.value").alias("last_value"),
+            "n_events",
+        )
+        .orderBy("user_id")
+    )
