@@ -97,6 +97,7 @@ def main() -> None:
         os.symlink(doc_dir, doc_link)
 
     from metevents_spark.text import (
+        classifier_score,
         exact_dedup,
         minhash_near_dup,
         ngram_jaccard_pairs,
@@ -123,6 +124,7 @@ def main() -> None:
         "sequence_pack": sequence_pack,
         "stratified_sample": stratified_sample,
         "dedup_clusters": dedup_clusters,
+        "classifier_score": classifier_score,
     }.items():
         t0 = time.perf_counter()
         fn(spark, sf_big).write.format("noop").mode("overwrite").save()
@@ -148,6 +150,7 @@ def main() -> None:
         knn_cosine,
         knn_ivf,
         knn_lsh,
+        semantic_dedup,
     )
 
     n_vecs = load_table(spark, sf_big, "embeddings").count()
@@ -156,6 +159,10 @@ def main() -> None:
         "knn_lsh": knn_lsh,
         "knn_ivf": knn_ivf,
         "embedding_near_dup": embedding_near_dup,
+        # k grows with corpus so clusters stay bounded — at factor 100
+        # (200k vectors) 64 cells keep the within-cluster gram matrices
+        # at the few-thousand-vector scale the kernel is sized for
+        "semantic_dedup": lambda s, d: semantic_dedup(s, d, k=64, iters=2),
     }.items():
         t0 = time.perf_counter()
         fn(spark, sf_big).write.format("noop").mode("overwrite").save()
