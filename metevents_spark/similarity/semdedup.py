@@ -56,7 +56,19 @@ def lloyd_centroids(
     """Deterministic k-means: seeded by the k lowest-vec_id vectors,
     ``iters`` Lloyd rounds (cosine assignment, mean update). Returns
     the (k x dim) centroid matrix. Empty clusters keep their previous
-    centroid (standard practice; deterministic)."""
+    centroid (standard practice; deterministic).
+
+    Each round is ONE ``mapInPandas`` pass: a batch assigns itself with
+    one matmul and emits per-cell (count, sum-vector) partials — at
+    most k rows per Arrow batch, folded on the driver (k x dim floats,
+    the same legitimate tiny-collect as knn_ivf's centroids). The
+    earlier M-step posexplode shuffled corpus x dim rows per round and
+    dominated the runtime 20:1 at the 200k-vector smoke scale.
+    Partial-sum fold order across batches is not fixed, so centroid
+    ulps can differ run-to-run — assignments are robust to that (argmax
+    margins dwarf ulps), the same property the Spark-avg formulation
+    relied on.
+    """
     seeds = sorted(
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in emb.filter(F.col("vec_id") < k)
@@ -64,24 +76,39 @@ def lloyd_centroids(
         .collect()
     )
     cmat = np.array([v for _, v in seeds], dtype=np.float64)
+    kk, dim = cmat.shape
     for _ in range(iters):
-        assigned = emb.select(
-            _assign_udf(cmat)("embedding").alias("cell"),
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "pos", "v"
-            ),
-        )
-        rows = (
-            assigned.groupBy("cell", "pos")
-            .agg(F.avg("v").alias("c"))
-            .collect()
-        )
-        nxt = cmat.copy()
-        upd = {}
+        cn = _normalize(cmat)
+
+        def partials(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                a = (_normalize(m) @ cn.T).argmax(axis=1)
+                counts = np.bincount(a, minlength=kk)
+                sums = np.zeros((kk, dim))
+                np.add.at(sums, a, m)
+                nz = np.flatnonzero(counts)
+                yield pd.DataFrame(
+                    {
+                        "cell": nz.astype(np.int32),
+                        "cnt": counts[nz].astype(np.int64),
+                        "vsum": [sums[c].tolist() for c in nz],
+                    }
+                )
+
+        rows = emb.select("embedding").mapInPandas(
+            partials, "cell int, cnt long, vsum array<double>"
+        ).collect()
+        sums = np.zeros((kk, dim))
+        cnts = np.zeros(kk)
         for r in rows:
-            upd.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["c"])
-        for cell, d in upd.items():
-            nxt[cell] = [d[p] for p in range(cmat.shape[1])]
+            sums[r["cell"]] += np.asarray(r["vsum"])
+            cnts[r["cell"]] += r["cnt"]
+        nxt = cmat.copy()
+        nz = cnts > 0
+        nxt[nz] = sums[nz] / cnts[nz, None]
         cmat = nxt
     return cmat
 
@@ -115,14 +142,15 @@ def semantic_dedup(
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         sims = np.round(m @ m.T, 6)
         n = len(ids)
-        dup_of = np.full(n, -1, dtype=np.int64)
-        cos = np.full(n, np.nan)
-        for i in range(1, n):
-            hits = np.flatnonzero(sims[i, :i] >= threshold)
-            if len(hits):
-                j = int(hits[0])
-                dup_of[i] = ids[j]
-                cos[i] = sims[i, j]
+        # earliest j < i with sims[i, j] >= threshold, fully vectorized:
+        # argmax over a boolean lower-triangle mask returns the FIRST
+        # True per row (a per-row python loop here was the kernel's
+        # hotspot — ~n flatnonzero calls per cluster)
+        low = np.tril(sims >= threshold, k=-1)
+        has = low.any(axis=1)
+        first = low.argmax(axis=1)
+        dup_of = np.where(has, ids[first], -1).astype(np.int64)
+        cos = np.where(has, sims[np.arange(n), first], np.nan)
         return pd.DataFrame(
             {
                 "vec_id": ids,
