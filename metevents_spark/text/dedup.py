@@ -655,7 +655,11 @@ def duplicate_spans(
 
     Scale shape — never pairwise, two digest-keyed exchanges:
       1. positions x n-grams expand MAP-SIDE (higher-order transform;
-         only 32-char md5 digests leave the scan, never gram text);
+         only 16-byte dual-xxhash64 fingerprints leave the scan, never
+         gram text — hashing the token-array slice directly skips both
+         the array_join string build and the md5 crypto rounds of the
+         earlier formulation, and two independent 64-bit hashes put
+         corpus-scale collision odds past 1e-18);
       2. one hash exchange on the digest for the
          count-distinct-docs >= 2 aggregate (partial agg collapses
          per-partition duplicates first);
@@ -679,7 +683,10 @@ def duplicate_spans(
         F.sequence(F.lit(1), F.size("t") - (n - 1)),
         lambda i: F.struct(
             i.alias("pos"),
-            F.md5(F.array_join(F.slice("t", i, n), " ")).alias("g"),
+            F.struct(
+                F.xxhash64(F.slice("t", i, n)).alias("h1"),
+                F.xxhash64(F.slice("t", i, n), F.lit(1)).alias("h2"),
+            ).alias("g"),
         ),
     )
     pos_grams = toked.select(

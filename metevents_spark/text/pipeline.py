@@ -308,21 +308,29 @@ def cross_doc_ngram_share(
     of duplicated n-grams; corpus-level dedup pipelines use this signal
     to pick span-removal candidates).
 
-    Scale shape: n-grams are expanded and md5-collapsed map-side
-    (``transform`` + ``array_distinct`` inside codegen — only 32-char
-    digests ever shuffle, never the gram text), then ONE hash exchange
-    on the digest feeds a count window, and the per-doc rollup reuses
-    nothing corpus-sized. Documents shorter than n tokens emit nothing.
+    Scale shape: n-grams are expanded and fingerprint-collapsed
+    map-side (``transform`` + ``array_distinct`` inside codegen — only
+    16-byte dual-xxhash64 fingerprints ever shuffle, never the gram
+    text; hashing the token-array slice directly skips the
+    array_join + md5 of the earlier formulation), then ONE hash
+    exchange on the digest feeds a count window, and the per-doc
+    rollup reuses nothing corpus-sized. Documents shorter than n
+    tokens emit nothing.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
     grams = F.when(
         F.size("t") >= n,
-        F.expr(
-            f"array_distinct(transform(sequence(0, size(t) - {n}),"
-            f" i -> md5(array_join(slice(t, i + 1, {n}), ' '))))"
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda i: F.struct(
+                    F.xxhash64(F.slice("t", i + 1, n)).alias("h1"),
+                    F.xxhash64(F.slice("t", i + 1, n), F.lit(1)).alias("h2"),
+                ),
+            )
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<struct<h1:bigint,h2:bigint>>"))
     exploded = toked.select("doc_id", F.explode(grams).alias("g"))
     per = exploded.withColumn(
         "nd", F.count(F.lit(1)).over(Window.partitionBy("g"))
