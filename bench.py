@@ -140,6 +140,9 @@ HEADLINE = [
     "kmeans_embeddings",
     "seasonal_decompose",
     "latest_event_per_user",
+    "winsorize_series",
+    "holdout_split",
+    "normalize_text",
 ]
 
 

@@ -421,3 +421,39 @@ def seasonal_decompose(
         (F.col("_su") / 1e6).alias("seasonal"),
         ((F.col("_vu") - F.col("_tu") - F.col("_su")) / 1e6).alias("resid"),
     ).orderBy("sid", "ts", "seq")
+
+
+def winsorize_series(
+    spark: SparkSession, sf_dir: str, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Per-series winsorization: clip each value to its own series'
+    [p_lo, p_hi] exact interpolated percentile band — the standard
+    outlier-taming transform applied before training on heavy-tailed
+    sensor data (keeps the row, unlike the filtering detectors).
+
+    One groupBy for the per-series band (|series| rows — AQE broadcasts
+    it back onto the scan), one join, map-side clip. NULL/NaN rows drop
+    with the same filter every stats operator uses.
+    """
+    df = series_frame(spark, sf_dir).filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    stats = df.groupBy("sid").agg(
+        F.percentile("value", F.lit(lo)).alias("p_lo"),
+        F.percentile("value", F.lit(hi)).alias("p_hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        df.join(stats, "sid")
+        .select(
+            "sid",
+            "seq",
+            "ts",
+            "value",
+            F.round(clipped, 6).alias("winsorized"),
+            ((F.col("value") < F.col("p_lo")) | (F.col("value") > F.col("p_hi"))).alias(
+                "was_clipped"
+            ),
+        )
+        .orderBy("sid", "ts", "seq")
+    )

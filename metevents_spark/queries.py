@@ -92,6 +92,8 @@ from metevents_spark.text.dedup import (
 from metevents_spark.text.scrub import domain_stats, pii_redact
 from metevents_spark.text.pipeline import (
     bigram_logprob,
+    holdout_split,
+    normalize_text,
     cooccurrence_counts,
     cross_doc_ngram_share,
     decontaminate_ngram,
@@ -122,6 +124,7 @@ from metevents_spark.operators.seriesstats import (
     ewma_smooth,
     seasonal_decompose,
     series_acf,
+    winsorize_series,
     robust_zscore,
     rolling_mean,
     seasonal_anomaly,
@@ -1714,6 +1717,44 @@ SELECT sid, seq, ts, value,
        (_vu - _tu - _su) / 1e6 AS resid
 FROM se ORDER BY sid, ts, seq
 """,
+    "winsorize_series": """
+WITH s AS (
+  SELECT CAST(user_id AS VARCHAR) AS sid, event_id AS seq, ts, value
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), st AS (
+  SELECT sid, quantile_cont(value, 0.05) AS p_lo,
+         quantile_cont(value, 0.95) AS p_hi
+  FROM s GROUP BY sid)
+SELECT s.sid, s.seq, s.ts, s.value,
+       ROUND(LEAST(GREATEST(s.value, st.p_lo), st.p_hi), 6) AS winsorized,
+       (s.value < st.p_lo OR s.value > st.p_hi) AS was_clipped
+FROM s JOIN st USING (sid)
+ORDER BY sid, ts, seq
+""",
+    "holdout_split": """
+WITH b AS (
+  SELECT doc_id, source,
+         ((doc_id * 1103515245 + 12345) % 2147483648) % 100 AS bucket
+  FROM documents)
+SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket < 5 THEN 'test'
+            WHEN bucket < 10 THEN 'val'
+            ELSE 'train' END AS split
+FROM b ORDER BY doc_id
+""",
+    "normalize_text": """
+WITH c AS (
+  SELECT doc_id, text,
+         TRIM(regexp_replace(
+           regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g')) AS canon
+  FROM documents)
+SELECT doc_id, md5(canon) AS canon_hash,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(canon) AS BIGINT) AS n_chars_canon,
+       canon <> text AS changed
+FROM c ORDER BY doc_id
+""",
     "latest_event_per_user": """
 WITH ranked AS (
   SELECT user_id, ts, event_id, event_type, value,
@@ -1882,6 +1923,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pair_counts": bpe_pair_counts,
     "seasonal_decompose": seasonal_decompose,
     "latest_event_per_user": latest_event_per_user,
+    "winsorize_series": winsorize_series,
+    "holdout_split": holdout_split,
+    "normalize_text": normalize_text,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width

@@ -533,3 +533,52 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def holdout_split(
+    spark: SparkSession, sf_dir: str, val_pct: int = 5, test_pct: int = 5
+) -> DataFrame:
+    """Deterministic train/val/test assignment by a fixed LCG mix of
+    doc_id — the split every pipeline needs to be STABLE across reruns,
+    engines, and corpus growth (a document's split never changes when
+    other documents are added, which rowwise RNG sampling cannot
+    promise). Same glibc-LCG mix as stratified_sample; map-side only,
+    the output sort is the only exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    bucket = (
+        (F.col("doc_id") * 1103515245 + 12345) % 2147483648
+    ) % 100
+    split = (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select(
+        "doc_id", "source", bucket.cast("long").alias("bucket"), split.alias("split")
+    ).orderBy("doc_id")
+
+
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization ahead of exact dedup: lowercase, strip
+    everything outside [a-z0-9 ], collapse whitespace runs, trim. The
+    canonical md5 is the dedup key that catches case/punctuation
+    variants exact_dedup's raw-byte hash misses. Pure codegen regex —
+    zero shuffle except the output sort; the character classes are
+    regex-dialect-neutral so any ANSI engine reproduces them.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(canon).alias("canon_hash"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(canon).cast("long").alias("n_chars_canon"),
+        (canon != F.col("text")).alias("changed"),
+    ).orderBy("doc_id")
