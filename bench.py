@@ -143,6 +143,7 @@ HEADLINE = [
     "winsorize_series",
     "holdout_split",
     "normalize_text",
+    "media_embedding_near_dup",
 ]
 
 

@@ -116,6 +116,7 @@ from metevents_spark.similarity import (
     knn_lsh,
     label_centroids,
 )
+from metevents_spark.multimodal import media_embedding_near_dup
 from metevents_spark.operators.downsample import lttb_downsample
 from metevents_spark.operators.resample import gap_fill_hourly
 from metevents_spark.quality import data_expectations, value_drift_psi
@@ -1934,6 +1935,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_lsh": knn_lsh,                # approximate
     "frame_sample": q_frame_sample,    # binary payload rows
     "media_resize": q_media_resize,    # binary thumbnails
+    "media_embedding_near_dup": media_embedding_near_dup,  # decode->embed->ANN
     "simhash_near_dup": simhash_near_dup,   # xxhash64 family
     "knn_ivf": knn_ivf,                # approximate
     "dedup_clusters": dedup_clusters,  # iterative, minhash family
