@@ -231,3 +231,26 @@ def test_oracle_keys_subset_of_queries():
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(osql) >= 40
+
+
+def test_map_side_ops_have_no_hash_exchange(spark):
+    """classifier_score / normalize_text / holdout_split promise
+    zero-shuffle scoring (the only exchange is the deterministic
+    output sort). A hash exchange appearing here means someone broke
+    the map-side formulation."""
+    from metevents_spark.text import classifier_score
+    from metevents_spark.text.pipeline import holdout_split, normalize_text
+
+    for fn in (classifier_score, normalize_text, holdout_split):
+        plan = plan_of(fn(spark, SF))
+        assert "Exchange hashpartitioning" not in plan, fn.__name__
+
+
+def test_latest_event_uses_aggregate_not_window(spark):
+    """The max_by formulation must plan a partial+final hash aggregate
+    (one |users|-row shuffle), NOT a window sort over every event."""
+    from metevents_spark.relational import latest_event_per_user
+
+    plan = plan_of(latest_event_per_user(spark, SF))
+    assert "max_by" in plan or "HashAggregate" in plan, plan
+    assert "Window" not in plan, plan
