@@ -85,3 +85,27 @@ def test_spark_end_to_end(spark):
     # per-series output is time-sorted with unique timestamps kept
     for _, g in out.groupby("sid"):
         assert g["ts"].is_monotonic_increasing
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=3,
+        max_size=200,
+    ),
+    n_out=st.integers(min_value=3, max_value=50),
+)
+def test_kernel_fuzz_vs_reference(vals, n_out):
+    n = len(vals)
+    ts = np.datetime64("2023-01-01", "us") + np.arange(n) * np.timedelta64(
+        60_000_000, "us"
+    )
+    v = np.asarray(vals, dtype=np.float64)
+    got = lttb_numpy(ts, v, n_out).tolist()
+    x = ts.astype(np.int64).astype(np.float64)
+    assert got == lttb_reference(x, v, n_out)
