@@ -132,6 +132,12 @@ HEADLINE = [
     "large_volume_customers",
     "sole_return_supplier",
     "rich_idle_customers",
+    "discounted_revenue",
+    "returned_item_customers",
+    "customer_order_distribution",
+    "promo_revenue_pct",
+    "disjunctive_part_revenue",
+    "heavy_shippers",
     "series_acf",
     "classifier_score",
     "bpe_pair_counts",

@@ -81,6 +81,12 @@ from metevents_spark.relational.tpch import (
     large_volume_customers,
     sole_return_supplier,
     rich_idle_customers,
+    discounted_revenue,
+    returned_item_customers,
+    customer_order_distribution,
+    promo_revenue_pct,
+    disjunctive_part_revenue,
+    heavy_shippers,
 )
 from metevents_spark.text.dedup import (
     dedup_clusters,
@@ -1659,6 +1665,82 @@ WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
                   AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY n_name ORDER BY n_name
 """,
+    "discounted_revenue": """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 3)
+       AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    "returned_item_customers": """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(12,2))
+                     - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS _rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-04-01'
+  GROUP BY o_custkey
+  ORDER BY _rev DESC, o_custkey LIMIT 20)
+SELECT c_custkey, c_name, n_name,
+       ROUND(_rev, 3) AS revenue,
+       ROUND(c_acctbal, 2) AS c_acctbal
+FROM rev JOIN customer ON c_custkey = o_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey
+""",
+    "customer_order_distribution": """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    "promo_revenue_pct": """
+SELECT ROUND(
+  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2))
+                - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+  4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+""",
+    "disjunctive_part_revenue": """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(12,2))
+                         - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 3)
+       AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
+""",
+    "heavy_shippers": """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'large%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 50)
+ORDER BY s_suppkey
+""",
     "series_acf": """
 WITH s AS (
   SELECT CAST(user_id AS VARCHAR) AS sid, event_id AS seq, ts, value
@@ -1918,6 +2000,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_customers": large_volume_customers,
     "sole_return_supplier": sole_return_supplier,
     "rich_idle_customers": rich_idle_customers,
+    # round-5 TPC-H completion: Q6/Q10/Q13/Q14/Q19/Q20 shapes
+    "discounted_revenue": discounted_revenue,
+    "returned_item_customers": returned_item_customers,
+    "customer_order_distribution": customer_order_distribution,
+    "promo_revenue_pct": promo_revenue_pct,
+    "disjunctive_part_revenue": disjunctive_part_revenue,
+    "heavy_shippers": heavy_shippers,
     # round-5 series/pipeline breadth
     "series_acf": series_acf,
     "classifier_score": classifier_score,

@@ -944,3 +944,204 @@ def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue gain from lineitems in a discount band
+    for one ship year, below a quantity cap. The simplest possible
+    plan — scan → filter → single partial+final aggregate, zero joins;
+    every predicate (date range, discount band, quantity) pushes down
+    to the parquet scan, so at 100 TB only matching row groups are
+    read. DECIMAL product keeps the sum order-independent."""
+    line = load_table(spark, sf_dir, "lineitem")
+    return (
+        line.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * _dec("l_discount", "4,2"))
+                .cast("double"),
+                3,
+            ).alias("revenue")
+        )
+    )
+
+
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items ('R' returnflag) for orders placed in one quarter. Orders is
+    date-filtered before the lineitem join (filter pushdown shrinks the
+    build side); customer and nation broadcast; the heavy
+    lineitem⋈orders join shuffles on orderkey only. Deterministic
+    top-20 via (revenue DESC, custkey) tie-break."""
+    line = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    top20 = (
+        line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", "4,2"))
+            )
+            .cast("double")
+            .alias("_rev")
+        )
+        # take the top-20 BEFORE the customer join: the 20-row side then
+        # broadcasts into the customer scan instead of the whole customer
+        # table being carried to the aggregate (customer is NOT small at
+        # 100 TB). Deterministic under ties via the custkey tie-break.
+        .orderBy(F.col("_rev").desc(), "o_custkey")
+        .limit(20)
+    )
+    return (
+        cust.join(F.broadcast(top20), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("_rev", 3).alias("revenue"),
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly k non-urgent
+    orders, including the zero-order bucket (left join keeps orderless
+    customers). Two hash aggregates; the second groups on the tiny
+    c_count domain so it collapses to near-nothing after the partial
+    aggregate — scale cost is one shuffle of (custkey, count) pairs."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(
+            orders.select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage of one month's revenue that came
+    from PROMO-type parts. Part broadcasts into the date-pruned
+    lineitem scan; conditional aggregation computes both numerator and
+    denominator in ONE pass (no second scan, no self-join)."""
+    line = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount", "4,2")
+    )
+    return (
+        line.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                (
+                    F.lit(100.0)
+                    * F.sum(
+                        F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+                            F.lit(0).cast("decimal(18,4)")
+                        )
+                    ).cast("double")
+                    / F.sum(disc_price).cast("double")
+                ),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd (brand, quantity-band,
+    size-band) predicates. The join stays a plain broadcast equijoin on
+    partkey; the disjunction is a post-join filter Catalyst can still
+    partially push (the common partkey equality carries the join, the
+    OR'd residual evaluates in codegen). The classic trap — turning the
+    OR into a union of three joins that scans lineitem three times —
+    is exactly what this formulation avoids."""
+    line = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = line.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return joined.filter(cond).agg(
+        F.round(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", "4,2"))
+            ).cast("double"),
+            3,
+        ).alias("revenue")
+    )
+
+
+def heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted (no partsupp table): suppliers who moved
+    more than 50 units of any single 'large*'-named part during 1996.
+    The inner aggregate groups on (suppkey, partkey) — the natural
+    shuffle key — then a LEFT SEMI join reduces supplier; the semi join
+    keeps only the 4-byte keys flowing, and the part filter broadcasts
+    into the lineitem scan."""
+    line = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("large")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    movers = (
+        line.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
