@@ -254,3 +254,66 @@ def test_latest_event_uses_aggregate_not_window(spark):
     plan = plan_of(latest_event_per_user(spark, SF))
     assert "max_by" in plan or "HashAggregate" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_q6_no_join_full_pushdown(spark):
+    """Q6 is the pushdown litmus: scan -> filter -> one aggregate,
+    zero joins, and the date/discount/quantity predicates must reach
+    the parquet scan."""
+    from metevents_spark.relational.tpch import discounted_revenue
+
+    plan = plan_of(discounted_revenue(spark, SF))
+    assert "Join" not in plan, plan
+    # the toString render truncates long filter lists with "...", so
+    # match to end-of-line rather than the closing bracket
+    pushed = re.search(r"PushedFilters: \[[^\n]*", plan).group(0)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, pushed
+
+
+def test_q10_broadcasts_top20_not_customer(spark):
+    """The 20-row revenue aggregate must be the broadcast build side;
+    the customer table itself must never sit under a BroadcastExchange
+    (it is not small at scale)."""
+    from metevents_spark.relational.tpch import returned_item_customers
+
+    plan = plan_of(returned_item_customers(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    for bx in re.findall(r"BroadcastExchange[^\n]*\n(?:[ :+|-]*[^\n]*\n)*?", plan):
+        assert "customer.parquet" not in bx, plan
+    # stronger: customer scan appears exactly once and not inside the
+    # subtree that feeds a broadcast (the top-20 side reads lineitem+orders)
+    assert plan.count("customer.parquet") == 1, plan
+
+
+def test_q19_single_lineitem_scan(spark):
+    """The OR'd predicate bands must NOT expand into a union of three
+    joins — exactly one lineitem scan in the plan."""
+    from metevents_spark.relational.tpch import disjunctive_part_revenue
+
+    plan = plan_of(disjunctive_part_revenue(spark, SF))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q20_semi_join_and_q14_single_pass(spark):
+    from metevents_spark.relational.tpch import heavy_shippers, promo_revenue_pct
+
+    plan = plan_of(heavy_shippers(spark, SF))
+    assert "LeftSemi" in plan, plan
+
+    plan14 = plan_of(promo_revenue_pct(spark, SF))
+    # conditional aggregation: numerator and denominator in one scan
+    assert plan14.count("lineitem.parquet") == 1, plan14
+
+
+def test_media_near_dup_grid_lsh_no_cartesian(spark):
+    """Grid-LSH blocking: the pair stage is a grouped-map kernel over
+    (b1, b2) cells — no cartesian/BNLJ anywhere, one documents scan."""
+    from metevents_spark.multimodal.media import media_embedding_near_dup
+
+    df = media_embedding_near_dup(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("documents.parquet") == 1, plan
