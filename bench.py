@@ -138,6 +138,8 @@ HEADLINE = [
     "promo_revenue_pct",
     "disjunctive_part_revenue",
     "heavy_shippers",
+    "downsample_ohlc",
+    "event_type_corr",
     "series_acf",
     "classifier_score",
     "bpe_pair_counts",

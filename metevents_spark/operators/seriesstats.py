@@ -13,7 +13,7 @@ from metevents_spark.timeutil import epoch_us
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from metevents_spark.io import series_frame
+from metevents_spark.io import load_table, series_frame
 
 
 def rolling_mean(
@@ -456,4 +456,80 @@ def winsorize_series(
             ),
         )
         .orderBy("sid", "ts", "seq")
+    )
+
+
+def downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) bars per series — the standard
+    resample for charting and coarse-grained storage of tick-style
+    series (the reference's pandas users reach for
+    ``resample('D').ohlc()``; this is that, distributed).
+
+    Pure selection aggregates: ``min_by``/``max_by`` pick the first and
+    last observation by (ts, seq) while high/low are plain MIN/MAX, so
+    every column partial-aggregates map-side and the single exchange
+    carries one row per (sid, day) — raw ticks never shuffle. No
+    arithmetic on values (selection only), so the output is exact
+    across engines with no rounding.
+
+    NULL/NaN values are dropped first: a NaN would win every MAX under
+    IEEE-ordering in both engines but poison AVG-style consumers, and
+    a NULL open/close is never what a chart wants.
+    """
+    df = series_frame(spark, sf_dir).filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    ord_key = F.struct("ts", "seq")
+    return (
+        df.groupBy("sid", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.min_by("value", ord_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_key).alias("close"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .orderBy("sid", "day")
+    )
+
+
+def event_type_corr(
+    spark: SparkSession, sf_dir: str, min_hours: int = 24
+) -> DataFrame:
+    """Pearson correlation between every pair of event types' hourly
+    mean values over co-observed hours — the cross-signal diagnostic
+    that tells a pipeline which metrics co-move before anyone fits a
+    model on them.
+
+    Scale shape: event_type is a bounded-cardinality dimension, so the
+    raw scan collapses to (hour, type) means FIRST (partial agg
+    map-side; the exchange carries |hours| x k rows, never events) and
+    the pair join is a k-way self-equijoin on the hour key of that tiny
+    rollup — pairwise work scales with k^2 * |hours|, independent of
+    event volume. Hourly means round to 6 digits before the corr so
+    the aggregate sees identical inputs in any engine; the corr itself
+    rounds to 5 (the proven series_acf discipline).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type"
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    a = hourly.select(
+        F.col("hr"), F.col("event_type").alias("type_a"), F.col("v").alias("va")
+    )
+    b = hourly.select(
+        F.col("hr"), F.col("event_type").alias("type_b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "hr")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.round(F.corr("va", "vb"), 5).alias("corr"),
+        )
+        .filter(F.col("n_hours") >= min_hours)
+        .orderBy("type_a", "type_b")
     )

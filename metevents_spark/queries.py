@@ -128,6 +128,8 @@ from metevents_spark.operators.resample import gap_fill_hourly
 from metevents_spark.quality import data_expectations, value_drift_psi
 from metevents_spark.operators.changepoint import cusum_alarm
 from metevents_spark.operators.seriesstats import (
+    downsample_ohlc,
+    event_type_corr,
     ewma_smooth,
     seasonal_decompose,
     series_acf,
@@ -1741,6 +1743,40 @@ WHERE s_suppkey IN (
   GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 50)
 ORDER BY s_suppkey
 """,
+    "downsample_ohlc": """
+WITH s AS (
+  SELECT CAST(user_id AS VARCHAR) AS sid, event_id AS seq, ts, value
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), r AS (
+  SELECT sid, date_trunc('day', ts) AS day, value,
+         row_number() OVER (PARTITION BY sid, date_trunc('day', ts)
+                            ORDER BY ts, seq) AS rn_a,
+         row_number() OVER (PARTITION BY sid, date_trunc('day', ts)
+                            ORDER BY ts DESC, seq DESC) AS rn_d
+  FROM s)
+SELECT sid, day,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_obs
+FROM r GROUP BY sid, day ORDER BY sid, day
+""",
+    "event_type_corr": """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr, event_type,
+         ROUND(AVG(value), 6) AS v
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY date_trunc('hour', ts), event_type)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_hours,
+       ROUND(corr(a.v, b.v), 5) AS corr
+FROM hourly a JOIN hourly b ON a.hr = b.hr
+WHERE a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+HAVING COUNT(*) >= 24
+ORDER BY type_a, type_b
+""",
     "series_acf": """
 WITH s AS (
   SELECT CAST(user_id AS VARCHAR) AS sid, event_id AS seq, ts, value
@@ -2007,6 +2043,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue_pct": promo_revenue_pct,
     "disjunctive_part_revenue": disjunctive_part_revenue,
     "heavy_shippers": heavy_shippers,
+    # round-5 series resample/correlation breadth
+    "downsample_ohlc": downsample_ohlc,
+    "event_type_corr": event_type_corr,
     # round-5 series/pipeline breadth
     "series_acf": series_acf,
     "classifier_score": classifier_score,
