@@ -273,15 +273,39 @@ def media_embedding_near_dup(
     inside the kernel (deterministic, bounded cost) — the same guard
     discipline as the LSH text families.
 
+    Exact-dedup-first, like every pairwise text family here:
+    byte-identical payloads collapse to one representative per content
+    hash BEFORE embedding, the LSH + gram work runs over distinct
+    payloads only, and pairs expand back to member documents at output
+    time (intra-group pairs are cosine 1.0 by construction, block -1).
+    A duplicate-heavy corpus — the norm for scraped media — therefore
+    costs LSH work proportional to DISTINCT payloads, not total.
+
     Rows-only check; tests plant byte-identical and one-byte-flip
     payload pairs and assert both surface.
     """
     import math
 
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from metevents_spark.cache import track
     from metevents_spark.io import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    emb = media_embed(attach_fake_media(docs), dim=dim)
+    media = attach_fake_media(docs)
+    member_rep = track(
+        media.select("doc_id", F.md5(F.col("media")).alias("gid"))
+        .select(
+            "doc_id",
+            F.min("doc_id").over(Window.partitionBy("gid")).alias("rep_id"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    reps = member_rep.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id"
+    ).join(media, "doc_id")
+    emb = media_embed(reps, dim=dim)
     w = math.sqrt(2.0 * max(1.0 - threshold, 1e-12))
     r1, r2 = _lcg_unit(1, dim), _lcg_unit(2, dim)
 
@@ -351,12 +375,44 @@ def media_embedding_near_dup(
             }
         )
 
-    return (
+    rep_pairs = (
         cells.groupBy("b1", "b2")
         .applyInPandas(block_pairs, out_schema)
         # a pair found in several shared cells reports once, from its
         # smallest block id; cosine is identical everywhere
         .groupBy("doc_a", "doc_b")
         .agg(F.min("block").alias("block"), F.max("cosine").alias("cosine"))
-        .orderBy("doc_a", "doc_b")
     )
+    # expand representative pairs to member documents (groups are
+    # disjoint, so the union is duplicate-free); intra-group pairs are
+    # exact byte copies — cosine 1.0, sentinel block -1
+    a = member_rep.select(
+        F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("ma")
+    )
+    b = member_rep.select(
+        F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("mb")
+    )
+    cross = (
+        rep_pairs.withColumnRenamed("doc_a", "rep_a")
+        .withColumnRenamed("doc_b", "rep_b")
+        .join(a, "rep_a")
+        .join(b, "rep_b")
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "block",
+            "cosine",
+        )
+    )
+    m1, m2 = member_rep.alias("m1"), member_rep.alias("m2")
+    intra = m1.join(
+        m2,
+        (F.col("m1.rep_id") == F.col("m2.rep_id"))
+        & (F.col("m1.doc_id") < F.col("m2.doc_id")),
+    ).select(
+        F.col("m1.doc_id").alias("doc_a"),
+        F.col("m2.doc_id").alias("doc_b"),
+        F.lit(-1).cast("int").alias("block"),
+        F.lit(1.0).alias("cosine"),
+    )
+    return cross.union(intra).orderBy("doc_a", "doc_b")

@@ -1978,7 +1978,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational division ("for all" shape) and ratio-to-report windows
     "loyal_customers": loyal_customers,
     "nation_revenue_share": nation_revenue_share,
-    # --- slots 43-50: one r04-green representative per family ---------
+    # --- slots 43-50: the round-5 additions — never driver-checked
+    # before, so they take the hard-signal slots; the r04-green
+    # representatives they displace are pinned by test_oracle_parity --
+    "discounted_revenue": discounted_revenue,
+    "returned_item_customers": returned_item_customers,
+    "customer_order_distribution": customer_order_distribution,
+    "promo_revenue_pct": promo_revenue_pct,
+    "disjunctive_part_revenue": disjunctive_part_revenue,
+    "heavy_shippers": heavy_shippers,
+    "downsample_ohlc": downsample_ohlc,
+    "event_type_corr": event_type_corr,
+    # --- past the driver cap: r04-green, pinned by test_oracle_parity --
     "sessionize": q_sessionize,
     "pricing_summary": pricing_summary,
     "exact_dedup": exact_dedup,
@@ -1987,7 +1998,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_before_error": q_asof_purchase_before_error,
     "gap_fill_hourly": gap_fill_hourly,
     "tfidf_top_terms": tfidf_top_terms,
-    # --- past the driver cap: r04-green, pinned by test_oracle_parity --
     "daily_rollup": daily_rollup,
     "revenue_topn": revenue_topn,
     "region_revenue": region_revenue,
@@ -2036,16 +2046,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_customers": large_volume_customers,
     "sole_return_supplier": sole_return_supplier,
     "rich_idle_customers": rich_idle_customers,
-    # round-5 TPC-H completion: Q6/Q10/Q13/Q14/Q19/Q20 shapes
-    "discounted_revenue": discounted_revenue,
-    "returned_item_customers": returned_item_customers,
-    "customer_order_distribution": customer_order_distribution,
-    "promo_revenue_pct": promo_revenue_pct,
-    "disjunctive_part_revenue": disjunctive_part_revenue,
-    "heavy_shippers": heavy_shippers,
-    # round-5 series resample/correlation breadth
-    "downsample_ohlc": downsample_ohlc,
-    "event_type_corr": event_type_corr,
     # round-5 series/pipeline breadth
     "series_acf": series_acf,
     "classifier_score": classifier_score,

@@ -105,6 +105,7 @@ def main() -> None:
         simhash_near_dup,
         text_stats,
     )
+    from metevents_spark.multimodal.media import media_embedding_near_dup
     from metevents_spark.text.dedup import dedup_clusters
     from metevents_spark.text.pipeline import (
         decontaminate_ngram,
@@ -125,6 +126,10 @@ def main() -> None:
         "stratified_sample": stratified_sample,
         "dedup_clusters": dedup_clusters,
         "classifier_score": classifier_score,
+        # exact-dedup-first: the replicated corpus is 100 copies per
+        # payload, so the LSH/gram stage runs over the SAME 5k distinct
+        # payloads as factor 1 — only the member expansion scales
+        "media_embedding_near_dup": media_embedding_near_dup,
     }.items():
         t0 = time.perf_counter()
         fn(spark, sf_big).write.format("noop").mode("overwrite").save()
