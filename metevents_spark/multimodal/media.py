@@ -302,6 +302,10 @@ def media_embedding_near_dup(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # materialize NOW: six downstream consumers (rep fetch, pair
+    # expansion sides, intra pairs) would otherwise race to fill the
+    # cache inside one job, each re-running the payload-hash pass
+    member_rep.count()
     reps = member_rep.filter(F.col("doc_id") == F.col("rep_id")).select(
         "doc_id"
     ).join(media, "doc_id")

@@ -309,11 +309,19 @@ def test_q20_semi_join_and_q14_single_pass(spark):
 
 def test_media_near_dup_grid_lsh_no_cartesian(spark):
     """Grid-LSH blocking: the pair stage is a grouped-map kernel over
-    (b1, b2) cells — no cartesian/BNLJ anywhere, one documents scan."""
+    (b1, b2) cells — no cartesian/BNLJ anywhere. Two documents scans
+    are the exact-dedup-first shape (hash pass feeding the persisted
+    member->rep map + the representative payload fetch), matching the
+    text minhash family."""
     from metevents_spark.multimodal.media import media_embedding_near_dup
 
     df = media_embedding_near_dup(spark, SF)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert plan.count("documents.parquet") == 1, plan
+    # the member->rep map is persisted AND materialized, so all five
+    # consumers (rep fetch, two expansion sides, two intra sides) read
+    # the cache instead of re-running the payload-hash pipeline. (A raw
+    # FileScan line count is meaningless here: every InMemoryRelation
+    # echoes its cached build plan, FileScans included, into toString.)
+    assert plan.count("InMemoryTableScan") >= 5, plan
