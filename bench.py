@@ -140,6 +140,7 @@ HEADLINE = [
     "heavy_shippers",
     "downsample_ohlc",
     "event_type_corr",
+    "corpus_yield",
     "series_acf",
     "classifier_score",
     "bpe_pair_counts",

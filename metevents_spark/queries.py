@@ -147,6 +147,7 @@ from metevents_spark.text import (
     classifier_score,
     corpus_summary,
     corpus_summary_approx,
+    corpus_yield,
     doc_fingerprint,
     exact_dedup,
     lang_id,
@@ -1762,6 +1763,31 @@ SELECT sid, day,
        COUNT(*) AS n_obs
 FROM r GROUP BY sid, day ORDER BY sid, day
 """,
+    "corpus_yield": """
+WITH t AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','a','of','and','to','in'))) AS ns
+  FROM documents),
+g AS (
+  SELECT source,
+         (n_tokens >= 30) AS g_len,
+         (n_tokens >= 30 AND CAST(nd AS DOUBLE)/n_tokens >= 0.30) AS g_len_div,
+         (n_tokens >= 30 AND CAST(nd AS DOUBLE)/n_tokens >= 0.30
+          AND CAST(ns AS DOUBLE)/n_tokens <= 0.30) AS g_all
+  FROM t)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN g_len THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_len,
+       CAST(SUM(CASE WHEN g_len_div THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass_len_div,
+       CAST(SUM(CASE WHEN g_all THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+       ROUND(SUM(CASE WHEN g_all THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 4)
+         AS yield_pct
+FROM g GROUP BY source ORDER BY source
+""",
     "event_type_corr": """
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS hr, event_type,
@@ -2046,6 +2072,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_customers": large_volume_customers,
     "sole_return_supplier": sole_return_supplier,
     "rich_idle_customers": rich_idle_customers,
+    "corpus_yield": corpus_yield,
     # round-5 series/pipeline breadth
     "series_acf": series_acf,
     "classifier_score": classifier_score,

@@ -3,6 +3,7 @@ from metevents_spark.text.stats import (  # noqa: F401
     classifier_score,
     corpus_summary,
     corpus_summary_approx,
+    corpus_yield,
     doc_fingerprint,
     lang_id,
     quality_filter,

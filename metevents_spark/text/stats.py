@@ -533,3 +533,54 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(k)
     )
+
+
+def corpus_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survivorship funnel through the pretraining filter
+    gates — how many documents enter, pass the length gate, then
+    length+diversity, then the full quality gate (the cumulative
+    intersection, matching how the stages actually cascade), plus the
+    end-to-end yield fraction. The report every data-pipeline owner
+    asks for before touching thresholds: WHERE documents die.
+
+    One scan, one tiny exchange: the per-doc gate booleans are computed
+    alongside text_stats' metrics map-side and collapse into
+    conditional-sum aggregates per source — no joins, no second pass,
+    |sources| output rows regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_stop = F.expr(
+        f"size(filter(split(text, ' '), x -> x IN ({stop_list})))"
+    ).cast("long")
+    g_len = n_tokens >= QF_MIN_TOKENS
+    g_div = (
+        n_distinct.cast("double") / n_tokens
+    ) >= QF_MIN_DISTINCT_RATIO
+    g_stop = (n_stop.cast("double") / n_tokens) <= QF_MAX_STOPWORD_RATIO
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    return (
+        docs.select(
+            "source",
+            g_len.alias("g_len"),
+            (g_len & g_div).alias("g_len_div"),
+            (g_len & g_div & g_stop).alias("g_all"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            one_if(F.col("g_len")).alias("n_pass_len"),
+            one_if(F.col("g_len_div")).alias("n_pass_len_div"),
+            one_if(F.col("g_all")).alias("n_pass_all"),
+        )
+        .withColumn(
+            "yield_pct",
+            F.round(
+                F.col("n_pass_all") * 100.0 / F.col("n_docs"), 4
+            ),
+        )
+        .orderBy("source")
+    )
