@@ -60,10 +60,17 @@ from metevents_spark.similarity import semantic_dedup
 sem = semantic_dedup(spark, sf_dir)
 print(f"  semantic-dedup drops: {sem.filter('NOT keep').count()} vectors")
 
-# 2. quality: composite gate + hashed-classifier margin +
-# quality-decile downsampling
-from metevents_spark.text import classifier_score
+# 2. quality: survivorship funnel, then composite gate +
+# hashed-classifier margin + quality-decile downsampling
+from metevents_spark.text import classifier_score, corpus_yield
 
+print("  per-source yield through the quality gates:")
+for r in corpus_yield(spark, sf_dir).limit(5).collect():
+    print(
+        f"    {r['source']}: {r['n_docs']} -> len {r['n_pass_len']} "
+        f"-> +div {r['n_pass_len_div']} -> all {r['n_pass_all']} "
+        f"({r['yield_pct']}%)"
+    )
 passed = quality_filter(spark, sf_dir)
 print(f"  quality gate passes: {passed.count()}")
 clf = classifier_score(spark, sf_dir)
