@@ -219,13 +219,30 @@ def event_pair_lift(
     tests. The previous array formulation expanded pairs per basket
     with nested higher-order lambdas — interpreted, not codegen'd:
     measured 10.4s vs 2.3s for this shape on the tenfold dataset.
-    The k-sized type list is collected once (a dimension lookup, not
-    data); guarded to k <= 32 where masks stay inside a long's safe
-    range with room to spare.
+
+    ONE fact scan: the (user, day, type) distinct rollup is persisted
+    and serves BOTH the type-list collect (a dimension lookup off the
+    tiny rollup, not a second pass over the fact table) and the mask
+    fold — the earlier formulation scanned events twice, which at
+    100 TB doubles the dominant cost. Guarded to k <= 32 where masks
+    stay inside a long's safe range with room to spare.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from metevents_spark.cache import track
+
     ev = load_table(spark, sf_dir, "events")
+    baskets = track(
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            "event_type",
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     types = sorted(
-        r[0] for r in ev.select("event_type").distinct().collect()
+        r[0] for r in baskets.select("event_type").distinct().collect()
     )
     k = len(types)
     if k > 32:
@@ -237,10 +254,8 @@ def event_pair_lift(
     ).cast("int")
     mask_bits = F.array(*[F.lit(1 << i).cast("long") for i in range(k)])
     mask_counts = (
-        ev.select(
-            "user_id",
-            F.date_trunc("day", F.col("ts")).alias("d"),
-            F.element_at(mask_bits, pos).alias("m"),
+        baskets.select(
+            "user_id", "d", F.element_at(mask_bits, pos).alias("m")
         )
         .groupBy("user_id", "d")
         .agg(F.expr("bit_or(m)").alias("mask"))
