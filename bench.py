@@ -163,6 +163,18 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # Size shuffle partitions to the benchmark volume (the standard
+    # ~128 MB-per-partition guidance): at sf0.1 every shuffle fits in a
+    # handful of partitions, and the iterative/persisted stages
+    # (localCheckpoint materialization, cached LSH frames) run at the
+    # CONFIGURED count — AQE coalesces plain exchanges but not those —
+    # so 32 partitions of near-empty tasks cost ~25% on the dedup
+    # family. Explicit SPARK_GRAFT_SHUFFLE still wins, and a larger
+    # SF dir should set it proportionally higher.
+    os.environ.setdefault(
+        "SPARK_GRAFT_SHUFFLE", "8" if 0 < sf <= 0.2 else "32"
+    )
+
     from metevents_spark.session import get_spark
     from metevents_spark.queries import QUERIES
 
