@@ -111,3 +111,56 @@ def test_gap_fill_invariants(spark):
     # interpolation stays within the bracketing observations
     gaps = pdf[pdf["v_hour"].isna()]
     assert len(gaps) > 0, "fixture has no hourly gaps; invariant vacuous"
+
+
+def test_downsample_ohlc_matches_pandas_resample(spark):
+    """downsample_ohlc must agree with the pandas idiom the reference's
+    users actually run: resample('D').ohlc() over each series (after
+    dropping NULL/NaN, which pandas' ohlc skips only partially — our
+    operator documents the drop)."""
+    from metevents_spark.io import series_frame
+    from metevents_spark.operators.seriesstats import downsample_ohlc
+
+    got = (
+        downsample_ohlc(spark, SF_SMALL)
+        .toPandas()
+        .sort_values(["sid", "day"])
+        .reset_index(drop=True)
+    )
+    raw = series_frame(spark, SF_SMALL).toPandas()
+    raw = raw[raw["value"].notna()]
+    raw = raw.sort_values(["sid", "ts", "seq"])
+    want_rows = []
+    for sid, g in raw.groupby("sid", sort=True):
+        o = g.set_index("ts")["value"].resample("D").ohlc().dropna()
+        n = g.set_index("ts")["value"].resample("D").count()
+        for day, row in o.iterrows():
+            want_rows.append(
+                (sid, day, row["open"], row["high"], row["low"],
+                 row["close"], int(n.loc[day]))
+            )
+    want = pd.DataFrame(
+        want_rows,
+        columns=["sid", "day", "open", "high", "low", "close", "n_obs"],
+    ).sort_values(["sid", "day"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for col in ["open", "high", "low", "close"]:
+        np.testing.assert_allclose(
+            got[col].to_numpy(), want[col].to_numpy(), rtol=0, atol=0
+        )
+    assert (got["n_obs"].to_numpy() == want["n_obs"].to_numpy()).all()
+
+
+def test_media_near_dup_max_block_guard(spark):
+    """A degenerate cell larger than max_block must truncate
+    deterministically instead of going quadratic — the grid-LSH
+    analogue of the text families' hot-bucket cap."""
+    from metevents_spark.multimodal.media import media_embedding_near_dup
+
+    full = media_embedding_near_dup(spark, SF_SMALL).count()
+    capped = media_embedding_near_dup(spark, SF_SMALL, max_block=4)
+    n_capped = capped.count()
+    # with every cell truncated to 4 members the candidate space is
+    # tiny; the op completes and reports no more pairs than the
+    # unguarded run
+    assert n_capped <= full
