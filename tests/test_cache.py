@@ -2,7 +2,7 @@
 
 The correctness driver and bench run 50-66 queries on one SparkSession;
 operators that persist multi-branch intermediates (LSH band frames,
-exact-dedup member maps, TF-IDF term counts) must not accumulate in the
+exact-dedup member maps) must not accumulate in the
 storage tier across that session.
 """
 
@@ -33,6 +33,8 @@ def test_registry_queries_release_prior_persists(spark):
     qs["exact_dedup"](spark, SF_SMALL).count()
     assert persisted_rdd_count(spark) == 0
     # and a persisting query followed by release_all drains fully
-    qs["tfidf_top_terms"](spark, SF_SMALL).count()
+    # (tfidf no longer persists — its df-count is a window now — so
+    # use the media near-dup, whose member->rep map persists)
+    qs["media_embedding_near_dup"](spark, SF_SMALL).count()
     assert release_all() >= 1
     assert persisted_rdd_count(spark) == 0
