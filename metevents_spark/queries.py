@@ -1933,10 +1933,17 @@ GROUP BY pair ORDER BY n DESC, pair LIMIT 50
 # oracle-backed queries past the cap had no hard driver signal. Slots
 # 1-5 keep the SURVEY §2 reference detectors (the parity core, checked
 # every round); slots 6-42 are the 37 oracle-backed queries that sat
-# past the cap through r04; slots 43-50 re-check one representative per
-# family from the r04-green set. The 37 r04-green queries now past the
-# cap stay pinned by tests/test_oracle_parity.py (same hash comparison,
-# runs in every pytest suite).
+# past the cap through r04; slots 43-50 are the round-5 additions
+# (TPC-H Q6/Q10/Q13/Q14/Q19/Q20, OHLC, type-corr) — also never
+# driver-checked before. The r04-green queries now past the cap stay
+# pinned by tests/test_oracle_parity.py (same hash comparison, runs in
+# every pytest suite).
+#
+# ROUND 6 TODO: after r05 lands, every oracle-backed query except
+# corpus_yield (added late, registered past the cap) has earned at
+# least one driver-green row across r04+r05. Rotate corpus_yield (and
+# any round-6 additions) into slots 6+ next round, and return a spread
+# of r04/r05-green representatives to the remaining slots.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracle-backed (hash-matched against ORACLE_SQL) ---------------
     # reference detector parity (SURVEY.md §2.7) — always in-slot
