@@ -112,6 +112,7 @@ HEADLINE = [
     "doc_chunking",
     "event_pair_lift",
     "ewma_smooth",
+    "holt_smooth",
     "bigram_logprob",
     "session_overlap",
     "seasonal_anomaly",

@@ -533,3 +533,65 @@ def event_type_corr(
         .filter(F.col("n_hours") >= min_hours)
         .orderBy("type_a", "type_b")
     )
+
+
+def holt_smooth(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.2, beta: float = 0.1
+) -> DataFrame:
+    """Holt double exponential smoothing per series (additive trend):
+
+        l_t = a*x_t + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}
+
+    seeded l_0 = x_0, b_0 = 0 — the no-second-point-required convention,
+    which also makes ``beta=0`` reduce EXACTLY to the EWMA recursion
+    (asserted against pandas ``ewm(adjust=False)`` in tests). The level
+    is the smoothed value; the trend is the per-step drift a forecaster
+    extrapolates.
+
+    Genuinely recursive (two-state linear recurrence) — no window/SQL
+    form, so the driver check is rows-only; the distributed plumbing
+    (sid shuffle, in-partition sort, batch-boundary carry) is the
+    shared sorted-partition mapper every sequential kernel here uses,
+    and tests hold the fold to a sequential reference loop. NaN/NULL
+    inputs emit the carried state and leave it unchanged, matching the
+    EWMA operator's dirty-data contract.
+    """
+    import numpy as np
+
+    from metevents_spark.operators.grouped import map_series_kernel
+
+    df = series_frame(spark, sf_dir)
+
+    def kernel(sid, ts, vals):
+        rows = []
+        l = b = None
+        for i in range(len(vals)):
+            x = vals[i]
+            if np.isnan(x):
+                rows.append(
+                    (
+                        sid,
+                        ts[i],
+                        None,
+                        None if l is None else round(float(l), 6),
+                        None if b is None else round(float(b), 6),
+                    )
+                )
+                continue
+            if l is None:
+                l, b = float(x), 0.0
+            else:
+                prev_l = l
+                l = alpha * float(x) + (1.0 - alpha) * (l + b)
+                b = beta * (l - prev_l) + (1.0 - beta) * b
+            rows.append((sid, ts[i], float(x), round(l, 6), round(b, 6)))
+        return rows
+
+    return map_series_kernel(
+        df,
+        kernel,
+        "sid string, ts timestamp_ntz, value double, level double, trend double",
+        ["sid", "ts", "value", "level", "trend"],
+        {"ts": "datetime64[us]", "value": "float64", "level": "float64", "trend": "float64"},
+    ).orderBy("sid", "ts")

@@ -131,6 +131,7 @@ from metevents_spark.operators.seriesstats import (
     downsample_ohlc,
     event_type_corr,
     ewma_smooth,
+    holt_smooth,
     seasonal_decompose,
     series_acf,
     winsorize_series,
@@ -2101,7 +2102,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": simhash_near_dup,   # xxhash64 family
     "knn_ivf": knn_ivf,                # approximate
     "dedup_clusters": dedup_clusters,  # iterative, minhash family
-    "ewma_smooth": ewma_smooth,        # recursive state, closed form overflows
+    "ewma_smooth": ewma_smooth,
+    "holt_smooth": holt_smooth,        # recursive state, closed form overflows
     "lttb_downsample": lttb_downsample,  # sequential triangle selection
     "semantic_dedup": semantic_dedup,    # iterative k-means + greedy sweep
     "kmeans_embeddings": kmeans_embeddings,  # iterative Lloyd rounds

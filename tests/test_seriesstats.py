@@ -164,3 +164,69 @@ def test_media_near_dup_max_block_guard(spark):
     # tiny; the op completes and reports no more pairs than the
     # unguarded run
     assert n_capped <= full
+
+
+def test_holt_beta_zero_equals_ewma(spark):
+    """With b0 = 0 and beta = 0 the Holt level recursion IS the EWMA
+    recursion — the level column must match the EWMA operator (itself
+    pinned to pandas ewm) row for row."""
+    from metevents_spark.operators.seriesstats import ewma_smooth, holt_smooth
+
+    alpha = 0.2
+    holt = (
+        holt_smooth(spark, SF_SMALL, alpha=alpha, beta=0.0)
+        .toPandas().sort_values(["sid", "ts"]).reset_index(drop=True)
+    )
+    ewma = (
+        ewma_smooth(spark, SF_SMALL, alpha=alpha)
+        .toPandas().sort_values(["sid", "ts"]).reset_index(drop=True)
+    )
+    assert len(holt) == len(ewma)
+    np.testing.assert_allclose(
+        holt["level"].to_numpy(dtype=float),
+        ewma["ewma"].to_numpy(dtype=float),
+        rtol=0, atol=2e-6, equal_nan=True,
+    )
+    assert (holt["trend"].fillna(0.0) == 0.0).all()
+
+
+def test_holt_matches_sequential_reference(spark):
+    """The distributed fold (sid shuffle + sorted partitions + batch
+    carry) must equal a plain sequential loop over each series."""
+    from metevents_spark.io import series_frame
+    from metevents_spark.operators.seriesstats import holt_smooth
+
+    alpha, beta = 0.3, 0.1
+    got = (
+        holt_smooth(spark, SF_SMALL, alpha=alpha, beta=beta)
+        .toPandas().sort_values(["sid", "ts"]).reset_index(drop=True)
+    )
+    raw = (
+        series_frame(spark, SF_SMALL)
+        .toPandas().sort_values(["sid", "ts", "seq"]).reset_index(drop=True)
+    )
+    want_level, want_trend = [], []
+    for _, g in raw.groupby("sid", sort=True):
+        l = b = None
+        for x in g["value"]:
+            if pd.isna(x):
+                want_level.append(np.nan if l is None else round(l, 6))
+                want_trend.append(np.nan if b is None else round(b, 6))
+                continue
+            if l is None:
+                l, b = float(x), 0.0
+            else:
+                prev = l
+                l = alpha * float(x) + (1 - alpha) * (l + b)
+                b = beta * (l - prev) + (1 - beta) * b
+            want_level.append(round(l, 6))
+            want_trend.append(round(b, 6))
+    assert len(got) == len(want_level)
+    np.testing.assert_allclose(
+        got["level"].to_numpy(dtype=float), np.array(want_level),
+        rtol=0, atol=0, equal_nan=True,
+    )
+    np.testing.assert_allclose(
+        got["trend"].to_numpy(dtype=float), np.array(want_trend),
+        rtol=0, atol=0, equal_nan=True,
+    )
