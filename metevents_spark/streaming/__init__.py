@@ -1,5 +1,6 @@
 from metevents_spark.streaming.detect import (  # noqa: F401
     stream_cusum,
+    stream_holt,
     stream_daily_rollup,
     stream_dedup,
     stream_sessions,

@@ -601,3 +601,96 @@ def stream_cusum(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HOLT_OUTPUT_SCHEMA = (
+    "sid string, ts timestamp, value double, level double, trend double"
+)
+HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("l", DoubleType()),
+        StructField("b", DoubleType()),
+    ]
+)
+
+
+def _advance_holt(
+    state: tuple | None,
+    pdf_iter,
+    alpha: float,
+    beta: float,
+):
+    """Holt double-exponential step: fold each batch's rows in (ts,
+    seq) order through the two-state level/trend recurrence
+
+        l_t = a*x_t + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}
+
+    seeded l_0 = x_0, b_0 = 0 — exactly the batch ``holt_smooth``
+    recursion, so batch/stream parity is a row-for-row equality and
+    the verdict on a point never depends on how the stream was
+    chunked (the carried state IS the whole history)."""
+    l, b = state if state is not None else (None, None)
+    out = []
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        pdf = _sort_batch(pdf)
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        lv = np.empty(len(v))
+        tr = np.empty(len(v))
+        for i in range(len(v)):
+            if l is None:
+                l, b = float(v[i]), 0.0
+            else:
+                prev = l
+                l = alpha * float(v[i]) + (1.0 - alpha) * (l + b)
+                b = beta * (l - prev) + (1.0 - beta) * b
+            lv[i] = l
+            tr[i] = b
+        out.append(
+            pd.DataFrame(
+                {
+                    "sid": pdf["sid"].to_numpy(),
+                    "ts": pdf["ts"].to_numpy(),
+                    "value": v,
+                    "level": np.round(lv, 6),
+                    "trend": np.round(tr, 6),
+                }
+            )
+        )
+    return out, (l, b)
+
+
+def stream_holt(
+    stream_df: DataFrame,
+    alpha: float = 0.2,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Streaming Holt smoothing: the incremental counterpart of the
+    batch ``holt_smooth`` (operators/seriesstats.py). State per series
+    is TWO numbers (level, trend) — constant regardless of stream
+    length, no watermark needed. NULL/NaN values are filtered up front
+    like the other streaming detectors (the batch operator instead
+    emits carried state on dirty rows — the one documented divergence)."""
+
+    def fn(key, pdf_iter, state: GroupState):
+        (sid,) = key
+        prior = tuple(state.get) if state.exists else None
+        frames, new_state = _advance_holt(prior, pdf_iter, alpha, beta)
+        state.update(new_state)
+        for f in frames:
+            yield f
+
+    return (
+        stream_df.select(*_clean_series_cols(stream_df))
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy("sid")
+        .applyInPandasWithState(
+            fn,
+            HOLT_OUTPUT_SCHEMA,
+            HOLT_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -726,3 +726,62 @@ def test_stream_zscore_survives_null_and_nan_values(spark, stream_dir):
     assert len(got) > 0, "NaNs silenced every anomaly"
     assert len(got) == len(want)
     assert (got["z"].to_numpy() == want["z"].to_numpy()).all()
+
+
+@pytest.mark.parametrize("split", [7, 33, 60])
+def test_stream_holt_chunk_invariant_matches_batch(spark, stream_dir, split):
+    """Streaming Holt must equal the batch holt_smooth recursion row
+    for row, however the stream is chunked into micro-batches."""
+    from metevents_spark.streaming.detect import stream_holt
+
+    rng = np.random.RandomState(7)
+    values = list(rng.randn(60) * 3 + 50)
+    pdf = daily_rows(values)
+    Path(stream_dir, "holt_in").mkdir()
+    pdf.iloc[:split].to_parquet(
+        f"{stream_dir}/holt_in/c0.parquet", coerce_timestamps="us"
+    )
+    time.sleep(0.05)
+    if split < len(pdf):
+        pdf.iloc[split:].to_parquet(
+            f"{stream_dir}/holt_in/c1.parquet", coerce_timestamps="us"
+        )
+
+    stream = (
+        spark.readStream.schema("sid string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/holt_in")
+    )
+    name = f"holt_out_{split}"
+    q = (
+        stream_holt(stream, alpha=0.3, beta=0.1)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{stream_dir}/ckpt_h{split}")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql(f"SELECT * FROM {name}")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+
+    # sequential batch reference (identical recursion)
+    l = b = None
+    want_l, want_b = [], []
+    for x in values:
+        if l is None:
+            l, b = float(x), 0.0
+        else:
+            prev = l
+            l = 0.3 * float(x) + 0.7 * (l + b)
+            b = 0.1 * (l - prev) + 0.9 * b
+        want_l.append(round(l, 6))
+        want_b.append(round(b, 6))
+    assert len(got) == len(values)
+    np.testing.assert_allclose(got["level"].to_numpy(), want_l, atol=1e-9)
+    np.testing.assert_allclose(got["trend"].to_numpy(), want_b, atol=1e-9)
