@@ -1,6 +1,7 @@
 from metevents_spark.streaming.detect import (  # noqa: F401
     stream_cusum,
     stream_holt,
+    stream_ohlc,
     stream_daily_rollup,
     stream_dedup,
     stream_sessions,

@@ -694,3 +694,40 @@ def stream_holt(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_ohlc(stream_df: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming daily OHLC bars per series: the watermarked dual of
+    the batch ``downsample_ohlc`` (operators/seriesstats.py). Pure
+    declarative windowed aggregation — ``min_by``/``max_by`` pick the
+    open/close inside the tumbling window with the same (ts[, seq])
+    ordering key as the batch operator, so once a window closes the
+    emitted bar equals the batch bar over the same rows (asserted in
+    tests). Append-mode safe: a bar emits exactly once, when the
+    watermark passes its window end. NULL/NaN values are dropped like
+    the batch operator."""
+    cols = _clean_series_cols(stream_df)
+    has_seq = "seq" in stream_df.columns
+    ord_key = F.struct("ts", "seq") if has_seq else F.col("ts")
+    return (
+        stream_df.select(*cols)
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .withWatermark("ts", watermark)
+        .groupBy("sid", F.window("ts", "1 day").alias("win"))
+        .agg(
+            F.min_by("value", ord_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_key).alias("close"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            "sid",
+            F.col("win.start").alias("day"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_obs",
+        )
+    )

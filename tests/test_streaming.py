@@ -785,3 +785,75 @@ def test_stream_holt_chunk_invariant_matches_batch(spark, stream_dir, split):
     assert len(got) == len(values)
     np.testing.assert_allclose(got["level"].to_numpy(), want_l, atol=1e-9)
     np.testing.assert_allclose(got["trend"].to_numpy(), want_b, atol=1e-9)
+
+
+def test_stream_ohlc_matches_batch_bars(spark, stream_dir):
+    """Once the watermark closes a window, the streaming OHLC bar must
+    equal the batch downsample_ohlc bar over the same rows."""
+    from metevents_spark.streaming.detect import stream_ohlc
+
+    rng = np.random.RandomState(11)
+    # 3 days x 6 intra-day points for two series
+    rows = []
+    for sid in ["a", "b"]:
+        for d in range(3):
+            for h in range(6):
+                rows.append(
+                    (
+                        sid,
+                        datetime(2023, 1, 1 + d, h * 3),
+                        float(rng.randn() * 5 + 100),
+                    )
+                )
+    pdf = pd.DataFrame(rows, columns=["sid", "ts", "value"])
+    Path(stream_dir, "ohlc_in").mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(
+        f"{stream_dir}/ohlc_in/c0.parquet", coerce_timestamps="us"
+    )
+    time.sleep(0.05)
+    pdf.iloc[half:].to_parquet(
+        f"{stream_dir}/ohlc_in/c1.parquet", coerce_timestamps="us"
+    )
+
+    stream = (
+        spark.readStream.schema("sid string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/ohlc_in")
+    )
+    q = (
+        stream_ohlc(stream, watermark="0 seconds")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ohlc_out")
+        .option("checkpointLocation", f"{stream_dir}/ckpt_ohlc")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM ohlc_out")
+        .toPandas()
+        .sort_values(["sid", "day"])
+        .reset_index(drop=True)
+    )
+
+    # batch reference over the identical rows
+    want_rows = []
+    for (sid, day), g in pdf.assign(
+        day=pdf["ts"].dt.floor("D")
+    ).groupby(["sid", "day"], sort=True):
+        g = g.sort_values("ts")
+        want_rows.append(
+            (sid, day, g["value"].iloc[0], g["value"].max(),
+             g["value"].min(), g["value"].iloc[-1], len(g))
+        )
+    want = pd.DataFrame(
+        want_rows, columns=["sid", "day", "open", "high", "low", "close", "n_obs"]
+    )
+    assert len(got) == len(want) == 6
+    for col in ["open", "high", "low", "close"]:
+        np.testing.assert_allclose(
+            got[col].to_numpy(), want[col].to_numpy(), rtol=0, atol=0
+        )
+    assert (got["n_obs"].to_numpy() == want["n_obs"].to_numpy()).all()
