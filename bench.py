@@ -142,6 +142,7 @@ HEADLINE = [
     "downsample_ohlc",
     "event_type_corr",
     "corpus_yield",
+    "anomaly_consensus",
     "series_acf",
     "classifier_score",
     "bpe_pair_counts",

@@ -595,3 +595,84 @@ def holt_smooth(
         ["sid", "ts", "value", "level", "trend"],
         {"ts": "datetime64[us]", "value": "float64", "level": "float64", "trend": "float64"},
     ).orderBy("sid", "ts")
+
+
+def anomaly_consensus(
+    spark: SparkSession,
+    sf_dir: str,
+    z_global: float = 3.0,
+    z_robust: float = 3.5,
+    z_seasonal: float = 1.5,
+) -> DataFrame:
+    """Ensemble anomaly vote: rows flagged by at least TWO of the three
+    detectors — global z-score, robust (median/MAD) z-score, and the
+    seasonality-aware stratum z-score. Single-method detectors each
+    have a blind spot (spikes inflate the mean and mask each other;
+    MAD misses level shifts; the global score averages the diurnal
+    cycle away); production alerting pipelines vote across them to cut
+    false positives without losing the unambiguous hits.
+
+    ONE scan of the series frame computes all three scores: the global
+    and stratum scores are whole-partition window aggregates (sid and
+    (sid, tod) exchanges), and the median/MAD side is |sids|-row joins
+    reusing the sid partitioning — no detector re-runs its own scan.
+    NULL values and degenerate strata yield NULL scores, which vote 0
+    via the CASE guard in both engines.
+    """
+    df = series_frame(spark, sf_dir).withColumn(
+        "tod", F.floor(F.hour("ts") / 6).cast("long")
+    )
+    w_sid = Window.partitionBy("sid")
+    w_tod = Window.partitionBy("sid", "tod")
+    zg = F.round(
+        (F.col("value") - F.avg("value").over(w_sid))
+        / F.stddev_samp("value").over(w_sid),
+        6,
+    )
+    zs = F.round(
+        (F.col("value") - F.avg("value").over(w_tod))
+        / F.stddev_samp("value").over(w_tod),
+        6,
+    )
+    med = df.groupBy("sid").agg(F.median("value").alias("med"))
+    mad = (
+        df.join(med, "sid")
+        .groupBy("sid")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    zr = F.round(
+        F.lit(0.6745)
+        * (F.col("value") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0)),
+        6,
+    )
+    vote = lambda z, t: F.when(F.abs(z) > t, 1).otherwise(0)
+    scored = (
+        df.join(med, "sid")
+        .join(mad, "sid")
+        .select(
+            "sid",
+            "seq",
+            "ts",
+            "value",
+            zg.alias("z_global"),
+            zr.alias("z_robust"),
+            zs.alias("z_seasonal"),
+        )
+        .withColumn(
+            "n_flags",
+            (
+                vote(F.col("z_global"), z_global)
+                + vote(F.col("z_robust"), z_robust)
+                + vote(F.col("z_seasonal"), z_seasonal)
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.filter(F.col("n_flags") >= 2)
+        .select(
+            "sid", "seq", "ts", "value",
+            "n_flags", "z_global", "z_robust", "z_seasonal",
+        )
+        .orderBy("sid", "ts", "seq")
+    )

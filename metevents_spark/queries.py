@@ -128,6 +128,7 @@ from metevents_spark.operators.resample import gap_fill_hourly
 from metevents_spark.quality import data_expectations, value_drift_psi
 from metevents_spark.operators.changepoint import cusum_alarm
 from metevents_spark.operators.seriesstats import (
+    anomaly_consensus,
     downsample_ohlc,
     event_type_corr,
     ewma_smooth,
@@ -1745,6 +1746,33 @@ WHERE s_suppkey IN (
   GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 50)
 ORDER BY s_suppkey
 """,
+    "anomaly_consensus": f"""
+WITH {_SERIES},
+h AS (SELECT sid, seq, ts, value,
+      CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS BIGINT) AS tod FROM series),
+med AS (SELECT sid, MEDIAN(value) AS med FROM series GROUP BY sid),
+mad AS (
+  SELECT s.sid, MEDIAN(ABS(s.value - m.med)) AS mad
+  FROM series s JOIN med m USING (sid) GROUP BY s.sid),
+scored AS (
+  SELECT h.sid, h.seq, h.ts, h.value,
+         ROUND((h.value - AVG(h.value) OVER (PARTITION BY h.sid))
+               / STDDEV_SAMP(h.value) OVER (PARTITION BY h.sid), 6) AS z_global,
+         ROUND(0.6745 * (h.value - med) / NULLIF(mad, 0.0), 6) AS z_robust,
+         ROUND((h.value - AVG(h.value) OVER (PARTITION BY h.sid, h.tod))
+               / STDDEV_SAMP(h.value) OVER (PARTITION BY h.sid, h.tod), 6)
+           AS z_seasonal
+  FROM h JOIN med USING (sid) JOIN mad USING (sid)),
+voted AS (
+  SELECT *,
+         CAST((CASE WHEN ABS(z_global) > 3.0 THEN 1 ELSE 0 END)
+            + (CASE WHEN ABS(z_robust) > 3.5 THEN 1 ELSE 0 END)
+            + (CASE WHEN ABS(z_seasonal) > 1.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flags
+  FROM scored)
+SELECT sid, seq, ts, value, n_flags, z_global, z_robust, z_seasonal
+FROM voted WHERE n_flags >= 2 ORDER BY sid, ts, seq
+""",
     "downsample_ohlc": """
 WITH s AS (
   SELECT CAST(user_id AS VARCHAR) AS sid, event_id AS seq, ts, value
@@ -2081,6 +2109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sole_return_supplier": sole_return_supplier,
     "rich_idle_customers": rich_idle_customers,
     "corpus_yield": corpus_yield,
+    "anomaly_consensus": anomaly_consensus,
     # round-5 series/pipeline breadth
     "series_acf": series_acf,
     "classifier_score": classifier_score,
