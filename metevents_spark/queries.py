@@ -2145,13 +2145,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 def _releasing(fn: Callable[..., DataFrame]) -> Callable[..., DataFrame]:
     """Release the previous query's tracked persists before building
-    this one (see metevents_spark.cache). Callers — the correctness
-    driver, bench.py, check_oracle — materialize one query at a time,
-    so anything still cached belongs to an already-consumed result."""
+    this one (see metevents_spark.cache), and pin the runtime session
+    confs (UTC timezone, AQE, Arrow) on EVERY entry — the driver hands
+    us its own SparkSession, and epoch math (timeutil.epoch_us) is
+    only correct in a UTC session. Some q_* wrappers also call
+    tune_session, but most registry names map straight to operator
+    functions; this wrapper is the guarantee that covers all of them.
+    Callers — the correctness driver, bench.py, check_oracle —
+    materialize one query at a time, so anything still cached belongs
+    to an already-consumed result."""
     import functools
 
     @functools.wraps(fn)
     def wrapper(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+        tune_session(spark)
         release_all()
         return fn(spark, sf_dir, **kw)
 
