@@ -59,4 +59,13 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # shuffle.partitions is runtime-mutable; a session left at Spark's
+    # 200 default drags the iterative/persisted stages (localCheckpoint
+    # and cache materializations run at the CONFIGURED count — AQE
+    # coalesces only plain exchanges). Respect an explicit
+    # SPARK_GRAFT_SHUFFLE, else the library default.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    )
     return spark
