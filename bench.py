@@ -78,6 +78,7 @@ HEADLINE = [
     "simhash_near_dup",
     "knn_cosine",
     "knn_lsh",
+    "ann_recall_report",
     "knn_ivf",
     "dedup_clusters",
     "embedding_norms",

@@ -112,6 +112,7 @@ from metevents_spark.text.pipeline import (
 )
 from metevents_spark.session import tune_session
 from metevents_spark.similarity import (
+    ann_recall_report,
     embedding_near_dup,
     kmeans_embeddings,
     semantic_dedup,
@@ -2124,7 +2125,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spike_valley": q_spike_valley,    # peak prominence/width
     "minhash_near_dup": q_minhash_near_dup,     # xxhash64 family
     "simhash_fingerprints": simhash_fingerprints,  # xxhash64
-    "knn_lsh": knn_lsh,                # approximate
+    "knn_lsh": knn_lsh,
+    "ann_recall_report": ann_recall_report,                # approximate
     "frame_sample": q_frame_sample,    # binary payload rows
     "media_resize": q_media_resize,    # binary thumbnails
     "media_embedding_near_dup": media_embedding_near_dup,  # decode->embed->ANN

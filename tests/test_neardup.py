@@ -148,3 +148,15 @@ def test_dedup_keep_list_one_canonical_per_cluster(spark):
     cl = dedup_clusters(spark, SF).toPandas().set_index("doc_id")["cluster"]
     got = keep.set_index("doc_id")["cluster"]
     assert got.sort_index().equals(cl.sort_index())
+
+
+def test_ann_recall_report_floors(spark):
+    """The calibration report itself, with floors: multi-table LSH must
+    clear 0.5 recall@5 on the test corpus (single-table measured 0.04
+    — the regression this test exists to catch) and IVF 0.8."""
+    from metevents_spark.similarity import ann_recall_report
+
+    rep = {r.method: r for r in ann_recall_report(spark, SF).collect()}
+    assert rep["lsh"].recall_at_k >= 0.5, rep["lsh"]
+    assert rep["ivf"].recall_at_k >= 0.8, rep["ivf"]
+    assert rep["lsh"].n_queries == rep["ivf"].n_queries == 5
