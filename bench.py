@@ -155,6 +155,8 @@ HEADLINE = [
     "winsorize_series",
     "holdout_split",
     "normalize_text",
+    "nation_market_share",
+    "product_type_profit",
     "media_embedding_near_dup",
 ]
 

@@ -87,6 +87,8 @@ from metevents_spark.relational.tpch import (
     promo_revenue_pct,
     disjunctive_part_revenue,
     heavy_shippers,
+    nation_market_share,
+    product_type_profit,
 )
 from metevents_spark.text.dedup import (
     dedup_clusters,
@@ -1747,6 +1749,47 @@ WHERE s_suppkey IN (
   GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 50)
 ORDER BY s_suppkey
 """,
+    "nation_market_share": """
+WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, sn.n_name AS supp_nation,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+         (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS volume
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01')
+SELECT o_year,
+  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+        AS DOUBLE) / 1e4, 3) AS target_volume,
+  ROUND(CAST(SUM(volume) AS DOUBLE) / 1e4, 3) AS total_volume,
+  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+        AS DOUBLE) / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM vol GROUP BY o_year ORDER BY o_year
+""",
+    "product_type_profit": """
+WITH amt AS (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+           (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+         - CAST(ROUND(p_retailprice * 100) AS BIGINT) *
+           CAST(ROUND(l_quantity) AS BIGINT) * 50 AS profit
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '%blue%')
+SELECT nation, o_year,
+  ROUND(CAST(SUM(profit) AS DOUBLE) / 1e4, 3) AS sum_profit
+FROM amt GROUP BY nation, o_year ORDER BY nation, o_year
+""",
     "anomaly_consensus": f"""
 WITH {_SERIES},
 h AS (SELECT sid, seq, ts, value,
@@ -2120,6 +2163,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize_series": winsorize_series,
     "holdout_split": holdout_split,
     "normalize_text": normalize_text,
+    # TPC-H Q8/Q9 shapes (complete the 22-query family)
+    "nation_market_share": nation_market_share,
+    "product_type_profit": product_type_profit,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width

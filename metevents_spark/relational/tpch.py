@@ -1145,3 +1145,105 @@ def heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a supplier nation's market share of one part
+    type sold to customers of one region, by order year.
+
+    Scale shape: all three dimension chains (part filtered by type,
+    customer -> nation -> region filtered to the region, supplier ->
+    nation carrying the supplier-nation name) are broadcast, so the
+    only big exchange is lineitem x orders on orderkey — and the part
+    broadcast-semi kills most lineitem rows before that shuffle. The
+    share is a conditional sum over the SAME aggregate pass (one
+    scan), not a self-join of two aggregates. Money in exact 1e-4
+    dollar LONG units (see pricing_summary for the overflow bound).
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nat = load_table(spark, sf_dir, "nation")
+    cust_nat = nat.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-01-01 00:00:00")
+    )
+    line = load_table(spark, sf_dir, "lineitem")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    volume = price * (100 - disc)  # 1e-4 dollar units, exact LONG
+    target = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0))
+    return (
+        line.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(F.sum(target) / 1.0e4, 3).alias("target_volume"),
+            F.round(F.sum(volume) / 1.0e4, 3).alias("total_volume"),
+            F.round((F.sum(target) / F.sum(volume)).cast("double"), 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape adapted to this schema (no partsupp, so the cost
+    side of profit uses the part's retail price at a fixed 50% cost
+    ratio instead of ps_supplycost): profit on 'blue' parts by
+    supplier nation and order year.
+
+    profit = l_extendedprice*(1-l_discount) - 0.5*p_retailprice*l_quantity
+
+    Scale shape: the name-filtered part side (with its retail price)
+    and the supplier->nation chain broadcast; lineitem x orders on
+    orderkey is the one big exchange. Profit accumulates in exact
+    1e-4 dollar LONG units: price(1e-2)*(100-disc) and
+    retail(1e-2)*qty(int)*50 are both 1e-4-unit integers, so the
+    subtraction stays exact inside whole-stage codegen.
+    """
+    nat = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("blue"))
+        .select("p_partkey", "p_retailprice")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    line = load_table(spark, sf_dir, "lineitem")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    retail = F.round(F.col("p_retailprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    profit = price * (100 - disc) - retail * qty * 50  # 1e-4 dollar units
+    return (
+        line.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(profit) / 1.0e4, 3).alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )

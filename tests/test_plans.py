@@ -307,6 +307,28 @@ def test_q20_semi_join_and_q14_single_pass(spark):
     assert plan14.count("lineitem.parquet") == 1, plan14
 
 
+def test_q8_q9_single_fact_scan_dims_broadcast(spark):
+    """Q8/Q9: one lineitem scan each, every dimension chain on the
+    broadcast side, share/profit computed in a single aggregate pass
+    (no aggregate self-join)."""
+    from metevents_spark.relational.tpch import (
+        nation_market_share,
+        product_type_profit,
+    )
+
+    plan8 = plan_of(nation_market_share(spark, SF))
+    assert plan8.count("lineitem.parquet") == 1, plan8
+    assert "BroadcastExchange" in plan8, plan8
+    assert "CartesianProduct" not in plan8, plan8
+
+    plan9 = plan_of(product_type_profit(spark, SF))
+    assert plan9.count("lineitem.parquet") == 1, plan9
+    assert "BroadcastExchange" in plan9, plan9
+    # the p_name filter must reach the part scan
+    pushed = re.findall(r"PushedFilters: \[[^\n]*", plan9)
+    assert any("p_name" in p for p in pushed), plan9
+
+
 def test_media_near_dup_grid_lsh_no_cartesian(spark):
     """Grid-LSH blocking: the pair stage is a grouped-map kernel over
     (b1, b2) cells — no cartesian/BNLJ anywhere. Two documents scans
