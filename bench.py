@@ -157,6 +157,7 @@ HEADLINE = [
     "normalize_text",
     "nation_market_share",
     "product_type_profit",
+    "random_projection",
     "media_embedding_near_dup",
 ]
 
@@ -207,34 +208,69 @@ def main() -> None:
 
     import gc
 
+    # Two passes per query: the first (cold) pass pays one-time JVM
+    # JIT + whole-stage-codegen class compilation for that query's
+    # plan; the second (warm) pass is the steady-state cost — what a
+    # long-running cluster session pays per query, and the number that
+    # is comparable across rounds as the registry grows (with 136
+    # distinct plans, single-shot timings are dominated by per-plan
+    # compile noise that shifts with registry ordering). Both passes
+    # execute end-to-end against the same sf dir (noop sink = full
+    # execution, no result materialization on the driver). Both are
+    # reported; `value` is the warm total.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # outside the timed region: drop the query's DataFrame refs so
-        # the ContextCleaner can release its localCheckpoint blocks —
-        # across 100 queries the retained blocks otherwise build GC
-        # pressure that pollutes later per-query timings
-        del df
-        gc.collect()
+        for target, label in ((cold, "cold"), (timings, "warm")):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            target[name] = round(time.perf_counter() - t0, 3)
+            # outside the timed region: drop the query's DataFrame refs
+            # so the ContextCleaner can release its localCheckpoint
+            # blocks — across 100 queries the retained blocks otherwise
+            # build GC pressure that pollutes later per-query timings
+            del df
+            gc.collect()
 
     total = round(sum(timings.values()), 3)
+    cold_total = round(sum(cold.values()), 3)
     # Stop Spark BEFORE printing: JVM shutdown can emit trailing log
     # lines, and the driver parses the LAST stdout line as the result.
-    # Compact separators keep the line as short as possible — the
-    # driver keeps only a bounded tail of stdout, and a line longer
-    # than that window cannot be recovered (r04: "parsed": null).
     spark.stop()
+    # Full per-query detail (both passes) on its own line for humans /
+    # logs; it is NOT the parsed result line.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_detail",
+                "queries_warm": timings,
+                "queries_cold": cold,
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
+    # The driver records only a bounded (~2000-char) tail of stdout and
+    # parses the LAST line as the result, so the final line must stay
+    # under that window: with 136 registry queries a full per-query dict
+    # is >3 KB and cannot be recovered (r04: "parsed": null). Emit the
+    # totals plus the slowest-K warm timings — the perf-relevant subset
+    # — and keep the complete dicts on the detail line above.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:40]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "cold_total": cold_total,
+                "n_queries": len(timings),
+                "queries": slowest,
                 "sf": sf,
             },
             separators=(",", ":"),

@@ -124,6 +124,7 @@ from metevents_spark.similarity import (
     knn_ivf,
     knn_lsh,
     label_centroids,
+    random_projection,
 )
 from metevents_spark.multimodal import media_embedding_near_dup
 from metevents_spark.operators.downsample import lttb_downsample
@@ -1749,6 +1750,15 @@ WHERE s_suppkey IN (
   GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 50)
 ORDER BY s_suppkey
 """,
+    "random_projection": """
+SELECT vec_id, CAST(j AS BIGINT) AS j,
+  CAST(list_sum(list_transform(range(64), i ->
+     CAST(ROUND(CAST(embedding[i+1] AS DOUBLE)*1e6) AS BIGINT) *
+     (CASE WHEN (i*73856093 + j*19349663) % 97 < 48 THEN 1 ELSE -1 END)))
+   AS DOUBLE) / 4e6 AS proj
+FROM embeddings, range(16) t(j)
+ORDER BY vec_id, j
+""",
     "nation_market_share": """
 WITH vol AS (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, sn.n_name AS supp_nation,
@@ -2166,6 +2176,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # TPC-H Q8/Q9 shapes (complete the 22-query family)
     "nation_market_share": nation_market_share,
     "product_type_profit": product_type_profit,
+    # JL sign projection (pre-LSH dim reduction; exact integer matmul)
+    "random_projection": random_projection,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width

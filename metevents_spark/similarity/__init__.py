@@ -7,6 +7,7 @@ from metevents_spark.similarity.knn import (  # noqa: F401
     knn_ivf,
     knn_lsh,
     label_centroids,
+    random_projection,
 )
 from metevents_spark.similarity.semdedup import (  # noqa: F401
     kmeans_embeddings,

@@ -459,3 +459,59 @@ def ann_recall_report(
         "method string, n_queries long, k long, n_hits long, "
         "recall_at_k double, mean_retrieved double",
     ).orderBy("method")
+
+
+def random_projection(
+    spark: SparkSession, sf_dir: str, k: int = 16
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection: 64-dim float
+    embeddings down to ``k`` dims via a deterministic ±1 matrix —
+    the standard dimensionality-reduction step ahead of LSH/IVF
+    indexing at corpus scale (pairwise distances preserved within
+    1±eps by the JL lemma).
+
+    Engine-portable exactness: elements quantize to 1e-6-grid BIGINTs
+    (half-away-from-zero, matching SQL ROUND), the projection is an
+    INTEGER matmul (order-independent, exact — no float-summation
+    drift between numpy's pairwise sums and a SQL fold), and the only
+    float op is one final division by 1e6*sqrt(k), identical IEEE in
+    any engine. No post-rounding is needed, so there are no tie cases.
+
+    Scale shape: one Arrow-batched pandas_udf doing a (batch x dim) @
+    (dim x k) int64 matmul per batch — map-side, zero shuffle before
+    the output sort; only (vec_id, k longs) rows move. The sign matrix
+    is rebuilt per batch from the hash formula (48/97 +1 bias is
+    irrelevant for JL; determinism is what matters).
+    """
+    dim = 64
+    sign = np.where(
+        (np.arange(dim)[:, None] * 73856093 + np.arange(k)[None, :] * 19349663)
+        % 97
+        < 48,
+        1,
+        -1,
+    ).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _project(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype=object)
+        v = np.vstack(col.to_numpy()).astype(np.float64) * 1e6
+        # half-away-from-zero, matching SQL ROUND (np.rint is half-even)
+        q = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
+            np.int64
+        )
+        return pd.Series(list(q @ sign))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    divisor = 1e6 * float(np.sqrt(k))
+    return (
+        emb.select("vec_id", _project(F.col("embedding")).alias("s"))
+        .select("vec_id", F.posexplode("s").alias("j", "sv"))
+        .select(
+            "vec_id",
+            F.col("j").cast("long").alias("j"),
+            (F.col("sv").cast("double") / F.lit(divisor)).alias("proj"),
+        )
+        .orderBy("vec_id", "j")
+    )

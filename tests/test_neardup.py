@@ -160,3 +160,45 @@ def test_ann_recall_report_floors(spark):
     assert rep["lsh"].recall_at_k >= 0.5, rep["lsh"]
     assert rep["ivf"].recall_at_k >= 0.8, rep["ivf"]
     assert rep["lsh"].n_queries == rep["ivf"].n_queries == 5
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property: for a 64->16 sign projection, relative pairwise
+    distances survive approximately — the NEAREST of a 20-vector
+    sample by projected distance should sit in the nearest third by
+    original distance for most sample points. Also pins determinism
+    (two runs identical) and the exact output grid (every projected
+    value is an integer multiple of 1/4e6)."""
+    import numpy as np
+
+    from metevents_spark.similarity import random_projection
+
+    out = random_projection(spark, SF).toPandas()
+    out2 = random_projection(spark, SF).toPandas()
+    assert out.equals(out2)
+    # 1/4e6 grid: proj * 4e6 recovers the integer accumulator (one
+    # ulp of divide-then-multiply noise allowed)
+    grid = out["proj"].to_numpy() * 4e6
+    assert np.allclose(grid, np.round(grid), atol=1e-6, rtol=0)
+
+    emb = load_table(spark, SF, "embeddings").limit(20).toPandas()
+    orig = np.vstack(emb["embedding"].to_numpy()).astype(float)
+    ids = emb["vec_id"].to_numpy()
+    proj = (
+        out[out["vec_id"].isin(set(ids))]
+        .pivot(index="vec_id", columns="j", values="proj")
+        .loc[ids]
+        .to_numpy()
+    )
+
+    def dists(m):
+        d = ((m[:, None, :] - m[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d, np.inf)
+        return d
+
+    do, dp = dists(orig), dists(proj)
+    hits = 0
+    for i in range(len(ids)):
+        nearest_proj = np.argmin(dp[i])
+        hits += do[i, nearest_proj] <= np.quantile(do[i][np.isfinite(do[i])], 0.34)
+    assert hits >= len(ids) * 0.6, f"JL neighbor preservation too weak: {hits}/20"
