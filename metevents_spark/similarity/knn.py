@@ -429,27 +429,49 @@ def ann_recall_report(
     embedding distribution; measure, don't assume).
 
     Per method: |exact ∩ approx| summed over queries / (|queries| * k),
-    plus mean retrieved-set size. A LEFT SEMI join per method counts
-    the overlap — only (q_id, vec_id) key pairs shuffle, never
-    vectors; the exact side computes once and feeds both comparisons.
-    Rows-only (inputs are the rows-only ANN family); pytest floors the
-    recalls on the test corpus.
+    plus mean retrieved-set size. Both approx frames union (tagged by
+    method) into ONE left join against the persisted exact side and
+    ONE per-method aggregate — each ANN pipeline executes exactly
+    once, and only (q_id, vec_id, method) key rows shuffle, never
+    vectors. (The earlier per-method semi-join + count pair ran every
+    approx pipeline twice — 2x the report cost.) Rows-only (inputs
+    are the rows-only ANN family); pytest floors the recalls on the
+    test corpus.
     """
     exact = knn_cosine(spark, sf_dir, k=k).select("q_id", "vec_id")
     exact = exact.persist()
     track(exact)
     n_q = exact.select("q_id").distinct().count()
-    out_rows = []
+    approx = None
     for method, fn in (("lsh", knn_lsh), ("ivf", knn_ivf)):
-        approx = fn(spark, sf_dir, k=k).select("q_id", "vec_id")
-        hits = exact.join(approx, ["q_id", "vec_id"], "left_semi").count()
-        retrieved = approx.count()
+        part = (
+            fn(spark, sf_dir, k=k)
+            .select("q_id", "vec_id")
+            .withColumn("method", F.lit(method))
+        )
+        approx = part if approx is None else approx.unionByName(part)
+    stats = {
+        r["method"]: r
+        for r in approx.join(
+            exact.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "left"
+        )
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("retrieved"),
+            F.count("hit").alias("hits"),
+        )
+        .collect()
+    }
+    out_rows = []
+    for method in ("lsh", "ivf"):
+        hits = int(stats[method]["hits"]) if method in stats else 0
+        retrieved = int(stats[method]["retrieved"]) if method in stats else 0
         out_rows.append(
             (
                 method,
                 int(n_q),
                 int(k),
-                int(hits),
+                hits,
                 round(hits / float(n_q * k), 6) if n_q else 0.0,
                 round(retrieved / float(n_q), 6) if n_q else 0.0,
             )
