@@ -158,6 +158,7 @@ HEADLINE = [
     "nation_market_share",
     "product_type_profit",
     "random_projection",
+    "bm25_rank",
     "media_embedding_near_dup",
 ]
 

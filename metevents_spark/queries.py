@@ -164,6 +164,7 @@ from metevents_spark.text import (
     rolling_fingerprint,
     simhash_fingerprints,
     simhash_near_dup,
+    bm25_rank,
     source_lang_matrix,
     text_stats,
     tfidf_top_terms,
@@ -1750,6 +1751,32 @@ WHERE s_suppkey IN (
   GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 50)
 ORDER BY s_suppkey
 """,
+    "bm25_rank": """
+WITH q(q_id, term) AS (VALUES
+    ('q0','hash'),('q0','join'),
+    ('q1','window'),('q1','agg'),('q1','stream'),
+    ('q2','vector'),('q2','scan')),
+st AS (SELECT COUNT(*) AS n_docs,
+              AVG(len(string_split(text,' '))) AS avgdl FROM documents),
+tok AS (SELECT doc_id, len(string_split(text,' ')) AS dl,
+               unnest(string_split(text,' ')) AS term FROM documents),
+tf AS (SELECT q_id, t.term, doc_id, dl, COUNT(*) AS tf
+       FROM tok t JOIN q USING (term) GROUP BY 1,2,3,4),
+dfs AS (SELECT q_id, term, COUNT(DISTINCT doc_id) AS df
+        FROM tf GROUP BY 1,2),
+sc AS (
+  SELECT tf.q_id, tf.doc_id,
+    ROUND(SUM(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)
+              * (tf * (1.5+1.0))
+              / (tf + 1.5*(1.0-0.75+0.75*dl/avgdl))), 5) AS score
+  FROM tf JOIN dfs USING (q_id, term), st
+  GROUP BY 1,2)
+SELECT q_id,
+       CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, score
+FROM sc QUALIFY rank <= 10 ORDER BY q_id, rank
+""",
     "random_projection": """
 SELECT vec_id, CAST(j AS BIGINT) AS j,
   CAST(list_sum(list_transform(range(64), i ->
@@ -2178,6 +2205,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "product_type_profit": product_type_profit,
     # JL sign projection (pre-LSH dim reduction; exact integer matmul)
     "random_projection": random_projection,
+    # Okapi BM25 lexical retrieval (topical-slice curation baseline)
+    "bm25_rank": bm25_rank,
     # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
     "storm_find": q_storm_find,        # sequential fold
     "spike_valley": q_spike_valley,    # peak prominence/width

@@ -1,4 +1,5 @@
 from metevents_spark.text.stats import (  # noqa: F401
+    bm25_rank,
     bpe_pair_counts,
     classifier_score,
     corpus_summary,

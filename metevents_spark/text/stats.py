@@ -578,3 +578,84 @@ def corpus_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# fixed demo query set for the BM25 ranking surface: term lists a
+# curation pipeline would use to pull topical slices out of a corpus.
+BM25_QUERIES = (
+    ("q0", ("hash", "join")),
+    ("q1", ("window", "agg", "stream")),
+    ("q2", ("vector", "scan")),
+)
+
+
+def bm25_rank(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` documents per query — the retrieval scorer
+    a curation pipeline runs to pull topical slices out of a corpus
+    (and the standard lexical baseline next to the embedding kNN
+    family).
+
+    score(d,q) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)),
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1).
+
+    Scale shape: tokens filter against the BROADCAST query-term list
+    before any aggregation, so the per-(doc,term) frame is
+    |matching terms| sized, not corpus sized; df comes from the same
+    filtered frame (query terms only — never a vocabulary-sized
+    aggregate); N/avgdl is a one-row broadcast. Top-k per query is a
+    window over the per-query score frame (queries are few; the
+    per-partition rank is bounded by matching docs). Scores round to
+    5 decimals so the oracle comparison is robust to last-ulp ``ln``
+    differences across math libraries (same policy as
+    unigram_logprob).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(_tokens())).alias("avgdl"),
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "q_id string, term string",
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("dl"),
+        F.explode(_tokens()).alias("term"),
+    ).join(F.broadcast(qterms), "term")
+    tf = toks.groupBy("q_id", "term", "doc_id", "dl").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_side = tf.groupBy("q_id", "term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(df_side), ["q_id", "term"])
+        .crossJoin(F.broadcast(stats))
+        .groupBy("q_id", "doc_id")
+        .agg(F.round(F.sum(term_score), 5).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "doc_id", "score")
+        .orderBy("q_id", "rank")
+    )

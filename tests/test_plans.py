@@ -217,6 +217,7 @@ def test_no_query_plans_a_cartesian_product(spark):
         "rich_idle_customers",    # Q22 avg-balance scalar broadcast
         "important_parts",        # Q11 global-total scalar broadcast
         "top_supplier",           # Q15 max-revenue scalar broadcast
+        "bm25_rank",              # 1-row (n_docs, avgdl) corpus stats
     }
     for name, fn in entrymod.queries().items():
         plan = plan_of(fn(spark, SF))

