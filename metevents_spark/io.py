@@ -288,3 +288,73 @@ def load_jsonl_documents(
         F.col("_corrupt").alias("raw_line")
     )
     return good, bad
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
+    """Append a Morton (Z-order) clustering key over ``cols``.
+
+    Each column is quantized to a 2^bits grid between its global min
+    and max (one tiny all-column aggregate, broadcast back), then the
+    grid coordinates' bits interleave into one integer — points close
+    in the key are close in EVERY clustering dimension. All pure
+    codegen bit arithmetic; the only non-map-side work is the one-row
+    min/max aggregate. Uniform (min/max) quantization keeps the
+    cutpoints engine-trivial; heavy-tailed columns should be
+    pre-transformed (log/rank) by the caller.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+        ]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    n = len(cols)
+    zkey = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        cell = F.least(
+            F.lit((1 << bits) - 1),
+            F.floor(
+                (F.col(c).cast("double") - lo) / span * (1 << bits)
+            ).cast("long"),
+        )
+        for b in range(bits):
+            zkey = zkey + F.shiftleft(
+                F.shiftright(cell, b).bitwiseAND(F.lit(1)), b * n + ci
+            )
+    return out.withColumn("zkey", zkey).drop(
+        *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols]
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered parquet sink (what Delta's OPTIMIZE ZORDER
+    lays down): range-partition + sort by the Morton key of ``cols``
+    so every output file / row group covers a NARROW value range in
+    each clustering dimension — parquet min/max stats then prune
+    multi-dimension predicates, where a single-column sort prunes only
+    its own column. The key is dropped from the stored schema; layout
+    is the only change, so reads are byte-compatible.
+
+    Scale shape: one range exchange on the key (sampled boundaries —
+    Spark's RangePartitioner), sort within partitions, no other
+    shuffle; file count = partition count caps small-file explosion.
+    """
+    keyed = zorder_key(df, cols, bits=bits)
+    (
+        keyed.repartitionByRange(n_files, F.col("zkey"))
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
