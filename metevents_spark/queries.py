@@ -2050,8 +2050,10 @@ GROUP BY pair ORDER BY n DESC, pair LIMIT 50
 # every pytest suite).
 #
 # ROUND 6 TODO: after r05 lands, every oracle-backed query except
-# corpus_yield (added late, registered past the cap) has earned at
-# least one driver-green row across r04+r05. Rotate corpus_yield (and
+# corpus_yield, nation_market_share, product_type_profit,
+# random_projection, and bm25_rank (added late in r05, registered past
+# the cap — pinned meanwhile by tests/test_oracle_parity.py) has earned
+# at least one driver-green row across r04+r05. Rotate those five (and
 # any round-6 additions) into slots 6+ next round, and return a spread
 # of r04/r05-green representatives to the remaining slots.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
