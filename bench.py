@@ -159,6 +159,7 @@ HEADLINE = [
     "product_type_profit",
     "random_projection",
     "bm25_rank",
+    "part_supplier_counts",
     "media_embedding_near_dup",
 ]
 

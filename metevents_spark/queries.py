@@ -89,6 +89,7 @@ from metevents_spark.relational.tpch import (
     heavy_shippers,
     nation_market_share,
     product_type_profit,
+    part_supplier_counts,
 )
 from metevents_spark.text.dedup import (
     dedup_clusters,
@@ -1751,6 +1752,17 @@ WHERE s_suppkey IN (
   GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 50)
 ORDER BY s_suppkey
 """,
+    "part_supplier_counts": """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1,4,9,14,19,24,29,34,39,44,49)
+  AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 1000.0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
     "bm25_rank": """
 WITH q(q_id, term) AS (VALUES
     ('q0','hash'),('q0','join'),
@@ -2205,6 +2217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # TPC-H Q8/Q9 shapes (complete the 22-query family)
     "nation_market_share": nation_market_share,
     "product_type_profit": product_type_profit,
+    "part_supplier_counts": part_supplier_counts,
     # JL sign projection (pre-LSH dim reduction; exact integer matmul)
     "random_projection": random_projection,
     # Okapi BM25 lexical retrieval (topical-slice curation baseline)

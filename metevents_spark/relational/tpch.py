@@ -1247,3 +1247,51 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(profit) / 1.0e4, 3).alias("sum_profit"))
         .orderBy("nation", "o_year")
     )
+
+
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape adapted to this schema (no partsupp: supplier-
+    part relationships come from lineitem): how many distinct
+    suppliers can supply each surviving (brand, type, size) part
+    class, excluding one brand, one type, a size list, and suppliers
+    below an account-balance floor (the complaints-exclusion analog).
+
+    Scale shape: both dimension filters (part attributes, supplier
+    exclusion) broadcast against the lineitem scan — the part filter
+    as a broadcast hash join carrying the grouping attributes, the
+    supplier exclusion as a broadcast LEFT SEMI on the kept keys — so
+    excluded rows die before the one aggregation exchange. The
+    countDistinct expands (brand,type,size,supplier) once; both that
+    and the final rollup shuffle only small grouped keys.
+    """
+    sizes = [1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49]
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(sizes)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    supp_ok = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") >= 1000.0)
+        .select("s_suppkey")
+    )
+    line = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        line.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(supp_ok),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
