@@ -160,6 +160,7 @@ HEADLINE = [
     "random_projection",
     "bm25_rank",
     "part_supplier_counts",
+    "hash_sample",
     "media_embedding_near_dup",
 ]
 

@@ -101,6 +101,7 @@ from metevents_spark.text.dedup import (
 from metevents_spark.text.scrub import domain_stats, pii_redact
 from metevents_spark.text.pipeline import (
     bigram_logprob,
+    hash_sample,
     holdout_split,
     normalize_text,
     cooccurrence_counts,
@@ -1752,6 +1753,10 @@ WHERE s_suppkey IN (
   GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 50)
 ORDER BY s_suppkey
 """,
+    "hash_sample": """
+SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+FROM documents ORDER BY sample_key, doc_id LIMIT 200
+""",
     "part_supplier_counts": """
 SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
        COUNT(DISTINCT l_suppkey) AS supplier_cnt
@@ -2218,6 +2223,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_market_share": nation_market_share,
     "product_type_profit": product_type_profit,
     "part_supplier_counts": part_supplier_counts,
+    # fixed-SIZE deterministic sample (TakeOrderedAndProject, no sort)
+    "hash_sample": hash_sample,
     # JL sign projection (pre-LSH dim reduction; exact integer matmul)
     "random_projection": random_projection,
     # Okapi BM25 lexical retrieval (topical-slice curation baseline)

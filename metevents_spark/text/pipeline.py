@@ -582,3 +582,22 @@ def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(canon).cast("long").alias("n_chars_canon"),
         (canon != F.col("text")).alias("changed"),
     ).orderBy("doc_id")
+
+
+def hash_sample(spark: SparkSession, sf_dir: str, n: int = 200) -> DataFrame:
+    """Deterministic bounded-size uniform sample: the ``n`` documents
+    with the smallest md5(doc_id) — a reservoir-sample equivalent that
+    is stable across engines and reruns and needs NO global sort:
+    Spark plans it as TakeOrderedAndProject (per-partition partial
+    top-n, then a driver-side merge of n-row heads), so cost is one
+    scan regardless of corpus size. Complements holdout_split (fixed
+    RATE) with a fixed SIZE — what you want for eval subsets and
+    debugging slices cut from a 100 TB corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    key = F.md5(F.col("doc_id").cast("string"))
+    return (
+        docs.select("doc_id", "source", key.alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(n)
+    )

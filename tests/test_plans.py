@@ -330,6 +330,17 @@ def test_q8_q9_single_fact_scan_dims_broadcast(spark):
     assert any("p_name" in p for p in pushed), plan9
 
 
+def test_hash_sample_is_partial_topn_not_global_sort(spark):
+    """The fixed-size sample must plan as TakeOrderedAndProject
+    (per-partition partial top-n) — a global Sort before the limit
+    would materialize the whole corpus ordering."""
+    from metevents_spark.text.pipeline import hash_sample
+
+    plan = plan_of(hash_sample(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan, plan
+
+
 def test_media_near_dup_grid_lsh_no_cartesian(spark):
     """Grid-LSH blocking: the pair stage is a grouped-map kernel over
     (b1, b2) cells — no cartesian/BNLJ anywhere. Two documents scans
