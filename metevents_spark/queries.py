@@ -2053,96 +2053,127 @@ GROUP BY pair ORDER BY n DESC, pair LIMIT 50
 
 
 # Insertion order matters: the verification driver checks the FIRST 50
-# entries against the DuckDB oracles, so every oracle-backed query comes
-# first and the rows-only (non-SQL-expressible) queries sit at the tail.
+# entries, so slot assignment is a deliberate rotation policy.
 #
-# ROTATION (round 5): the driver only ever sees slots 1-50, so the
-# oracle-backed queries past the cap had no hard driver signal. Slots
-# 1-5 keep the SURVEY §2 reference detectors (the parity core, checked
-# every round); slots 6-42 are the 37 oracle-backed queries that sat
-# past the cap through r04; slots 43-50 are the round-5 additions
-# (TPC-H Q6/Q10/Q13/Q14/Q19/Q20, OHLC, type-corr) — also never
-# driver-checked before. The r04-green queries now past the cap stay
-# pinned by tests/test_oracle_parity.py (same hash comparison, runs in
-# every pytest suite).
+# ROTATION (round 6): slots 1-5 keep the SURVEY §2 reference detectors
+# (the parity core, checked every round); slots 6-29 are the 24
+# oracle-backed queries that had never earned a driver row through r05
+# (late-r05 registrations past the cap, including part_supplier_counts
+# and hash_sample); slots 30-41 are the 12 rows-only queries never
+# driver-run before (the driver records a rows-only check for these);
+# slots 42-50 are r04/r05-green representatives spread across operator
+# families. After r06, every oracle-backed key (119) has at least one
+# driver-green row across r01-r06, and every rows-only key has at least
+# one driver rows-only row. Registry growth is frozen until that holds.
 #
-# ROUND 6 TODO: after r05 lands, every oracle-backed query except
-# corpus_yield, nation_market_share, product_type_profit,
-# random_projection, and bm25_rank (added late in r05, registered past
-# the cap — pinned meanwhile by tests/test_oracle_parity.py) has earned
-# at least one driver-green row across r04+r05. Rotate those five (and
-# any round-6 additions) into slots 6+ next round, and return a spread
-# of r04/r05-green representatives to the remaining slots.
+# Everything past the cap stays pinned by tests/test_oracle_parity.py
+# (same row-count/schema/value-hash comparison vs DuckDB at sf0.001,
+# runs in every pytest suite) or, for rows-only ops, by their golden /
+# differential tests.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- oracle-backed (hash-matched against ORACLE_SQL) ---------------
-    # reference detector parity (SURVEY.md §2.7) — always in-slot
+    # ============ DRIVER WINDOW: slots 1-50 (round-6 rotation) =========
+    # Slots 1-5: SURVEY §2 reference detectors (parity core, every round).
     "extreme_value": q_extreme_value,
     "flat_line": q_flat_line,
     "extreme_change": q_extreme_change,
     "data_gap": q_data_gap,
     "freq_infer": q_freq_infer,
-    # --- rotated into the driver window this round (r04 slots 51-87) --
-    # grouping sets and ranking families
+    # Slots 6-29: the 24 oracle-backed queries never driver-checked in
+    # r01-r05 (registered past the 50-slot cap; pinned meanwhile by
+    # tests/test_oracle_parity.py). With these green, every oracle-backed
+    # registry key (119/119) has at least one driver-green row.
+    "duplicate_spans": duplicate_spans,
+    "remove_duplicate_spans": remove_duplicate_spans,
+    "min_cost_supplier": min_cost_supplier,
+    "important_parts": important_parts,
+    "top_supplier": top_supplier,
+    "large_volume_customers": large_volume_customers,
+    "sole_return_supplier": sole_return_supplier,
+    "rich_idle_customers": rich_idle_customers,
+    "corpus_yield": corpus_yield,
+    "anomaly_consensus": anomaly_consensus,
+    "series_acf": series_acf,
+    "classifier_score": classifier_score,
+    "bpe_pair_counts": bpe_pair_counts,
+    "seasonal_decompose": seasonal_decompose,
+    "latest_event_per_user": latest_event_per_user,
+    "winsorize_series": winsorize_series,
+    "holdout_split": holdout_split,
+    "normalize_text": normalize_text,
+    "nation_market_share": nation_market_share,
+    "product_type_profit": product_type_profit,
+    "part_supplier_counts": part_supplier_counts,
+    "hash_sample": hash_sample,
+    "random_projection": random_projection,
+    "bm25_rank": bm25_rank,
+    # Slots 30-41: the 12 rows-only queries never driver-run before.
+    # The driver records a weaker rows-only check (err=no_oracle) for
+    # these; value correctness is pinned by golden/differential pytest.
+    "ann_recall_report": ann_recall_report,
+    "media_embedding_near_dup": media_embedding_near_dup,
+    "dedup_clusters": dedup_clusters,
+    "ewma_smooth": ewma_smooth,
+    "holt_smooth": holt_smooth,
+    "lttb_downsample": lttb_downsample,
+    "semantic_dedup": semantic_dedup,
+    "kmeans_embeddings": kmeans_embeddings,
+    "user_reach_approx": user_reach_approx,
+    "corpus_summary_approx": corpus_summary_approx,
+    "vocab_top_terms_approx": vocab_top_terms_approx,
+    "value_quantiles_approx": value_quantiles_approx,
+    # Slots 42-50: r04/r05 driver-green representatives, one per family
+    # (relational agg, join, dedup, ANN, temporal, as-of, text, media) --
+    # regression canaries so a cross-cutting breakage still shows up in
+    # the driver window, not only in pytest.
+    "pricing_summary": pricing_summary,
+    "region_revenue": region_revenue,
+    "exact_dedup": exact_dedup,
+    "knn_cosine": knn_cosine,
+    "embedding_near_dup": embedding_near_dup,
+    "gap_fill_hourly": gap_fill_hourly,
+    "asof_purchase_before_error": q_asof_purchase_before_error,
+    "text_stats": text_stats,
+    "media_features": q_media_features,
+    # ====== PAST THE DRIVER CAP: all driver-green in r01-r05, pinned ====
+    # ====== by tests/test_oracle_parity.py (oracle-backed) or golden ====
+    # ====== /differential pytest (rows-only, at the tail) ===============
     "price_deciles": price_deciles,
-    # distinct / reshape families
     "user_reach": user_reach,
     "value_histogram": value_histogram,
     "lineitem_unpivot": lineitem_unpivot,
     "shipping_priority": shipping_priority,
     "shipmode_priority_counts": shipmode_priority_counts,
-    # training-pipeline: decontamination, packing, sampling
     "decontaminate_ngram": decontaminate_ngram,
     "sequence_pack": sequence_pack,
     "stratified_sample": stratified_sample,
     "source_mix_sample": source_mix_sample,
     "repetition_stats": repetition_stats,
     "label_centroids": label_centroids,
-    # product analytics over the event log
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
     "rolling_7d_active": rolling_7d_active,
-    # PII scrubbing / URL analysis / char-level near-dup verification
     "pii_redact": pii_redact,
     "domain_stats": domain_stats,
     "edit_distance_pairs": edit_distance_pairs,
-    # duplication / quality signals
     "cross_doc_ngram_share": cross_doc_ngram_share,
     "unigram_logprob": unigram_logprob,
-    # corpus reporting
     "source_lang_matrix": source_lang_matrix,
     "corpus_summary": corpus_summary,
-    # semi-structured (JSON) extraction
     "props_value_stats": props_value_stats,
-    # multimodal content-hash dedup
     "media_dedup": q_media_dedup,
-    # co-occurrence statistics (embedding-training corpus prep)
     "cooccurrence_counts": cooccurrence_counts,
-    # context-window chunking (documents -> training sequences)
     "doc_chunking": doc_chunking,
-    # second-order LM quality score
     "bigram_logprob": bigram_logprob,
-    # interval×interval temporal join over sessionized event types
     "session_overlap": q_session_overlap,
-    # seasonality-aware (hour-of-day stratum) anomaly detection
     "seasonal_anomaly": seasonal_anomaly,
-    # perplexity-bucketed quality sampling (two-phase exact deciles)
     "quality_bucket_sample": quality_bucket_sample,
-    # distribution drift monitoring (histogram PSI between time windows)
     "value_drift_psi": value_drift_psi,
-    # change-point detection (windowed CUSUM, no recursion)
     "cusum_alarm": cusum_alarm,
-    # per-series regression-aggregate trend fit
     "series_trend": series_trend,
-    # int8 quantization + reconstruction-error audit over embeddings
     "embedding_quantize": embedding_quantize,
-    # per-series exact percentile bands + Tukey-fence outlier counts
     "series_quantile_bands": series_quantile_bands,
-    # relational division ("for all" shape) and ratio-to-report windows
     "loyal_customers": loyal_customers,
     "nation_revenue_share": nation_revenue_share,
-    # --- slots 43-50: the round-5 additions — never driver-checked
-    # before, so they take the hard-signal slots; the r04-green
-    # representatives they displace are pinned by test_oracle_parity --
     "discounted_revenue": discounted_revenue,
     "returned_item_customers": returned_item_customers,
     "customer_order_distribution": customer_order_distribution,
@@ -2151,20 +2182,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_shippers": heavy_shippers,
     "downsample_ohlc": downsample_ohlc,
     "event_type_corr": event_type_corr,
-    # --- past the driver cap: r04-green, pinned by test_oracle_parity --
     "sessionize": q_sessionize,
-    "pricing_summary": pricing_summary,
-    "exact_dedup": exact_dedup,
-    "knn_cosine": knn_cosine,
-    "embedding_near_dup": embedding_near_dup,
-    "asof_purchase_before_error": q_asof_purchase_before_error,
-    "gap_fill_hourly": gap_fill_hourly,
     "tfidf_top_terms": tfidf_top_terms,
     "daily_rollup": daily_rollup,
     "revenue_topn": revenue_topn,
-    "region_revenue": region_revenue,
     "top_customers_per_segment": top_customers_per_segment,
-    "text_stats": text_stats,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
     "prefix_dedup": prefix_dedup,
@@ -2174,7 +2196,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_segment_rollup": nation_segment_rollup,
     "nation_trade_flow": nation_trade_flow,
     "brand_revenue": brand_revenue,
-    "media_features": q_media_features,
     "value_quantiles": value_quantiles,
     "events_pivot": events_pivot,
     "top_price_orders": top_price_orders,
@@ -2197,60 +2218,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_pair_lift": event_pair_lift,
     "data_expectations": data_expectations,
     "events_cube": events_cube,
-    # exact-substring duplicate spans (cut-list for span-removal dedup)
-    "duplicate_spans": duplicate_spans,
-    # ...and the applied rewrite: tokens under any span removed
-    "remove_duplicate_spans": remove_duplicate_spans,
-    # round-5 TPC-H breadth: Q2/Q11/Q15/Q18/Q21/Q22 shapes
-    "min_cost_supplier": min_cost_supplier,
-    "important_parts": important_parts,
-    "top_supplier": top_supplier,
-    "large_volume_customers": large_volume_customers,
-    "sole_return_supplier": sole_return_supplier,
-    "rich_idle_customers": rich_idle_customers,
-    "corpus_yield": corpus_yield,
-    "anomaly_consensus": anomaly_consensus,
-    # round-5 series/pipeline breadth
-    "series_acf": series_acf,
-    "classifier_score": classifier_score,
-    "bpe_pair_counts": bpe_pair_counts,
-    "seasonal_decompose": seasonal_decompose,
-    "latest_event_per_user": latest_event_per_user,
-    "winsorize_series": winsorize_series,
-    "holdout_split": holdout_split,
-    "normalize_text": normalize_text,
-    # TPC-H Q8/Q9 shapes (complete the 22-query family)
-    "nation_market_share": nation_market_share,
-    "product_type_profit": product_type_profit,
-    "part_supplier_counts": part_supplier_counts,
-    # fixed-SIZE deterministic sample (TakeOrderedAndProject, no sort)
-    "hash_sample": hash_sample,
-    # JL sign projection (pre-LSH dim reduction; exact integer matmul)
-    "random_projection": random_projection,
-    # Okapi BM25 lexical retrieval (topical-slice curation baseline)
-    "bm25_rank": bm25_rank,
-    # --- rows-only (non-SQL-expressible; pytest golden/differential) ---
-    "storm_find": q_storm_find,        # sequential fold
-    "spike_valley": q_spike_valley,    # peak prominence/width
-    "minhash_near_dup": q_minhash_near_dup,     # xxhash64 family
-    "simhash_fingerprints": simhash_fingerprints,  # xxhash64
+    "storm_find": q_storm_find,
+    "spike_valley": q_spike_valley,
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_fingerprints": simhash_fingerprints,
     "knn_lsh": knn_lsh,
-    "ann_recall_report": ann_recall_report,                # approximate
-    "frame_sample": q_frame_sample,    # binary payload rows
-    "media_resize": q_media_resize,    # binary thumbnails
-    "media_embedding_near_dup": media_embedding_near_dup,  # decode->embed->ANN
-    "simhash_near_dup": simhash_near_dup,   # xxhash64 family
-    "knn_ivf": knn_ivf,                # approximate
-    "dedup_clusters": dedup_clusters,  # iterative, minhash family
-    "ewma_smooth": ewma_smooth,
-    "holt_smooth": holt_smooth,        # recursive state, closed form overflows
-    "lttb_downsample": lttb_downsample,  # sequential triangle selection
-    "semantic_dedup": semantic_dedup,    # iterative k-means + greedy sweep
-    "kmeans_embeddings": kmeans_embeddings,  # iterative Lloyd rounds
-    "user_reach_approx": user_reach_approx,  # HLL sketch
-    "corpus_summary_approx": corpus_summary_approx,  # HLL sketch
-    "vocab_top_terms_approx": vocab_top_terms_approx,  # frequent-items sketch
-    "value_quantiles_approx": value_quantiles_approx,  # GK sketch
+    "frame_sample": q_frame_sample,
+    "media_resize": q_media_resize,
+    "simhash_near_dup": simhash_near_dup,
+    "knn_ivf": knn_ivf,
 }
 
 
