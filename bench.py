@@ -215,7 +215,7 @@ def main() -> None:
     # JIT + whole-stage-codegen class compilation for that query's
     # plan; the second (warm) pass is the steady-state cost — what a
     # long-running cluster session pays per query, and the number that
-    # is comparable across rounds as the registry grows (with 136
+    # is comparable across rounds as the registry grows (with ~140
     # distinct plans, single-shot timings are dominated by per-plan
     # compile noise that shifts with registry ordering). Both passes
     # execute end-to-end against the same sf dir (noop sink = full
@@ -225,7 +225,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        for target, label in ((cold, "cold"), (timings, "warm")):
+        for target in (cold, timings):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -239,6 +239,51 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
+
+    # Commit-able full per-query record + round-over-round drift gate.
+    # The driver's stdout tail truncates the per-query dict to the
+    # slowest 40, which is why earlier rounds could only compare ~22
+    # keys round-over-round; BENCH_FULL_latest.json keeps the COMPLETE
+    # warm+cold maps in-repo. Before overwriting, compare against the
+    # previous run and flag any query whose warm time exceeded 1.5x its
+    # prior warm time (floored at 0.3 s so compile-noise on sub-100 ms
+    # plans doesn't page anyone) — a loud line per regression instead
+    # of a human diffing two JSON files.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL_latest.json")
+    drift: dict[str, list[float]] = {}
+    try:
+        with open(full_path) as fh:
+            prev = json.load(fh)
+        prev_warm = prev.get("queries_warm", {})
+        if prev.get("sf") == sf:
+            for name, t in timings.items():
+                p = prev_warm.get(name)
+                if p is not None and t > max(1.5 * p, 0.3):
+                    drift[name] = [p, t]
+    except (OSError, ValueError):
+        pass
+    for name, (p, t) in sorted(drift.items(), key=lambda kv: -kv[1][1]):
+        print(f"DRIFT {name}: warm {p:.3f}s -> {t:.3f}s "
+              f"({t / p:.2f}x previous)", file=sys.stderr, flush=True)
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(
+                {
+                    "metric": "headline_queries_full",
+                    "queries_warm": timings,
+                    "queries_cold": cold,
+                    "drift_vs_prev": drift,
+                    "total_warm": total,
+                    "total_cold": cold_total,
+                    "n_queries": len(timings),
+                    "sf": sf,
+                },
+                fh, indent=1, sort_keys=True,
+            )
+            fh.write("\n")
+    except OSError:
+        pass
     # Stop Spark BEFORE printing: JVM shutdown can emit trailing log
     # lines, and the driver parses the LAST stdout line as the result.
     spark.stop()

@@ -301,7 +301,29 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
     min/max aggregate. Uniform (min/max) quantization keeps the
     cutpoints engine-trivial; heavy-tailed columns should be
     pre-transformed (log/rank) by the caller.
+
+    Clustering columns must be numeric-like (numeric / boolean /
+    date / timestamp): a TypeError beats the silent failure mode
+    where a string column casts to NULL for every row, every zkey
+    goes NULL, and repartitionByRange funnels the whole dataset into
+    ONE partition — i.e. an unclustered single-task write (OOM at
+    scale). NULL cells quantize to grid 0 (the dedicated low bucket)
+    so NULL rows spread across the normal range partitioning instead
+    of collapsing into a single NULL-key partition.
     """
+    from pyspark.sql import types as T
+
+    ok = (T.NumericType, T.BooleanType, T.DateType, T.TimestampType,
+          T.TimestampNTZType)
+    for c in cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, ok):
+            raise TypeError(
+                f"zorder_key: column {c!r} has type {dt.simpleString()}; "
+                "clustering columns must be numeric/boolean/date/timestamp "
+                "(strings would cast to NULL and defeat the clustering — "
+                "hash or dictionary-encode them first)"
+            )
     aggs = []
     for c in cols:
         aggs += [
@@ -315,11 +337,14 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
     for ci, c in enumerate(cols):
         lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
         span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
-        cell = F.least(
-            F.lit((1 << bits) - 1),
-            F.floor(
-                (F.col(c).cast("double") - lo) / span * (1 << bits)
-            ).cast("long"),
+        cell = F.coalesce(
+            F.least(
+                F.lit((1 << bits) - 1),
+                F.floor(
+                    (F.col(c).cast("double") - lo) / span * (1 << bits)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
         )
         for b in range(bits):
             zkey = zkey + F.shiftleft(

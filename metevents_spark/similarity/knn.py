@@ -438,7 +438,16 @@ def ann_recall_report(
     are the rows-only ANN family); pytest floors the recalls on the
     test corpus.
     """
-    exact = knn_cosine(spark, sf_dir, k=k).select("q_id", "vec_id")
+    # dropDuplicates guards the left-join accounting below: hits ==
+    # overlap only if the exact side is unique per (q_id, vec_id).
+    # knn_cosine's top-k already guarantees that today; this pins the
+    # invariant so a future exact-side change can't silently inflate
+    # both hits and retrieved (each dup would multiply matching rows).
+    exact = (
+        knn_cosine(spark, sf_dir, k=k)
+        .select("q_id", "vec_id")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
     exact = exact.persist()
     track(exact)
     n_q = exact.select("q_id").distinct().count()

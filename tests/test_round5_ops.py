@@ -128,3 +128,27 @@ def test_bm25_rank_invariants(spark):
         assert (scores[:-1] >= scores[1:]).all()
         for doc_id in grp["doc_id"]:
             assert terms[qid] & set(text[doc_id].split(" ")), (qid, doc_id)
+
+
+def test_bm25_more_matched_terms_outranks(spark, tmp_path):
+    """Controlled fixture for the BM25 monotonicity claim: with equal
+    document lengths and per-term tf=1, a doc matching TWO of q1's
+    query terms must outrank a doc matching one (idf is strictly
+    positive, so the term sum is monotone in matched-term count)."""
+    from metevents_spark.text import bm25_rank
+
+    # all docs length 8 (dl/avgdl == 1 for every doc); filler tokens
+    # never collide with BM25_QUERIES terms
+    rows = [
+        (1, "window agg f1 f2 f3 f4 f5 f6"),   # 2 terms of q1
+        (2, "window g1 g2 g3 g4 g5 g6 g7"),    # 1 term of q1
+        (3, "h1 h2 h3 h4 h5 h6 h7 h8"),
+        (4, "i1 i2 i3 i4 i5 i6 i7 i8"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    out = bm25_rank(spark, str(tmp_path)).toPandas()
+    q1 = out[out["q_id"] == "q1"].set_index("doc_id")
+    assert q1.loc[1, "score"] > q1.loc[2, "score"]
+    assert q1.loc[1, "rank"] == 1 and q1.loc[2, "rank"] == 2

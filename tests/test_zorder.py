@@ -77,3 +77,30 @@ def test_zorder_narrows_both_dimensions(spark, tmp_path):
         back.agg(F.sum("event_id")).collect()[0][0]
         == ev.agg(F.sum("event_id")).collect()[0][0]
     )
+
+def test_zorder_rejects_string_columns(spark):
+    import pytest
+
+    from metevents_spark.io import zorder_key
+
+    df = spark.createDataFrame([(1.0, "a")], ["x", "s"])
+    with pytest.raises(TypeError, match="numeric"):
+        zorder_key(df, ["x", "s"])
+
+
+def test_zorder_null_cells_keep_range_spread(spark, tmp_path):
+    """NULLs in a clustering column must land in grid cell 0, not
+    produce a NULL zkey — a NULL zkey would funnel every such row into
+    one range partition (single-task write)."""
+    from metevents_spark.io import zorder_key
+
+    rows = [(float(i) if i % 3 else None, float(i * 7 % 100)) for i in range(300)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    keyed = zorder_key(df, ["x", "y"])
+    assert keyed.filter(F.col("zkey").isNull()).count() == 0
+    # NULL-x rows still spread over y's bit positions: more than one
+    # distinct zkey among them
+    nkeys = (
+        keyed.filter(F.col("x").isNull()).select("zkey").distinct().count()
+    )
+    assert nkeys > 10, nkeys
