@@ -151,13 +151,15 @@ def test_dedup_keep_list_one_canonical_per_cluster(spark):
 
 
 def test_ann_recall_report_floors(spark):
-    """The calibration report itself, with floors: multi-table LSH must
-    clear 0.5 recall@5 on the test corpus (single-table measured 0.04
-    — the regression this test exists to catch) and IVF 0.8."""
+    """The calibration report itself, with floors: multi-table
+    Hamming-2-probe LSH must clear 0.8 recall@5 on the test corpus
+    (single-table/no-probe measured 0.04, Hamming-1 0.56 — the
+    regressions this test exists to catch) and Lloyd-trained IVF
+    0.8 (measured 0.88+ at sf0.01, 1.0 at sf0.1)."""
     from metevents_spark.similarity import ann_recall_report
 
     rep = {r.method: r for r in ann_recall_report(spark, SF).collect()}
-    assert rep["lsh"].recall_at_k >= 0.5, rep["lsh"]
+    assert rep["lsh"].recall_at_k >= 0.8, rep["lsh"]
     assert rep["ivf"].recall_at_k >= 0.8, rep["ivf"]
     assert rep["lsh"].n_queries == rep["ivf"].n_queries == 5
 
