@@ -35,16 +35,27 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
 
 
 def _decode_real(payload: bytes) -> tuple[int, int]:
-    """Real decode path — import-gated; raises when codecs are absent."""
+    """Real decode path: PIL when installed, else the vendored PPM/BMP
+    decoders (metevents_spark.multimodal.codecs) — so the real-codec
+    branch is executable (and pytest-proven) even in codec-less
+    environments, on the two containers the vendored decoders cover.
+    Raises NotImplementedError only for containers nothing can open."""
     try:
         from PIL import Image  # type: ignore
         import io
 
         with Image.open(io.BytesIO(payload)) as im:
             return im.width, im.height
-    except ImportError as exc:
+    except ImportError:
+        pass
+    try:
+        from metevents_spark.multimodal.codecs import decode_image
+
+        arr = decode_image(payload)
+        return arr.shape[1], arr.shape[0]
+    except ValueError as exc:
         raise NotImplementedError(
-            "image codecs not available in this environment"
+            f"no available codec can open this payload: {exc}"
         ) from exc
 
 
@@ -126,11 +137,12 @@ def media_resize(
     use_real_codecs: bool = False,
 ) -> DataFrame:
     """Resize shape: payload -> fixed-size thumbnail payload. The real
-    path (PIL, import-gated) decodes/resizes/re-encodes; the fake path
-    deterministically resamples the raw bytes to ``target_w*target_h``
-    via evenly spaced strides — same schema, batch flow, and output
-    sizing either way, so the pipeline is swappable to real codecs
-    without a plan change."""
+    path decodes (PIL or the vendored PPM/BMP codecs), nearest-neighbor
+    resamples to ``target_w x target_h``, and re-encodes as binary PPM;
+    the fake path deterministically resamples the raw bytes to
+    ``target_w*target_h`` via evenly spaced strides — same schema,
+    batch flow, and bounded output sizing either way, so the pipeline
+    swaps to real codecs without a plan change."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_out = target_w * target_h
@@ -138,9 +150,17 @@ def media_resize(
             out: list[bytes] = []
             for payload in pdf["media"]:
                 if use_real_codecs:
-                    raise NotImplementedError(
-                        "image codecs not available in this environment"
+                    from metevents_spark.multimodal.codecs import (
+                        decode_image,
+                        encode_ppm,
+                        resize_nearest,
                     )
+
+                    arr = decode_image(bytes(payload))
+                    out.append(
+                        encode_ppm(resize_nearest(arr, target_w, target_h))
+                    )
+                    continue
                 n = len(payload)
                 if n == 0:
                     out.append(b"\x00" * n_out)
