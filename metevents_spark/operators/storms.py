@@ -28,17 +28,35 @@ EVENT_SCHEMA = (
 _US = np.timedelta64(1, "us")
 
 
+def _reference_tstep_us(delta_us: int) -> int:
+    """The reference converts the inferred delta to a timestep via
+    ``to_offset(delta.resolution_string)`` (events.py:76-77 +
+    utilities.py:14) — i.e. ONE unit of the largest standard unit that
+    evenly divides the delta, NOT the delta itself. A 6-hourly series
+    therefore gets tstep = 1 hour (resolution_string "h"), and the
+    one-timestep start extension on storm close reaches back 1 hour —
+    where no sample exists — rather than 6. Quirk replicated, not
+    fixed (same policy as data_gap / freq_infer)."""
+    for unit_us in (86_400_000_000, 3_600_000_000, 60_000_000,
+                    1_000_000, 1_000, 1):
+        if delta_us % unit_us == 0:
+            return unit_us
+    return delta_us
+
+
 def infer_tstep_us(ts: np.ndarray) -> int | None:
     """Reference frequency inference (metevents/utilities.py:2-15):
     unique consecutive deltas over ``index[1:-1] - index[0:-2]`` (the
     reference's own off-by-one drops the final delta — replicated); a
-    single unique delta is the timestep, otherwise None."""
+    single unique delta yields the timestep (via the reference's
+    resolution-unit conversion, see _reference_tstep_us), otherwise
+    None."""
     if len(ts) < 3:
         return None
     deltas = ts[1:-1] - ts[0:-2]
     uniq = np.unique(deltas)
     if len(uniq) == 1:
-        return int(uniq[0] / _US)
+        return _reference_tstep_us(int(uniq[0] / _US))
     return None
 
 

@@ -32,3 +32,22 @@ def make_series_df(spark, data, start=datetime(2023, 1, 1), freq_days=1,
     return spark.createDataFrame(
         rows, schema="sid string, seq long, ts timestamp, value double"
     )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "bigscale: 10x endurance check — builds an sf1-equivalent "
+        "dataset in /tmp and hash-checks the heaviest oracle queries "
+        "(opt-in: pytest -m bigscale)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # bigscale is opt-in: skipped unless the -m expression names it
+    if "bigscale" in (config.getoption("-m") or ""):
+        return
+    skip = pytest.mark.skip(reason="opt-in: run with `pytest -m bigscale`")
+    for item in items:
+        if "bigscale" in item.keywords:
+            item.add_marker(skip)
