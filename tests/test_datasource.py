@@ -67,10 +67,19 @@ def test_station_stream_reader_tails_new_rows(spark, tmp_path):
         ).collect()[0]
         assert first.n == 60 and first.mx == 59
 
-        # grow the store; the next micro-batch must pick up ONLY the tail
+        # grow the store; the next micro-batch must pick up ONLY the
+        # tail. Stage + atomic rename: COPY writing over the live file
+        # in place races the stream's latestOffset poll, which can
+        # catch a truncated parquet mid-write and kill the query (a
+        # real ingest would also atomically swap files).
+        import os
+
+        staged = store + ".staged"
         duckdb.sql(
-            f"COPY (SELECT * FROM '{src}' WHERE event_id < 100) TO '{store}'"
+            f"COPY (SELECT * FROM '{src}' WHERE event_id < 100) "
+            f"TO '{staged}' (FORMAT PARQUET)"
         )
+        os.replace(staged, store)
         q.processAllAvailable()
         rows = spark.sql(
             "SELECT seq, COUNT(*) AS c FROM station_tail GROUP BY seq "

@@ -60,15 +60,33 @@ def test_past_cap_query_matches_oracle(spark, duck, name):
     assert frame_hash(sdf) == frame_hash(ddf), f"{name}: value-hash mismatch"
 
 
-def test_first_fifty_slots_all_oracle_backed():
-    """The driver caps CORRECTNESS at 50 queries; keep every checked
-    slot oracle-backed so no hard-signal slot is wasted on a rows-only
-    query."""
+def test_driver_window_prioritizes_unseen_queries():
+    """Rotation policy (round 6): the driver caps CORRECTNESS at 50
+    slots, so a slot is wasted when it re-checks an already-green query
+    while some registry key has NEVER earned a driver row. Enforce it
+    from the committed CORRECTNESS_r*.json history: every never-seen
+    key must sit inside the cap (as long as they fit), with the five
+    SURVEY §2 reference detectors pinned to slots 1-5."""
+    import glob
+    import json
+
     entrymod = _entry()
-    names = list(entrymod.queries())[:DRIVER_CAP]
-    oracles = entrymod.oracle_sql()
-    missing = [n for n in names if n not in oracles]
-    assert not missing, f"rows-only queries inside the driver cap: {missing}"
+    names = list(entrymod.queries())
+    assert names[:5] == [
+        "extreme_value", "flat_line", "extreme_change", "data_gap",
+        "freq_infer",
+    ]
+    seen: set[str] = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        with open(path) as fh:
+            seen |= set(json.load(fh))
+    unseen = [n for n in names if n not in seen]
+    if len(unseen) <= DRIVER_CAP - 5:
+        stranded = [n for n in unseen if n not in names[:DRIVER_CAP]]
+        assert not stranded, (
+            f"never-driver-checked queries outside the 50-slot window: "
+            f"{stranded}"
+        )
 
 
 def test_bench_headline_covers_registry():
