@@ -135,12 +135,20 @@ def _topk_per_query(scored: DataFrame, k: int, n_salts: int = 32) -> DataFrame:
 
 
 def knn_cosine(
-    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 5,
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of every corpus vector against the first
     ``n_queries`` vectors (self-matches excluded). Cosine is rounded to
-    6 decimals *before* ranking so ordering is engine-deterministic."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    6 decimals *before* ranking so ordering is engine-deterministic.
+
+    ``emb`` lets a caller (ann_recall_report) supply an already-persisted
+    embeddings frame so side-by-side ANN runs share ONE corpus scan."""
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select(
         F.col("vec_id"), _as_double(F.col("embedding")).alias("v"),
         _norm(_as_double(F.col("embedding"))).alias("v_norm"),
@@ -245,6 +253,7 @@ def knn_ivf(
     n_cells: int = 16,
     nprobe: int = 4,
     train_iters: int = 2,
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: a coarse quantizer of ``n_cells``
     centroids partitions the corpus into inverted lists; each query
@@ -266,7 +275,8 @@ def knn_ivf(
     """
     from metevents_spark.similarity.semdedup import lloyd_centroids
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings")
     cmat = lloyd_centroids(
         emb.select("vec_id", "embedding"), n_cells, train_iters
     ).astype(np.float64)
@@ -327,6 +337,7 @@ def knn_lsh(
     dim: int = 64,
     seed: int = 42,
     probe_hamming: int = 2,
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH with ``num_tables``
     INDEPENDENT sketch tables plus Hamming-``probe_hamming``
@@ -365,7 +376,8 @@ def knn_lsh(
         per_table = bits.reshape(len(m), num_tables, nbits) @ weights
         return pd.Series(list(per_table.astype(np.int64)))
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings")
     sketched = emb.select(
         "vec_id",
         _as_double(F.col("embedding")).alias("v"),
@@ -460,13 +472,19 @@ def ann_recall_report(
     are the rows-only ANN family); pytest floors the recalls on the
     test corpus.
     """
+    # One persisted corpus scan feeds all three side-by-side pipelines
+    # (exact, LSH, IVF incl. its Lloyd training passes) — without it
+    # the report reads the full embeddings table 3+ times, which at
+    # corpus scale makes the meter cost 3 scans instead of 1.
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    track(emb)
     # dropDuplicates guards the left-join accounting below: hits ==
     # overlap only if the exact side is unique per (q_id, vec_id).
     # knn_cosine's top-k already guarantees that today; this pins the
     # invariant so a future exact-side change can't silently inflate
     # both hits and retrieved (each dup would multiply matching rows).
     exact = (
-        knn_cosine(spark, sf_dir, k=k)
+        knn_cosine(spark, sf_dir, k=k, emb=emb)
         .select("q_id", "vec_id")
         .dropDuplicates(["q_id", "vec_id"])
     )
@@ -476,7 +494,7 @@ def ann_recall_report(
     approx = None
     for method, fn in (("lsh", knn_lsh), ("ivf", knn_ivf)):
         part = (
-            fn(spark, sf_dir, k=k)
+            fn(spark, sf_dir, k=k, emb=emb)
             .select("q_id", "vec_id")
             .withColumn("method", F.lit(method))
         )
