@@ -2070,6 +2070,14 @@ GROUP BY pair ORDER BY n DESC, pair LIMIT 50
 # (same row-count/schema/value-hash comparison vs DuckDB at sf0.001,
 # runs in every pytest suite) or, for rows-only ops, by their golden /
 # differential tests.
+#
+# STAGED FOR ROUND-7 REGISTRATION (growth frozen this round): the
+# library operators text.stats.gopher_quality and
+# text.scrub.canonicalize_url are implemented + differentially tested
+# (tests/test_gopher_urls.py) but deliberately NOT registered, so the
+# round-6 driver window stays exactly the rotation above. Register
+# both (gopher is plain SQL-expressible → oracle) once every current
+# key has a driver row.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ============ DRIVER WINDOW: slots 1-50 (round-6 rotation) =========
     # Slots 1-5: SURVEY §2 reference detectors (parity core, every round).

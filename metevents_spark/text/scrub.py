@@ -126,3 +126,42 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# query parameters that carry tracking state, not content identity —
+# the standard strip-list for crawl URL dedup
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL column for dedup/grouping: lowercase
+    scheme+host, default ports stripped, fragment dropped, tracking
+    query parameters removed, remaining parameters SORTED (param order
+    is not content identity). Empty query strings drop their '?'.
+
+    Pure codegen: regexp splits + one array_sort over the (short)
+    parameter array — no Python, no shuffle; a crawl-frontier dedup
+    applies this map-side and groups on the result.
+    """
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(no_frag, r"^[^:]+://([^/?:]+)", 1))
+    port = F.regexp_extract(no_frag, r"^[^:]+://[^/?:]+:(\d+)", 1)
+    port_part = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(no_frag, r"^[^:]+://[^/?]+(/[^?]*)?", 1)
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    query_part = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port_part, path, query_part)

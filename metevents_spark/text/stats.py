@@ -659,3 +659,82 @@ def bm25_rank(
         .select("q_id", "rank", "doc_id", "score")
         .orderBy("q_id", "rank")
     )
+
+
+# Gopher / MassiveText document-quality rule thresholds, from the
+# published recipe (Rae et al. 2021, "Scaling Language Models: ...",
+# Appendix A1.1). Deliberately module constants: a curation run tunes
+# them per corpus, and the oracle SQL must see the same numbers.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1        # '#' or '...' per word
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9    # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3  # lines ending with '...'
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8     # words containing a letter
+GOPHER_MIN_STOPWORD_HITS = 2         # distinct required stopwords seen
+
+
+def gopher_quality(docs: DataFrame, min_words: int = GOPHER_MIN_WORDS) -> DataFrame:
+    """Per-document Gopher quality rule evaluation: every rule as its
+    own metric column plus the conjunctive ``keep`` verdict — the
+    standard pretraining-corpus cleanliness gate next to the simpler
+    ``quality_filter``.
+
+    All pure single-level higher-order functions and regexes —
+    whole-stage codegen end-to-end, zero shuffles (callers aggregate
+    or filter downstream). ``docs`` needs (doc_id, text); splitting
+    happens once per rule family, not per rule.
+
+    Library operator (pytest-verified differentially vs a pandas
+    re-implementation); intended for registry promotion once the
+    round-6 rotation backlog clears.
+    """
+    words = F.split(F.col("text"), " ")
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    word_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    n_symbols = (
+        F.size(F.filter(words, lambda w: w.contains("#")))
+        + F.size(F.filter(words, lambda w: w.contains("...")))
+    )
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*([-*•])"))
+    )
+    n_ellipsis_end = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in STOPWORDS]),
+        )
+    )
+    out = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(word_chars / n_words, 6).alias("mean_word_len"),
+        F.round(n_symbols / n_words, 6).alias("symbol_ratio"),
+        F.round(n_bullet / n_lines, 6).alias("bullet_line_frac"),
+        F.round(n_ellipsis_end / n_lines, 6).alias("ellipsis_line_frac"),
+        F.round(n_alpha / n_words, 6).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(
+            GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+        )
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_LINE_FRAC)
+        & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    return out.withColumn("keep", keep).orderBy("doc_id")
