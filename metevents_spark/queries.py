@@ -2071,13 +2071,15 @@ GROUP BY pair ORDER BY n DESC, pair LIMIT 50
 # runs in every pytest suite) or, for rows-only ops, by their golden /
 # differential tests.
 #
-# STAGED FOR ROUND-7 REGISTRATION (growth frozen this round): the
-# library operators text.stats.gopher_quality and
-# text.scrub.canonicalize_url are implemented + differentially tested
-# (tests/test_gopher_urls.py) but deliberately NOT registered, so the
-# round-6 driver window stays exactly the rotation above. Register
-# both (gopher is plain SQL-expressible → oracle) once every current
-# key has a driver row.
+# STAGED FOR ROUND-7 REGISTRATION (growth frozen this round): four
+# library operators are implemented + differentially tested but
+# deliberately NOT registered, so the round-6 driver window stays
+# exactly the rotation above. Register once every current key has a
+# driver row:
+#   text.stats.gopher_quality        (tests/test_gopher_urls.py; oracle-able)
+#   text.scrub.canonicalize_url      (tests/test_gopher_urls.py; oracle-able)
+#   text.dedup.paragraph_dedup       (tests/test_staged_ops.py; oracle-able)
+#   text.pipeline.mixture_plan       (tests/test_staged_ops.py; oracle-able)
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ============ DRIVER WINDOW: slots 1-50 (round-6 rotation) =========
     # Slots 1-5: SURVEY §2 reference detectors (parity core, every round).

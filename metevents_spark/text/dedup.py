@@ -785,3 +785,73 @@ def remove_duplicate_spans(
         )
         .orderBy("doc_id")
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame, sep: str = "\n\n", min_chars: int = 16
+) -> DataFrame:
+    """Corpus-wide paragraph-level dedup (the CCNet recipe: hash every
+    paragraph, keep each distinct paragraph's FIRST occurrence, rewrite
+    documents without the repeats). Catches boilerplate that recurs
+    across documents — headers, footers, license blocks — which
+    document-level dedup cannot see and span dedup only catches at
+    fixed n-gram granularity.
+
+    Winner rule: lowest (doc_id, pos) per paragraph md5 — deterministic
+    and engine-portable. Paragraphs shorter than ``min_chars`` are
+    never deduped (short strings collide semantically: "Thanks!" is
+    not boilerplate worth deleting).
+
+    Scale shape: explode paragraphs map-side; ONE hash exchange on the
+    md5 digest decides winners (only 32-char digests + (doc_id, pos)
+    keys shuffle — paragraph text stays at the scan until reassembly);
+    rebuild is a per-doc groupBy of the kept paragraphs (second
+    exchange, doc-keyed). No self-joins, nothing quadratic.
+
+    Library operator staged for round-7 registration (oracle-able:
+    DuckDB expresses the same explode/argmin/rebuild).
+
+    Returns (doc_id, text, n_paragraphs, n_dropped).
+    """
+    from pyspark.sql import Window
+
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), F.lit(sep))).alias("pos", "para"),
+    )
+    w = Window.partitionBy("digest")
+    flagged = (
+        paras.withColumn("digest", F.md5(F.col("para")))
+        .withColumn(
+            "keep",
+            (F.length("para") < min_chars)
+            | (
+                F.struct("doc_id", "pos")
+                == F.min(F.struct("doc_id", "pos")).over(w)
+            ),
+        )
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct("pos", "para"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("para"),
+                ),
+                sep,
+            ).alias("text"),
+            F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .orderBy("doc_id")
+    )

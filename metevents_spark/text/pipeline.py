@@ -601,3 +601,55 @@ def hash_sample(spark: SparkSession, sf_dir: str, n: int = 200) -> DataFrame:
         .orderBy("sample_key", "doc_id")
         .limit(n)
     )
+
+
+def mixture_plan(
+    docs_with_tokens: DataFrame,
+    weights: dict[str, float],
+    target_total_tokens: int,
+) -> DataFrame:
+    """Training-mixture planning: given per-document token counts with
+    a ``source`` column and target mixture WEIGHTS (fractions of the
+    final token budget per source), compute what a sampler must do to
+    hit the budget — per-source available tokens, target tokens,
+    sampling rate, and epochs (rate > 1 means the source repeats, the
+    small-high-quality-source case in published data recipes).
+
+    Pure aggregation: ONE groupBy(source) over (source, n_tokens) —
+    nothing document-sized shuffles — then the weight table (a handful
+    of literals) joins broadcast. Unknown sources get weight 0 (rate 0:
+    excluded), so the plan is total: every source in the corpus appears
+    in the output exactly once.
+
+    Library operator staged for round-7 registration (plain SQL).
+
+    Returns (source, n_docs, n_tokens, weight, target_tokens,
+    sampling_rate, epochs), epochs = ceil(rate).
+    """
+    from pyspark.sql import Row
+
+    spark = docs_with_tokens.sparkSession
+    per_source = docs_with_tokens.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    wdf = spark.createDataFrame(
+        [Row(source=s, weight=float(w)) for s, w in sorted(weights.items())],
+        "source string, weight double",
+    )
+    joined = per_source.join(F.broadcast(wdf), "source", "left").withColumn(
+        "weight", F.coalesce(F.col("weight"), F.lit(0.0))
+    )
+    target = F.round(F.col("weight") * F.lit(float(target_total_tokens)))
+    rate = F.when(
+        F.col("n_tokens") > 0, target / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("weight", 6).alias("weight"),
+        target.cast("long").alias("target_tokens"),
+        F.round(rate, 6).alias("sampling_rate"),
+        F.ceil(rate).cast("long").alias("epochs"),
+    ).orderBy("source")
