@@ -60,9 +60,28 @@ from metevents_spark.similarity import semantic_dedup
 sem = semantic_dedup(spark, sf_dir)
 print(f"  semantic-dedup drops: {sem.filter('NOT keep').count()} vectors")
 
-# 2. quality: survivorship funnel, then composite gate +
-# hashed-classifier margin + quality-decile downsampling
+# 1d. paragraph-level dedup (CCNet recipe): recurring cross-document
+# boilerplate paragraphs removed, first occurrence kept. Our synthetic
+# corpus has single-line docs, so split on sentences to demonstrate.
+from metevents_spark.text.dedup import paragraph_dedup
+
+docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    "doc_id", "text"
+)
+para = paragraph_dedup(docs, sep=". ")
+print(
+    "  paragraph dedup drops:",
+    para.agg(F.sum("n_dropped")).collect()[0][0],
+    "paragraphs",
+)
+
+# 2. quality: Gopher rule battery, survivorship funnel, composite gate
+# + hashed-classifier margin + quality-decile downsampling
+from metevents_spark.text.stats import gopher_quality
 from metevents_spark.text import classifier_score, corpus_yield
+
+gq = gopher_quality(docs, min_words=5)
+print(f"  Gopher rules keep: {gq.filter('keep').count()} / {n_docs}")
 
 print("  per-source yield through the quality gates:")
 for r in corpus_yield(spark, sf_dir).limit(5).collect():
@@ -96,4 +115,21 @@ print(
     f"packed sequences (whole corpus): {packs.count()} "
     f"(mean fill {packs.agg(F.round(F.avg('fill_ratio'), 3)).collect()[0][0]})"
 )
+
+# 5. mixture planning: how to sample each source to hit a token budget
+from metevents_spark.text.pipeline import mixture_plan
+
+with_tokens = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    "source", F.size(F.split("text", " ")).alias("n_tokens")
+)
+srcs = sorted(r.source for r in with_tokens.select("source").distinct().collect())
+weights = {s: 1.0 / len(srcs) for s in srcs}  # uniform demo mixture
+plan = mixture_plan(with_tokens, weights, target_total_tokens=100_000)
+print("  mixture plan (first 3 sources):")
+for r in plan.limit(3).collect():
+    print(
+        f"    {r['source']}: {r['n_tokens']} tokens -> target "
+        f"{r['target_tokens']} (rate {r['sampling_rate']}, "
+        f"epochs {r['epochs']})"
+    )
 spark.stop()
