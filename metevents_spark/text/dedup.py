@@ -815,9 +815,14 @@ def paragraph_dedup(
     """
     from pyspark.sql import Window
 
+    # F.split takes a JAVA REGEX: quote the separator (\Q...\E) so '. '
+    # splits on the literal two characters, not any-char-plus-space
+    sep_re = "\\Q" + sep + "\\E"
     paras = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col("text"), F.lit(sep))).alias("pos", "para"),
+        F.posexplode(F.split(F.col("text"), sep_re)).alias(
+            "pos", "para"
+        ),
     )
     w = Window.partitionBy("digest")
     flagged = (
