@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 TABLES = (
@@ -315,6 +315,7 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
 
     ok = (T.NumericType, T.BooleanType, T.DateType, T.TimestampType,
           T.TimestampNTZType)
+    nums: dict[str, Column] = {}
     for c in cols:
         dt = df.schema[c].dataType
         if not isinstance(dt, ok):
@@ -324,11 +325,17 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
                 "(strings would cast to NULL and defeat the clustering — "
                 "hash or dictionary-encode them first)"
             )
+        # DATE has no direct cast to DOUBLE — route through day numbers;
+        # quantization only needs a monotone numeric image of the column
+        if isinstance(dt, T.DateType):
+            nums[c] = F.unix_date(F.col(c)).cast("double")
+        else:
+            nums[c] = F.col(c).cast("double")
     aggs = []
     for c in cols:
         aggs += [
-            F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+            F.min(nums[c]).alias(f"__min_{c}"),
+            F.max(nums[c]).alias(f"__max_{c}"),
         ]
     stats = df.agg(*aggs)
     out = df.crossJoin(F.broadcast(stats))
@@ -340,9 +347,7 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
         cell = F.coalesce(
             F.least(
                 F.lit((1 << bits) - 1),
-                F.floor(
-                    (F.col(c).cast("double") - lo) / span * (1 << bits)
-                ).cast("long"),
+                F.floor((nums[c] - lo) / span * (1 << bits)).cast("long"),
             ),
             F.lit(0).cast("long"),
         )
