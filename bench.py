@@ -67,6 +67,10 @@ HEADLINE = [
     "token_count_bpe",
     "vocab_top_terms",
     "quality_filter",
+    "gopher_quality",
+    "url_canonicalize",
+    "paragraph_dedup",
+    "mixture_plan",
     "tfidf_top_terms",
     "doc_fingerprint",
     "rolling_fingerprint",
@@ -252,17 +256,29 @@ def main() -> None:
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_FULL_latest.json")
     drift: dict[str, list[float]] = {}
+    # Record whether a comparison actually ran: an empty drift map is
+    # ambiguous between "compared, no drift" and "baseline missing /
+    # recorded at a different sf" — the committed JSON must tell the
+    # two apart (prev_sf carries the mismatched sf for the log).
+    compared_vs_prev = False
+    prev_sf = None
     try:
         with open(full_path) as fh:
             prev = json.load(fh)
         prev_warm = prev.get("queries_warm", {})
-        if prev.get("sf") == sf:
+        prev_sf = prev.get("sf")
+        if prev_sf == sf:
+            compared_vs_prev = True
             for name, t in timings.items():
                 p = prev_warm.get(name)
                 if p is not None and t > max(1.5 * p, 0.3):
                     drift[name] = [p, t]
     except (OSError, ValueError):
         pass
+    if not compared_vs_prev:
+        print(f"DRIFT baseline skipped: previous BENCH_FULL_latest.json "
+              f"{'missing/unreadable' if prev_sf is None else f'recorded at sf={prev_sf}, this run sf={sf}'}",
+              file=sys.stderr, flush=True)
     for name, (p, t) in sorted(drift.items(), key=lambda kv: -kv[1][1]):
         print(f"DRIFT {name}: warm {p:.3f}s -> {t:.3f}s "
               f"({t / p:.2f}x previous)", file=sys.stderr, flush=True)
@@ -274,6 +290,8 @@ def main() -> None:
                     "queries_warm": timings,
                     "queries_cold": cold,
                     "drift_vs_prev": drift,
+                    "compared_vs_prev": compared_vs_prev,
+                    "prev_sf": prev_sf,
                     "total_warm": total,
                     "total_cold": cold_total,
                     "n_queries": len(timings),

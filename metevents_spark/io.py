@@ -325,10 +325,15 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
                 "(strings would cast to NULL and defeat the clustering — "
                 "hash or dictionary-encode them first)"
             )
-        # DATE has no direct cast to DOUBLE — route through day numbers;
-        # quantization only needs a monotone numeric image of the column
+        # DATE and TIMESTAMP_NTZ have no direct cast to DOUBLE — route
+        # through day numbers / epoch micros; quantization only needs a
+        # monotone numeric image of the column
         if isinstance(dt, T.DateType):
             nums[c] = F.unix_date(F.col(c)).cast("double")
+        elif isinstance(dt, T.TimestampNTZType):
+            nums[c] = F.unix_micros(
+                F.col(c).cast("timestamp")
+            ).cast("double")
         else:
             nums[c] = F.col(c).cast("double")
     aggs = []

@@ -6,8 +6,10 @@ visual shape: first and last point always survive, the middle splits
 into n_out-2 equal buckets, and each bucket contributes the point
 forming the largest triangle with the previously selected point and
 the next bucket's centroid. The selection is inherently sequential
-(each choice depends on the previous one), so no window/SQL
-formulation exists — this is a per-series numpy kernel on the shared
+(each choice depends on the previous one), so no WINDOW formulation
+exists — the committed oracle is a DuckDB recursive CTE that replays
+the 18-step selection exactly (see queries.py) — and the Spark side
+is a per-series numpy kernel on the shared
 sorted-partition mapper (operators/grouped.py): ONE sid exchange,
 vectorized per-bucket argmax, O(n) per series.
 
@@ -68,7 +70,8 @@ def lttb_downsample(
     spark: SparkSession, sf_dir: str, n_out: int = 20
 ) -> DataFrame:
     """Downsample every series to at most ``n_out`` shape-preserving
-    points (LTTB). Rows-only driver check (sequential selection);
+    points (LTTB). Oracle-backed since round 7 (recursive-CTE replay,
+    bit-exact at sf0.001/0.01/0.1);
     tests/test_downsample.py holds the kernel to a reference
     implementation and pins the invariants (endpoints kept, output
     sorted, size == min(n, n_out))."""

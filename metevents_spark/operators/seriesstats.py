@@ -205,9 +205,11 @@ def ewma_smooth(
 
     Genuinely recursive — the closed form sum(a*(1-a)^(i-j)*x_j) needs
     (1-a)^(-i) intermediate terms that overflow past a few thousand
-    rows, so no window/SQL formulation exists and the driver check is
-    rows-only; tests/test_seriesstats.py holds it to pandas' ewm
-    differentially. ONE sid exchange + in-partition sort, then a
+    rows, so no WINDOW formulation exists; the committed oracle is a
+    DuckDB recursive CTE that replays the recursion row-by-row with
+    pandas' exact C-kernel arithmetic order (bit-identical, hash-green
+    at sf0.001/0.01/0.1), and tests/test_seriesstats.py additionally
+    holds it to pandas' ewm differentially. ONE sid exchange + in-partition sort, then a
     dedicated mapInPandas: series boundaries found vectorized
     (np.flatnonzero), each segment folded by pandas' C-implemented
     ``ewm(adjust=False, ignore_na=True)``, and the output assembled
@@ -549,8 +551,10 @@ def holt_smooth(
     is the smoothed value; the trend is the per-step drift a forecaster
     extrapolates.
 
-    Genuinely recursive (two-state linear recurrence) — no window/SQL
-    form, so the driver check is rows-only; the distributed plumbing
+    Genuinely recursive (two-state linear recurrence) — no WINDOW
+    form, but the linearity lets a DuckDB recursive CTE replay it
+    exactly (the committed oracle, bit-identical by mirroring this
+    kernel's evaluation order); the distributed plumbing
     (sid shuffle, in-partition sort, batch-boundary carry) is the
     shared sorted-partition mapper every sequential kernel here uses,
     and tests hold the fold to a sequential reference loop. NaN/NULL

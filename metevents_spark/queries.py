@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metevents_spark.cache import release_all
-from metevents_spark.io import series_frame
+from metevents_spark.io import load_table, series_frame
 from metevents_spark.operators import (
     data_gap,
     extreme_change,
@@ -96,13 +96,16 @@ from metevents_spark.text.dedup import (
     duplicate_spans,
     edit_distance_pairs,
     ngram_jaccard_pairs,
+    paragraph_dedup,
     remove_duplicate_spans,
 )
-from metevents_spark.text.scrub import domain_stats, pii_redact
+from metevents_spark.text.scrub import canonicalize_url, domain_stats, pii_redact
+from metevents_spark.text.stats import gopher_quality
 from metevents_spark.text.pipeline import (
     bigram_logprob,
     hash_sample,
     holdout_split,
+    mixture_plan,
     normalize_text,
     cooccurrence_counts,
     cross_doc_ngram_share,
@@ -378,22 +381,89 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize shape: payload -> deterministic fixed-size
-    thumbnail via mapInPandas (stub resampler; real codecs slot in)."""
+    thumbnail via mapInPandas (stub resampler; real codecs slot in).
+
+    The report projects the thumbnail as HEX so the byte values are
+    driver-comparable (round-7 upgrade from rows-only: the operator
+    stays binary-native; only this query's output boundary encodes)."""
     from metevents_spark.multimodal import attach_fake_media, media_resize
     from metevents_spark.io import load_table
 
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return media_resize(attach_fake_media(docs)).orderBy("doc_id")
+    out = media_resize(attach_fake_media(docs))
+    return out.select(
+        "doc_id", "width", "height", F.hex("thumb").alias("thumb_hex")
+    ).orderBy("doc_id")
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over synthesized payloads; frames projected as
+    HEX at the output boundary (same upgrade as q_media_resize)."""
     from metevents_spark.io import load_table
     from metevents_spark.multimodal import attach_fake_media, frame_sample
 
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return frame_sample(attach_fake_media(docs)).orderBy("doc_id", "frame_idx")
+    out = frame_sample(attach_fake_media(docs))
+    return out.select(
+        "doc_id", "frame_idx", F.hex("frame").alias("frame_hex")
+    ).orderBy("doc_id", "frame_idx")
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery over the documents corpus (min_words
+    lowered to 5 for the short synthetic docs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_quality(docs, min_words=5)
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup report: inject deterministic messy URLs
+    (tracking params, default ports, mixed case — the domain_stats
+    idiom), canonicalize, count how many raw forms collapse into each
+    canonical URL. Map-side canonicalization; one small groupBy."""
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.lit("HTTPS://Site"), d % 13, F.lit(".Example.COM:443/p/"), d % 29,
+        F.when(d % 2 == 0, F.lit("?utm_source=x&b=2&a=1")).otherwise(
+            F.lit("?b=2&a=1")
+        ),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", raw.alias("url")
+    )
+    return (
+        docs.select(canonicalize_url(F.col("url")).alias("canonical"))
+        .groupBy("canonical")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+        .orderBy("canonical")
+    )
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level paragraph dedup over documents (the synthetic
+    corpus is single-line, so '. ' is the paragraph separator)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return paragraph_dedup(docs, sep=". ")
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture plan with deterministic weights derived from the source
+    number (k = src_num % 4 + 1, normalized) and a 1M-token budget —
+    the same stand-in-weight convention as source_mix_sample. The only
+    collect is the distinct source list (|sources| rows, the same
+    legitimate tiny-collect as the pivot value lists)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    sources = sorted(
+        r.source for r in docs.select("source").distinct().collect()
+    )
+    ks = {s: int(s[3:]) % 4 + 1 for s in sources}
+    total = sum(ks.values())
+    weights = {s: k / total for s, k in ks.items()}
+    return mixture_plan(docs, weights, target_total_tokens=1_000_000)
 
 
 # --------------------------------------------------------------------------
@@ -2049,49 +2119,338 @@ WITH toks AS (
 SELECT pair, COUNT(*) AS n FROM pairs
 GROUP BY pair ORDER BY n DESC, pair LIMIT 50
 """,
+    "gopher_quality": """
+WITH w AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    round(list_sum(list_transform(words, x -> length(x))) * 1.0
+          / len(words), 6) AS mean_word_len,
+    round((len(list_filter(words, x -> contains(x, '#')))
+           + len(list_filter(words, x -> contains(x, '...')))) * 1.0
+          / len(words), 6) AS symbol_ratio,
+    round(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
+          * 1.0 / len(lines), 6) AS bullet_line_frac,
+    round(len(list_filter(lines, l -> l LIKE '%...')) * 1.0
+          / len(lines), 6) AS ellipsis_line_frac,
+    round(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+          * 1.0 / len(words), 6) AS alpha_word_frac,
+    len(list_intersect(list_distinct(words),
+        ['the', 'a', 'of', 'and', 'to', 'in'])) AS stopword_hits
+  FROM w
+)
+SELECT *,
+  (n_words BETWEEN 5 AND 100000
+   AND mean_word_len BETWEEN 3.0 AND 10.0
+   AND symbol_ratio <= 0.1
+   AND bullet_line_frac <= 0.9
+   AND ellipsis_line_frac <= 0.3
+   AND alpha_word_frac >= 0.8
+   AND stopword_hits >= 2) AS keep
+FROM m ORDER BY doc_id
+""",
+    "url_canonicalize": """
+WITH raw AS (
+  SELECT 'HTTPS://Site' || (doc_id % 13) || '.Example.COM:443/p/'
+         || (doc_id % 29)
+         || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1'
+                 ELSE '?b=2&a=1' END AS url
+  FROM documents
+), parts AS (
+  SELECT
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[^:]+://([^/?:]+)', 1)) AS host,
+    regexp_extract(url, '^[^:]+://[^/?:]+:(\\d+)', 1) AS port,
+    regexp_extract(url, '^[^:]+://[^/?]+(/[^?]*)?', 1) AS path,
+    regexp_extract(url, '\\?(.*)$', 1) AS query
+  FROM raw
+), canon AS (
+  SELECT scheme || '://' || host
+    || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+              OR (scheme = 'https' AND port = '443') THEN ''
+            ELSE ':' || port END
+    || path
+    || CASE WHEN len(kept) > 0 THEN '?' || list_aggregate(kept, 'string_agg', '&')
+            ELSE '' END AS canonical
+  FROM (
+    SELECT *,
+      list_sort(list_filter(string_split(query, '&'),
+        p -> p <> '' AND NOT regexp_matches(p,
+          '^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)='))) AS kept
+    FROM parts
+  )
+)
+SELECT canonical, COUNT(*) AS n_raw FROM canon
+GROUP BY canonical ORDER BY canonical
+""",
+    "paragraph_dedup": """
+WITH paras AS (
+  SELECT doc_id, u.pos, u.para FROM (
+    SELECT doc_id,
+      unnest(list_transform(string_split(text, '. '),
+        (p, i) -> struct_pack(pos := i - 1, para := p))) AS u
+    FROM documents
+  )
+), flagged AS (
+  SELECT doc_id, pos, para,
+    (length(para) < 16 OR
+     row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) = 1
+    ) AS keep
+  FROM paras
+)
+SELECT doc_id,
+  coalesce(string_agg(para, '. ' ORDER BY pos) FILTER (WHERE keep), '')
+    AS text,
+  COUNT(*) AS n_paragraphs,
+  SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS n_dropped
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+""",
+    "mixture_plan": """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+), k AS (
+  SELECT *, CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS kk FROM per
+), tot AS (SELECT SUM(kk) AS sk FROM k)
+SELECT source, n_docs, n_tokens,
+  round(kk * 1.0 / sk, 6) AS weight,
+  CAST(round(kk * 1.0 / sk * 1000000) AS BIGINT) AS target_tokens,
+  round(round(kk * 1.0 / sk * 1000000) / n_tokens, 6) AS sampling_rate,
+  CAST(ceil(round(kk * 1.0 / sk * 1000000) / n_tokens) AS BIGINT) AS epochs
+FROM k, tot ORDER BY source
+""",
+    # ewma/holt: the recursion is linear, so DuckDB's recursive CTE can
+    # replay it exactly — one iteration per within-series row index
+    # (depth = longest series, <100 at every committed SF). The
+    # arithmetic mirrors the engine's evaluation order term-for-term
+    # (pandas' ewm C kernel computes ((1-a)*prev + a*x) / ((1-a)+a);
+    # the Holt kernel computes the level before the trend), which makes
+    # the float64 results bit-identical, not merely close — verified at
+    # sf0.001/0.01/0.1.
+    "ewma_smooth": """
+WITH RECURSIVE s AS (
+  SELECT CAST(user_id AS VARCHAR) AS sid, ts, CAST(value AS DOUBLE) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), rec AS (
+  SELECT sid, rn, ts, value, value AS state FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.sid, s.rn, s.ts, s.value,
+         CASE WHEN s.value IS NULL THEN rec.state
+              WHEN rec.state IS NULL THEN s.value
+              ELSE ((1.0 - 0.2) * rec.state + 0.2 * s.value)
+                   / ((1.0 - 0.2) + 0.2) END AS state
+  FROM rec JOIN s ON s.sid = rec.sid AND s.rn = rec.rn + 1
+)
+SELECT sid, ts, value, round(state, 6) AS ewma FROM rec ORDER BY sid, rn
+""",
+    "holt_smooth": """
+WITH RECURSIVE s AS (
+  SELECT CAST(user_id AS VARCHAR) AS sid, ts, CAST(value AS DOUBLE) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), rec AS (
+  SELECT sid, rn, ts, value, value AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.sid, s.rn, s.ts, s.value,
+         CASE WHEN s.value IS NULL THEN rec.l
+              WHEN rec.l IS NULL THEN s.value
+              ELSE 0.2 * s.value + (1.0 - 0.2) * (rec.l + rec.b) END AS l,
+         CASE WHEN s.value IS NULL THEN rec.b
+              WHEN rec.l IS NULL THEN 0.0
+              ELSE 0.1 * ((0.2 * s.value + (1.0 - 0.2) * (rec.l + rec.b))
+                          - rec.l) + (1.0 - 0.1) * rec.b END AS b
+  FROM rec JOIN s ON s.sid = rec.sid AND s.rn = rec.rn + 1
+)
+SELECT sid, ts, value, round(l, 6) AS level, round(b, 6) AS trend
+FROM rec ORDER BY sid, rn
+""",
+    # lttb_downsample: the bucket selection is sequential (each pick
+    # depends on the previous), but there are only n_out-2 = 18 steps
+    # per series, so a recursive CTE replays it exactly: per-sid
+    # ordered (x, y) lists aggregate once, then each iteration slices
+    # the candidate bucket, mirrors the kernel's arithmetic (sequential
+    # bucket-centroid mean == numpy's sequential path at these bucket
+    # sizes, first-occurrence argmax == list_position), and carries the
+    # chosen index. Exact at sf0.001/0.01/0.1 (verified bit-for-bit).
+    "lttb_downsample": """
+WITH RECURSIVE pts AS (
+  SELECT CAST(user_id AS VARCHAR) AS sid, ts, CAST(value AS DOUBLE) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS rn
+  FROM events
+), agg AS (
+  SELECT sid, COUNT(*) AS n,
+         list(CAST(epoch_us(ts) AS DOUBLE) ORDER BY rn) AS xs,
+         list(value ORDER BY rn) AS ys
+  FROM pts GROUP BY sid
+), rec AS (
+  SELECT sid, n, xs, ys, CAST(-1 AS BIGINT) AS b, CAST(0 AS BIGINT) AS prev
+  FROM agg WHERE n > 20
+  UNION ALL
+  SELECT sid, n, xs, ys, b,
+         s + list_position(areas, list_aggregate(areas, 'max')) - 1 AS prev
+  FROM (
+    SELECT sid, n, xs, ys, b, s,
+      list_transform(range(s, e), i ->
+        abs((ax - cx) * (ys[CAST(i AS INTEGER) + 1] - ay)
+            - (ax - xs[CAST(i AS INTEGER) + 1]) * (cy - ay))) AS areas
+    FROM (
+      SELECT sid, n, xs, ys, b, s, e,
+        xs[CAST(prev AS INTEGER) + 1] AS ax,
+        ys[CAST(prev AS INTEGER) + 1] AS ay,
+        list_aggregate(
+          xs[CAST(nxts AS INTEGER) + 1 : CAST(nxte AS INTEGER)], 'sum')
+          / (nxte - nxts) AS cx,
+        list_aggregate(
+          ys[CAST(nxts AS INTEGER) + 1 : CAST(nxte AS INTEGER)], 'sum')
+          / (nxte - nxts) AS cy
+      FROM (
+        SELECT sid, n, xs, ys, prev, b + 1 AS b,
+          (CASE WHEN b + 1 = 18 THEN n - 1 ELSE CAST(trunc((b + 1) * ((n - 2.0) / 18.0) + 1.0) AS BIGINT) END) AS s, (CASE WHEN b + 2 = 18 THEN n - 1 ELSE CAST(trunc((b + 2) * ((n - 2.0) / 18.0) + 1.0) AS BIGINT) END) AS e,
+          (CASE WHEN b + 2 = 18 THEN n - 1 ELSE CAST(trunc((b + 2) * ((n - 2.0) / 18.0) + 1.0) AS BIGINT) END) AS nxts,
+          CASE WHEN b + 1 = 17 THEN n ELSE (CASE WHEN b + 3 = 18 THEN n - 1 ELSE CAST(trunc((b + 3) * ((n - 2.0) / 18.0) + 1.0) AS BIGINT) END) END AS nxte
+        FROM rec WHERE b + 1 <= 17
+      )
+    )
+  )
+), sel AS (
+  SELECT sid, prev AS rn FROM rec
+  UNION ALL
+  SELECT sid, n - 1 AS rn FROM agg WHERE n > 20
+  UNION ALL
+  SELECT p.sid, p.rn FROM pts p JOIN agg a ON p.sid = a.sid AND a.n <= 20
+)
+SELECT p.sid, p.ts, p.value
+FROM pts p JOIN sel s ON p.sid = s.sid AND p.rn = s.rn
+ORDER BY p.sid, p.ts
+""",
+    # frame_sample / media_resize: payloads are UTF-8 text bytes and
+    # the corpus is ASCII (octet_length == length for every doc at all
+    # committed SFs), so VARCHAR substring == byte slicing; hex() is
+    # uppercase in both engines. DuckDB v1.0.0 has no BLOB substring,
+    # hence the string-side formulation.
+    "frame_sample": """
+WITH m AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+), f AS (
+  SELECT doc_id, text, n, greatest(n // 4, 1) AS step,
+         unnest(range(least(4, n))) AS k
+  FROM m
+)
+SELECT doc_id, k AS frame_idx,
+       hex(encode(substring(text, CAST(k * step + 1 AS INTEGER), 16)))
+         AS frame_hex
+FROM f ORDER BY doc_id, frame_idx
+""",
+    "media_resize": """
+SELECT doc_id, CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+  hex(encode(array_to_string(list_transform(range(0, 1024),
+    k -> substring(text, CAST((k * length(text)) // 1024 + 1 AS INTEGER), 1)),
+    ''))) AS thumb_hex
+FROM documents ORDER BY doc_id
+""",
 }
 
 
 # Insertion order matters: the verification driver checks the FIRST 50
 # entries, so slot assignment is a deliberate rotation policy.
 #
-# ROTATION (round 6): slots 1-5 keep the SURVEY §2 reference detectors
-# (the parity core, checked every round); slots 6-29 are the 24
-# oracle-backed queries that had never earned a driver row through r05
-# (late-r05 registrations past the cap, including part_supplier_counts
-# and hash_sample); slots 30-41 are the 12 rows-only queries never
-# driver-run before (the driver records a rows-only check for these);
-# slots 42-50 are r04/r05-green representatives spread across operator
-# families. After r06, every oracle-backed key (119) has at least one
-# driver-green row across r01-r06, and every rows-only key has at least
-# one driver rows-only row. Registry growth is frozen until that holds.
+# ROTATION (round 7): the round-6 freeze condition was confirmed — the
+# r01-r06 union gave every registry key at least one driver row (every
+# oracle-backed key hash-green, every rows-only key rows-checked) — so
+# growth resumed with the four staged operators. Slots 1-5 keep the
+# SURVEY §2 reference detectors (the parity core, checked every round);
+# slots 6-9 are the promoted round-6 staging-area operators (first
+# driver look); slots 10-14 are the five keys upgraded this round from
+# rows-only to oracle-backed — ewma/holt/lttb via bit-exact
+# recursive-CTE oracles, frame_sample/media_resize via a hex output
+# boundary (first HASH look for all five); slots 15-49 are the 35
+# oracle-backed keys whose newest driver-green row dated to r04 (the
+# stalest cohort); slot 50 is an r05-green representative. The
+# remaining rows-only keys spend no slots this round — all earned
+# their driver rows-only row by r06 and stay pinned by
+# golden/differential pytest.
 #
 # Everything past the cap stays pinned by tests/test_oracle_parity.py
 # (same row-count/schema/value-hash comparison vs DuckDB at sf0.001,
 # runs in every pytest suite) or, for rows-only ops, by their golden /
 # differential tests.
-#
-# STAGED FOR ROUND-7 REGISTRATION (growth frozen this round): four
-# library operators are implemented + differentially tested but
-# deliberately NOT registered, so the round-6 driver window stays
-# exactly the rotation above. Register once every current key has a
-# driver row:
-#   text.stats.gopher_quality        (tests/test_gopher_urls.py; oracle-able)
-#   text.scrub.canonicalize_url      (tests/test_gopher_urls.py; oracle-able)
-#   text.dedup.paragraph_dedup       (tests/test_staged_ops.py; oracle-able)
-#   text.pipeline.mixture_plan       (tests/test_staged_ops.py; oracle-able)
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ============ DRIVER WINDOW: slots 1-50 (round-6 rotation) =========
+    # ============ DRIVER WINDOW: slots 1-50 (round-7 rotation) =========
     # Slots 1-5: SURVEY §2 reference detectors (parity core, every round).
     "extreme_value": q_extreme_value,
     "flat_line": q_flat_line,
     "extreme_change": q_extreme_change,
     "data_gap": q_data_gap,
     "freq_infer": q_freq_infer,
-    # Slots 6-29: the 24 oracle-backed queries never driver-checked in
-    # r01-r05 (registered past the 50-slot cap; pinned meanwhile by
-    # tests/test_oracle_parity.py). With these green, every oracle-backed
-    # registry key (119/119) has at least one driver-green row.
+    # Slots 6-9: the four operators promoted from the round-6 staging
+    # area (never driver-checked; oracle-backed).
+    "gopher_quality": q_gopher_quality,
+    "url_canonicalize": q_url_canonicalize,
+    "paragraph_dedup": q_paragraph_dedup,
+    "mixture_plan": q_mixture_plan,
+    # Slots 10-13: upgraded this round from rows-only to oracle-backed
+    # (ewma/holt: bit-exact recursive-CTE oracles; frame_sample /
+    # media_resize: hex output boundary + string-side byte oracles) --
+    # in-window so the driver records their first hash-green row.
+    "ewma_smooth": ewma_smooth,
+    "holt_smooth": holt_smooth,
+    "frame_sample": q_frame_sample,
+    "media_resize": q_media_resize,
+    "lttb_downsample": lttb_downsample,
+    # Slots 15-49: the 35 oracle-backed keys whose newest driver-green
+    # row dates to r04 -- the stalest cohort; re-confirmed this round.
+    "sessionize": q_sessionize,
+    "tfidf_top_terms": tfidf_top_terms,
+    "daily_rollup": daily_rollup,
+    "revenue_topn": revenue_topn,
+    "top_customers_per_segment": top_customers_per_segment,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "prefix_dedup": prefix_dedup,
+    "embedding_norms": embedding_norms,
+    "range_join_error_purchase": q_range_join_error_purchase,
+    "order_priority_check": order_priority_check,
+    "nation_segment_rollup": nation_segment_rollup,
+    "nation_trade_flow": nation_trade_flow,
+    "brand_revenue": brand_revenue,
+    "value_quantiles": value_quantiles,
+    "events_pivot": events_pivot,
+    "top_price_orders": top_price_orders,
+    "brand_supplier_stats": brand_supplier_stats,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "rolling_fingerprint": rolling_fingerprint,
+    "customers_no_order_1996": customers_no_order_1996,
+    "big_spender_1995": big_spender_1995,
+    "repeat_customers": repeat_customers,
+    "churned_customers": churned_customers,
+    "small_qty_part_revenue": small_qty_part_revenue,
+    "cumulative_revenue": cumulative_revenue,
+    "vocab_top_terms": vocab_top_terms,
+    "quality_filter": quality_filter,
+    "rolling_mean": rolling_mean,
+    "trailing_24h_mean": trailing_24h_mean,
+    "zscore_anomaly": zscore_anomaly,
+    "robust_zscore": robust_zscore,
+    "event_pair_lift": event_pair_lift,
+    "data_expectations": data_expectations,
+    "events_cube": events_cube,
+    # Slot 50: r05-green representative (window/ntile ranking).
+    "price_deciles": price_deciles,
+    # ====== PAST THE DRIVER CAP: every key below has a driver-green
+    # ====== (or rows-only for non-SQL ops) row in r01-r06 and stays
+    # ====== pinned by tests/test_oracle_parity.py (oracle-backed) or
+    # ====== golden/differential pytest (rows-only) ======================
+    "funnel_conversion": funnel_conversion,
+    "media_dedup": q_media_dedup,
+    "decontaminate_ngram": decontaminate_ngram,
     "duplicate_spans": duplicate_spans,
     "remove_duplicate_spans": remove_duplicate_spans,
     "min_cost_supplier": min_cost_supplier,
@@ -2116,25 +2475,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_sample": hash_sample,
     "random_projection": random_projection,
     "bm25_rank": bm25_rank,
-    # Slots 30-41: the 12 rows-only queries never driver-run before.
-    # The driver records a weaker rows-only check (err=no_oracle) for
-    # these; value correctness is pinned by golden/differential pytest.
     "ann_recall_report": ann_recall_report,
     "media_embedding_near_dup": media_embedding_near_dup,
     "dedup_clusters": dedup_clusters,
-    "ewma_smooth": ewma_smooth,
-    "holt_smooth": holt_smooth,
-    "lttb_downsample": lttb_downsample,
     "semantic_dedup": semantic_dedup,
     "kmeans_embeddings": kmeans_embeddings,
     "user_reach_approx": user_reach_approx,
     "corpus_summary_approx": corpus_summary_approx,
     "vocab_top_terms_approx": vocab_top_terms_approx,
     "value_quantiles_approx": value_quantiles_approx,
-    # Slots 42-50: r04/r05 driver-green representatives, one per family
-    # (relational agg, join, dedup, ANN, temporal, as-of, text, media) --
-    # regression canaries so a cross-cutting breakage still shows up in
-    # the driver window, not only in pytest.
     "pricing_summary": pricing_summary,
     "region_revenue": region_revenue,
     "exact_dedup": exact_dedup,
@@ -2144,22 +2493,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_before_error": q_asof_purchase_before_error,
     "text_stats": text_stats,
     "media_features": q_media_features,
-    # ====== PAST THE DRIVER CAP: all driver-green in r01-r05, pinned ====
-    # ====== by tests/test_oracle_parity.py (oracle-backed) or golden ====
-    # ====== /differential pytest (rows-only, at the tail) ===============
-    "price_deciles": price_deciles,
     "user_reach": user_reach,
     "value_histogram": value_histogram,
     "lineitem_unpivot": lineitem_unpivot,
     "shipping_priority": shipping_priority,
     "shipmode_priority_counts": shipmode_priority_counts,
-    "decontaminate_ngram": decontaminate_ngram,
     "sequence_pack": sequence_pack,
     "stratified_sample": stratified_sample,
     "source_mix_sample": source_mix_sample,
     "repetition_stats": repetition_stats,
     "label_centroids": label_centroids,
-    "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
     "rolling_7d_active": rolling_7d_active,
     "pii_redact": pii_redact,
@@ -2170,7 +2513,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_lang_matrix": source_lang_matrix,
     "corpus_summary": corpus_summary,
     "props_value_stats": props_value_stats,
-    "media_dedup": q_media_dedup,
     "cooccurrence_counts": cooccurrence_counts,
     "doc_chunking": doc_chunking,
     "bigram_logprob": bigram_logprob,
@@ -2192,49 +2534,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_shippers": heavy_shippers,
     "downsample_ohlc": downsample_ohlc,
     "event_type_corr": event_type_corr,
-    "sessionize": q_sessionize,
-    "tfidf_top_terms": tfidf_top_terms,
-    "daily_rollup": daily_rollup,
-    "revenue_topn": revenue_topn,
-    "top_customers_per_segment": top_customers_per_segment,
-    "lang_id": lang_id,
-    "doc_fingerprint": doc_fingerprint,
-    "prefix_dedup": prefix_dedup,
-    "embedding_norms": embedding_norms,
-    "range_join_error_purchase": q_range_join_error_purchase,
-    "order_priority_check": order_priority_check,
-    "nation_segment_rollup": nation_segment_rollup,
-    "nation_trade_flow": nation_trade_flow,
-    "brand_revenue": brand_revenue,
-    "value_quantiles": value_quantiles,
-    "events_pivot": events_pivot,
-    "top_price_orders": top_price_orders,
-    "brand_supplier_stats": brand_supplier_stats,
-    "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "token_count_bpe": token_count_bpe,
-    "rolling_fingerprint": rolling_fingerprint,
-    "customers_no_order_1996": customers_no_order_1996,
-    "big_spender_1995": big_spender_1995,
-    "repeat_customers": repeat_customers,
-    "churned_customers": churned_customers,
-    "small_qty_part_revenue": small_qty_part_revenue,
-    "cumulative_revenue": cumulative_revenue,
-    "vocab_top_terms": vocab_top_terms,
-    "quality_filter": quality_filter,
-    "rolling_mean": rolling_mean,
-    "trailing_24h_mean": trailing_24h_mean,
-    "zscore_anomaly": zscore_anomaly,
-    "robust_zscore": robust_zscore,
-    "event_pair_lift": event_pair_lift,
-    "data_expectations": data_expectations,
-    "events_cube": events_cube,
     "storm_find": q_storm_find,
     "spike_valley": q_spike_valley,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_fingerprints": simhash_fingerprints,
     "knn_lsh": knn_lsh,
-    "frame_sample": q_frame_sample,
-    "media_resize": q_media_resize,
     "simhash_near_dup": simhash_near_dup,
     "knn_ivf": knn_ivf,
 }

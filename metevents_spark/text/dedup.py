@@ -808,7 +808,7 @@ def paragraph_dedup(
     rebuild is a per-doc groupBy of the kept paragraphs (second
     exchange, doc-keyed). No self-joins, nothing quadratic.
 
-    Library operator staged for round-7 registration (oracle-able:
+    Registered as the ``paragraph_dedup`` query (oracle-backed:
     DuckDB expresses the same explode/argmin/rebuild).
 
     Returns (doc_id, text, n_paragraphs, n_dropped).

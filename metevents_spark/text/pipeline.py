@@ -621,7 +621,7 @@ def mixture_plan(
     excluded), so the plan is total: every source in the corpus appears
     in the output exactly once.
 
-    Library operator staged for round-7 registration (plain SQL).
+    Registered as the ``mixture_plan`` query (oracle-backed: plain SQL).
 
     Returns (source, n_docs, n_tokens, weight, target_tokens,
     sampling_rate, epochs), epochs = ceil(rate).

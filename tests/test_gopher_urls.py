@@ -1,5 +1,5 @@
-"""gopher_quality and canonicalize_url — library operators staged for
-registry promotion after the round-6 rotation backlog clears.
+"""gopher_quality and canonicalize_url — registered in round 7 as the
+gopher_quality / url_canonicalize queries.
 Differential tests: Spark result vs an independent pandas/python
 re-implementation of the published rules."""
 

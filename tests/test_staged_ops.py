@@ -1,5 +1,5 @@
-"""paragraph_dedup and mixture_plan — library operators staged for
-round-7 registration; differential tests vs independent pandas/python
+"""paragraph_dedup and mixture_plan — registered in round 7 as registry
+queries; differential tests vs independent pandas/python
 implementations."""
 
 from __future__ import annotations

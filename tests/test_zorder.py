@@ -88,6 +88,33 @@ def test_zorder_rejects_string_columns(spark):
         zorder_key(df, ["x", "s"])
 
 
+def test_zorder_timestamp_ntz_column(spark):
+    """TIMESTAMP_NTZ has no direct cast to DOUBLE (AnalysisException
+    DATATYPE_MISMATCH), so the NTZ branch must route through epoch
+    micros — and the resulting zkey must actually cluster on time, not
+    go NULL or constant."""
+    from metevents_spark.io import zorder_key
+
+    df = spark.sql(
+        "SELECT CAST(timestamp_ntz'2024-01-01 00:00:00' + make_interval("
+        "0, 0, 0, 0, id, 0, 0) AS timestamp_ntz) AS ts, "
+        "CAST(id % 17 AS DOUBLE) AS v FROM range(300)"
+    )
+    from pyspark.sql import types as T
+
+    assert isinstance(df.schema["ts"].dataType, T.TimestampNTZType)
+    keyed = zorder_key(df, ["ts", "v"])
+    assert keyed.filter(F.col("zkey").isNull()).count() == 0
+    assert keyed.select("zkey").distinct().count() > 10
+    # monotone image: the earliest and latest timestamps land in the
+    # low / high time cells, so their time-bit prefixes must differ
+    lo_key, hi_key = (
+        keyed.orderBy("ts").select("zkey").first()[0],
+        keyed.orderBy(F.col("ts").desc()).select("zkey").first()[0],
+    )
+    assert lo_key != hi_key
+
+
 def test_zorder_null_cells_keep_range_spread(spark, tmp_path):
     """NULLs in a clustering column must land in grid cell 0, not
     produce a NULL zkey — a NULL zkey would funnel every such row into
