@@ -71,6 +71,9 @@ HEADLINE = [
     "url_canonicalize",
     "paragraph_dedup",
     "mixture_plan",
+    "temperature_mixture",
+    "shuffle_shards",
+    "zipf_fit",
     "tfidf_top_terms",
     "doc_fingerprint",
     "rolling_fingerprint",

@@ -100,12 +100,14 @@ from metevents_spark.text.dedup import (
     remove_duplicate_spans,
 )
 from metevents_spark.text.scrub import canonicalize_url, domain_stats, pii_redact
-from metevents_spark.text.stats import gopher_quality
+from metevents_spark.text.stats import gopher_quality, zipf_fit
 from metevents_spark.text.pipeline import (
     bigram_logprob,
     hash_sample,
     holdout_split,
     mixture_plan,
+    shuffle_shards,
+    temperature_mixture,
     normalize_text,
     cooccurrence_counts,
     cross_doc_ngram_share,
@@ -2206,13 +2208,13 @@ SELECT doc_id,
   coalesce(string_agg(para, '. ' ORDER BY pos) FILTER (WHERE keep), '')
     AS text,
   COUNT(*) AS n_paragraphs,
-  SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS n_dropped
+  CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM flagged GROUP BY doc_id ORDER BY doc_id
 """,
     "mixture_plan": """
 WITH per AS (
   SELECT source, COUNT(*) AS n_docs,
-         SUM(len(string_split(text, ' '))) AS n_tokens
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ), k AS (
   SELECT *, CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS kk FROM per
@@ -2270,6 +2272,64 @@ WITH RECURSIVE s AS (
 )
 SELECT sid, ts, value, round(l, 6) AS level, round(b, 6) AS trend
 FROM rec ORDER BY sid, rn
+""",
+    "temperature_mixture": """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT SUM(n_tokens) AS t FROM per),
+sh AS (
+  SELECT *, n_tokens * 1.0 / t AS share,
+         pow(n_tokens * 1.0 / t, 0.3) AS w_raw
+  FROM per, tot
+), z AS (SELECT SUM(w_raw) AS z FROM sh)
+SELECT source, n_docs, n_tokens,
+  round(share, 6) AS share,
+  round(w_raw / z, 6) AS weight,
+  CAST(round(w_raw / z * 1000000.0) AS BIGINT) AS target_tokens,
+  round(round(w_raw / z * 1000000.0) / n_tokens, 6) AS sampling_rate,
+  CAST(ceil(round(w_raw / z * 1000000.0) / n_tokens) AS BIGINT) AS epochs
+FROM sh, z ORDER BY source
+""",
+    "shuffle_shards": """
+WITH keyed AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+), sharded AS (
+  SELECT *,
+    CAST((strpos('0123456789abcdef', substring(shuffle_key, 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substring(shuffle_key, 2, 1)) - 1)
+       AS INTEGER) % 16 AS shard
+  FROM keyed
+)
+SELECT doc_id, source, shuffle_key, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id)
+       - 1 AS BIGINT) AS "offset"
+FROM sharded ORDER BY shard, "offset"
+""",
+    "zipf_fit": """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), counts AS (
+  SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY source, term
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY tf DESC, term) AS rank
+  FROM counts
+), xy AS (
+  SELECT source, ln(rank) AS x, ln(tf) AS y FROM ranked WHERE rank <= 200
+), agg AS (
+  SELECT source, COUNT(*) AS n_terms, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM xy GROUP BY source
+)
+SELECT source, n_terms,
+  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 5)
+    AS zipf_slope,
+  round((sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) * sx)
+        / n_terms, 5) AS zipf_intercept
+FROM agg ORDER BY source
 """,
     # lttb_downsample: the bucket selection is sequential (each pick
     # depends on the previous), but there are only n_out-2 = 18 steps
@@ -2365,18 +2425,19 @@ FROM documents ORDER BY doc_id
 # ROTATION (round 7): the round-6 freeze condition was confirmed — the
 # r01-r06 union gave every registry key at least one driver row (every
 # oracle-backed key hash-green, every rows-only key rows-checked) — so
-# growth resumed with the four staged operators. Slots 1-5 keep the
-# SURVEY §2 reference detectors (the parity core, checked every round);
-# slots 6-9 are the promoted round-6 staging-area operators (first
-# driver look); slots 10-14 are the five keys upgraded this round from
-# rows-only to oracle-backed — ewma/holt/lttb via bit-exact
-# recursive-CTE oracles, frame_sample/media_resize via a hex output
-# boundary (first HASH look for all five); slots 15-49 are the 35
-# oracle-backed keys whose newest driver-green row dated to r04 (the
-# stalest cohort); slot 50 is an r05-green representative. The
-# remaining rows-only keys spend no slots this round — all earned
-# their driver rows-only row by r06 and stay pinned by
-# golden/differential pytest.
+# growth resumed. Slots 1-5 keep the SURVEY §2 reference detectors
+# (the parity core, checked every round); slots 6-9 are the promoted
+# round-6 staging-area operators (first driver look); slots 10-12 are
+# the operators REGISTERED this round (temperature_mixture /
+# shuffle_shards / zipf_fit, first driver look); slots 13-17 are the
+# five keys upgraded this round from rows-only to oracle-backed —
+# ewma/holt/lttb via bit-exact recursive-CTE oracles,
+# frame_sample/media_resize via a hex output boundary (first HASH look
+# for all five); slots 18-49 are the 32 stalest oracle-backed keys
+# (newest driver-green row dated to r04); slot 50 is an r05-green
+# representative. The remaining rows-only keys spend no slots this
+# round — all earned their driver rows-only row by r06 and stay pinned
+# by golden/differential pytest.
 #
 # Everything past the cap stays pinned by tests/test_oracle_parity.py
 # (same row-count/schema/value-hash comparison vs DuckDB at sf0.001,
@@ -2396,8 +2457,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonicalize": q_url_canonicalize,
     "paragraph_dedup": q_paragraph_dedup,
     "mixture_plan": q_mixture_plan,
-    # Slots 10-13: upgraded this round from rows-only to oracle-backed
-    # (ewma/holt: bit-exact recursive-CTE oracles; frame_sample /
+    # Slots 10-12: registered this round (never driver-checked;
+    # oracle-backed; pre-validated by tests/test_oracle_parity.py).
+    "temperature_mixture": temperature_mixture,
+    "shuffle_shards": shuffle_shards,
+    "zipf_fit": zipf_fit,
+    # Slots 13-17: upgraded this round from rows-only to oracle-backed
+    # (ewma/holt/lttb: bit-exact recursive-CTE oracles; frame_sample /
     # media_resize: hex output boundary + string-side byte oracles) --
     # in-window so the driver records their first hash-green row.
     "ewma_smooth": ewma_smooth,
@@ -2405,8 +2471,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample": q_frame_sample,
     "media_resize": q_media_resize,
     "lttb_downsample": lttb_downsample,
-    # Slots 15-49: the 35 oracle-backed keys whose newest driver-green
-    # row dates to r04 -- the stalest cohort; re-confirmed this round.
+    # Slots 18-49: the 32 stalest oracle-backed keys (newest
+    # driver-green row dated to r04); re-confirmed this round. The
+    # three displaced (event_pair_lift, data_expectations, events_cube)
+    # moved past the cap, pinned by tests/test_oracle_parity.py.
     "sessionize": q_sessionize,
     "tfidf_top_terms": tfidf_top_terms,
     "daily_rollup": daily_rollup,
@@ -2439,9 +2507,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trailing_24h_mean": trailing_24h_mean,
     "zscore_anomaly": zscore_anomaly,
     "robust_zscore": robust_zscore,
-    "event_pair_lift": event_pair_lift,
-    "data_expectations": data_expectations,
-    "events_cube": events_cube,
     # Slot 50: r05-green representative (window/ntile ranking).
     "price_deciles": price_deciles,
     # ====== PAST THE DRIVER CAP: every key below has a driver-green
@@ -2451,6 +2516,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": funnel_conversion,
     "media_dedup": q_media_dedup,
     "decontaminate_ngram": decontaminate_ngram,
+    "event_pair_lift": event_pair_lift,
+    "data_expectations": data_expectations,
+    "events_cube": events_cube,
     "duplicate_spans": duplicate_spans,
     "remove_duplicate_spans": remove_duplicate_spans,
     "min_cost_supplier": min_cost_supplier,

@@ -653,3 +653,94 @@ def mixture_plan(
         F.round(rate, 6).alias("sampling_rate"),
         F.ceil(rate).cast("long").alias("epochs"),
     ).orderBy("source")
+
+
+def temperature_mixture(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.3,
+    target_total_tokens: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based source mixing: sampling weights proportional
+    to each source's token share raised to ``alpha`` (the mT5 /
+    multilingual-LM recipe — alpha < 1 upweights small sources so
+    low-resource shards aren't drowned out; alpha = 1 is proportional
+    sampling, alpha = 0 uniform). Complements :func:`mixture_plan`,
+    which takes externally supplied weights — here the weights are
+    DERIVED from the corpus itself.
+
+    Scale shape: ONE corpus scan into one groupBy(source) — the only
+    corpus-sized exchange carries |sources| partial rows — then the
+    two scalar reductions (total tokens, weight normalizer) are
+    whole-frame window aggregates over that |sources|-row frame: a
+    single-partition exchange of a handful of rows, never a second
+    scan (the crossJoin-of-aggregates formulation re-read the corpus
+    once per scalar — 4 scans in the plan audit). pow's last-ulp
+    variation across math libraries is absorbed by round(6) exactly
+    like the ln-based scores elsewhere.
+
+    Returns (source, n_docs, n_tokens, share, weight, target_tokens,
+    sampling_rate, epochs).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    everything = Window.partitionBy()
+    shared = per_source.withColumn(
+        "share", F.col("n_tokens") / F.sum("n_tokens").over(everything)
+    ).withColumn("w_raw", F.pow("share", F.lit(float(alpha))))
+    weighted = shared.withColumn(
+        "weight", F.col("w_raw") / F.sum("w_raw").over(everything)
+    )
+    target = F.round(F.col("weight") * F.lit(float(target_total_tokens)))
+    rate = target / F.col("n_tokens")
+    return weighted.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("share", 6).alias("share"),
+        F.round("weight", 6).alias("weight"),
+        target.cast("long").alias("target_tokens"),
+        F.round(rate, 6).alias("sampling_rate"),
+        F.ceil(rate).cast("long").alias("epochs"),
+    ).orderBy("source")
+
+
+def shuffle_shards(
+    spark: SparkSession, sf_dir: str, n_shards: int = 16
+) -> DataFrame:
+    """Deterministic global training-order shuffle: give every document
+    a pseudorandom-but-reproducible position — (shard, offset) — so a
+    trainer streams shards in order and sees a fixed random permutation
+    of the corpus, independent of input layout and engine. Exactly the
+    "global shuffle before sharding" step of a pretraining data build,
+    made reproducible by deriving the permutation from md5(doc_id)
+    instead of an RNG.
+
+    Scale shape: the md5 key and shard id are map-side codegen; the
+    only exchange is the ONE hash repartition by shard implied by the
+    per-shard row_number window (each shard sorts locally by key) —
+    the minimum any global shuffle must pay. No global sort, no
+    single-partition window: shards are mutually independent.
+
+    Returns (doc_id, source, shuffle_key, shard, offset); offset is
+    0-based within the shard.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    key = F.md5(F.col("doc_id").cast("string"))
+    # first two hex chars -> shard (byte-level split keeps the DuckDB
+    # mirror expressible without hex->bigint support)
+    shard = (
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int") % n_shards
+    )
+    keyed = docs.select(
+        "doc_id", "source", key.alias("shuffle_key"), shard.alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.withColumn(
+        "offset", (F.row_number().over(w) - 1).cast("long")
+    ).orderBy("shard", "offset")

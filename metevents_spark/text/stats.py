@@ -738,3 +738,61 @@ def gopher_quality(docs: DataFrame, min_words: int = GOPHER_MIN_WORDS) -> DataFr
         & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS)
     )
     return out.withColumn("keep", keep).orderBy("doc_id")
+
+
+def zipf_fit(
+    spark: SparkSession, sf_dir: str, top_terms: int = 200
+) -> DataFrame:
+    """Per-source Zipf fit: least-squares slope of ln(frequency) vs
+    ln(rank) over each source's ``top_terms`` most frequent terms.
+    Natural language sits near slope -1 (Zipf's law); sources that
+    deviate hard flag templated/boilerplate shards (flat head, slope
+    near 0) or degenerate vocabularies — a corpus-forensics signal
+    data-quality audits compute per shard.
+
+    Scale shape: term counts are ONE (source, term) groupBy (map-side
+    partial aggregation first, so the exchange carries distinct terms
+    per source, not tokens); per-source ranking is a window over that
+    vocab-sized frame; the regression reduces to the five classical
+    sums per source — |sources| rows out. Ties in term frequency rank
+    deterministically (term as tiebreak). round(5) absorbs ln/sum
+    last-ulp variation across engines, like unigram_logprob.
+
+    Returns (source, n_terms, zipf_slope, zipf_intercept).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("tf").desc(), F.col("term")
+    )
+    ranked = tf.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_terms
+    )
+    xy = ranked.select(
+        "source",
+        F.log("rank").alias("x"),
+        F.log("tf").alias("y"),
+    )
+    agg = xy.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return agg.select(
+        "source",
+        "n_terms",
+        F.round(slope, 5).alias("zipf_slope"),
+        F.round(intercept, 5).alias("zipf_intercept"),
+    ).orderBy("source")

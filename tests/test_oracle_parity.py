@@ -84,6 +84,12 @@ def test_past_cap_query_matches_oracle(spark, duck, name):
     ddf = normalize(duck.sql(entrymod.oracle_sql()[name]).df())
     assert len(sdf) == len(ddf), f"{name}: rows spark={len(sdf)} duck={len(ddf)}"
     assert sorted(sdf.columns) == sorted(ddf.columns), name
+    # dtype parity too: DuckDB silently widens SUM-of-int to HUGEINT
+    # (-> float64 in pandas), which the value hash forgives but a
+    # schema-strict driver would not — oracles must CAST defensively
+    s_schema = {c: str(sdf[c].dtype) for c in sdf.columns}
+    d_schema = {c: str(ddf[c].dtype) for c in ddf.columns}
+    assert s_schema == d_schema, f"{name}: dtype mismatch"
     assert frame_hash(sdf) == frame_hash(ddf), f"{name}: value-hash mismatch"
 
 
