@@ -132,4 +132,26 @@ for r in plan.limit(3).collect():
         f"{r['target_tokens']} (rate {r['sampling_rate']}, "
         f"epochs {r['epochs']})"
     )
+
+# 5b. or derive the weights from the corpus itself: alpha-temperature
+# sampling (alpha < 1 upweights small sources, the multilingual recipe)
+from metevents_spark.text.pipeline import temperature_mixture
+
+tm = temperature_mixture(spark, sf_dir, alpha=0.3, target_total_tokens=100_000)
+print("  temperature mixture (first 3 sources):")
+for r in tm.limit(3).collect():
+    print(
+        f"    {r['source']}: share {r['share']} -> weight {r['weight']} "
+        f"(epochs {r['epochs']})"
+    )
+
+# 6. final layout: reproducible global shuffle into training shards
+from metevents_spark.text.pipeline import shuffle_shards
+
+shards = shuffle_shards(spark, sf_dir, n_shards=8)
+sizes = shards.groupBy("shard").count().orderBy("shard")
+print(
+    "  shard sizes: "
+    + ", ".join(str(r["count"]) for r in sizes.collect())
+)
 spark.stop()
