@@ -74,6 +74,7 @@ HEADLINE = [
     "temperature_mixture",
     "shuffle_shards",
     "zipf_fit",
+    "dedup_recall_report",
     "tfidf_top_terms",
     "doc_fingerprint",
     "rolling_fingerprint",

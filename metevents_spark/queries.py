@@ -93,6 +93,7 @@ from metevents_spark.relational.tpch import (
 )
 from metevents_spark.text.dedup import (
     dedup_clusters,
+    dedup_recall_report,
     duplicate_spans,
     edit_distance_pairs,
     ngram_jaccard_pairs,
@@ -2429,15 +2430,16 @@ FROM documents ORDER BY doc_id
 # (the parity core, checked every round); slots 6-9 are the promoted
 # round-6 staging-area operators (first driver look); slots 10-12 are
 # the operators REGISTERED this round (temperature_mixture /
-# shuffle_shards / zipf_fit, first driver look); slots 13-17 are the
-# five keys upgraded this round from rows-only to oracle-backed —
-# ewma/holt/lttb via bit-exact recursive-CTE oracles,
-# frame_sample/media_resize via a hex output boundary (first HASH look
-# for all five); slots 18-49 are the 32 stalest oracle-backed keys
-# (newest driver-green row dated to r04); slot 50 is an r05-green
-# representative. The remaining rows-only keys spend no slots this
-# round — all earned their driver rows-only row by r06 and stay pinned
-# by golden/differential pytest.
+# shuffle_shards / zipf_fit, first driver look); slot 13 is the new
+# rows-only dedup_recall_report meter (first driver look — the one
+# rows-only slot this round); slots 14-18 are the five keys upgraded
+# this round from rows-only to oracle-backed — ewma/holt/lttb via
+# bit-exact recursive-CTE oracles, frame_sample/media_resize via a hex
+# output boundary (first HASH look for all five); slots 19-49 are the
+# 31 stalest oracle-backed keys (newest driver-green row dated to
+# r04); slot 50 is an r05-green representative. The other rows-only
+# keys spend no slots this round — all earned their driver rows-only
+# row by r06 and stay pinned by golden/differential pytest.
 #
 # Everything past the cap stays pinned by tests/test_oracle_parity.py
 # (same row-count/schema/value-hash comparison vs DuckDB at sf0.001,
@@ -2462,7 +2464,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mixture": temperature_mixture,
     "shuffle_shards": shuffle_shards,
     "zipf_fit": zipf_fit,
-    # Slots 13-17: upgraded this round from rows-only to oracle-backed
+    # Slot 13: registered this round, rows-only by design (the MinHash
+    # path hashes with xxhash64, absent in DuckDB) — in-window for its
+    # first driver rows-only row, pinned by the pandas differential in
+    # tests/test_round7_ops.py.
+    "dedup_recall_report": dedup_recall_report,
+    # Slots 14-18: upgraded this round from rows-only to oracle-backed
     # (ewma/holt/lttb: bit-exact recursive-CTE oracles; frame_sample /
     # media_resize: hex output boundary + string-side byte oracles) --
     # in-window so the driver records their first hash-green row.
@@ -2471,10 +2478,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample": q_frame_sample,
     "media_resize": q_media_resize,
     "lttb_downsample": lttb_downsample,
-    # Slots 18-49: the 32 stalest oracle-backed keys (newest
-    # driver-green row dated to r04); re-confirmed this round. The
-    # three displaced (event_pair_lift, data_expectations, events_cube)
-    # moved past the cap, pinned by tests/test_oracle_parity.py.
+    # Slots 19-49: the 31 stalest oracle-backed keys (newest
+    # driver-green row dated to r04); re-confirmed this round. The four
+    # displaced (robust_zscore, event_pair_lift, data_expectations,
+    # events_cube) moved past the cap, pinned by
+    # tests/test_oracle_parity.py.
     "sessionize": q_sessionize,
     "tfidf_top_terms": tfidf_top_terms,
     "daily_rollup": daily_rollup,
@@ -2506,7 +2514,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_mean": rolling_mean,
     "trailing_24h_mean": trailing_24h_mean,
     "zscore_anomaly": zscore_anomaly,
-    "robust_zscore": robust_zscore,
     # Slot 50: r05-green representative (window/ntile ranking).
     "price_deciles": price_deciles,
     # ====== PAST THE DRIVER CAP: every key below has a driver-green
@@ -2516,6 +2523,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": funnel_conversion,
     "media_dedup": q_media_dedup,
     "decontaminate_ngram": decontaminate_ngram,
+    "robust_zscore": robust_zscore,
     "event_pair_lift": event_pair_lift,
     "data_expectations": data_expectations,
     "events_cube": events_cube,

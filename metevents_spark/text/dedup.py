@@ -860,3 +860,130 @@ def paragraph_dedup(
         )
         .orderBy("doc_id")
     )
+
+
+def dedup_recall_report(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    sample: int = 200,
+    k: int = 3,
+) -> DataFrame:
+    """Calibration meter for the MinHash-LSH dedup path: measured
+    precision / recall / F1 of :func:`minhash_near_dup` against exact
+    shingle-set Jaccard ground truth on a deterministic document
+    sample — the dedup counterpart of ann_recall_report (is the banded
+    signature actually catching the near-dups the threshold promises,
+    and how much does it over-fire?). Pipelines gate LSH parameter
+    changes (bands, hashes, shingle size) on this number.
+
+    Ground truth is EXACT Jaccard over the same k-shingle sets the
+    signatures sketch, computed all-pairs over an md5-deterministic
+    ``sample`` of exact-dedup representatives: a FIXED-size bounded
+    cross product (sample^2/2 pairs, broadcast nested-loop — never
+    corpus-sized; the sample stays 200 docs at 100 TB, the measurement
+    cost is scale-independent). The predicted side is the PRODUCTION
+    pair stream — minhash_near_dup's actual output restricted to
+    sampled pairs — so the meter measures the deployed path (banding,
+    hot-bucket caps, member expansion included), not a reimplementation.
+
+    Rows-only driver check (the signature family hashes with xxhash64,
+    which DuckDB lacks); tests/test_round7_ops.py recomputes the
+    ground truth independently in pandas and pins the confusion counts.
+
+    Returns ONE row: (n_sample, n_true_pairs, n_pred_pairs,
+    true_positives, precision, recall, f1).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    _, reps = _exact_groups(docs)
+    picked = (
+        reps.select("doc_id", "text", F.md5(F.col("doc_id").cast("string")).alias("pk"))
+        .orderBy("pk", "doc_id")
+        .limit(sample)
+    )
+    shingled = picked.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.size(F.split("text", " ")) - (k - 1), F.lit(1)
+                    ),
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.split("text", " "), i, k), " "
+                ),
+            )
+        ).alias("sh"),
+    )
+    a = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    truth = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    sample_ids = picked.select("doc_id")
+    pred = (
+        minhash_near_dup(spark, sf_dir, threshold=threshold, sort=False)
+        .join(
+            F.broadcast(sample_ids.withColumnRenamed("doc_id", "doc_a")),
+            "doc_a",
+            "left_semi",
+        )
+        .join(
+            F.broadcast(sample_ids.withColumnRenamed("doc_id", "doc_b")),
+            "doc_b",
+            "left_semi",
+        )
+        .select("doc_a", "doc_b")
+    )
+    joined = truth.select("doc_a", "doc_b").withColumn(
+        "is_true", F.lit(1)
+    ).join(
+        pred.withColumn("is_pred", F.lit(1)), ["doc_a", "doc_b"], "full"
+    )
+    agg = joined.agg(
+        F.sum(F.coalesce("is_true", F.lit(0))).cast("long").alias("n_true_pairs"),
+        F.sum(F.coalesce("is_pred", F.lit(0))).cast("long").alias("n_pred_pairs"),
+        F.sum(
+            F.when(
+                F.col("is_true").isNotNull() & F.col("is_pred").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("true_positives"),
+    )
+    prec = F.when(
+        F.col("n_pred_pairs") > 0,
+        F.col("true_positives") / F.col("n_pred_pairs"),
+    ).otherwise(F.lit(None).cast("double"))
+    rec = F.when(
+        F.col("n_true_pairs") > 0,
+        F.col("true_positives") / F.col("n_true_pairs"),
+    ).otherwise(F.lit(None).cast("double"))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+        2 * prec * rec / (prec + rec),
+    ).otherwise(F.lit(None).cast("double"))
+    return agg.select(
+        F.lit(sample).cast("long").alias("n_sample"),
+        "n_true_pairs",
+        "n_pred_pairs",
+        "true_positives",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

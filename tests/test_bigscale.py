@@ -17,13 +17,18 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BIG_DIR = "/tmp/metevents-sfbig-x10"
 
-# heaviest oracle-backed queries by r05 warm bench time
+# heaviest oracle-backed queries by r05 warm bench time, plus the two
+# round-7 oracle styles worth stressing at 10x: the hex byte-compare
+# (media_resize — py-node output path) and the recursive-CTE replay
+# (lttb_downsample — 10x more series through the 18-step recursion)
 HEAVY = (
     "remove_duplicate_spans",
     "anomaly_consensus",
     "tfidf_top_terms",
     "gap_fill_hourly",
     "event_pair_lift",
+    "media_resize",
+    "lttb_downsample",
 )
 
 

@@ -88,3 +88,62 @@ def test_zipf_fit_matches_numpy_lstsq(spark):
         row = out[out.source == source].iloc[0]
         assert abs(row.zipf_slope - slope) < 1e-3, source
         assert abs(row.zipf_intercept - intercept) < 1e-3, source
+
+
+def test_dedup_recall_report_matches_pandas_ground_truth(spark):
+    """Recompute the meter's ground truth independently: the same
+    md5-deterministic sample of exact-dedup representatives, exact
+    3-shingle Jaccard all-pairs, and minhash pairs restricted to the
+    sample — the confusion counts must agree exactly."""
+    import hashlib
+    import itertools
+
+    from metevents_spark.text.dedup import (
+        dedup_recall_report,
+        minhash_near_dup,
+    )
+
+    threshold, sample, k = 0.5, 200, 3
+    out = dedup_recall_report(
+        spark, SF_SMALL, threshold=threshold, sample=sample, k=k
+    ).collect()[0]
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")[
+        ["doc_id", "text"]
+    ]
+    # exact-dedup representatives: min doc_id per text
+    reps = docs.sort_values("doc_id").drop_duplicates("text")
+    picked = sorted(
+        reps.doc_id,
+        key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
+    )[:sample]
+    text_of = dict(zip(reps.doc_id, reps.text))
+
+    def shingles(t: str) -> set[str]:
+        toks = t.split(" ")
+        n = max(len(toks) - (k - 1), 1)
+        return {" ".join(toks[i : i + k]) for i in range(n)}
+
+    sh = {d: shingles(text_of[d]) for d in picked}
+    true_pairs = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(picked), 2)
+        if len(sh[a] & sh[b]) / len(sh[a] | sh[b]) >= threshold
+    }
+    sample_set = set(picked)
+    pred_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup(
+            spark, SF_SMALL, threshold=threshold, sort=False
+        ).collect()
+        if r.doc_a in sample_set and r.doc_b in sample_set
+    }
+
+    assert out.n_sample == sample
+    assert out.n_true_pairs == len(true_pairs)
+    assert out.n_pred_pairs == len(pred_pairs)
+    assert out.true_positives == len(true_pairs & pred_pairs)
+    if out.n_pred_pairs:
+        assert abs(out.precision - len(true_pairs & pred_pairs) / len(pred_pairs)) < 1e-6
+    if out.n_true_pairs:
+        assert abs(out.recall - len(true_pairs & pred_pairs) / len(true_pairs)) < 1e-6
