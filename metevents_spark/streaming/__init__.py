@@ -9,6 +9,11 @@ from metevents_spark.streaming.detect import (  # noqa: F401
     stream_storm_find_tws,
     stream_zscore,
 )
+from metevents_spark.streaming.dedup import (  # noqa: F401
+    band_bucket_cols,
+    minhash_sig_col,
+    stream_minhash_dedup,
+)
 from metevents_spark.streaming.funnel import (  # noqa: F401
     advance_funnel,
     stream_funnel,
