@@ -88,6 +88,7 @@ HEADLINE = [
     "knn_lsh",
     "ann_recall_report",
     "knn_ivf",
+    "knn_ivf_pq",
     "dedup_clusters",
     "embedding_norms",
     "embedding_near_dup",

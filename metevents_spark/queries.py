@@ -123,6 +123,7 @@ from metevents_spark.text.pipeline import (
 from metevents_spark.session import tune_session
 from metevents_spark.similarity import (
     ann_recall_report,
+    knn_ivf_pq,
     embedding_near_dup,
     kmeans_embeddings,
     semantic_dedup,
@@ -2431,12 +2432,13 @@ FROM documents ORDER BY doc_id
 # round-6 staging-area operators (first driver look); slots 10-12 are
 # the operators REGISTERED this round (temperature_mixture /
 # shuffle_shards / zipf_fit, first driver look); slot 13 is the new
-# rows-only dedup_recall_report meter (first driver look — the one
-# rows-only slot this round); slots 14-18 are the five keys upgraded
+# rows-only dedup_recall_report meter and slot 14 the new rows-only
+# knn_ivf_pq (first driver looks — the only rows-only slots this
+# round); slots 15-19 are the five keys upgraded
 # this round from rows-only to oracle-backed — ewma/holt/lttb via
 # bit-exact recursive-CTE oracles, frame_sample/media_resize via a hex
-# output boundary (first HASH look for all five); slots 19-49 are the
-# 31 stalest oracle-backed keys (newest driver-green row dated to
+# output boundary (first HASH look for all five); slots 20-49 are the
+# 30 stalest oracle-backed keys (newest driver-green row dated to
 # r04); slot 50 is an r05-green representative. The other rows-only
 # keys spend no slots this round — all earned their driver rows-only
 # row by r06 and stay pinned by golden/differential pytest.
@@ -2469,7 +2471,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # first driver rows-only row, pinned by the pandas differential in
     # tests/test_round7_ops.py.
     "dedup_recall_report": dedup_recall_report,
-    # Slots 14-18: upgraded this round from rows-only to oracle-backed
+    # Slot 14: registered this round, rows-only by design (shares the
+    # ANN family's no-SQL-form reproducibility) — IVF-PQ, the
+    # memory-bounded ANN tier; recall floored in tests/test_neardup.py.
+    "knn_ivf_pq": knn_ivf_pq,
+    # Slots 15-19: upgraded this round from rows-only to oracle-backed
     # (ewma/holt/lttb: bit-exact recursive-CTE oracles; frame_sample /
     # media_resize: hex output boundary + string-side byte oracles) --
     # in-window so the driver records their first hash-green row.
@@ -2478,10 +2484,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample": q_frame_sample,
     "media_resize": q_media_resize,
     "lttb_downsample": lttb_downsample,
-    # Slots 19-49: the 31 stalest oracle-backed keys (newest
-    # driver-green row dated to r04); re-confirmed this round. The four
-    # displaced (robust_zscore, event_pair_lift, data_expectations,
-    # events_cube) moved past the cap, pinned by
+    # Slots 20-49: the 30 stalest oracle-backed keys (newest
+    # driver-green row dated to r04); re-confirmed this round. The five
+    # displaced (zscore_anomaly, robust_zscore, event_pair_lift,
+    # data_expectations, events_cube) moved past the cap, pinned by
     # tests/test_oracle_parity.py.
     "sessionize": q_sessionize,
     "tfidf_top_terms": tfidf_top_terms,
@@ -2513,7 +2519,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": quality_filter,
     "rolling_mean": rolling_mean,
     "trailing_24h_mean": trailing_24h_mean,
-    "zscore_anomaly": zscore_anomaly,
     # Slot 50: r05-green representative (window/ntile ranking).
     "price_deciles": price_deciles,
     # ====== PAST THE DRIVER CAP: every key below has a driver-green
@@ -2523,6 +2528,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": funnel_conversion,
     "media_dedup": q_media_dedup,
     "decontaminate_ngram": decontaminate_ngram,
+    "zscore_anomaly": zscore_anomaly,
     "robust_zscore": robust_zscore,
     "event_pair_lift": event_pair_lift,
     "data_expectations": data_expectations,

@@ -5,6 +5,7 @@ from metevents_spark.similarity.knn import (  # noqa: F401
     embedding_quantize,
     knn_cosine,
     knn_ivf,
+    knn_ivf_pq,
     knn_lsh,
     label_centroids,
     random_projection,

@@ -161,7 +161,18 @@ def test_ann_recall_report_floors(spark):
     rep = {r.method: r for r in ann_recall_report(spark, SF).collect()}
     assert rep["lsh"].recall_at_k >= 0.8, rep["lsh"]
     assert rep["ivf"].recall_at_k >= 0.8, rep["ivf"]
-    assert rep["lsh"].n_queries == rep["ivf"].n_queries == 5
+    # IVF-PQ quantizes 8x harder than IVF-flat and this uniform
+    # synthetic corpus is PQ's worst case (near-tied neighbors, no
+    # cluster structure to exploit); the 50-vector sf0.001 corpus adds
+    # the tiny-corpus quirk that a few skewed cells overflow the ADC
+    # shortlist. Measured: 0.72 here, 0.84 at sf0.01, 0.80 at sf0.1 —
+    # floor at 0.7 (the regression this catches is ADC/codebook
+    # breakage, which craters recall to ~0.2, not a 0.02 wiggle)
+    assert rep["pq"].recall_at_k >= 0.7, rep["pq"]
+    assert (
+        rep["lsh"].n_queries == rep["ivf"].n_queries
+        == rep["pq"].n_queries == 5
+    )
 
 
 def test_random_projection_preserves_distances(spark):
