@@ -254,6 +254,7 @@ def knn_ivf(
     nprobe: int = 4,
     train_iters: int = 2,
     emb: DataFrame | None = None,
+    cmat: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: a coarse quantizer of ``n_cells``
     centroids partitions the corpus into inverted lists; each query
@@ -277,12 +278,13 @@ def knn_ivf(
 
     if emb is None:
         emb = load_table(spark, sf_dir, "embeddings")
-    cmat = lloyd_centroids(
-        emb.select("vec_id", "embedding"), n_cells, train_iters
-    ).astype(np.float64)
-    # unit-normalized centroid matrix, shipped in the UDF closures —
-    # cell assignment for a whole Arrow batch is ONE numpy matmul
-    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    if cmat is None:
+        cmat = lloyd_centroids(
+            emb.select("vec_id", "embedding"), n_cells, train_iters
+        ).astype(np.float64)
+        # unit-normalized centroid matrix, shipped in the UDF closures —
+        # cell assignment for a whole Arrow batch is ONE numpy matmul
+        cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
 
     @F.pandas_udf("int")
     def nearest_cell(embs: pd.Series) -> pd.Series:
@@ -478,6 +480,15 @@ def ann_recall_report(
     # corpus scale makes the meter cost 3 scans instead of 1.
     emb = load_table(spark, sf_dir, "embeddings").persist()
     track(emb)
+    # IVF-flat and IVF-PQ use the SAME coarse quantizer (same n_cells,
+    # same Lloyd rounds) — train it once here and share, instead of
+    # paying the training scans twice inside the two pipelines
+    from metevents_spark.similarity.semdedup import lloyd_centroids
+
+    cmat = lloyd_centroids(emb.select("vec_id", "embedding"), 8, 2).astype(
+        np.float64
+    )
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
     # dropDuplicates guards the left-join accounting below: hits ==
     # overlap only if the exact side is unique per (q_id, vec_id).
     # knn_cosine's top-k already guarantees that today; this pins the
@@ -493,8 +504,9 @@ def ann_recall_report(
     n_q = exact.select("q_id").distinct().count()
     approx = None
     for method, fn in (("lsh", knn_lsh), ("ivf", knn_ivf), ("pq", knn_ivf_pq)):
+        extra = {} if method == "lsh" else {"cmat": cmat}
         part = (
-            fn(spark, sf_dir, k=k, emb=emb)
+            fn(spark, sf_dir, k=k, emb=emb, **extra)
             .select("q_id", "vec_id")
             .withColumn("method", F.lit(method))
         )
@@ -601,6 +613,7 @@ def knn_ivf_pq(
     train_sample: int = 2048,
     rerank_factor: int = 8,
     emb: DataFrame | None = None,
+    cmat: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: the memory-bounded tier of the ANN
     family. The corpus index stores ``m`` one-byte codes + a cell id
@@ -642,10 +655,11 @@ def knn_ivf_pq(
 
     if emb is None:
         emb = load_table(spark, sf_dir, "embeddings")
-    cmat = lloyd_centroids(
-        emb.select("vec_id", "embedding"), n_cells, train_iters
-    ).astype(np.float64)
-    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    if cmat is None:
+        cmat = lloyd_centroids(
+            emb.select("vec_id", "embedding"), n_cells, train_iters
+        ).astype(np.float64)
+        cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
 
     # --- PQ codebooks: deterministic L2 k-means on a bounded residual
     # sample (seeded by the first ks sample rows, 5 Lloyd rounds)
