@@ -176,6 +176,24 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Load guard: a bench recorded while the machine is busy is noise,
+    # not signal (round 7 committed a baseline with ~25 queries 2-8x
+    # "slower" that reproduced at normal speed on an idle machine).
+    # Record the 1-min load at start and end; if the START load exceeds
+    # the threshold, stamp the run "tainted" and SKIP both the drift
+    # comparison and the baseline overwrite so a polluted run can never
+    # become the next round's drift-gate reference.
+    load_start = os.getloadavg()[0]
+    load_threshold = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "2.0"))
+    tainted = load_start > load_threshold
+    if tainted:
+        print(
+            f"TAINTED: 1-min load {load_start:.2f} > {load_threshold:.1f} "
+            "at bench start; drift gate and baseline update disabled "
+            "for this run",
+            file=sys.stderr,
+            flush=True,
+        )
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -267,12 +285,13 @@ def main() -> None:
     # two apart (prev_sf carries the mismatched sf for the log).
     compared_vs_prev = False
     prev_sf = None
+    load_end = os.getloadavg()[0]
     try:
         with open(full_path) as fh:
             prev = json.load(fh)
         prev_warm = prev.get("queries_warm", {})
         prev_sf = prev.get("sf")
-        if prev_sf == sf:
+        if prev_sf == sf and not tainted and not prev.get("tainted"):
             compared_vs_prev = True
             for name, t in timings.items():
                 p = prev_warm.get(name)
@@ -281,32 +300,47 @@ def main() -> None:
     except (OSError, ValueError):
         pass
     if not compared_vs_prev:
-        print(f"DRIFT baseline skipped: previous BENCH_FULL_latest.json "
-              f"{'missing/unreadable' if prev_sf is None else f'recorded at sf={prev_sf}, this run sf={sf}'}",
+        if tainted:
+            reason = "this run is tainted by machine load"
+        elif prev_sf is None:
+            reason = "previous BENCH_FULL_latest.json missing/unreadable"
+        elif prev_sf != sf:
+            reason = (f"previous BENCH_FULL_latest.json recorded at "
+                      f"sf={prev_sf}, this run sf={sf}")
+        else:
+            reason = "previous BENCH_FULL_latest.json is marked tainted"
+        print(f"DRIFT baseline skipped: {reason}",
               file=sys.stderr, flush=True)
     for name, (p, t) in sorted(drift.items(), key=lambda kv: -kv[1][1]):
         print(f"DRIFT {name}: warm {p:.3f}s -> {t:.3f}s "
               f"({t / p:.2f}x previous)", file=sys.stderr, flush=True)
-    try:
-        with open(full_path, "w") as fh:
-            json.dump(
-                {
-                    "metric": "headline_queries_full",
-                    "queries_warm": timings,
-                    "queries_cold": cold,
-                    "drift_vs_prev": drift,
-                    "compared_vs_prev": compared_vs_prev,
-                    "prev_sf": prev_sf,
-                    "total_warm": total,
-                    "total_cold": cold_total,
-                    "n_queries": len(timings),
-                    "sf": sf,
-                },
-                fh, indent=1, sort_keys=True,
-            )
-            fh.write("\n")
-    except OSError:
-        pass
+    # A tainted run must never become the drift-gate reference: leave
+    # the committed baseline untouched and only report this run's
+    # numbers on stdout.
+    if not tainted:
+        try:
+            with open(full_path, "w") as fh:
+                json.dump(
+                    {
+                        "metric": "headline_queries_full",
+                        "queries_warm": timings,
+                        "queries_cold": cold,
+                        "drift_vs_prev": drift,
+                        "compared_vs_prev": compared_vs_prev,
+                        "prev_sf": prev_sf,
+                        "total_warm": total,
+                        "total_cold": cold_total,
+                        "n_queries": len(timings),
+                        "sf": sf,
+                        "tainted": False,
+                        "load_start_1min": round(load_start, 2),
+                        "load_end_1min": round(load_end, 2),
+                    },
+                    fh, indent=1, sort_keys=True,
+                )
+                fh.write("\n")
+        except OSError:
+            pass
     # Stop Spark BEFORE printing: JVM shutdown can emit trailing log
     # lines, and the driver parses the LAST stdout line as the result.
     spark.stop()
@@ -343,6 +377,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": slowest,
                 "sf": sf,
+                "tainted": tainted,
+                "load_start_1min": round(load_start, 2),
+                "load_end_1min": round(load_end, 2),
             },
             separators=(",", ":"),
         ),

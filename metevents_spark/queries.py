@@ -2343,10 +2343,13 @@ FROM agg ORDER BY source
     # chosen index. Exact at sf0.001/0.01/0.1 (verified bit-for-bit).
     "lttb_downsample": """
 WITH RECURSIVE pts AS (
+  -- value IS NOT NULL mirrors the kernel's up-front NaN exclusion
+  -- (lttb_numpy drops NaN before bucketing); without it, parity held
+  -- only because committed corpora have zero NULL event values
   SELECT CAST(user_id AS VARCHAR) AS sid, ts, CAST(value AS DOUBLE) AS value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
            AS rn
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), agg AS (
   SELECT sid, COUNT(*) AS n,
          list(CAST(epoch_us(ts) AS DOUBLE) ORDER BY rn) AS xs,
@@ -2424,71 +2427,104 @@ FROM documents ORDER BY doc_id
 # Insertion order matters: the verification driver checks the FIRST 50
 # entries, so slot assignment is a deliberate rotation policy.
 #
-# ROTATION (round 7): the round-6 freeze condition was confirmed — the
-# r01-r06 union gave every registry key at least one driver row (every
-# oracle-backed key hash-green, every rows-only key rows-checked) — so
-# growth resumed. Slots 1-5 keep the SURVEY §2 reference detectors
-# (the parity core, checked every round); slots 6-9 are the promoted
-# round-6 staging-area operators (first driver look); slots 10-12 are
-# the operators REGISTERED this round (temperature_mixture /
-# shuffle_shards / zipf_fit, first driver look); slot 13 is the new
-# rows-only dedup_recall_report meter and slot 14 the new rows-only
-# knn_ivf_pq (first driver looks — the only rows-only slots this
-# round); slots 15-19 are the five keys upgraded
-# this round from rows-only to oracle-backed — ewma/holt/lttb via
-# bit-exact recursive-CTE oracles, frame_sample/media_resize via a hex
-# output boundary (first HASH look for all five); slots 20-49 are the
-# 30 stalest oracle-backed keys (newest driver-green row dated to
-# r04); slot 50 is an r05-green representative. The other rows-only
-# keys spend no slots this round — all earned their driver rows-only
-# row by r06 and stay pinned by golden/differential pytest.
+# ROTATION (round 8): staleness-driven refresh. The r01-r07 union keeps
+# every registry key driver-verified (131/131 oracle-backed keys
+# hash-green at least once, 18/18 rows-only keys rows-checked, zero
+# FAILs ever); this round's window re-confirms the keys whose newest
+# driver row is oldest. Slots 1-5 keep the SURVEY §2 reference
+# detectors (the parity core, checked every round); slots 6-11 are the
+# six oracle-backed keys displaced from the round-7 window whose
+# newest green row dates to r04 (zscore_anomaly, robust_zscore,
+# event_pair_lift, data_expectations, events_cube, token_count_bpe);
+# slots 12-50 are 39 of the 44 oracle-backed keys last green in r05.
+# The five leftover r05 keys + the r06 cohort rotate in round 9.
+# Rows-only keys spend no slots this round — all earned their driver
+# rows-only row by r07 and stay pinned by golden/differential pytest.
 #
 # Everything past the cap stays pinned by tests/test_oracle_parity.py
 # (same row-count/schema/value-hash comparison vs DuckDB at sf0.001,
 # runs in every pytest suite) or, for rows-only ops, by their golden /
 # differential tests.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ============ DRIVER WINDOW: slots 1-50 (round-7 rotation) =========
+    # ============ DRIVER WINDOW: slots 1-50 (round-8 rotation) =========
     # Slots 1-5: SURVEY §2 reference detectors (parity core, every round).
     "extreme_value": q_extreme_value,
     "flat_line": q_flat_line,
     "extreme_change": q_extreme_change,
     "data_gap": q_data_gap,
     "freq_infer": q_freq_infer,
-    # Slots 6-9: the four operators promoted from the round-6 staging
-    # area (never driver-checked; oracle-backed).
+    # Slots 6-11: the six keys displaced from the round-7 rotation whose
+    # newest driver-green row dates to r04 — the stalest oracle-backed
+    # keys in the registry.
+    "zscore_anomaly": zscore_anomaly,
+    "robust_zscore": robust_zscore,
+    "event_pair_lift": event_pair_lift,
+    "data_expectations": data_expectations,
+    "events_cube": events_cube,
+    "token_count_bpe": token_count_bpe,
+    # Slots 12-50: the first 39 (alphabetical) of the 44 oracle-backed
+    # keys whose newest driver-green row dates to r05. The remaining
+    # five (stratified_sample, unigram_logprob, user_reach,
+    # value_drift_psi, value_histogram) rotate in next round together
+    # with the r06 cohort; until then they stay pinned by
+    # tests/test_oracle_parity.py like every past-cap key.
+    "bigram_logprob": bigram_logprob,
+    "cooccurrence_counts": cooccurrence_counts,
+    "corpus_summary": corpus_summary,
+    "cross_doc_ngram_share": cross_doc_ngram_share,
+    "customer_order_distribution": customer_order_distribution,
+    "cusum_alarm": cusum_alarm,
+    "decontaminate_ngram": decontaminate_ngram,
+    "discounted_revenue": discounted_revenue,
+    "disjunctive_part_revenue": disjunctive_part_revenue,
+    "doc_chunking": doc_chunking,
+    "domain_stats": domain_stats,
+    "downsample_ohlc": downsample_ohlc,
+    "edit_distance_pairs": edit_distance_pairs,
+    "embedding_quantize": embedding_quantize,
+    "event_type_corr": event_type_corr,
+    "funnel_conversion": funnel_conversion,
+    "heavy_shippers": heavy_shippers,
+    "label_centroids": label_centroids,
+    "lineitem_unpivot": lineitem_unpivot,
+    "loyal_customers": loyal_customers,
+    "media_dedup": q_media_dedup,
+    "nation_revenue_share": nation_revenue_share,
+    "pii_redact": pii_redact,
+    "promo_revenue_pct": promo_revenue_pct,
+    "props_value_stats": props_value_stats,
+    "quality_bucket_sample": quality_bucket_sample,
+    "repetition_stats": repetition_stats,
+    "retention_cohorts": retention_cohorts,
+    "returned_item_customers": returned_item_customers,
+    "rolling_7d_active": rolling_7d_active,
+    "seasonal_anomaly": seasonal_anomaly,
+    "sequence_pack": sequence_pack,
+    "series_quantile_bands": series_quantile_bands,
+    "series_trend": series_trend,
+    "session_overlap": q_session_overlap,
+    "shipmode_priority_counts": shipmode_priority_counts,
+    "shipping_priority": shipping_priority,
+    "source_lang_matrix": source_lang_matrix,
+    "source_mix_sample": source_mix_sample,
+    # ====== PAST THE DRIVER CAP: every key below has a driver-green
+    # ====== (or rows-only for non-SQL ops) row in r01-r07 and stays
+    # ====== pinned by tests/test_oracle_parity.py (oracle-backed) or
+    # ====== golden/differential pytest (rows-only) ======================
     "gopher_quality": q_gopher_quality,
     "url_canonicalize": q_url_canonicalize,
     "paragraph_dedup": q_paragraph_dedup,
     "mixture_plan": q_mixture_plan,
-    # Slots 10-12: registered this round (never driver-checked;
-    # oracle-backed; pre-validated by tests/test_oracle_parity.py).
     "temperature_mixture": temperature_mixture,
     "shuffle_shards": shuffle_shards,
     "zipf_fit": zipf_fit,
-    # Slot 13: registered this round, rows-only by design (the MinHash
-    # path hashes with xxhash64, absent in DuckDB) — in-window for its
-    # first driver rows-only row, pinned by the pandas differential in
-    # tests/test_round7_ops.py.
     "dedup_recall_report": dedup_recall_report,
-    # Slot 14: registered this round, rows-only by design (shares the
-    # ANN family's no-SQL-form reproducibility) — IVF-PQ, the
-    # memory-bounded ANN tier; recall floored in tests/test_neardup.py.
     "knn_ivf_pq": knn_ivf_pq,
-    # Slots 15-19: upgraded this round from rows-only to oracle-backed
-    # (ewma/holt/lttb: bit-exact recursive-CTE oracles; frame_sample /
-    # media_resize: hex output boundary + string-side byte oracles) --
-    # in-window so the driver records their first hash-green row.
     "ewma_smooth": ewma_smooth,
     "holt_smooth": holt_smooth,
     "frame_sample": q_frame_sample,
     "media_resize": q_media_resize,
     "lttb_downsample": lttb_downsample,
-    # Slots 20-49: the 30 stalest oracle-backed keys (newest
-    # driver-green row dated to r04); re-confirmed this round. The five
-    # displaced (zscore_anomaly, robust_zscore, event_pair_lift,
-    # data_expectations, events_cube) moved past the cap, pinned by
-    # tests/test_oracle_parity.py.
     "sessionize": q_sessionize,
     "tfidf_top_terms": tfidf_top_terms,
     "daily_rollup": daily_rollup,
@@ -2519,20 +2555,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": quality_filter,
     "rolling_mean": rolling_mean,
     "trailing_24h_mean": trailing_24h_mean,
-    # Slot 50: r05-green representative (window/ntile ranking).
     "price_deciles": price_deciles,
-    # ====== PAST THE DRIVER CAP: every key below has a driver-green
-    # ====== (or rows-only for non-SQL ops) row in r01-r06 and stays
-    # ====== pinned by tests/test_oracle_parity.py (oracle-backed) or
-    # ====== golden/differential pytest (rows-only) ======================
-    "funnel_conversion": funnel_conversion,
-    "media_dedup": q_media_dedup,
-    "decontaminate_ngram": decontaminate_ngram,
-    "zscore_anomaly": zscore_anomaly,
-    "robust_zscore": robust_zscore,
-    "event_pair_lift": event_pair_lift,
-    "data_expectations": data_expectations,
-    "events_cube": events_cube,
     "duplicate_spans": duplicate_spans,
     "remove_duplicate_spans": remove_duplicate_spans,
     "min_cost_supplier": min_cost_supplier,
@@ -2577,46 +2600,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "user_reach": user_reach,
     "value_histogram": value_histogram,
-    "lineitem_unpivot": lineitem_unpivot,
-    "shipping_priority": shipping_priority,
-    "shipmode_priority_counts": shipmode_priority_counts,
-    "sequence_pack": sequence_pack,
     "stratified_sample": stratified_sample,
-    "source_mix_sample": source_mix_sample,
-    "repetition_stats": repetition_stats,
-    "label_centroids": label_centroids,
-    "retention_cohorts": retention_cohorts,
-    "rolling_7d_active": rolling_7d_active,
-    "pii_redact": pii_redact,
-    "domain_stats": domain_stats,
-    "edit_distance_pairs": edit_distance_pairs,
-    "cross_doc_ngram_share": cross_doc_ngram_share,
     "unigram_logprob": unigram_logprob,
-    "source_lang_matrix": source_lang_matrix,
-    "corpus_summary": corpus_summary,
-    "props_value_stats": props_value_stats,
-    "cooccurrence_counts": cooccurrence_counts,
-    "doc_chunking": doc_chunking,
-    "bigram_logprob": bigram_logprob,
-    "session_overlap": q_session_overlap,
-    "seasonal_anomaly": seasonal_anomaly,
-    "quality_bucket_sample": quality_bucket_sample,
     "value_drift_psi": value_drift_psi,
-    "cusum_alarm": cusum_alarm,
-    "series_trend": series_trend,
-    "embedding_quantize": embedding_quantize,
-    "series_quantile_bands": series_quantile_bands,
-    "loyal_customers": loyal_customers,
-    "nation_revenue_share": nation_revenue_share,
-    "discounted_revenue": discounted_revenue,
-    "returned_item_customers": returned_item_customers,
-    "customer_order_distribution": customer_order_distribution,
-    "promo_revenue_pct": promo_revenue_pct,
-    "disjunctive_part_revenue": disjunctive_part_revenue,
-    "heavy_shippers": heavy_shippers,
-    "downsample_ohlc": downsample_ohlc,
-    "event_type_corr": event_type_corr,
-    "token_count_bpe": token_count_bpe,
     "storm_find": q_storm_find,
     "spike_valley": q_spike_valley,
     "minhash_near_dup": q_minhash_near_dup,

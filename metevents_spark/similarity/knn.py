@@ -22,6 +22,15 @@ from metevents_spark.cache import track
 from metevents_spark.io import load_table
 
 
+# Shared coarse-quantizer geometry for the IVF family. knn_ivf_pq and
+# ann_recall_report must agree on these: the report trains ONE coarse
+# quantizer and hands it to both IVF tiers, so a drive-by change to a
+# signature default that skipped these constants would silently make
+# the meter measure a different index than the deployed paths.
+IVF_PQ_N_CELLS = 8
+IVF_TRAIN_ITERS = 2
+
+
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -252,7 +261,7 @@ def knn_ivf(
     n_queries: int = 5,
     n_cells: int = 16,
     nprobe: int = 4,
-    train_iters: int = 2,
+    train_iters: int = IVF_TRAIN_ITERS,
     emb: DataFrame | None = None,
     cmat: np.ndarray | None = None,
 ) -> DataFrame:
@@ -485,9 +494,9 @@ def ann_recall_report(
     # paying the training scans twice inside the two pipelines
     from metevents_spark.similarity.semdedup import lloyd_centroids
 
-    cmat = lloyd_centroids(emb.select("vec_id", "embedding"), 8, 2).astype(
-        np.float64
-    )
+    cmat = lloyd_centroids(
+        emb.select("vec_id", "embedding"), IVF_PQ_N_CELLS, IVF_TRAIN_ITERS
+    ).astype(np.float64)
     cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
     # dropDuplicates guards the left-join accounting below: hits ==
     # overlap only if the exact side is unique per (q_id, vec_id).
@@ -605,11 +614,11 @@ def knn_ivf_pq(
     sf_dir: str,
     k: int = 5,
     n_queries: int = 5,
-    n_cells: int = 8,
+    n_cells: int = IVF_PQ_N_CELLS,
     nprobe: int = 4,
     m: int = 8,
     ks: int = 64,
-    train_iters: int = 2,
+    train_iters: int = IVF_TRAIN_ITERS,
     train_sample: int = 2048,
     rerank_factor: int = 8,
     emb: DataFrame | None = None,
@@ -670,6 +679,15 @@ def knn_ivf_pq(
         .collect()
     )
     X = np.array([v for _, v in sample], dtype=np.float64)
+    if len(X) < ks:
+        # the per-subspace codebooks seed from the first ks residuals;
+        # fewer sampled vectors than ks would silently yield undersized
+        # codebooks and an opaque numpy broadcast error at assignment
+        raise ValueError(
+            f"IVF-PQ needs at least ks={ks} training vectors; the "
+            f"corpus/train_sample yielded only {len(X)} — lower ks or "
+            "use knn_ivf for corpora this small"
+        )
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     R = X - cmat[(X @ cmat.T).argmax(axis=1)]
     dim = X.shape[1]

@@ -20,11 +20,13 @@ Spark shape:
     fixed-schema long array. An arriving document compares against its
     bucket's residents with one vectorized numpy pass and emits every
     pair whose estimated Jaccard clears the threshold;
-  - hot buckets close at ``max_bucket`` residents (the streaming analog
-    of the batch hot-bucket drop): new arrivals in a closed bucket are
-    neither compared nor stored there — bounded state and bounded
-    per-batch work per key, the only viable contract on an unbounded
-    stream. Other bands still cover the document.
+  - hot buckets close at ``max_bucket`` DISTINCT-SIGNATURE residents
+    (exact copies join their group without consuming a slot — the same
+    rep-level accounting as the batch exact-dedup-first cap): new
+    arrivals in a closed bucket are neither compared nor stored there —
+    bounded state and bounded per-batch work per key, the only viable
+    contract on an unbounded stream. Other bands still cover the
+    document.
 
 A pair discovered in several bands is emitted once PER DISCOVERING
 BUCKET (at-least-once, always with the same est_jaccard since the
@@ -54,7 +56,8 @@ PAIR_OUTPUT_SCHEMA = "doc_a long, doc_b long, est_jaccard double"
 BUCKET_STATE_SCHEMA = StructType(
     [
         StructField("doc_ids", ArrayType(LongType())),
-        StructField("sigs", ArrayType(LongType())),  # flattened n x H
+        StructField("group_of", ArrayType(IntegerType())),  # per doc
+        StructField("sigs", ArrayType(LongType())),  # flattened g x H
         StructField("closed", IntegerType()),
     ]
 )
@@ -126,17 +129,35 @@ def stream_minhash_dedup(
     the second member of a pair arrives; replaying a static corpus
     yields exactly the batch minhash_near_dup pair set (same sketch,
     same buckets, same estimate — pytest-pinned).
+
+    Cap accounting mirrors the batch path's exact-dedup-first design:
+    bucket residency is counted per DISTINCT SIGNATURE (one stored
+    signature row per exact-duplicate group; arriving exact copies
+    join their group without consuming a resident slot), so a
+    duplicate-heavy corpus cannot close a bucket the batch rep-level
+    cap would keep open. Replay equality therefore holds whenever
+    every bucket's REPRESENTATIVE count is <= ``max_bucket`` — the
+    same condition under which the batch guard leaves the bucket
+    untouched. Above the cap the two still diverge by design: batch
+    drops the whole over-cap bucket retroactively, while a stream
+    cannot un-emit — it keeps the first ``max_bucket`` groups and
+    closes (other bands still cover the documents).
     """
     H = num_hashes
 
     def fn(key, pdf_iter, state: GroupState):
         if state.exists:
-            doc_ids, flat, closed = state.get
+            doc_ids, group_of, flat, closed = state.get
             doc_ids = list(doc_ids)
+            group_of = list(group_of)
             flat = list(flat)
         else:
-            doc_ids, flat, closed = [], [], 0
+            doc_ids, group_of, flat, closed = [], [], [], 0
         stored = np.asarray(flat, dtype=np.int64).reshape(-1, H)
+        # members[g] = doc_ids of exact-duplicate group g (same sig)
+        members: list[list[int]] = [[] for _ in range(stored.shape[0])]
+        for d, g in zip(doc_ids, group_of):
+            members[g].append(int(d))
         out_a: list[int] = []
         out_b: list[int] = []
         out_e: list[float] = []
@@ -150,22 +171,37 @@ def stream_minhash_dedup(
         ):
             if closed:
                 break
+            doc_id = int(doc_id)
             sig_arr = np.asarray(sig, dtype=np.int64)
+            own_group = -1
             if stored.shape[0]:
                 est = (stored == sig_arr).mean(axis=1)
                 for j in np.flatnonzero(est >= threshold):
-                    other = doc_ids[j]
-                    if other == doc_id:
-                        continue
-                    out_a.append(min(other, int(doc_id)))
-                    out_b.append(max(other, int(doc_id)))
-                    out_e.append(float(est[j]))
-            if len(doc_ids) < max_bucket:
-                doc_ids.append(int(doc_id))
+                    ej = float(est[j])
+                    for other in members[j]:
+                        if other == doc_id:
+                            continue
+                        out_a.append(min(other, doc_id))
+                        out_b.append(max(other, doc_id))
+                        out_e.append(ej)
+                exact = np.flatnonzero(est == 1.0)
+                if exact.size:
+                    own_group = int(exact[0])
+            if own_group >= 0:
+                # exact copy: joins its group, consumes no resident slot
+                members[own_group].append(doc_id)
+                doc_ids.append(doc_id)
+                group_of.append(own_group)
+            elif stored.shape[0] < max_bucket:
+                members.append([doc_id])
+                doc_ids.append(doc_id)
+                group_of.append(stored.shape[0])
                 stored = np.vstack([stored, sig_arr[None, :]])
             else:
                 closed = 1
-        state.update((doc_ids, stored.ravel().tolist(), int(closed)))
+        state.update(
+            (doc_ids, group_of, stored.ravel().tolist(), int(closed))
+        )
         if out_a:
             yield pd.DataFrame(
                 {"doc_a": out_a, "doc_b": out_b, "est_jaccard": out_e}

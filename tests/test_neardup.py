@@ -163,7 +163,7 @@ def test_ann_recall_report_floors(spark):
     assert rep["ivf"].recall_at_k >= 0.8, rep["ivf"]
     # IVF-PQ quantizes 8x harder than IVF-flat and this uniform
     # synthetic corpus is PQ's worst case (near-tied neighbors, no
-    # cluster structure to exploit); the 50-vector sf0.001 corpus adds
+    # cluster structure to exploit); the 500-vector sf0.001 corpus adds
     # the tiny-corpus quirk that a few skewed cells overflow the ADC
     # shortlist. Measured: 0.72 here, 0.84 at sf0.01, 0.80 at sf0.1 —
     # floor at 0.7 (the regression this catches is ADC/codebook
