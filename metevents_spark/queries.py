@@ -2421,6 +2421,260 @@ SELECT doc_id, CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
     ''))) AS thumb_hex
 FROM documents ORDER BY doc_id
 """,
+    # ---- round-8 upgrades: the dedup fingerprint family moved from
+    # xxhash64 (absent in DuckDB) to md5-derived hex-parsed base hashes
+    # (h1 = 60-bit hex[1..15], h2 = 32-bit hex[17..24]; verified
+    # '0x'||substr(...)::BIGINT == Spark conv(substr(md5,...),16,10)),
+    # which makes signatures, band buckets, SimHash votes, pair
+    # estimates, and cluster labels replayable as ANSI SQL end to end.
+    # The hot-bucket cap is not modeled: committed corpora produce no
+    # over-cap buckets (guard returns the frame untouched), which
+    # tests/test_hot_bucket.py pins.
+    "simhash_fingerprints": """
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+  FROM documents
+), bts AS (
+  SELECT doc_id, unnest(hs) AS h FROM t
+), v AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM bts CROSS JOIN (SELECT unnest(range(60)) AS bit) bits
+  GROUP BY doc_id, bit
+), fp AS (
+  SELECT doc_id,
+         CAST(COALESCE(SUM(CASE WHEN vote > 0
+                           THEN (CAST(1 AS BIGINT) << bit) END), 0) AS BIGINT)
+           AS simhash
+  FROM v GROUP BY doc_id
+)
+SELECT doc_id, simhash FROM fp ORDER BY doc_id
+""",
+    "simhash_near_dup": """
+WITH grp AS (
+  SELECT doc_id, text,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+  FROM documents
+), member_rep AS (
+  SELECT doc_id, rep_id FROM grp
+), reps AS (
+  SELECT doc_id, text FROM grp WHERE doc_id = rep_id
+), t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+  FROM reps
+), bts AS (
+  SELECT doc_id, unnest(hs) AS h FROM t
+), v AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM bts CROSS JOIN (SELECT unnest(range(60)) AS bit) bits
+  GROUP BY doc_id, bit
+), fp AS (
+  SELECT doc_id,
+         CAST(COALESCE(SUM(CASE WHEN vote > 0
+                           THEN (CAST(1 AS BIGINT) << bit) END), 0) AS BIGINT)
+           AS simhash
+  FROM v GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * 16)) & 65535 AS bucket
+  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) bands
+), rp AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+), expanded AS (
+  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b, rp.hamming
+  FROM rp
+  JOIN member_rep a ON a.rep_id = rp.doc_a
+  JOIN member_rep b ON b.rep_id = rp.doc_b
+  UNION ALL
+  SELECT m1.doc_id, m2.doc_id, CAST(0 AS BIGINT)
+  FROM member_rep m1 JOIN member_rep m2
+    ON m1.rep_id = m2.rep_id AND m1.doc_id < m2.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM expanded ORDER BY doc_a, doc_b
+""",
+    "minhash_near_dup": """
+WITH grp AS (
+  SELECT doc_id, text,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+  FROM documents
+), member_rep AS (
+  SELECT doc_id, rep_id FROM grp
+), reps AS (
+  SELECT doc_id, text FROM grp WHERE doc_id = rep_id
+), tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM reps
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+  FROM tok
+), h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5(s), 17, 8))::BIGINT AS h2
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+         [MIN(h1 + 0 * h2),
+         MIN(h1 + 1 * h2),
+         MIN(h1 + 2 * h2),
+         MIN(h1 + 3 * h2),
+         MIN(h1 + 4 * h2),
+         MIN(h1 + 5 * h2),
+         MIN(h1 + 6 * h2),
+         MIN(h1 + 7 * h2),
+         MIN(h1 + 8 * h2),
+         MIN(h1 + 9 * h2),
+         MIN(h1 + 10 * h2),
+         MIN(h1 + 11 * h2),
+         MIN(h1 + 12 * h2),
+         MIN(h1 + 13 * h2),
+         MIN(h1 + 14 * h2),
+         MIN(h1 + 15 * h2),
+         MIN(h1 + 16 * h2),
+         MIN(h1 + 17 * h2),
+         MIN(h1 + 18 * h2),
+         MIN(h1 + 19 * h2),
+         MIN(h1 + 20 * h2),
+         MIN(h1 + 21 * h2),
+         MIN(h1 + 22 * h2),
+         MIN(h1 + 23 * h2),
+         MIN(h1 + 24 * h2),
+         MIN(h1 + 25 * h2),
+         MIN(h1 + 26 * h2),
+         MIN(h1 + 27 * h2),
+         MIN(h1 + 28 * h2),
+         MIN(h1 + 29 * h2),
+         MIN(h1 + 30 * h2),
+         MIN(h1 + 31 * h2)] AS sig
+  FROM h GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, sig, band,
+         ('0x' || substr(md5(array_to_string(list_transform(
+            list_slice(sig, band * 4 + 1, band * 4 + 4),
+            x -> CAST(x AS VARCHAR)), ',')), 1, 15))::BIGINT AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band) bands
+), rp AS (
+  SELECT doc_a, doc_b, MAX(est) AS est_jaccard FROM (
+    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           len(list_filter(range(1, 33), i -> l.sig[i] = r.sig[i])) / 32.0 AS est
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+  ) GROUP BY doc_a, doc_b HAVING MAX(est) >= 0.5
+), expanded AS (
+  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b, rp.est_jaccard
+  FROM rp
+  JOIN member_rep a ON a.rep_id = rp.doc_a
+  JOIN member_rep b ON b.rep_id = rp.doc_b
+  UNION ALL
+  SELECT m1.doc_id, m2.doc_id, 1.0
+  FROM member_rep m1 JOIN member_rep m2
+    ON m1.rep_id = m2.rep_id AND m1.doc_id < m2.doc_id
+)
+SELECT doc_a, doc_b, est_jaccard FROM expanded ORDER BY doc_a, doc_b
+""",
+    # min-label propagation == connected components == min reachable
+    # label; the recursive CTE enumerates (node, reachable label) pairs
+    # (UNION dedup bounds the recursion; near-dup components are tiny)
+    # and the outer GROUP BY takes the min — the same fixpoint the
+    # iterative Spark propagation converges to.
+    "dedup_clusters": """
+WITH RECURSIVE grp AS (
+  SELECT doc_id, text,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+  FROM documents
+), member_rep AS (
+  SELECT doc_id, rep_id FROM grp
+), reps AS (
+  SELECT doc_id, text FROM grp WHERE doc_id = rep_id
+), tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM reps
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+  FROM tok
+), h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5(s), 17, 8))::BIGINT AS h2
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+         [MIN(h1 + 0 * h2),
+         MIN(h1 + 1 * h2),
+         MIN(h1 + 2 * h2),
+         MIN(h1 + 3 * h2),
+         MIN(h1 + 4 * h2),
+         MIN(h1 + 5 * h2),
+         MIN(h1 + 6 * h2),
+         MIN(h1 + 7 * h2),
+         MIN(h1 + 8 * h2),
+         MIN(h1 + 9 * h2),
+         MIN(h1 + 10 * h2),
+         MIN(h1 + 11 * h2),
+         MIN(h1 + 12 * h2),
+         MIN(h1 + 13 * h2),
+         MIN(h1 + 14 * h2),
+         MIN(h1 + 15 * h2),
+         MIN(h1 + 16 * h2),
+         MIN(h1 + 17 * h2),
+         MIN(h1 + 18 * h2),
+         MIN(h1 + 19 * h2),
+         MIN(h1 + 20 * h2),
+         MIN(h1 + 21 * h2),
+         MIN(h1 + 22 * h2),
+         MIN(h1 + 23 * h2),
+         MIN(h1 + 24 * h2),
+         MIN(h1 + 25 * h2),
+         MIN(h1 + 26 * h2),
+         MIN(h1 + 27 * h2),
+         MIN(h1 + 28 * h2),
+         MIN(h1 + 29 * h2),
+         MIN(h1 + 30 * h2),
+         MIN(h1 + 31 * h2)] AS sig
+  FROM h GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, sig, band,
+         ('0x' || substr(md5(array_to_string(list_transform(
+            list_slice(sig, band * 4 + 1, band * 4 + 4),
+            x -> CAST(x AS VARCHAR)), ',')), 1, 15))::BIGINT AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band) bands
+), rp AS (
+  SELECT doc_a, doc_b, MAX(est) AS est_jaccard FROM (
+    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           len(list_filter(range(1, 33), i -> l.sig[i] = r.sig[i])) / 32.0 AS est
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+  ) GROUP BY doc_a, doc_b HAVING MAX(est) >= 0.5
+), edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM rp
+  UNION ALL
+  SELECT doc_b, doc_a FROM rp
+), nodes AS (
+  SELECT DISTINCT s AS doc_id FROM edges
+), reach AS (
+  SELECT doc_id, doc_id AS lbl FROM nodes
+  UNION
+  SELECT e.s AS doc_id, r.lbl FROM edges e JOIN reach r ON e.d = r.doc_id
+), lab AS (
+  SELECT doc_id, MIN(lbl) AS cluster FROM reach GROUP BY doc_id
+)
+SELECT m.doc_id, COALESCE(l.cluster, m.rep_id) AS cluster
+FROM member_rep m LEFT JOIN lab l ON l.doc_id = m.rep_id
+ORDER BY m.doc_id
+""",
 }
 
 
@@ -2436,10 +2690,15 @@ FROM documents ORDER BY doc_id
 # six oracle-backed keys displaced from the round-7 window whose
 # newest green row dates to r04 (zscore_anomaly, robust_zscore,
 # event_pair_lift, data_expectations, events_cube, token_count_bpe);
-# slots 12-50 are 39 of the 44 oracle-backed keys last green in r05.
-# The five leftover r05 keys + the r06 cohort rotate in round 9.
-# Rows-only keys spend no slots this round — all earned their driver
-# rows-only row by r07 and stay pinned by golden/differential pytest.
+# slots 12-46 are 35 of the 44 oracle-backed keys last green in r05;
+# slots 47-50 are the four keys upgraded THIS round from rows-only to
+# oracle-backed (simhash_fingerprints / simhash_near_dup /
+# minhash_near_dup / dedup_clusters — the dedup fingerprint family is
+# now md5-based and hence DuckDB-replayable), in-window for their
+# first hash-green rows. The nine leftover r05 keys + the r06 cohort
+# rotate in round 9. The remaining rows-only keys spend no slots this
+# round — all earned their driver rows-only row by r07 and stay pinned
+# by golden/differential pytest.
 #
 # Everything past the cap stays pinned by tests/test_oracle_parity.py
 # (same row-count/schema/value-hash comparison vs DuckDB at sf0.001,
@@ -2462,12 +2721,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_expectations": data_expectations,
     "events_cube": events_cube,
     "token_count_bpe": token_count_bpe,
-    # Slots 12-50: the first 39 (alphabetical) of the 44 oracle-backed
+    # Slots 12-46: the first 35 (alphabetical) of the 44 oracle-backed
     # keys whose newest driver-green row dates to r05. The remaining
-    # five (stratified_sample, unigram_logprob, user_reach,
-    # value_drift_psi, value_histogram) rotate in next round together
-    # with the r06 cohort; until then they stay pinned by
-    # tests/test_oracle_parity.py like every past-cap key.
+    # nine (shipmode_priority_counts, shipping_priority,
+    # source_lang_matrix, source_mix_sample, stratified_sample,
+    # unigram_logprob, user_reach, value_drift_psi, value_histogram)
+    # rotate in next round together with the r06 cohort; until then
+    # they stay pinned by tests/test_oracle_parity.py like every
+    # past-cap key.
     "bigram_logprob": bigram_logprob,
     "cooccurrence_counts": cooccurrence_counts,
     "corpus_summary": corpus_summary,
@@ -2503,14 +2764,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "series_quantile_bands": series_quantile_bands,
     "series_trend": series_trend,
     "session_overlap": q_session_overlap,
-    "shipmode_priority_counts": shipmode_priority_counts,
-    "shipping_priority": shipping_priority,
-    "source_lang_matrix": source_lang_matrix,
-    "source_mix_sample": source_mix_sample,
+    # Slots 47-50: the four keys upgraded THIS round from rows-only to
+    # oracle-backed (minhash/simhash family + clusters, via the
+    # md5-derived portable hash base) — in-window so the driver records
+    # their first hash-green rows.
+    "simhash_fingerprints": simhash_fingerprints,
+    "simhash_near_dup": simhash_near_dup,
+    "minhash_near_dup": q_minhash_near_dup,
+    "dedup_clusters": dedup_clusters,
     # ====== PAST THE DRIVER CAP: every key below has a driver-green
     # ====== (or rows-only for non-SQL ops) row in r01-r07 and stays
     # ====== pinned by tests/test_oracle_parity.py (oracle-backed) or
     # ====== golden/differential pytest (rows-only) ======================
+    "shipmode_priority_counts": shipmode_priority_counts,
+    "shipping_priority": shipping_priority,
+    "source_lang_matrix": source_lang_matrix,
+    "source_mix_sample": source_mix_sample,
     "gopher_quality": q_gopher_quality,
     "url_canonicalize": q_url_canonicalize,
     "paragraph_dedup": q_paragraph_dedup,
@@ -2582,7 +2851,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_rank": bm25_rank,
     "ann_recall_report": ann_recall_report,
     "media_embedding_near_dup": media_embedding_near_dup,
-    "dedup_clusters": dedup_clusters,
     "semantic_dedup": semantic_dedup,
     "kmeans_embeddings": kmeans_embeddings,
     "user_reach_approx": user_reach_approx,
@@ -2605,10 +2873,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_drift_psi": value_drift_psi,
     "storm_find": q_storm_find,
     "spike_valley": q_spike_valley,
-    "minhash_near_dup": q_minhash_near_dup,
-    "simhash_fingerprints": simhash_fingerprints,
     "knn_lsh": knn_lsh,
-    "simhash_near_dup": simhash_near_dup,
     "knn_ivf": knn_ivf,
 }
 

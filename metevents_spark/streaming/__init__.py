@@ -12,6 +12,7 @@ from metevents_spark.streaming.detect import (  # noqa: F401
 from metevents_spark.streaming.dedup import (  # noqa: F401
     band_bucket_cols,
     minhash_sig_col,
+    stream_embedding_near_dup,
     stream_minhash_dedup,
 )
 from metevents_spark.streaming.funnel import (  # noqa: F401

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     IntegerType,
     LongType,
     StructField,
@@ -66,7 +67,7 @@ BUCKET_STATE_SCHEMA = StructType(
 def minhash_sig_col(text_col, k: int = 3, num_hashes: int = 32):
     """Per-row MinHash signature as ONE map-side column expression —
     the streaming-safe formulation of text/dedup.py's
-    minhash_signatures (same shingles, same masked K-M family
+    minhash_signatures (same shingles, same md5-derived K-M family
     g_i = h1 + i*h2, identical values), trading the batch explode +
     groupBy-min for higher-order array mins that need no aggregation.
     """
@@ -75,17 +76,24 @@ def minhash_sig_col(text_col, k: int = 3, num_hashes: int = 32):
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
-    h1 = lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 62) - 1))  # noqa: E731
-    h2 = lambda s: F.xxhash64(s, F.lit(1)).bitwiseAND(  # noqa: E731
-        F.lit((1 << 32) - 1)
+    # md5-derived K-M base hashes, IDENTICAL to the batch path
+    # (text/dedup.py minhash_signatures): h1 = 60-bit / h2 = 32-bit hex
+    # slices of one md5 per shingle — engine-portable, so batch, stream
+    # and the DuckDB oracle all compute the same signatures
+    hxs = F.transform(shingles, lambda s: F.md5(s))
+    h1s = F.transform(
+        hxs, lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    )
+    h2s = F.transform(
+        hxs, lambda h: F.conv(F.substring(h, 17, 8), 16, 10).cast("long")
     )
 
     def nth_min(i: int):
         # closure factory, NOT a default-arg lambda: a two-parameter
-        # lambda is treated by F.transform as (element, index) and the
-        # array index would silently shadow the hash-function number
+        # lambda is treated by F.zip_with as positional and a default
+        # arg would silently shadow the hash-function number
         return F.array_min(
-            F.transform(shingles, lambda s: h1(s) + F.lit(i) * h2(s))
+            F.zip_with(h1s, h2s, lambda a, b: a + F.lit(i) * b)
         )
 
     return F.array(*[nth_min(i) for i in range(num_hashes)])
@@ -93,22 +101,33 @@ def minhash_sig_col(text_col, k: int = 3, num_hashes: int = 32):
 
 def band_bucket_cols(sig_col, num_hashes: int = 32, bands: int = 8):
     """(band, bucket) struct array from a signature column — identical
-    bucket ids to the batch LSH (xxhash64 over the comma-joined band
-    rows), so streaming and batch block the same documents together."""
+    bucket ids to the batch LSH (md5-derived 60-bit hash over the
+    comma-joined band rows), so streaming and batch block the same
+    documents together."""
     rows = num_hashes // bands
     return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            sig_col[b * rows + r].cast("string")
-                            for r in range(rows)
-                        ],
-                    )
-                ).alias("bucket"),
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    sig_col[b * rows + r].cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("bucket"),
             )
             for b in range(bands)
         ]
@@ -228,4 +247,120 @@ def stream_minhash_dedup(
         BUCKET_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+EMB_PAIR_OUTPUT_SCHEMA = "vec_a long, vec_b long, label int, cosine double"
+EMB_BLOCK_STATE_SCHEMA = StructType(
+    [
+        StructField("vec_ids", ArrayType(LongType())),
+        StructField("flat", ArrayType(DoubleType())),  # flattened n x dim
+        StructField("closed", IntegerType()),
+    ]
+)
+
+
+def stream_embedding_near_dup(
+    stream_df: DataFrame,
+    threshold: float = 0.35,
+    max_block: int = 10000,
+) -> DataFrame:
+    """Embedding-cosine near-dup pair stream — the similarity-tier
+    ingest twin of :func:`stream_minhash_dedup`, mirroring the batch
+    ``similarity.knn.embedding_near_dup`` contract: replaying a static
+    corpus yields exactly the batch pair set (same blocking key, same
+    float64 cosine math, same round-to-6 threshold cut — pytest-pinned,
+    chunking-invariant).
+
+    Input stream: (vec_id long, label int, embedding array<float>).
+    The blocking key (``label``; in production a coarse cluster id or
+    LSH bucket) is the state key, so pairwise work stays within-block
+    exactly as in batch. Per micro-batch the new vectors join the
+    block's residents and ONE gram matmul scores every (resident, new)
+    and (new, new) pair — a pair is emitted by whichever member arrives
+    later, so the replayed union over micro-batches is the full
+    within-block pair set.
+
+    Bounded state: blocks close at ``max_block`` residents (batch has
+    no cap because a batch block is bounded by construction; an
+    unbounded stream needs one). Replay equality holds whenever every
+    block stays under the cap.
+    """
+
+    def fn(key, pdf_iter, state: GroupState):
+        label = int(key[0])
+        if state.exists:
+            vec_ids, flat, closed = state.get
+            vec_ids = list(vec_ids)
+            flat = list(flat)
+        else:
+            vec_ids, flat, closed = [], [], 0
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        if not len(batch) or closed:
+            state.update((vec_ids, flat, int(closed)))
+            return
+        # deterministic intra-batch order; pair SETS are order
+        # independent below the cap, this fixes WHICH vectors a
+        # closing block stores
+        batch = batch.sort_values("vec_id", kind="stable")
+        new_ids = batch["vec_id"].astype("int64").to_numpy()
+        new_m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        if not closed:
+            admit = min(len(new_ids), max_block - len(vec_ids))
+            if admit < len(new_ids):
+                closed = 1
+        else:
+            admit = 0
+        # even when the block just closed, the admitted prefix still
+        # compares + stores; the rejected tail is neither compared nor
+        # stored (same contract as the MinHash bucket close)
+        new_ids, new_m = new_ids[:admit], new_m[:admit]
+        if not len(new_ids):
+            state.update((vec_ids, flat, int(closed)))
+            return
+        dim = new_m.shape[1]
+        stored = np.asarray(flat, dtype=np.float64).reshape(-1, dim)
+        n_old = stored.shape[0]
+        allm = np.vstack([stored, new_m])
+        norms = np.sqrt((allm * allm).sum(axis=1))
+        sims = np.round((allm @ allm.T) / np.outer(norms, norms), 6)
+        ra, rb = np.triu_indices(len(allm), k=1)
+        # only pairs touching a NEW vector; resident-resident pairs
+        # were emitted when their later member arrived
+        fresh = rb >= n_old
+        keep = fresh & (sims[ra, rb] >= threshold)
+        ids = np.concatenate([np.asarray(vec_ids, dtype=np.int64), new_ids])
+        ia, ib = ids[ra[keep]], ids[rb[keep]]
+        out = pd.DataFrame(
+            {
+                "vec_a": np.minimum(ia, ib),
+                "vec_b": np.maximum(ia, ib),
+                "label": np.full(len(ia), label, dtype=np.int32),
+                "cosine": sims[ra[keep], rb[keep]],
+            }
+        )
+        state.update(
+            (
+                ids.tolist(),
+                allm.ravel().tolist(),
+                int(closed),
+            )
+        )
+        if len(out):
+            yield out
+
+    return (
+        stream_df.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("label").cast("int").alias("label"),
+            "embedding",
+        )
+        .groupBy("label")
+        .applyInPandasWithState(
+            fn,
+            EMB_PAIR_OUTPUT_SCHEMA,
+            EMB_BLOCK_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
     )

@@ -176,10 +176,16 @@ def minhash_signatures(
     """-> (doc_id, sig: array<long>) MinHash signature per document.
 
     Shape: explode the k-token shingles and fold all ``num_hashes``
-    minima with codegen'd MIN aggregates — xxhash64, the
-    Kirsch-Mitzenmacher combination g_i = h1 + i*h2 (bases masked to
-    62/32 bits so ANSI bigint math can't overflow), and the mins all
-    run inside whole-stage codegen. A doc's shingle rows are colocated
+    minima with codegen'd MIN aggregates — an md5-derived base-hash
+    pair and the Kirsch-Mitzenmacher combination g_i = h1 + i*h2
+    (h1 = 60 bits, h2 = 32 bits, so h1 + 31*h2 < 2^61 and ANSI bigint
+    math can't overflow), with the mins all running inside whole-stage
+    codegen. The base hashes parse fixed hex slices of ONE md5 per
+    shingle (h1 = hex[1..15], h2 = hex[17..24]) rather than xxhash64:
+    md5 costs more per call, but it is the hash every engine computes
+    identically — the whole near-dup family (signatures, band buckets,
+    pair estimates, clusters) becomes replayable as ANSI SQL, which is
+    what lets DuckDB oracle-verify these operators end to end. A doc's shingle rows are colocated
     with it, so partial aggregation collapses to one row per doc
     map-side — the exchange carries |docs| x num_hashes longs, never
     shingles. An earlier all-array formulation (num_hashes zip_with
@@ -201,9 +207,10 @@ def minhash_signatures(
             )
         ).alias("s"),
     )
-    h1 = F.xxhash64("s").bitwiseAND(F.lit((1 << 62) - 1))
-    h2 = F.xxhash64("s", F.lit(1)).bitwiseAND(F.lit((1 << 32) - 1))
-    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    hx = sh.select("doc_id", F.md5("s").alias("hx"))
+    h1 = F.conv(F.substring("hx", 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring("hx", 17, 8), 16, 10).cast("long")
+    hashed = hx.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     agg = hashed.groupBy("doc_id").agg(
         *[
             F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"m{i}")
@@ -242,11 +249,28 @@ def _minhash_rep_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
-                    )
-                ).alias("bucket"),
+                # md5-derived bucket id (60-bit hex parse), matching the
+                # signature base hashes: engine-portable so the DuckDB
+                # oracle reproduces the exact same blocking
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows + r].cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("bucket"),
             )
             for b in range(bands)
         ]
@@ -369,8 +393,10 @@ def ngram_jaccard_pairs(
 def _simhash_frame(docs: DataFrame, nbits: int = 64) -> DataFrame:
     """-> (doc_id, simhash) 64-bit SimHash per document.
 
-    Token hashes stay JVM-side (xxhash64 via a transform over the token
-    array — engine-deterministic); the per-bit signed VOTE runs in a
+    Token hashes stay JVM-side (md5-derived 60-bit hex parse via a
+    transform over the token array — engine-portable, so the DuckDB
+    oracle reproduces the exact fingerprints; bits 60-63 always vote
+    negative and pack to 0); the per-bit signed VOTE runs in a
     scalar pandas UDF over the per-document hash array: one Arrow batch
     in, numpy bit-unpack + sign-sum + weight-pack per row, no explode
     and no shuffle. Produces bit-identical fingerprints to the
@@ -378,7 +404,10 @@ def _simhash_frame(docs: DataFrame, nbits: int = 64) -> DataFrame:
     shift semantics match Java's arithmetic shift, and summing distinct
     powers of two — including the wrapping 1<<63 — equals the OR fold).
     """
-    htoks = F.transform(F.split(F.col("text"), " "), lambda t: F.xxhash64(t))
+    htoks = F.transform(
+        F.split(F.col("text"), " "),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
 
     # NOTE: a batch-flattened np.add.reduceat formulation was measured
     # 3x SLOWER at 500k docs (the (total_tokens, 64) int64 intermediate

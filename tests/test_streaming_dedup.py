@@ -93,3 +93,93 @@ def test_stream_pairs_equal_batch_and_chunk_invariant(spark, stream_dir):
 
     assert one == batch
     assert three == batch
+
+
+def _run_emb_stream(spark, stream_dir, n_chunks: int, name: str):
+    from metevents_spark.streaming import stream_embedding_near_dup
+
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")[
+        ["vec_id", "label", "embedding"]
+    ].sort_values("vec_id")
+    Path(stream_dir, f"ein_{name}").mkdir()
+    splits = [
+        emb.iloc[i * len(emb) // n_chunks : (i + 1) * len(emb) // n_chunks]
+        for i in range(n_chunks)
+    ]
+    for i, chunk in enumerate(splits):
+        chunk.to_parquet(f"{stream_dir}/ein_{name}/chunk{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("vec_id long, label int, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/ein_{name}")
+    )
+    out = stream_embedding_near_dup(stream, threshold=0.35)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(f"embdup_{name}")
+        .option("checkpointLocation", f"{stream_dir}/eckpt_{name}")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(f"SELECT * FROM embdup_{name}").collect()
+    return {(r.vec_a, r.vec_b): (r.label, r.cosine) for r in rows}
+
+
+def test_embedding_stream_pairs_equal_batch_and_chunk_invariant(
+    spark, stream_dir
+):
+    """The similarity-tier ingest twin: replaying the embeddings corpus
+    through stream_embedding_near_dup must reproduce the batch
+    embedding_near_dup pair set exactly (same label blocking, float64
+    cosine, round-6 threshold), independent of micro-batch chunking."""
+    from metevents_spark.similarity.knn import embedding_near_dup
+
+    batch = {
+        (r.vec_a, r.vec_b): (r.label, r.cosine)
+        for r in embedding_near_dup(spark, SF_SMALL, threshold=0.35).collect()
+    }
+    assert batch  # fixture sanity: the corpus contains near-dup pairs
+
+    one = _run_emb_stream(spark, stream_dir, 1, "one")
+    three = _run_emb_stream(spark, stream_dir, 3, "three")
+
+    assert one == batch
+    assert three == batch
+
+
+def test_embedding_stream_block_cap_closes(spark, stream_dir):
+    """Above max_block the block closes: the admitted prefix still
+    pairs, the rejected tail is neither compared nor stored."""
+    from metevents_spark.streaming import stream_embedding_near_dup
+
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")[
+        ["vec_id", "label", "embedding"]
+    ].sort_values("vec_id")
+    one_label = emb[emb.label == emb.label.iloc[0]]
+    assert len(one_label) > 3
+    Path(stream_dir, "cap_in").mkdir()
+    one_label.to_parquet(f"{stream_dir}/cap_in/chunk0.parquet")
+    stream = (
+        spark.readStream.schema("vec_id long, label int, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stream_dir}/cap_in")
+    )
+    out = stream_embedding_near_dup(stream, threshold=-1.0, max_block=3)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("embdup_cap")
+        .option("checkpointLocation", f"{stream_dir}/cap_ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM embdup_cap").collect()
+    admitted = sorted(one_label.vec_id.astype(int))[:3]
+    expect = {
+        (a, b) for i, a in enumerate(admitted) for b in admitted[i + 1 :]
+    }
+    assert {(r.vec_a, r.vec_b) for r in rows} == expect
