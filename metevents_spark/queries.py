@@ -256,13 +256,21 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_storm_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """total rounds to 3 like the window-detector queries: the oracle
+    replays the burst fold with a window prefix sum whose float
+    accumulation order DuckDB does not guarantee (segment-tree vs the
+    kernel's sequential nancumsum), so raw doubles differ in the last
+    ulp; the conditions (>= 500.0 mass etc.) still use unrounded
+    values in both engines."""
     tune_session(spark)
-    return storm_find(
-        series_frame(spark, sf_dir),
-        instant_mass_to_start=100.0,
-        min_storm_total=500.0,
-        hours_to_stop=24,
-        max_storm_hours=336,
+    return _round_total(
+        storm_find(
+            series_frame(spark, sf_dir),
+            instant_mass_to_start=100.0,
+            min_storm_total=500.0,
+            hours_to_stop=24,
+            max_storm_hours=336,
+        )
     )
 
 
@@ -2675,6 +2683,118 @@ SELECT m.doc_id, COALESCE(l.cluster, m.rep_id) AS cluster
 FROM member_rep m LEFT JOIN lab l ON l.doc_id = m.rep_id
 ORDER BY m.doc_id
 """,
+    # storm_find (round-8 upgrade from rows-only): the reference's
+    # flagship stateful detector (metevents/events.py:54-121) replayed
+    # as SQL — bursts via gaps-and-islands, the sequential
+    # merge-and-close fold as a per-sid recursive CTE over bursts
+    # (state = candidate start position), frequency inference incl.
+    # the resolution-unit quirk (operators/storms.py:_reference_tstep_us)
+    # as a CASE chain, the one-timestep start extension via a
+    # searchsorted MIN(rn) join. Constants mirror q_storm_find:
+    # instant_mass 100, min_total 500, dry 24h = 86400000000 us,
+    # max 336h = 1209600000000 us.
+    "storm_find": """
+WITH RECURSIVE pts AS (
+  SELECT CAST(user_id AS VARCHAR) AS sid, ts,
+         epoch_us(ts) AS tus, CAST(value AS DOUBLE) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), c AS (
+  SELECT sid, rn, ts, tus, value,
+         SUM(COALESCE(value, 0)) OVER (
+           PARTITION BY sid ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum,
+         COUNT(*) OVER (PARTITION BY sid) AS n,
+         MIN(tus) OVER (PARTITION BY sid) AS first_tus
+  FROM pts
+), cp AS (
+  SELECT *, csum - COALESCE(value, 0) AS cprev FROM c
+), dl AS (
+  SELECT sid, rn, n, tus - lag(tus) OVER (PARTITION BY sid ORDER BY rn) AS d
+  FROM c
+), tstat AS (
+  SELECT sid,
+         COUNT(DISTINCT d) FILTER (WHERE rn BETWEEN 2 AND n - 1) AS nu,
+         MIN(d) FILTER (WHERE rn BETWEEN 2 AND n - 1) AS ud,
+         CAST(floor(median(d) FILTER (WHERE d > 0)) AS BIGINT) AS med,
+         MAX(n) AS n
+  FROM dl GROUP BY sid
+), tstep AS (
+  SELECT sid,
+    CASE WHEN n >= 3 AND nu = 1 THEN
+      CASE WHEN ud % 86400000000 = 0 THEN 86400000000
+           WHEN ud % 3600000000 = 0 THEN 3600000000
+           WHEN ud % 60000000 = 0 THEN 60000000
+           WHEN ud % 1000000 = 0 THEN 1000000
+           WHEN ud % 1000 = 0 THEN 1000
+           ELSE 1 END
+    ELSE COALESCE(med, 0) END AS tstep_us
+  FROM tstat
+), flags AS (
+  SELECT *, CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS ind FROM cp
+), runid AS (
+  SELECT *, SUM(1 - ind) OVER (
+    PARTITION BY sid ORDER BY rn
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM flags
+), runs0 AS (
+  SELECT sid, gid, MIN(rn) AS rs, MAX(rn) AS re
+  FROM runid WHERE ind = 1 GROUP BY sid, gid
+), runx AS (
+  SELECT r.sid,
+         row_number() OVER (PARTITION BY r.sid ORDER BY r.rs) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY r.sid) AS n_runs,
+         r.rs, r.re,
+         cs.tus AS run_start_tus,
+         ce.tus AS stop_tus,
+         ce.csum AS csum_re,
+         lead(cs.tus) OVER (PARTITION BY r.sid ORDER BY r.rs) AS next_start_tus,
+         lead(r.rs) OVER (PARTITION BY r.sid ORDER BY r.rs) AS next_rs
+  FROM runs0 r
+  JOIN c cs ON cs.sid = r.sid AND cs.rn = r.rs
+  JOIN c ce ON ce.sid = r.sid AND ce.rn = r.re
+), st AS (
+  SELECT sid, 0 AS i, rs AS start_pos FROM runx WHERE i = 0
+  UNION ALL
+  SELECT s.sid, s.i + 1,
+         CASE WHEN
+           (((COALESCE(r.next_start_tus, r.stop_tus) - r.stop_tus) > 86400000000
+             OR (r.stop_tus - sp.tus) > 1209600000000)
+            AND (r.csum_re - sp.cprev) >= 500.0)
+           OR s.i + 1 = r.n_runs
+         THEN r.next_rs ELSE s.start_pos END
+  FROM st s
+  JOIN runx r ON r.sid = s.sid AND r.i = s.i
+  JOIN cp sp ON sp.sid = s.sid AND sp.rn = s.start_pos
+  WHERE s.i + 1 < r.n_runs
+), closed AS (
+  SELECT s.sid, s.i, r.re, r.stop_tus,
+         CASE WHEN sp.tus <> sp.first_tus THEN sp.tus - t.tstep_us
+              ELSE sp.tus END AS adj_tus
+  FROM st s
+  JOIN runx r ON r.sid = s.sid AND r.i = s.i
+  JOIN cp sp ON sp.sid = s.sid AND sp.rn = s.start_pos
+  JOIN tstep t ON t.sid = s.sid
+  WHERE (((COALESCE(r.next_start_tus, r.stop_tus) - r.stop_tus) > 86400000000
+          OR (r.stop_tus - sp.tus) > 1209600000000)
+         AND (r.csum_re - sp.cprev) >= 500.0)
+        OR s.i + 1 = r.n_runs
+), evp AS (
+  SELECT e.sid, e.i, e.re, e.stop_tus, MIN(p.rn) AS p1
+  FROM closed e JOIN c p ON p.sid = e.sid AND p.tus >= e.adj_tus
+  GROUP BY e.sid, e.i, e.re, e.stop_tus
+)
+SELECT e.sid,
+       p.ts AS "start",
+       q.ts AS "stop",
+       e.stop_tus - p.tus AS duration_us,
+       CAST(e.re - e.p1 + 1 AS BIGINT) AS n_points,
+       ROUND(q.csum - p.cprev, 3) AS total
+FROM evp e
+JOIN cp p ON p.sid = e.sid AND p.rn = e.p1
+JOIN cp q ON q.sid = e.sid AND q.rn = e.re
+ORDER BY e.sid, "start"
+""",
 }
 
 
@@ -2690,13 +2810,13 @@ ORDER BY m.doc_id
 # six oracle-backed keys displaced from the round-7 window whose
 # newest green row dates to r04 (zscore_anomaly, robust_zscore,
 # event_pair_lift, data_expectations, events_cube, token_count_bpe);
-# slots 12-46 are 35 of the 44 oracle-backed keys last green in r05;
-# slots 47-50 are the four keys upgraded THIS round from rows-only to
-# oracle-backed (simhash_fingerprints / simhash_near_dup /
-# minhash_near_dup / dedup_clusters — the dedup fingerprint family is
-# now md5-based and hence DuckDB-replayable), in-window for their
-# first hash-green rows. The nine leftover r05 keys + the r06 cohort
-# rotate in round 9. The remaining rows-only keys spend no slots this
+# slots 12-45 are 34 of the 44 oracle-backed keys last green in r05;
+# slots 46-50 are the five keys upgraded THIS round from rows-only to
+# oracle-backed (storm_find via a recursive-CTE replay of the burst
+# fold; simhash_fingerprints / simhash_near_dup / minhash_near_dup /
+# dedup_clusters via the md5-based, DuckDB-replayable fingerprint
+# family), in-window for their first hash-green rows. The ten
+# leftover r05 keys + the r06 cohort rotate in round 9. The remaining rows-only keys spend no slots this
 # round — all earned their driver rows-only row by r07 and stay pinned
 # by golden/differential pytest.
 #
@@ -2721,14 +2841,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_expectations": data_expectations,
     "events_cube": events_cube,
     "token_count_bpe": token_count_bpe,
-    # Slots 12-46: the first 35 (alphabetical) of the 44 oracle-backed
+    # Slots 12-45: the first 34 (alphabetical) of the 44 oracle-backed
     # keys whose newest driver-green row dates to r05. The remaining
-    # nine (shipmode_priority_counts, shipping_priority,
-    # source_lang_matrix, source_mix_sample, stratified_sample,
-    # unigram_logprob, user_reach, value_drift_psi, value_histogram)
-    # rotate in next round together with the r06 cohort; until then
-    # they stay pinned by tests/test_oracle_parity.py like every
-    # past-cap key.
+    # ten (session_overlap, shipmode_priority_counts,
+    # shipping_priority, source_lang_matrix, source_mix_sample,
+    # stratified_sample, unigram_logprob, user_reach, value_drift_psi,
+    # value_histogram) rotate in next round together with the r06
+    # cohort; until then they stay pinned by
+    # tests/test_oracle_parity.py like every past-cap key.
     "bigram_logprob": bigram_logprob,
     "cooccurrence_counts": cooccurrence_counts,
     "corpus_summary": corpus_summary,
@@ -2763,11 +2883,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_pack": sequence_pack,
     "series_quantile_bands": series_quantile_bands,
     "series_trend": series_trend,
-    "session_overlap": q_session_overlap,
-    # Slots 47-50: the four keys upgraded THIS round from rows-only to
-    # oracle-backed (minhash/simhash family + clusters, via the
-    # md5-derived portable hash base) — in-window so the driver records
+    # Slots 46-50: the five keys upgraded THIS round from rows-only to
+    # oracle-backed (minhash/simhash family + clusters via the
+    # md5-derived portable hash base; storm_find via a recursive-CTE
+    # replay of the burst fold) — in-window so the driver records
     # their first hash-green rows.
+    "storm_find": q_storm_find,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_dup": simhash_near_dup,
     "minhash_near_dup": q_minhash_near_dup,
@@ -2776,6 +2897,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ====== (or rows-only for non-SQL ops) row in r01-r07 and stays
     # ====== pinned by tests/test_oracle_parity.py (oracle-backed) or
     # ====== golden/differential pytest (rows-only) ======================
+    "session_overlap": q_session_overlap,
     "shipmode_priority_counts": shipmode_priority_counts,
     "shipping_priority": shipping_priority,
     "source_lang_matrix": source_lang_matrix,
@@ -2871,7 +2993,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": stratified_sample,
     "unigram_logprob": unigram_logprob,
     "value_drift_psi": value_drift_psi,
-    "storm_find": q_storm_find,
     "spike_valley": q_spike_valley,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,

@@ -28,9 +28,21 @@ def test_entry_smoke(spark):
 
 
 def test_queries_all_run(spark):
+    """Every registry entry executes at sf0.001. Keys that
+    tests/test_oracle_parity.py already runs END TO END in this same
+    suite (full Spark execution + DuckDB hash compare) are skipped
+    here — re-executing them as a smoke check doubled suite wall time
+    for zero extra signal. The set difference (rows-only ops +
+    in-window driver-green keys) still executes below, so the suite
+    covers all 149 keys exactly once."""
+    from tests.test_oracle_parity import past_cap_oracle_queries
+
+    covered = set(past_cap_oracle_queries())
     qs = entrymod.queries()
     assert len(qs) >= 20
     for name, fn in qs.items():
+        if name in covered:
+            continue
         n = fn(spark, SF).limit(5).count()
         assert n >= 0, name
 

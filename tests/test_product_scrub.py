@@ -224,12 +224,17 @@ def test_unigram_logprob_scores_are_sane(spark):
 
 
 def test_register_operator_views_sql_surface(spark):
-    """Every oracle-backed operator is reachable from raw spark.sql as
-    a view, and predicates push through the view into the plan."""
+    """Oracle-backed operators are reachable from raw spark.sql as
+    views, and predicates push through the view into the plan. A
+    deterministic every-5th sample registers (plan building for all
+    135 costs ~25s and every plan already builds in
+    test_plans.py::test_no_query_plans_a_cartesian_product); the two
+    queried views pin the actual SQL surface."""
     from metevents_spark.queries import ORACLE_SQL, register_operator_views
 
-    views = register_operator_views(spark, SF)
-    assert len(views) == len(ORACLE_SQL)
+    sample = sorted(ORACLE_SQL)[::5] + ["corpus_summary", "funnel_conversion"]
+    views = register_operator_views(spark, SF, names=sorted(set(sample)))
+    assert len(views) == len(set(sample))
     out = spark.sql(
         "SELECT source, dup_share FROM q_corpus_summary WHERE n_docs > 0"
     )
