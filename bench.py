@@ -96,6 +96,8 @@ HEADLINE = [
     "frame_sample",
     "media_resize",
     "decontaminate_ngram",
+    "decontaminate_bloom",
+    "incremental_dedup",
     "sequence_pack",
     "stratified_sample",
     "source_mix_sample",

@@ -96,6 +96,7 @@ from metevents_spark.text.dedup import (
     dedup_recall_report,
     duplicate_spans,
     edit_distance_pairs,
+    incremental_dedup,
     ngram_jaccard_pairs,
     paragraph_dedup,
     remove_duplicate_spans,
@@ -112,6 +113,7 @@ from metevents_spark.text.pipeline import (
     normalize_text,
     cooccurrence_counts,
     cross_doc_ngram_share,
+    decontaminate_bloom,
     decontaminate_ngram,
     doc_chunking,
     quality_bucket_sample,
@@ -2795,7 +2797,95 @@ JOIN cp p ON p.sid = e.sid AND p.rn = e.p1
 JOIN cp q ON q.sid = e.sid AND q.rn = e.re
 ORDER BY e.sid, "start"
 """,
+    # incremental_dedup: cross-corpus dedup of an incoming batch
+    # (doc_id % 5 = 0) against the reference corpus — exact tier via
+    # content-hash groups, near tier via the same md5-derived MinHash
+    # family as minhash_near_dup but joined batch-side x ref-side
+    # instead of self-joined; best match = highest signature agreement,
+    # ties to smallest reference doc_id. Sentinels (-1 / 0.0) instead
+    # of NULLs keep the long/double dtypes identical across engines.
+    "incremental_dedup": f"""
+WITH g AS (
+  SELECT doc_id, text, md5(text) AS gid, (doc_id % 5 = 0) AS is_batch
+  FROM documents
+), grp AS (
+  SELECT gid,
+         MIN(CASE WHEN NOT is_batch THEN doc_id END) AS ref_match,
+         MIN(CASE WHEN is_batch THEN doc_id END) AS batch_rep
+  FROM g GROUP BY gid
+), exact AS (
+  SELECT g.doc_id, 'exact' AS status, grp.ref_match AS match_id, 1.0 AS est
+  FROM g JOIN grp ON grp.gid = g.gid
+  WHERE g.is_batch AND grp.ref_match IS NOT NULL
+), reps AS (
+  SELECT grp.batch_rep AS doc_id, dg.text, 'b' AS side
+  FROM grp JOIN g dg ON dg.doc_id = grp.batch_rep
+  WHERE grp.ref_match IS NULL AND grp.batch_rep IS NOT NULL
+  UNION ALL
+  SELECT grp.ref_match AS doc_id, dg.text, 'r' AS side
+  FROM grp JOIN g dg ON dg.doc_id = grp.ref_match
+  WHERE grp.ref_match IS NOT NULL
+), tok AS (
+  SELECT doc_id, side, string_split(text, ' ') AS toks FROM reps
+), sh AS (
+  SELECT doc_id, side,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+  FROM tok
+), h AS (
+  SELECT doc_id, side,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5(s), 17, 8))::BIGINT AS h2
+  FROM sh
+), sig AS (
+  SELECT doc_id, side,
+         [{", ".join(f"MIN(h1 + {i} * h2)" for i in range(32))}] AS sig
+  FROM h GROUP BY doc_id, side
+), banded AS (
+  SELECT doc_id, side, sig, band,
+         ('0x' || substr(md5(array_to_string(list_transform(
+            list_slice(sig, band * 4 + 1, band * 4 + 4),
+            x -> CAST(x AS VARCHAR)), ',')), 1, 15))::BIGINT AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band) bands
+), cand AS (
+  SELECT b_rep, m_id, MAX(est) AS est FROM (
+    SELECT l.doc_id AS b_rep, r.doc_id AS m_id,
+           len(list_filter(range(1, 33), i -> l.sig[i] = r.sig[i])) / 32.0
+             AS est
+    FROM banded l JOIN banded r
+      ON l.side = 'b' AND r.side = 'r'
+     AND l.band = r.band AND l.bucket = r.bucket
+  ) GROUP BY b_rep, m_id HAVING MAX(est) >= 0.5
+), best AS (
+  SELECT b_rep, m_id, est,
+         row_number() OVER (PARTITION BY b_rep ORDER BY est DESC, m_id) AS rn
+  FROM cand
+), nearx AS (
+  SELECT g.doc_id, 'near' AS status, best.m_id AS match_id, best.est
+  FROM g JOIN grp ON grp.gid = g.gid
+  JOIN best ON best.b_rep = grp.batch_rep AND best.rn = 1
+  WHERE g.is_batch AND grp.ref_match IS NULL
+), newx AS (
+  SELECT g.doc_id, 'new' AS status, -1 AS match_id, 0.0 AS est
+  FROM g JOIN grp ON grp.gid = g.gid
+  WHERE g.is_batch AND grp.ref_match IS NULL
+    AND NOT EXISTS (SELECT 1 FROM best WHERE best.b_rep = grp.batch_rep)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, status,
+       CAST(match_id AS BIGINT) AS match_id, CAST(est AS DOUBLE) AS est
+FROM (SELECT * FROM exact UNION ALL SELECT * FROM nearx
+      UNION ALL SELECT * FROM newx)
+ORDER BY doc_id
+""",
 }
+
+# decontaminate_bloom: identical SEMANTICS to decontaminate_ngram — the
+# Bloom stage is a lossless prefilter (no false negatives) and the
+# confirm join removes every false positive — so the oracle is
+# literally the exact-join SQL. What the Bloom variant changes is the
+# physical plan, not the answer; the hash-match here is precisely the
+# claim that the prefilter is invisible to results.
+ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate_ngram"]
 
 
 # Insertion order matters: the verification driver checks the FIRST 50
@@ -2810,13 +2900,15 @@ ORDER BY e.sid, "start"
 # six oracle-backed keys displaced from the round-7 window whose
 # newest green row dates to r04 (zscore_anomaly, robust_zscore,
 # event_pair_lift, data_expectations, events_cube, token_count_bpe);
-# slots 12-45 are 34 of the 44 oracle-backed keys last green in r05;
-# slots 46-50 are the five keys upgraded THIS round from rows-only to
+# slots 12-43 are 32 of the 44 oracle-backed keys last green in r05;
+# slots 44-48 are the five keys upgraded THIS round from rows-only to
 # oracle-backed (storm_find via a recursive-CTE replay of the burst
 # fold; simhash_fingerprints / simhash_near_dup / minhash_near_dup /
 # dedup_clusters via the md5-based, DuckDB-replayable fingerprint
-# family), in-window for their first hash-green rows. The ten
-# leftover r05 keys + the r06 cohort rotate in round 9. The remaining rows-only keys spend no slots this
+# family); slots 49-50 are the two operators NEW this round
+# (decontaminate_bloom, incremental_dedup) — never-seen keys take
+# window priority. The twelve leftover r05 keys + the r06 cohort
+# rotate in round 9. The remaining rows-only keys spend no slots this
 # round — all earned their driver rows-only row by r07 and stay pinned
 # by golden/differential pytest.
 #
@@ -2841,14 +2933,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_expectations": data_expectations,
     "events_cube": events_cube,
     "token_count_bpe": token_count_bpe,
-    # Slots 12-45: the first 34 (alphabetical) of the 44 oracle-backed
+    # Slots 12-43: the first 32 (alphabetical) of the 44 oracle-backed
     # keys whose newest driver-green row dates to r05. The remaining
-    # ten (session_overlap, shipmode_priority_counts,
-    # shipping_priority, source_lang_matrix, source_mix_sample,
-    # stratified_sample, unigram_logprob, user_reach, value_drift_psi,
-    # value_histogram) rotate in next round together with the r06
-    # cohort; until then they stay pinned by
-    # tests/test_oracle_parity.py like every past-cap key.
+    # twelve (series_quantile_bands, series_trend, session_overlap,
+    # shipmode_priority_counts, shipping_priority, source_lang_matrix,
+    # source_mix_sample, stratified_sample, unigram_logprob,
+    # user_reach, value_drift_psi, value_histogram) rotate in next
+    # round together with the r06 cohort; until then they stay pinned
+    # by tests/test_oracle_parity.py like every past-cap key.
     "bigram_logprob": bigram_logprob,
     "cooccurrence_counts": cooccurrence_counts,
     "corpus_summary": corpus_summary,
@@ -2881,9 +2973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_7d_active": rolling_7d_active,
     "seasonal_anomaly": seasonal_anomaly,
     "sequence_pack": sequence_pack,
-    "series_quantile_bands": series_quantile_bands,
-    "series_trend": series_trend,
-    # Slots 46-50: the five keys upgraded THIS round from rows-only to
+    # Slots 44-48: the five keys upgraded THIS round from rows-only to
     # oracle-backed (minhash/simhash family + clusters via the
     # md5-derived portable hash base; storm_find via a recursive-CTE
     # replay of the burst fold) — in-window so the driver records
@@ -2893,10 +2983,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": simhash_near_dup,
     "minhash_near_dup": q_minhash_near_dup,
     "dedup_clusters": dedup_clusters,
+    # Slots 49-50: NEW oracle-backed operators this round — Bloom-
+    # prefiltered decontamination (result-identical to the exact join)
+    # and cross-corpus incremental dedup (batch vs reference corpus).
+    "decontaminate_bloom": decontaminate_bloom,
+    "incremental_dedup": incremental_dedup,
     # ====== PAST THE DRIVER CAP: every key below has a driver-green
     # ====== (or rows-only for non-SQL ops) row in r01-r07 and stays
     # ====== pinned by tests/test_oracle_parity.py (oracle-backed) or
     # ====== golden/differential pytest (rows-only) ======================
+    "series_quantile_bands": series_quantile_bands,
+    "series_trend": series_trend,
     "session_overlap": q_session_overlap,
     "shipmode_priority_counts": shipmode_priority_counts,
     "shipping_priority": shipping_priority,

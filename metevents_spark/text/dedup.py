@@ -222,36 +222,22 @@ def minhash_signatures(
     )
 
 
-def _minhash_rep_pairs(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    threshold: float = 0.5,
-    max_bucket: int = HOT_BUCKET_CAP,
-):
-    """Representative-level MinHash-LSH near-dup pairs.
+def _band_frame(
+    sig: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(doc_id, sig) -> (doc_id, sig, band, bucket) LSH band rows.
 
-    -> (rep_pairs(doc_a, doc_b, est_jaccard), member_rep(doc_id, rep_id)).
-    Shared by minhash_near_dup (which expands pairs back to member
-    documents) and dedup_clusters (which propagates labels over the
-    rep graph only and attaches members at the end). Buckets larger
-    than ``max_bucket`` are dropped before the self-join (see
-    _cap_hot_buckets).
+    md5-derived bucket id (60-bit hex parse), matching the signature
+    base hashes: engine-portable so the DuckDB oracle reproduces the
+    exact same blocking. Identical bucket math to the streaming path
+    (streaming/dedup.py band_bucket_cols), so batch and stream block
+    the same documents together.
     """
     rows = num_hashes // bands
-    docs = load_table(spark, sf_dir, "documents")
-    member_rep, reps = _exact_groups(docs)
-    sig = minhash_signatures(reps, k=k, num_hashes=num_hashes)
-
     band_cols = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                # md5-derived bucket id (60-bit hex parse), matching the
-                # signature base hashes: engine-portable so the DuckDB
-                # oracle reproduces the exact same blocking
                 F.conv(
                     F.substring(
                         F.md5(
@@ -275,9 +261,36 @@ def _minhash_rep_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select("doc_id", "sig", F.explode(band_cols).alias("bb")).select(
-        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    return sig.select("doc_id", "sig", F.explode(band_cols).alias("bb")).select(
+        "doc_id",
+        "sig",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
     )
+
+
+def _minhash_rep_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = HOT_BUCKET_CAP,
+):
+    """Representative-level MinHash-LSH near-dup pairs.
+
+    -> (rep_pairs(doc_a, doc_b, est_jaccard), member_rep(doc_id, rep_id)).
+    Shared by minhash_near_dup (which expands pairs back to member
+    documents) and dedup_clusters (which propagates labels over the
+    rep graph only and attaches members at the end). Buckets larger
+    than ``max_bucket`` are dropped before the self-join (see
+    _cap_hot_buckets).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    member_rep, reps = _exact_groups(docs)
+    sig = minhash_signatures(reps, k=k, num_hashes=num_hashes)
+    banded = _band_frame(sig, num_hashes=num_hashes, bands=bands)
     # the banded frame feeds BOTH sides of the self-join AND the
     # hot-bucket size scan; without persist Spark computes the whole
     # signature pipeline once per consumer (no cross-branch CSE). At
@@ -351,6 +364,148 @@ def minhash_near_dup(
     )
     out = _expand_pairs(pairs, member_rep, "est_jaccard", F.lit(1.0))
     return out.orderBy("doc_a", "doc_b") if sort else out
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_mod: int = 5,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = HOT_BUCKET_CAP,
+) -> DataFrame:
+    """Cross-corpus dedup: classify an incoming batch AGAINST an
+    existing reference corpus (the shape of deduping a new crawl into
+    an already-deduped pretraining corpus, where a self-join over the
+    union would redo all historic work).
+
+    Docs with ``doc_id % batch_mod == 0`` are the incoming batch; all
+    others are the reference corpus. Each batch doc gets one verdict
+    row (doc_id, status, match_id, est):
+
+    - ``exact``: a reference doc has byte-identical text; match_id =
+      smallest such reference doc_id, est = 1.0.
+    - ``near``: no exact match, but a reference doc shares an LSH band
+      bucket with estimated MinHash Jaccard >= ``threshold``; match_id
+      = the best match (highest est, ties to smallest doc_id).
+    - ``new``: neither; match_id = -1, est = 0.0 (sentinels, not
+      NULLs, so the long/double column types are stable engine-wide).
+
+    Scale shape: the exact tier is a digest-only join (md5 shuffles,
+    text never moves). The near tier signatures only group
+    REPRESENTATIVES (one per distinct text per side — exact-dedup-first
+    like minhash_near_dup), and the candidate join is batch-banded ×
+    reference-banded with the batch side broadcast: an ingest batch is
+    bounded, so the 100 TB reference side never shuffles for the join —
+    its band rows stream map-side past the broadcast hash table. The
+    same hot-bucket cap guards degenerate buckets (counted over BOTH
+    sides, since candidate count per bucket is |batch| × |ref|).
+
+    Fully md5-derived hash family -> DuckDB-replayable, oracle-checked.
+    The reference library (metevents) has no corpus surface; this is
+    the §8.3 pipeline extension applied to the ingest boundary.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # slim digest frame: 3 narrow columns, persisted once, feeds the
+    # grouping, the exact tier, and the member-expansion joins — the
+    # text column deliberately stays OUT so the cache holds digests
+    slim = docs.select(
+        "doc_id",
+        F.md5("text").alias("gid"),
+        (F.pmod("doc_id", F.lit(batch_mod)) == 0).alias("is_batch"),
+    )
+    slim = track(slim.persist(StorageLevel.MEMORY_AND_DISK))
+    grp = slim.groupBy("gid").agg(
+        F.min(F.when(~F.col("is_batch"), F.col("doc_id"))).alias("ref_match"),
+        F.min(F.when(F.col("is_batch"), F.col("doc_id"))).alias("batch_rep"),
+    )
+    grp = track(grp.persist(StorageLevel.MEMORY_AND_DISK))
+    batch_members = slim.filter("is_batch").join(grp, "gid")
+
+    exact = batch_members.filter("ref_match IS NOT NULL").select(
+        "doc_id",
+        F.lit("exact").alias("status"),
+        F.col("ref_match").alias("match_id"),
+        F.lit(1.0).alias("est"),
+    )
+
+    # near tier: signatures for batch-only reps vs reference reps.
+    # Text re-joins from the (column-pruned) source scan for just the
+    # rep rows — at scale that is two narrow semi-join reads, cheaper
+    # than caching every document body above.
+    reps_b = (
+        grp.filter("ref_match IS NULL AND batch_rep IS NOT NULL")
+        .select(F.col("batch_rep").alias("doc_id"))
+        .join(docs, "doc_id")
+    )
+    reps_r = (
+        grp.filter("ref_match IS NOT NULL")
+        .select(F.col("ref_match").alias("doc_id"))
+        .join(docs, "doc_id")
+    )
+    banded_b = _band_frame(
+        minhash_signatures(reps_b, k=k, num_hashes=num_hashes),
+        num_hashes=num_hashes,
+        bands=bands,
+    ).withColumn("side", F.lit("b"))
+    banded_r = _band_frame(
+        minhash_signatures(reps_r, k=k, num_hashes=num_hashes),
+        num_hashes=num_hashes,
+        bands=bands,
+    ).withColumn("side", F.lit("r"))
+    both = banded_b.unionByName(banded_r)
+    both = track(both.persist(StorageLevel.MEMORY_AND_DISK))
+    both = _cap_hot_buckets(both, max_bucket, "incremental_lsh_guard")
+    cand = (
+        F.broadcast(both.filter("side = 'b'").drop("side")).alias("l")
+        .join(
+            both.filter("side = 'r'").drop("side").alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket")),
+        )
+        .select(
+            F.col("l.doc_id").alias("b_rep"),
+            F.col("r.doc_id").alias("m_id"),
+            (
+                F.expr(
+                    "size(filter(zip_with(l.sig, r.sig, (x, y) -> x = y), b -> b))"
+                ).cast("double")
+                / F.lit(num_hashes)
+            ).alias("est"),
+        )
+        .groupBy("b_rep", "m_id")
+        .agg(F.max("est").alias("est"))
+        .filter(F.col("est") >= threshold)
+    )
+    w = Window.partitionBy("b_rep").orderBy(F.desc("est"), F.asc("m_id"))
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("b_rep", "m_id", "est")
+    )
+
+    no_exact = batch_members.filter("ref_match IS NULL")
+    near = no_exact.join(
+        best, no_exact["batch_rep"] == best["b_rep"]
+    ).select(
+        "doc_id",
+        F.lit("near").alias("status"),
+        F.col("m_id").alias("match_id"),
+        "est",
+    )
+    new = no_exact.join(
+        best, no_exact["batch_rep"] == best["b_rep"], "left_anti"
+    ).select(
+        "doc_id",
+        F.lit("new").alias("status"),
+        F.lit(-1).cast("long").alias("match_id"),
+        F.lit(0.0).alias("est"),
+    )
+    return exact.unionByName(near).unionByName(new).orderBy("doc_id")
 
 
 def ngram_jaccard_pairs(

@@ -41,24 +41,7 @@ def decontaminate_ngram(
     token array, evaluated inside codegen.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # materialize the token array ONCE per row: referencing split(text)
-    # inside the transform lambda would re-split the document for every
-    # n-gram position (no common-subexpression elimination across
-    # lambda invocations), turning an O(len·n) expansion into O(len²·n)
-    toked = docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("t")
-    )
-    # starts 0..size-n; empty array when the doc is shorter than n
-    grams = F.when(
-        F.size("t") >= n,
-        F.expr(
-            f"transform(sequence(0, size(t) - {n}),"
-            f" i -> array_join(slice(t, i + 1, {n}), ' '))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = toked.select(
-        "doc_id", F.explode(grams).alias("gram")
-    )
+    exploded = _doc_ngrams(docs, n)
     eval_grams = (
         exploded.filter(F.col("doc_id") % eval_mod == 0)
         .select("gram")
@@ -67,6 +50,144 @@ def decontaminate_ngram(
     train = exploded.filter(F.col("doc_id") % eval_mod != 0)
     return (
         train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+def _doc_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """-> (doc_id, gram) exploded token n-grams, codegen-side.
+
+    The token array materializes ONCE per row: referencing split(text)
+    inside the transform lambda would re-split the document for every
+    n-gram position (no common-subexpression elimination across lambda
+    invocations), turning an O(len·n) expansion into O(len²·n). Docs
+    shorter than n contribute no rows.
+    """
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    grams = F.when(
+        F.size("t") >= n,
+        F.expr(
+            f"transform(sequence(0, size(t) - {n}),"
+            f" i -> array_join(slice(t, i + 1, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toked.select("doc_id", F.explode(grams).alias("gram"))
+
+
+def build_bloom_bitmap(
+    keys: DataFrame, m_bits: int, n_hashes: int
+) -> list[int]:
+    """Distributed Bloom-filter build over ``keys`` (single column).
+
+    Each key sets ``n_hashes`` bits chosen by seeded xxhash64; bits
+    OR-combine into 64-bit words DISTRIBUTED (groupBy word index +
+    bit_or, partial aggregation map-side), so the driver only ever
+    collects <= m_bits/64 longs — bounded by the filter size, never by
+    the key count. Returns the dense word list (length m_bits//64)
+    ready to embed as one array literal via ``F.lit``.
+    """
+    col = keys.columns[0]
+    pos = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits))
+            for i in range(n_hashes)
+        ]
+    )
+    words = (
+        keys.select(F.explode(pos).alias("pos"))
+        .select(
+            F.expr("shiftright(pos, 6)").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos & 63 as int))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    dense = [0] * (m_bits // 64)
+    for r in words:
+        dense[int(r["w"])] = int(r["word"])
+    return dense
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    col_name: str,
+    words: list[int],
+    m_bits: int,
+    n_hashes: int,
+) -> DataFrame:
+    """Keep only rows whose ``col_name`` MIGHT be in the Bloom bitmap.
+
+    The bitmap rides in the plan as ONE array<long> literal (m_bits/64
+    elements — 16 KiB words for a 2^20-bit filter), and the probe is
+    element_at + shift + mask per hash — all inside whole-stage
+    codegen, no join, no shuffle, no Python. False positives possible,
+    false negatives impossible (callers confirm-join the survivors).
+    The dynamic shift amounts force SQL-side shiftright (the Python
+    ``F.shiftright`` only takes literal counts), so the probe columns
+    are materialized under reserved names and dropped on exit.
+    """
+    probed = df.withColumn("__bloom_w", F.lit(words))
+    pcols = []
+    for i in range(n_hashes):
+        pcols.append(f"__bloom_p{i}")
+        probed = probed.withColumn(
+            pcols[-1],
+            F.pmod(F.xxhash64(F.col(col_name), F.lit(i)), F.lit(m_bits)),
+        )
+    cond = " AND ".join(
+        f"(shiftright(element_at(__bloom_w,"
+        f" cast(shiftright({p}, 6) as int) + 1),"
+        f" cast({p} & 63 as int)) & 1) = 1"
+        for p in pcols
+    )
+    return probed.filter(F.expr(cond)).drop("__bloom_w", *pcols)
+
+
+def decontaminate_bloom(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 5,
+    eval_mod: int = 50,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-prefiltered train/eval n-gram decontamination.
+
+    Same semantics (and output) as :func:`decontaminate_ngram` — a
+    training doc is contaminated iff it shares a token n-gram with the
+    held-out eval set — but the scale path differs: the eval-side
+    distinct n-grams build a Bloom bitmap (distributed bit_or fold,
+    driver holds m_bits/64 longs), the bitmap embeds in the plan as one
+    array literal, and the corpus-side n-gram stream is prefiltered by
+    a pure-codegen probe BEFORE anything reaches the confirm join. At
+    100 TB this is the difference between shipping every training
+    n-gram into a (broadcast) join and killing ~all clean grams at the
+    scan stage: the confirm join — which removes Bloom false positives
+    and makes the result EXACTLY equal to the exact-join path, hence
+    oracle-checkable — only sees the tiny contaminated tail.
+
+    The reference (metevents) has no corpus surface; this extends
+    SURVEY.md §8.3 with the standard benchmark-decontamination shape
+    (eval sets are fixed benchmarks, so m_bits is a design-time
+    constant: 2^20 bits ≈ fp 2e-4 at 1e5 grams/k=4).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exploded = _doc_ngrams(docs, n)
+    eval_grams = (
+        exploded.filter(F.col("doc_id") % eval_mod == 0)
+        .select("gram")
+        .distinct()
+    )
+    bitmap = build_bloom_bitmap(eval_grams, m_bits, n_hashes)
+    train = exploded.filter(F.col("doc_id") % eval_mod != 0)
+    survivors = bloom_prefilter(train, "gram", bitmap, m_bits, n_hashes)
+    return (
+        survivors.join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_shared"))
         .orderBy("doc_id")
