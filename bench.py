@@ -98,6 +98,7 @@ HEADLINE = [
     "decontaminate_ngram",
     "decontaminate_bloom",
     "incremental_dedup",
+    "importance_resample",
     "sequence_pack",
     "stratified_sample",
     "source_mix_sample",

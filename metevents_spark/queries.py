@@ -115,6 +115,7 @@ from metevents_spark.text.pipeline import (
     cross_doc_ngram_share,
     decontaminate_bloom,
     decontaminate_ngram,
+    importance_resample,
     doc_chunking,
     quality_bucket_sample,
     sequence_pack,
@@ -2877,6 +2878,52 @@ FROM (SELECT * FROM exact UNION ALL SELECT * FROM nearx
       UNION ALL SELECT * FROM newx)
 ORDER BY doc_id
 """,
+    # importance_resample: DSIR-style domain-targeted selection —
+    # md5-hashed unigram buckets, Laplace-smoothed target/candidate
+    # distributions, length-normalized mean log importance ratio
+    # (ROUND 5 per the unigram_logprob ln-parity convention), Gumbel
+    # top-k with md5-derandomized uniforms. Mirrors
+    # text/pipeline.py:importance_resample (src0 target, 1024 buckets,
+    # top 20).
+    "importance_resample": """
+WITH toks AS (
+  SELECT doc_id, source = 'src0' AS is_tgt,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+), bt AS (
+  SELECT doc_id, is_tgt,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT % 1024 AS b
+  FROM toks
+), counts AS (
+  SELECT b,
+         SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN NOT is_tgt THEN 1 ELSE 0 END) AS cr
+  FROM bt GROUP BY b
+), tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM counts),
+ratios AS (
+  SELECT b,
+         ln((ct + 1) / (tt + 1024.0)) - ln((cr + 1) / (tr + 1024.0)) AS lr
+  FROM counts CROSS JOIN tot
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         ROUND(SUM(lr) / COUNT(*), 5) AS log_ratio
+  FROM bt JOIN ratios USING (b)
+  WHERE NOT is_tgt
+  GROUP BY doc_id
+), keyed AS (
+  SELECT doc_id, n_tokens, log_ratio,
+         ROUND(log_ratio - ln(-ln(
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            + 1) / 1152921504606846978.0)), 5) AS sel_key
+  FROM per_doc
+)
+SELECT CAST(row_number() OVER (ORDER BY sel_key DESC, doc_id) AS BIGINT)
+         AS "rank",
+       doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, log_ratio
+FROM keyed
+ORDER BY sel_key DESC, doc_id
+LIMIT 20
+""",
 }
 
 # decontaminate_bloom: identical SEMANTICS to decontaminate_ngram — the
@@ -2900,15 +2947,15 @@ ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate_ngram"]
 # six oracle-backed keys displaced from the round-7 window whose
 # newest green row dates to r04 (zscore_anomaly, robust_zscore,
 # event_pair_lift, data_expectations, events_cube, token_count_bpe);
-# slots 12-43 are 32 of the 44 oracle-backed keys last green in r05;
-# slots 44-48 are the five keys upgraded THIS round from rows-only to
+# slots 12-42 are 31 of the 44 oracle-backed keys last green in r05;
+# slots 43-47 are the five keys upgraded THIS round from rows-only to
 # oracle-backed (storm_find via a recursive-CTE replay of the burst
 # fold; simhash_fingerprints / simhash_near_dup / minhash_near_dup /
 # dedup_clusters via the md5-based, DuckDB-replayable fingerprint
-# family); slots 49-50 are the two operators NEW this round
-# (decontaminate_bloom, incremental_dedup) — never-seen keys take
-# window priority. The twelve leftover r05 keys + the r06 cohort
-# rotate in round 9. The remaining rows-only keys spend no slots this
+# family); slots 48-50 are the three operators NEW this round
+# (decontaminate_bloom, incremental_dedup, importance_resample) —
+# never-seen keys take window priority. The thirteen leftover r05
+# keys + the r06 cohort rotate in round 9. The remaining rows-only keys spend no slots this
 # round — all earned their driver rows-only row by r07 and stay pinned
 # by golden/differential pytest.
 #
@@ -2933,14 +2980,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_expectations": data_expectations,
     "events_cube": events_cube,
     "token_count_bpe": token_count_bpe,
-    # Slots 12-43: the first 32 (alphabetical) of the 44 oracle-backed
+    # Slots 12-42: the first 31 (alphabetical) of the 44 oracle-backed
     # keys whose newest driver-green row dates to r05. The remaining
-    # twelve (series_quantile_bands, series_trend, session_overlap,
-    # shipmode_priority_counts, shipping_priority, source_lang_matrix,
-    # source_mix_sample, stratified_sample, unigram_logprob,
-    # user_reach, value_drift_psi, value_histogram) rotate in next
-    # round together with the r06 cohort; until then they stay pinned
-    # by tests/test_oracle_parity.py like every past-cap key.
+    # thirteen (sequence_pack, series_quantile_bands, series_trend,
+    # session_overlap, shipmode_priority_counts, shipping_priority,
+    # source_lang_matrix, source_mix_sample, stratified_sample,
+    # unigram_logprob, user_reach, value_drift_psi, value_histogram)
+    # rotate in next round together with the r06 cohort; until then
+    # they stay pinned by tests/test_oracle_parity.py like every
+    # past-cap key.
     "bigram_logprob": bigram_logprob,
     "cooccurrence_counts": cooccurrence_counts,
     "corpus_summary": corpus_summary,
@@ -2972,8 +3020,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returned_item_customers": returned_item_customers,
     "rolling_7d_active": rolling_7d_active,
     "seasonal_anomaly": seasonal_anomaly,
-    "sequence_pack": sequence_pack,
-    # Slots 44-48: the five keys upgraded THIS round from rows-only to
+    # Slots 43-47: the five keys upgraded THIS round from rows-only to
     # oracle-backed (minhash/simhash family + clusters via the
     # md5-derived portable hash base; storm_find via a recursive-CTE
     # replay of the burst fold) — in-window so the driver records
@@ -2983,15 +3030,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": simhash_near_dup,
     "minhash_near_dup": q_minhash_near_dup,
     "dedup_clusters": dedup_clusters,
-    # Slots 49-50: NEW oracle-backed operators this round — Bloom-
-    # prefiltered decontamination (result-identical to the exact join)
-    # and cross-corpus incremental dedup (batch vs reference corpus).
+    # Slots 48-50: NEW oracle-backed operators this round — Bloom-
+    # prefiltered decontamination (result-identical to the exact join),
+    # cross-corpus incremental dedup (batch vs reference corpus), and
+    # DSIR-style importance resampling.
     "decontaminate_bloom": decontaminate_bloom,
     "incremental_dedup": incremental_dedup,
+    "importance_resample": importance_resample,
     # ====== PAST THE DRIVER CAP: every key below has a driver-green
     # ====== (or rows-only for non-SQL ops) row in r01-r07 and stays
     # ====== pinned by tests/test_oracle_parity.py (oracle-backed) or
     # ====== golden/differential pytest (rows-only) ======================
+    "sequence_pack": sequence_pack,
     "series_quantile_bands": series_quantile_bands,
     "series_trend": series_trend,
     "session_overlap": q_session_overlap,

@@ -76,17 +76,18 @@ def _doc_ngrams(docs: DataFrame, n: int) -> DataFrame:
     return toked.select("doc_id", F.explode(grams).alias("gram"))
 
 
-def build_bloom_bitmap(
+def build_bloom_words(
     keys: DataFrame, m_bits: int, n_hashes: int
-) -> list[int]:
+) -> DataFrame:
     """Distributed Bloom-filter build over ``keys`` (single column).
 
     Each key sets ``n_hashes`` bits chosen by seeded xxhash64; bits
-    OR-combine into 64-bit words DISTRIBUTED (groupBy word index +
-    bit_or, partial aggregation map-side), so the driver only ever
-    collects <= m_bits/64 longs — bounded by the filter size, never by
-    the key count. Returns the dense word list (length m_bits//64)
-    ready to embed as one array literal via ``F.lit``.
+    OR-combine into 64-bit words via groupBy word index + bit_or
+    (partial aggregation collapses map-side, the exchange carries at
+    most m_bits/64 rows). The bitmap stays SPARSE and DISTRIBUTED:
+    -> (w: word index, word: 64-bit mask), one row per word with at
+    least one bit set — bounded by min(m_bits/64, n_hashes·|keys|)
+    regardless of key count, and never collected to the driver.
     """
     col = keys.columns[0]
     pos = F.array(
@@ -95,7 +96,7 @@ def build_bloom_bitmap(
             for i in range(n_hashes)
         ]
     )
-    words = (
+    return (
         keys.select(F.explode(pos).alias("pos"))
         .select(
             F.expr("shiftright(pos, 6)").alias("w"),
@@ -105,47 +106,59 @@ def build_bloom_bitmap(
         )
         .groupBy("w")
         .agg(F.bit_or("bit").alias("word"))
-        .collect()
     )
-    dense = [0] * (m_bits // 64)
-    for r in words:
-        dense[int(r["w"])] = int(r["word"])
-    return dense
 
 
 def bloom_prefilter(
     df: DataFrame,
     col_name: str,
-    words: list[int],
+    words: DataFrame,
     m_bits: int,
     n_hashes: int,
 ) -> DataFrame:
     """Keep only rows whose ``col_name`` MIGHT be in the Bloom bitmap.
 
-    The bitmap rides in the plan as ONE array<long> literal (m_bits/64
-    elements — 16 KiB words for a 2^20-bit filter), and the probe is
-    element_at + shift + mask per hash — all inside whole-stage
-    codegen, no join, no shuffle, no Python. False positives possible,
-    false negatives impossible (callers confirm-join the survivors).
-    The dynamic shift amounts force SQL-side shiftright (the Python
-    ``F.shiftright`` only takes literal counts), so the probe columns
-    are materialized under reserved names and dropped on exit.
+    The sparse word table broadcasts once (a set bit exists in at most
+    n_hashes·|keys| words, a few hundred KB for benchmark-sized key
+    sets) and each hash probes it with a broadcast HASH join on the
+    word index — the inner join doubles as the "word has any bit" test
+    (a missing word row means all 64 bits are zero), and the surviving
+    rows check their single bit with a shift+mask filter. No shuffle
+    of ``df``, no Python, no driver round-trip. False positives
+    possible, false negatives impossible (callers confirm-join the
+    survivors). An earlier formulation embedded the bitmap as an
+    array literal probed by element_at — PySpark's ``F.lit(list)``
+    builds a CreateArray that re-materializes all m/64 elements PER
+    ROW (measured 8.4s vs 0.5s on a 246k-gram scan), so the join
+    formulation is the fast path, not the fallback. The dynamic shift
+    amounts force SQL-side shiftright (the Python ``F.shiftright``
+    only takes literal counts), so probe columns are materialized
+    under reserved names and dropped on exit.
     """
-    probed = df.withColumn("__bloom_w", F.lit(words))
-    pcols = []
+    probed = df
     for i in range(n_hashes):
-        pcols.append(f"__bloom_p{i}")
-        probed = probed.withColumn(
-            pcols[-1],
-            F.pmod(F.xxhash64(F.col(col_name), F.lit(i)), F.lit(m_bits)),
+        pos = F.pmod(F.xxhash64(F.col(col_name), F.lit(i)), F.lit(m_bits))
+        probed = (
+            probed.withColumn("__bloom_p", pos)
+            .withColumn("__bloom_w", F.expr("shiftright(__bloom_p, 6)"))
+            .join(
+                F.broadcast(
+                    words.select(
+                        F.col("w").alias("__bloom_w"),
+                        F.col("word").alias("__bloom_word"),
+                    )
+                ),
+                "__bloom_w",
+            )
+            .filter(
+                F.expr(
+                    "(shiftright(__bloom_word,"
+                    " cast(__bloom_p & 63 as int)) & 1) = 1"
+                )
+            )
+            .drop("__bloom_p", "__bloom_w", "__bloom_word")
         )
-    cond = " AND ".join(
-        f"(shiftright(element_at(__bloom_w,"
-        f" cast(shiftright({p}, 6) as int) + 1),"
-        f" cast({p} & 63 as int)) & 1) = 1"
-        for p in pcols
-    )
-    return probed.filter(F.expr(cond)).drop("__bloom_w", *pcols)
+    return probed
 
 
 def decontaminate_bloom(
@@ -161,14 +174,15 @@ def decontaminate_bloom(
     Same semantics (and output) as :func:`decontaminate_ngram` — a
     training doc is contaminated iff it shares a token n-gram with the
     held-out eval set — but the scale path differs: the eval-side
-    distinct n-grams build a Bloom bitmap (distributed bit_or fold,
-    driver holds m_bits/64 longs), the bitmap embeds in the plan as one
-    array literal, and the corpus-side n-gram stream is prefiltered by
-    a pure-codegen probe BEFORE anything reaches the confirm join. At
-    100 TB this is the difference between shipping every training
-    n-gram into a (broadcast) join and killing ~all clean grams at the
-    scan stage: the confirm join — which removes Bloom false positives
-    and makes the result EXACTLY equal to the exact-join path, hence
+    distinct n-grams fold into a sparse Bloom word table (distributed
+    bit_or, never collected), which broadcasts once and prefilters the
+    corpus-side n-gram stream with per-hash broadcast joins + bit
+    masks BEFORE anything reaches the confirm join. At 100 TB this is
+    the difference between shipping every training n-gram into the
+    (string-keyed, string-hashing) eval join and killing ~all clean
+    grams against a few-hundred-KB long-keyed hash table at the scan
+    stage: the confirm join — which removes Bloom false positives and
+    makes the result EXACTLY equal to the exact-join path, hence
     oracle-checkable — only sees the tiny contaminated tail.
 
     The reference (metevents) has no corpus surface; this extends
@@ -183,15 +197,108 @@ def decontaminate_bloom(
         .select("gram")
         .distinct()
     )
-    bitmap = build_bloom_bitmap(eval_grams, m_bits, n_hashes)
+    words = build_bloom_words(eval_grams, m_bits, n_hashes)
     train = exploded.filter(F.col("doc_id") % eval_mod != 0)
-    survivors = bloom_prefilter(train, "gram", bitmap, m_bits, n_hashes)
+    survivors = bloom_prefilter(train, "gram", words, m_bits, n_hashes)
     return (
         survivors.join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_shared"))
         .orderBy("doc_id")
     )
+
+
+def importance_resample(
+    spark: SparkSession,
+    sf_dir: str,
+    target_source: str = "src0",
+    n_buckets: int = 1024,
+    n_select: int = 20,
+) -> DataFrame:
+    """Domain-targeted data selection by importance resampling — the
+    DSIR recipe (hashed n-gram importance weights; Xie et al. 2023,
+    public): score each candidate document by how much more likely its
+    hashed-unigram profile is under the TARGET domain's distribution
+    than under the candidate pool's own, then take a Gumbel-perturbed
+    top-k (sampling-without-replacement ∝ exp(weight), derandomized
+    here via an LCG-hash uniform so both engines draw identical noise).
+
+    Docs from ``target_source`` define the target distribution; every
+    other doc is a candidate. Features are md5-hashed unigram buckets
+    (engine-portable hash), Laplace-smoothed; the per-doc weight is the
+    length-normalized mean log importance ratio, rounded to 5 decimals
+    before ranking so ``ln`` last-ulp differences across math libraries
+    cannot flip the selection (same convention as unigram_logprob).
+
+    Scale shape: the two distribution tables are n_buckets rows each —
+    constants — so the scoring join is a broadcast of a 1024-row
+    log-ratio table against the exploded token stream; the per-doc
+    rollup is the only corpus-sized shuffle, and the final selection is
+    TakeOrdered (top-k merge, no global sort materializes). Output:
+    (rank, doc_id, n_tokens, log_ratio) for the selected docs.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = docs.select(
+        "doc_id",
+        (F.col("source") == target_source).alias("is_tgt"),
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    bt = toks.select("doc_id", "is_tgt", bucket.alias("b"))
+    counts = bt.groupBy("b").agg(
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_tgt"), 1).otherwise(0)).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    # log p_tgt(b) - log p_raw(b), Laplace-smoothed; n_buckets rows
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1) / (F.col("tt") + n_buckets))
+            - F.log((F.col("cr") + 1) / (F.col("tr") + n_buckets))
+        ).alias("lr"),
+    )
+    per_doc = (
+        bt.filter(~F.col("is_tgt"))
+        .join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr") / F.count(F.lit(1)), 5).alias("log_ratio"),
+        )
+    )
+    # Gumbel-top-k with hash-derandomized uniforms: u in (0,1) from a
+    # 60-bit md5 slice of the doc_id (well-mixed, engine-portable),
+    # g = -ln(-ln(u)); adding g to the weight and taking top-k IS
+    # sampling w/o replacement with p ∝ exp(weight) (Gumbel-max
+    # trick) — but reproducible everywhere
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h + 1) / F.lit(float((1 << 60) + 2))
+    keyed = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "log_ratio",
+        F.round(F.col("log_ratio") - F.log(-F.log(u)), 5).alias("sel_key"),
+    )
+    from pyspark.sql import Window
+
+    top = keyed.orderBy(F.desc("sel_key"), F.asc("doc_id")).limit(n_select)
+    w = Window.orderBy(F.desc("sel_key"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "n_tokens",
+        "log_ratio",
+    ).orderBy("rank")
 
 
 def sequence_pack(

@@ -20,7 +20,10 @@ BIG_DIR = "/tmp/metevents-sfbig-x10"
 # heaviest oracle-backed queries by r05 warm bench time, plus the two
 # round-7 oracle styles worth stressing at 10x: the hex byte-compare
 # (media_resize — py-node output path) and the recursive-CTE replay
-# (lttb_downsample — 10x more series through the 18-step recursion)
+# (lttb_downsample — 10x more series through the 18-step recursion),
+# plus the round-8 additions whose value claim IS scale behavior: the
+# cross-corpus LSH join (incremental_dedup) and the Bloom prefilter
+# (decontaminate_bloom — 10x the gram stream through the probe)
 HEAVY = (
     "remove_duplicate_spans",
     "anomaly_consensus",
@@ -29,6 +32,8 @@ HEAVY = (
     "event_pair_lift",
     "media_resize",
     "lttb_downsample",
+    "incremental_dedup",
+    "decontaminate_bloom",
 )
 
 

