@@ -99,6 +99,9 @@ HEADLINE = [
     "decontaminate_bloom",
     "incremental_dedup",
     "importance_resample",
+    "boilerplate_phrases",
+    "ngram_novelty",
+    "contamination_fraction",
     "sequence_pack",
     "stratified_sample",
     "source_mix_sample",

@@ -112,10 +112,13 @@ from metevents_spark.text.pipeline import (
     temperature_mixture,
     normalize_text,
     cooccurrence_counts,
+    boilerplate_phrases,
+    contamination_fraction,
     cross_doc_ngram_share,
     decontaminate_bloom,
     decontaminate_ngram,
     importance_resample,
+    ngram_novelty,
     doc_chunking,
     quality_bucket_sample,
     sequence_pack,
@@ -2924,6 +2927,80 @@ FROM keyed
 ORDER BY sel_key DESC, doc_id
 LIMIT 20
 """,
+    # boilerplate_phrases: per-source top-10 bigrams by distinct-doc
+    # frequency (df >= 2), tie-broken lexicographically. Mirrors
+    # text/pipeline.py:boilerplate_phrases (n=2, k=10, min_df=2).
+    "boilerplate_phrases": """
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+              FROM documents),
+grams AS (
+  SELECT doc_id, source, array_to_string(t[i:i+1], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - 2 + 2)) AS u(i)
+),
+df_tbl AS (
+  SELECT source, gram, COUNT(DISTINCT doc_id) AS df
+  FROM grams GROUP BY source, gram
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+nd AS (SELECT source, COUNT(*) AS source_docs FROM documents
+       GROUP BY source),
+ranked AS (
+  SELECT source, gram, df,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY df DESC, gram) AS rnk
+  FROM df_tbl
+)
+SELECT source, CAST(rnk AS BIGINT) AS rnk, gram,
+       CAST(df AS BIGINT) AS df,
+       ROUND(df / source_docs, 5) AS df_frac
+FROM ranked JOIN nd USING (source)
+WHERE rnk <= 10
+ORDER BY source, rnk
+""",
+    # ngram_novelty: per-shard (50 docs, doc_id order) distinct trigram
+    # count, corpus-first-seen count, their ratio, and the running
+    # distinct total. Mirrors text/pipeline.py:ngram_novelty (n=3).
+    "ngram_novelty": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id // 50 AS shard, array_to_string(t[i:i+2], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - 3 + 2)) AS u(i)
+),
+per_shard AS (
+  SELECT shard, COUNT(*) AS n_grams
+  FROM (SELECT DISTINCT shard, gram FROM grams) GROUP BY shard
+),
+novel AS (
+  SELECT shard, COUNT(*) AS n_novel
+  FROM (SELECT gram, MIN(shard) AS shard FROM grams GROUP BY gram)
+  GROUP BY shard
+)
+SELECT p.shard,
+       CAST(p.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+       ROUND(COALESCE(nv.n_novel, 0) / p.n_grams, 5) AS novelty_ratio,
+       CAST(SUM(COALESCE(nv.n_novel, 0)) OVER (ORDER BY p.shard)
+            AS BIGINT) AS cum_distinct
+FROM per_shard p LEFT JOIN novel nv ON p.shard = nv.shard
+ORDER BY p.shard
+""",
+    # contamination_fraction: graded eval-overlap share per training
+    # doc over distinct 5-grams; zero-overlap docs keep a row. Mirrors
+    # text/pipeline.py:contamination_fraction (n=5, eval_mod=50).
+    "contamination_fraction": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - 5 + 2)) AS u(i)
+),
+eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+train AS (SELECT * FROM grams WHERE doc_id % 50 <> 0)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(e.gram) AS BIGINT) AS n_shared,
+       ROUND(COUNT(e.gram) / COUNT(*), 5) AS contaminated_frac
+FROM train t LEFT JOIN eval_grams e ON t.gram = e.gram
+GROUP BY t.doc_id ORDER BY doc_id
+""",
 }
 
 # decontaminate_bloom: identical SEMANTICS to decontaminate_ngram — the
@@ -2947,14 +3024,15 @@ ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate_ngram"]
 # six oracle-backed keys displaced from the round-7 window whose
 # newest green row dates to r04 (zscore_anomaly, robust_zscore,
 # event_pair_lift, data_expectations, events_cube, token_count_bpe);
-# slots 12-42 are 31 of the 44 oracle-backed keys last green in r05;
-# slots 43-47 are the five keys upgraded THIS round from rows-only to
+# slots 12-39 are 28 of the 44 oracle-backed keys last green in r05;
+# slots 40-44 are the five keys upgraded THIS round from rows-only to
 # oracle-backed (storm_find via a recursive-CTE replay of the burst
 # fold; simhash_fingerprints / simhash_near_dup / minhash_near_dup /
 # dedup_clusters via the md5-based, DuckDB-replayable fingerprint
-# family); slots 48-50 are the three operators NEW this round
-# (decontaminate_bloom, incremental_dedup, importance_resample) —
-# never-seen keys take window priority. The thirteen leftover r05
+# family); slots 45-50 are the six operators NEW this round
+# (decontaminate_bloom, incremental_dedup, importance_resample,
+# boilerplate_phrases, ngram_novelty, contamination_fraction) —
+# never-seen keys take window priority. The sixteen leftover r05
 # keys + the r06 cohort rotate in round 9. The remaining rows-only keys spend no slots this
 # round — all earned their driver rows-only row by r07 and stay pinned
 # by golden/differential pytest.
@@ -2980,15 +3058,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_expectations": data_expectations,
     "events_cube": events_cube,
     "token_count_bpe": token_count_bpe,
-    # Slots 12-42: the first 31 (alphabetical) of the 44 oracle-backed
+    # Slots 12-39: the first 28 (alphabetical) of the 44 oracle-backed
     # keys whose newest driver-green row dates to r05. The remaining
-    # thirteen (sequence_pack, series_quantile_bands, series_trend,
-    # session_overlap, shipmode_priority_counts, shipping_priority,
-    # source_lang_matrix, source_mix_sample, stratified_sample,
-    # unigram_logprob, user_reach, value_drift_psi, value_histogram)
-    # rotate in next round together with the r06 cohort; until then
-    # they stay pinned by tests/test_oracle_parity.py like every
-    # past-cap key.
+    # sixteen (returned_item_customers, rolling_7d_active,
+    # seasonal_anomaly, sequence_pack, series_quantile_bands,
+    # series_trend, session_overlap, shipmode_priority_counts,
+    # shipping_priority, source_lang_matrix, source_mix_sample,
+    # stratified_sample, unigram_logprob, user_reach, value_drift_psi,
+    # value_histogram) rotate in next round together with the r06
+    # cohort; until then they stay pinned by
+    # tests/test_oracle_parity.py like every past-cap key.
     "bigram_logprob": bigram_logprob,
     "cooccurrence_counts": cooccurrence_counts,
     "corpus_summary": corpus_summary,
@@ -3017,10 +3096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_bucket_sample": quality_bucket_sample,
     "repetition_stats": repetition_stats,
     "retention_cohorts": retention_cohorts,
-    "returned_item_customers": returned_item_customers,
-    "rolling_7d_active": rolling_7d_active,
-    "seasonal_anomaly": seasonal_anomaly,
-    # Slots 43-47: the five keys upgraded THIS round from rows-only to
+    # Slots 40-44: the five keys upgraded THIS round from rows-only to
     # oracle-backed (minhash/simhash family + clusters via the
     # md5-derived portable hash base; storm_find via a recursive-CTE
     # replay of the burst fold) — in-window so the driver records
@@ -3030,17 +3106,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": simhash_near_dup,
     "minhash_near_dup": q_minhash_near_dup,
     "dedup_clusters": dedup_clusters,
-    # Slots 48-50: NEW oracle-backed operators this round — Bloom-
+    # Slots 45-50: NEW oracle-backed operators this round — Bloom-
     # prefiltered decontamination (result-identical to the exact join),
-    # cross-corpus incremental dedup (batch vs reference corpus), and
-    # DSIR-style importance resampling.
+    # cross-corpus incremental dedup (batch vs reference corpus),
+    # DSIR-style importance resampling, per-source boilerplate-phrase
+    # forensics, the ingestion-order n-gram novelty curve, and graded
+    # train/eval contamination fractions.
     "decontaminate_bloom": decontaminate_bloom,
     "incremental_dedup": incremental_dedup,
     "importance_resample": importance_resample,
+    "boilerplate_phrases": boilerplate_phrases,
+    "ngram_novelty": ngram_novelty,
+    "contamination_fraction": contamination_fraction,
     # ====== PAST THE DRIVER CAP: every key below has a driver-green
     # ====== (or rows-only for non-SQL ops) row in r01-r07 and stays
     # ====== pinned by tests/test_oracle_parity.py (oracle-backed) or
     # ====== golden/differential pytest (rows-only) ======================
+    "returned_item_customers": returned_item_customers,
+    "rolling_7d_active": rolling_7d_active,
+    "seasonal_anomaly": seasonal_anomaly,
     "sequence_pack": sequence_pack,
     "series_quantile_bands": series_quantile_bands,
     "series_trend": series_trend,

@@ -301,6 +301,201 @@ def importance_resample(
     ).orderBy("rank")
 
 
+def boilerplate_phrases(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 2,
+    k: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-source boilerplate phrase detection (CCNet/RefinedWeb-style,
+    generalized from repeated LINES to repeated token n-grams since the
+    corpus is single-line): for each source, the ``k`` phrases that
+    appear in the most DISTINCT documents of that source, with their
+    document frequency and its share of the source's doc count. A
+    cleaning pass would strip these before dedup/training; surfacing
+    them per source is the forensics half of that step.
+
+    Scale shape: grams dedupe PER DOCUMENT inside codegen
+    (array_distinct on the gram array — no shuffle), so each doc emits
+    each phrase at most once and the document frequency is a plain
+    map-side-combinable COUNT keyed by (source, gram) — one shuffle of
+    gram digests, no distinct-rewrite expand. Per-source doc counts
+    are a tiny broadcast, and the top-k is a per-source window over
+    already-aggregated (source, gram, df) rows — at most |vocab|^n per
+    source, never documents. Ties break lexicographically so the
+    selection is deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toked = docs.select(
+        "source", F.split(F.col("text"), " ").alias("t")
+    )
+    grams = F.when(
+        F.size("t") >= n,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, size(t) - {n}),"
+                f" i -> array_join(slice(t, i + 1, {n}), ' '))"
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    df_tbl = (
+        toked.select("source", F.explode(grams).alias("gram"))
+        .groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    n_docs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("source_docs")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.desc("df"), F.asc("gram")
+    )
+    return (
+        df_tbl.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .join(F.broadcast(n_docs), "source")
+        .select(
+            "source",
+            F.col("rnk").cast("long").alias("rnk"),
+            "gram",
+            F.col("df").cast("long").alias("df"),
+            F.round(F.col("df") / F.col("source_docs"), 5).alias(
+                "df_frac"
+            ),
+        )
+        .orderBy("source", "rnk")
+    )
+
+
+def ngram_novelty(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    shard_size: int = 50,
+) -> DataFrame:
+    """Ingestion-order n-gram novelty curve — the dedup-ROI meter: as
+    shards arrive (doc_id order, ``shard_size`` docs per shard), what
+    fraction of each shard's distinct n-grams has never been seen in
+    any earlier shard? A corpus whose novelty ratio collapses after a
+    few shards is mostly duplication; a flat curve says dedup will not
+    shrink it. Output per shard: distinct grams in the shard, how many
+    are corpus-first-seen here, their ratio, and the cumulative
+    distinct-gram count.
+
+    Scale shape: grams dedupe per document in codegen (array_distinct,
+    no shuffle) before the two gram-keyed shuffles — (shard, gram)
+    distinct + count, and gram -> MIN(shard) (partial MIN collapses
+    map-side) — both over gram digests, never document payloads.
+    Everything after is one row per shard, and the running total is a
+    window over that constant-sized frame.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    garr = F.when(
+        F.size("t") >= n,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, size(t) - {n}),"
+                f" i -> array_join(slice(t, i + 1, {n}), ' '))"
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toked.select(
+        (F.col("doc_id") / shard_size).cast("long").alias("shard"),
+        F.explode(garr).alias("gram"),
+    )
+    per_shard = (
+        grams.distinct()
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    novel = (
+        grams.groupBy("gram")
+        .agg(F.min("shard").alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_shard.join(novel, "shard", "left")
+        .select(
+            "shard",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        )
+        .select(
+            "shard",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 5).alias(
+                "novelty_ratio"
+            ),
+            F.sum("n_novel").over(w).alias("cum_distinct"),
+        )
+        .orderBy("shard")
+    )
+
+
+def contamination_fraction(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 5,
+    eval_mod: int = 50,
+) -> DataFrame:
+    """Graded train/eval contamination — the continuous generalization
+    of :func:`decontaminate_ngram`'s binary verdict: for EVERY training
+    document, the fraction of its DISTINCT token n-grams that also
+    occur in the held-out eval split (doc_id % eval_mod == 0). Pipeline
+    policy then thresholds the fraction (drop > 0.8, flag > 0.1, ...)
+    instead of dropping on a single shared gram. Docs too short to
+    yield a gram are excluded (they cannot be contaminated or clean at
+    the n-gram level).
+
+    Scale shape: same as the binary path — the eval distinct-gram set
+    is benchmark-sized and broadcasts; the per-doc distinct-gram
+    projection and rollup are the only corpus-sized shuffle, keyed by
+    doc_id. The shared-gram count LEFT-joins the broadcast set so
+    zero-overlap docs keep a row without a second pass.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = _doc_ngrams(docs, n).distinct()
+    eval_grams = (
+        grams.filter(F.col("doc_id") % eval_mod == 0)
+        .select("gram")
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % eval_mod != 0)
+    hit = F.broadcast(eval_grams.withColumn("hit", F.lit(1)))
+    return (
+        train.join(hit, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias(
+                "n_shared"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_grams"), 5).alias(
+                "contaminated_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def sequence_pack(
     spark: SparkSession,
     sf_dir: str,

@@ -83,3 +83,55 @@ def test_vocab_top_terms_approx_matches_exact(spark):
     assert [(r["token"], r["n"]) for r in exact] == [
         (r["token"], r["n"]) for r in approx
     ]
+
+
+def test_ngram_novelty_invariants(spark):
+    from metevents_spark.text.pipeline import ngram_novelty
+
+    out = ngram_novelty(spark, SF).toPandas()
+    # shard 0 is all-novel by construction; ratios live in (0, 1];
+    # cum_distinct is the running sum of novel counts and total
+    # distinct grams equal the corpus-wide distinct trigram count
+    assert out.iloc[0]["novelty_ratio"] == 1.0
+    assert ((out["novelty_ratio"] > 0) & (out["novelty_ratio"] <= 1)).all()
+    assert (out["n_novel"] <= out["n_grams"]).all()
+    assert list(out["cum_distinct"]) == list(out["n_novel"].cumsum())
+    from metevents_spark.io import load_table
+    from metevents_spark.text.pipeline import _doc_ngrams
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    n_distinct = _doc_ngrams(docs, 3).select("gram").distinct().count()
+    assert out["cum_distinct"].iloc[-1] == n_distinct
+
+
+def test_boilerplate_phrases_invariants(spark):
+    from metevents_spark.text.pipeline import boilerplate_phrases
+
+    out = boilerplate_phrases(spark, SF).toPandas()
+    # per-source rank sequences are 1..k contiguous, df is
+    # non-increasing within a source, and df_frac is df / source docs
+    for _, g in out.groupby("source"):
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        assert (g["df"].diff().dropna() <= 0).all()
+    assert (out["df"] >= 2).all()
+    assert ((out["df_frac"] > 0) & (out["df_frac"] <= 1)).all()
+
+
+def test_contamination_fraction_consistent_with_binary(spark):
+    from metevents_spark.text.pipeline import (
+        contamination_fraction,
+        decontaminate_ngram,
+    )
+
+    frac = contamination_fraction(spark, SF).toPandas()
+    binary = decontaminate_ngram(spark, SF).toPandas()
+    # the graded meter must agree with the binary one: docs with
+    # frac > 0 are EXACTLY the contaminated set, with equal n_shared
+    contaminated = frac[frac["n_shared"] > 0].set_index("doc_id")
+    assert set(contaminated.index) == set(binary["doc_id"])
+    b = binary.set_index("doc_id")
+    assert (
+        contaminated["n_shared"] == b.loc[contaminated.index, "n_shared"]
+    ).all()
+    assert ((frac["contaminated_frac"] >= 0)
+            & (frac["contaminated_frac"] <= 1)).all()
