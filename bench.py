@@ -101,6 +101,8 @@ HEADLINE = [
     "importance_resample",
     "boilerplate_phrases",
     "ngram_novelty",
+    "event_transitions",
+    "top_paths",
     "contamination_fraction",
     "sequence_pack",
     "stratified_sample",

@@ -43,6 +43,7 @@ from metevents_spark.relational import (
     nation_revenue_share,
     daily_rollup,
     event_pair_lift,
+    event_transitions,
     funnel_conversion,
     nation_segment_rollup,
     nation_trade_flow,
@@ -54,6 +55,7 @@ from metevents_spark.relational import (
     revenue_topn,
     rolling_7d_active,
     top_customers_per_segment,
+    top_paths,
 )
 from metevents_spark.relational.tpch import (
     big_spender_1995,
@@ -3001,6 +3003,42 @@ SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
 FROM train t LEFT JOIN eval_grams e ON t.gram = e.gram
 GROUP BY t.doc_id ORDER BY doc_id
 """,
+    # event_transitions: first-order Markov matrix over each user's
+    # time-ordered stream (event_id tiebreak); p row-normalizes per
+    # current type. Mirrors relational/product.py:transition_frame.
+    "event_transitions": """
+WITH nxt AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), c AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM nxt WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+       ROUND(n / SUM(n) OVER (PARTITION BY event_type), 5) AS p
+FROM c ORDER BY event_type, next_type
+""",
+    # top_paths: top-20 opening 3-event paths across users ('>'
+    # joined, shorter prefixes kept). Mirrors
+    # relational/product.py:path_frame (depth=3, k=20).
+    "top_paths": """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id
+), c AS (SELECT path, COUNT(*) AS n_users FROM p GROUP BY path)
+SELECT CAST(row_number() OVER (ORDER BY n_users DESC, path)
+            AS BIGINT) AS rnk,
+       path, CAST(n_users AS BIGINT) AS n_users
+FROM c ORDER BY n_users DESC, path LIMIT 20
+""",
 }
 
 # decontaminate_bloom: identical SEMANTICS to decontaminate_ngram — the
@@ -3024,15 +3062,17 @@ ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate_ngram"]
 # six oracle-backed keys displaced from the round-7 window whose
 # newest green row dates to r04 (zscore_anomaly, robust_zscore,
 # event_pair_lift, data_expectations, events_cube, token_count_bpe);
-# slots 12-39 are 28 of the 44 oracle-backed keys last green in r05;
-# slots 40-44 are the five keys upgraded THIS round from rows-only to
-# oracle-backed (storm_find via a recursive-CTE replay of the burst
-# fold; simhash_fingerprints / simhash_near_dup / minhash_near_dup /
-# dedup_clusters via the md5-based, DuckDB-replayable fingerprint
-# family); slots 45-50 are the six operators NEW this round
-# (decontaminate_bloom, incremental_dedup, importance_resample,
-# boilerplate_phrases, ngram_novelty, contamination_fraction) —
-# never-seen keys take window priority. The sixteen leftover r05
+# slots 12-37 are 26 of the 44 oracle-backed keys last green in r05;
+# slots 38-39 are the two NEW events-table operators
+# (event_transitions, top_paths); slots 40-44 are the five keys
+# upgraded THIS round from rows-only to oracle-backed (storm_find via
+# a recursive-CTE replay of the burst fold; simhash_fingerprints /
+# simhash_near_dup / minhash_near_dup / dedup_clusters via the
+# md5-based, DuckDB-replayable fingerprint family); slots 45-50 are
+# the six NEW corpus operators (decontaminate_bloom,
+# incremental_dedup, importance_resample, boilerplate_phrases,
+# ngram_novelty, contamination_fraction) — never-seen keys take
+# window priority. The eighteen leftover r05
 # keys + the r06 cohort rotate in round 9. The remaining rows-only keys spend no slots this
 # round — all earned their driver rows-only row by r07 and stay pinned
 # by golden/differential pytest.
@@ -3058,16 +3098,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_expectations": data_expectations,
     "events_cube": events_cube,
     "token_count_bpe": token_count_bpe,
-    # Slots 12-39: the first 28 (alphabetical) of the 44 oracle-backed
+    # Slots 12-37: the first 26 (alphabetical) of the 44 oracle-backed
     # keys whose newest driver-green row dates to r05. The remaining
-    # sixteen (returned_item_customers, rolling_7d_active,
-    # seasonal_anomaly, sequence_pack, series_quantile_bands,
-    # series_trend, session_overlap, shipmode_priority_counts,
-    # shipping_priority, source_lang_matrix, source_mix_sample,
-    # stratified_sample, unigram_logprob, user_reach, value_drift_psi,
-    # value_histogram) rotate in next round together with the r06
-    # cohort; until then they stay pinned by
-    # tests/test_oracle_parity.py like every past-cap key.
+    # eighteen (repetition_stats, retention_cohorts,
+    # returned_item_customers, rolling_7d_active, seasonal_anomaly,
+    # sequence_pack, series_quantile_bands, series_trend,
+    # session_overlap, shipmode_priority_counts, shipping_priority,
+    # source_lang_matrix, source_mix_sample, stratified_sample,
+    # unigram_logprob, user_reach, value_drift_psi, value_histogram)
+    # rotate in next round together with the r06 cohort; until then
+    # they stay pinned by tests/test_oracle_parity.py like every
+    # past-cap key.
     "bigram_logprob": bigram_logprob,
     "cooccurrence_counts": cooccurrence_counts,
     "corpus_summary": corpus_summary,
@@ -3094,8 +3135,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue_pct": promo_revenue_pct,
     "props_value_stats": props_value_stats,
     "quality_bucket_sample": quality_bucket_sample,
-    "repetition_stats": repetition_stats,
-    "retention_cohorts": retention_cohorts,
+    # Slots 38-39: the two operators NEW this round on the events
+    # table — the Markov transition matrix and top opening paths
+    # (user-journey analytics next to funnel/retention/sessionize).
+    "event_transitions": event_transitions,
+    "top_paths": top_paths,
     # Slots 40-44: the five keys upgraded THIS round from rows-only to
     # oracle-backed (minhash/simhash family + clusters via the
     # md5-derived portable hash base; storm_find via a recursive-CTE
@@ -3122,6 +3166,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ====== (or rows-only for non-SQL ops) row in r01-r07 and stays
     # ====== pinned by tests/test_oracle_parity.py (oracle-backed) or
     # ====== golden/differential pytest (rows-only) ======================
+    "repetition_stats": repetition_stats,
+    "retention_cohorts": retention_cohorts,
     "returned_item_customers": returned_item_customers,
     "rolling_7d_active": rolling_7d_active,
     "seasonal_anomaly": seasonal_anomaly,

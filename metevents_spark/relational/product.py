@@ -134,6 +134,94 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def transition_frame(ev: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over each user's
+    time-ordered event stream: for every (event_type, next_type) pair,
+    how often it occurs and the row-normalized transition probability
+    P(next | current). The user-journey counterpart of the funnel: the
+    funnel asks "did stage k follow stage k-1", this asks what
+    ACTUALLY follows each step.
+
+    One shuffle keyed by user_id (the lead window — the event log's
+    natural partition key), then a map-side-combinable count over at
+    most |types|² pairs; the probability normalization is a window
+    over that constant-sized frame. Ties in ts break on event_id so
+    the sequence — and therefore the matrix — is deterministic.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = nxt.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 5).alias("p"),
+    ).orderBy("event_type", "next_type")
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: :func:`transition_frame` over the events table."""
+    return transition_frame(
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "event_type", "ts"
+        )
+    )
+
+
+def path_frame(ev: DataFrame, depth: int = 3, k: int = 20) -> DataFrame:
+    """Top-``k`` opening event-type paths: each user's first ``depth``
+    events (time order, event_id tiebreak) joined into a '>' path
+    string, counted across users. Users with fewer than ``depth``
+    events contribute their shorter prefix — dropping them would bias
+    the ranking toward heavy users.
+
+    Scale shape: the row_number window is the one user_id-keyed
+    shuffle; the per-user path rollup rides the same partitioning
+    (groupBy user_id after a user_id window needs no second exchange),
+    path counts collapse map-side to at most |types|^depth rows, and
+    the final ranking is a LIMIT — a TakeOrdered merge, never a global
+    sort of the path table.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= depth)
+    )
+    paths = first.groupBy("user_id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(rn, event_type))), s -> s.event_type)"),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    top = counts.orderBy(F.desc("n_users"), F.asc("path")).limit(k)
+    wr = Window.orderBy(F.desc("n_users"), F.asc("path"))
+    return top.select(
+        F.row_number().over(wr).cast("long").alias("rnk"),
+        "path",
+        "n_users",
+    ).orderBy("rnk")
+
+
+def top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: :func:`path_frame` over the events table."""
+    return path_frame(
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "event_type", "ts"
+        )
+    )
+
+
 def rolling_active_frame(ev: DataFrame, window_days: int = 7) -> DataFrame:
     """Rolling ``window_days``-day distinct active users per calendar
     day over an (user_id, ts) frame.

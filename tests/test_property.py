@@ -240,3 +240,78 @@ def test_stream_funnel_chunking_invariance(log, split):
     second, st_two = advance_funnel(st_mid, events[k:], _STAGES)
     assert one == first + second
     assert st_one == st_two
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(log=event_logs)
+def test_transitions_match_brute_force(spark, log):
+    from collections import Counter, defaultdict
+
+    from metevents_spark.relational.product import transition_frame
+
+    rows = [
+        (u, i, _STAGES[s], START + timedelta(days=t))
+        for i, (u, s, t) in enumerate(log)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="user_id long, event_id long, event_type string,"
+        " ts timestamp",
+    )
+    got = {
+        (r.event_type, r.next_type): (r.n, r.p)
+        for r in transition_frame(ev).collect()
+    }
+
+    seq = defaultdict(list)
+    for u, i, s, t in rows:
+        seq[u].append((t, i, s))
+    counts: Counter = Counter()
+    for evs in seq.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            counts[(a, b)] += 1
+    assert set(got) == set(counts)
+    row_tot: Counter = Counter()
+    for (a, _), n in counts.items():
+        row_tot[a] += n
+    for key, n in counts.items():
+        assert got[key][0] == n
+        assert abs(got[key][1] - round(n / row_tot[key[0]], 5)) < 1e-9
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(log=event_logs)
+def test_top_paths_match_brute_force(spark, log):
+    from collections import Counter, defaultdict
+
+    from metevents_spark.relational.product import path_frame
+
+    rows = [
+        (u, i, _STAGES[s], START + timedelta(days=t))
+        for i, (u, s, t) in enumerate(log)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="user_id long, event_id long, event_type string,"
+        " ts timestamp",
+    )
+    got = [(r.rnk, r.path, r.n_users) for r in path_frame(ev).collect()]
+
+    seq = defaultdict(list)
+    for u, i, s, t in rows:
+        seq[u].append((t, i, s))
+    paths: Counter = Counter()
+    for evs in seq.values():
+        evs.sort()
+        paths[">".join(s for _, _, s in evs[:3])] += 1
+    want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == [(i + 1, p, n) for i, (p, n) in enumerate(want)]
