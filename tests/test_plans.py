@@ -218,6 +218,7 @@ def test_no_query_plans_a_cartesian_product(spark):
         "important_parts",        # Q11 global-total scalar broadcast
         "top_supplier",           # Q15 max-revenue scalar broadcast
         "bm25_rank",              # 1-row (n_docs, avgdl) corpus stats
+        "importance_resample",    # 1-row (tt, tr) distribution totals
         # fixed-size sample all-pairs by design: the calibration meter
         # cross-joins its 200-doc deterministic sample (sample^2/2
         # pairs regardless of corpus size — scale-independent cost)
