@@ -97,9 +97,44 @@ print(f"  classifier gate keeps: {clf.filter('keep').count()}")
 sampled = quality_bucket_sample(spark, sf_dir)
 print(f"  quality-bucket sample keeps: {sampled.count()}")
 
-# 3. decontamination report (eval-set n-gram overlap)
+# 2b. corpus forensics: which phrases are per-source boilerplate, and
+# does the ingestion stream still carry novelty (dedup ROI)?
+from metevents_spark.text.pipeline import boilerplate_phrases, ngram_novelty
+
+bp = boilerplate_phrases(spark, sf_dir)
+print(f"  boilerplate phrases flagged: {bp.count()} (top-10 per source)")
+nov = ngram_novelty(spark, sf_dir)
+last = nov.orderBy("shard").collect()[-1]
+print(
+    f"  novelty ratio by final shard: {last['novelty_ratio']} "
+    f"(cumulative distinct grams {last['cum_distinct']})"
+)
+
+# 2c. the ingest boundary: classify a new batch against the already-
+# deduped reference corpus without redoing historic work
+from metevents_spark.text.dedup import incremental_dedup
+
+inc = incremental_dedup(spark, sf_dir)
+by_status = {
+    r["status"]: r["n"]
+    for r in inc.groupBy("status").agg(F.count("*").alias("n")).collect()
+}
+print(f"  ingest batch verdicts: {by_status}")
+
+# 3. decontamination report (eval-set n-gram overlap) — binary flag,
+# Bloom-prefiltered scale path (identical output), and the graded
+# per-doc overlap fraction for threshold policies
 contam = decontaminate_ngram(spark, sf_dir)
 print(f"  docs flagged by eval-overlap: {contam.count()}")
+from metevents_spark.text.pipeline import (
+    contamination_fraction,
+    decontaminate_bloom,
+)
+
+assert decontaminate_bloom(spark, sf_dir).count() == contam.count()
+frac = contamination_fraction(spark, sf_dir)
+heavy = frac.filter("contaminated_frac > 0.05").count()
+print(f"  docs over 5% gram overlap: {heavy}")
 
 # 4. the surviving set -> packed training sequences
 survivors = (
@@ -144,6 +179,19 @@ for r in tm.limit(3).collect():
         f"    {r['source']}: share {r['share']} -> weight {r['weight']} "
         f"(epochs {r['epochs']})"
     )
+
+# 5c. domain-targeted selection: importance-resample candidates toward
+# the target source's hashed-unigram profile (DSIR recipe)
+from metevents_spark.text.pipeline import importance_resample
+
+sel = importance_resample(spark, sf_dir)
+print(
+    "  DSIR selection (top 3): "
+    + ", ".join(
+        f"doc {r['doc_id']} (lr {r['log_ratio']})"
+        for r in sel.limit(3).collect()
+    )
+)
 
 # 6. final layout: reproducible global shuffle into training shards
 from metevents_spark.text.pipeline import shuffle_shards
