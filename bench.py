@@ -75,6 +75,8 @@ HEADLINE = [
     "shuffle_shards",
     "zipf_fit",
     "dedup_recall_report",
+    "bpe_learn",
+    "bpe_token_count",
     "tfidf_top_terms",
     "doc_fingerprint",
     "rolling_fingerprint",

@@ -105,6 +105,7 @@ from metevents_spark.text.dedup import (
 )
 from metevents_spark.text.scrub import canonicalize_url, domain_stats, pii_redact
 from metevents_spark.text.stats import gopher_quality, zipf_fit
+from metevents_spark.text.bpe import bpe_learn, bpe_token_count
 from metevents_spark.text.pipeline import (
     bigram_logprob,
     hash_sample,
@@ -3188,6 +3189,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit": zipf_fit,
     "dedup_recall_report": dedup_recall_report,
     "knn_ivf_pq": knn_ivf_pq,
+    # NEW r8, rows-only (iterative argmax per merge round — not ANSI
+    # SQL): distributed BPE trainer + real-tokenizer document token
+    # counts, pinned by exact differential parity with an independent
+    # pure-Python reference (tests/test_bpe.py). Never-seen keys —
+    # give them window slots in round 9.
+    "bpe_learn": bpe_learn,
+    "bpe_token_count": bpe_token_count,
     "ewma_smooth": ewma_smooth,
     "holt_smooth": holt_smooth,
     "frame_sample": q_frame_sample,
