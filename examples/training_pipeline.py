@@ -151,6 +151,22 @@ print(
     f"(mean fill {packs.agg(F.round(F.avg('fill_ratio'), 3)).collect()[0][0]})"
 )
 
+# 4b. tokenizer training on the surviving corpus: learn BPE merges
+# distributed, then count real tokens per document
+from metevents_spark.text.bpe import bpe_learn, bpe_token_count
+
+merge_table = bpe_learn(spark, sf_dir, n_merges=12)
+print(
+    "  BPE merges learned: "
+    + ", ".join(f"{r['merged']}" for r in merge_table.limit(6).collect())
+    + ", ..."
+)
+tok = bpe_token_count(spark, sf_dir, n_merges=12)
+ratio = tok.agg(
+    F.round(F.sum("n_tokens_bpe") / F.sum("n_words"), 3)
+).collect()[0][0]
+print(f"  BPE tokens per word: {ratio}")
+
 # 5. mixture planning: how to sample each source to hit a token budget
 from metevents_spark.text.pipeline import mixture_plan
 
