@@ -3063,17 +3063,17 @@ ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate_ngram"]
 # six oracle-backed keys displaced from the round-7 window whose
 # newest green row dates to r04 (zscore_anomaly, robust_zscore,
 # event_pair_lift, data_expectations, events_cube, token_count_bpe);
-# slots 12-37 are 26 of the 44 oracle-backed keys last green in r05;
-# slots 38-39 are the two NEW events-table operators
-# (event_transitions, top_paths); slots 40-44 are the five keys
-# upgraded THIS round from rows-only to oracle-backed (storm_find via
-# a recursive-CTE replay of the burst fold; simhash_fingerprints /
-# simhash_near_dup / minhash_near_dup / dedup_clusters via the
-# md5-based, DuckDB-replayable fingerprint family); slots 45-50 are
-# the six NEW corpus operators (decontaminate_bloom,
-# incremental_dedup, importance_resample, boilerplate_phrases,
-# ngram_novelty, contamination_fraction) — never-seen keys take
-# window priority. The eighteen leftover r05
+# slots 12-35 are 24 of the 44 oracle-backed keys last green in r05;
+# slots 36-39 are four NEW operators (bpe_learn, bpe_token_count
+# rows-only; event_transitions, top_paths oracle-backed); slots 40-44
+# are the five keys upgraded THIS round from rows-only to
+# oracle-backed (storm_find via a recursive-CTE replay of the burst
+# fold; simhash_fingerprints / simhash_near_dup / minhash_near_dup /
+# dedup_clusters via the md5-based, DuckDB-replayable fingerprint
+# family); slots 45-50 are the six NEW corpus operators
+# (decontaminate_bloom, incremental_dedup, importance_resample,
+# boilerplate_phrases, ngram_novelty, contamination_fraction) —
+# never-seen keys take window priority. The twenty leftover r05
 # keys + the r06 cohort rotate in round 9. The remaining rows-only keys spend no slots this
 # round — all earned their driver rows-only row by r07 and stay pinned
 # by golden/differential pytest.
@@ -3099,17 +3099,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_expectations": data_expectations,
     "events_cube": events_cube,
     "token_count_bpe": token_count_bpe,
-    # Slots 12-37: the first 26 (alphabetical) of the 44 oracle-backed
+    # Slots 12-35: the first 24 (alphabetical) of the 44 oracle-backed
     # keys whose newest driver-green row dates to r05. The remaining
-    # eighteen (repetition_stats, retention_cohorts,
-    # returned_item_customers, rolling_7d_active, seasonal_anomaly,
-    # sequence_pack, series_quantile_bands, series_trend,
-    # session_overlap, shipmode_priority_counts, shipping_priority,
-    # source_lang_matrix, source_mix_sample, stratified_sample,
-    # unigram_logprob, user_reach, value_drift_psi, value_histogram)
-    # rotate in next round together with the r06 cohort; until then
-    # they stay pinned by tests/test_oracle_parity.py like every
-    # past-cap key.
+    # twenty (props_value_stats, quality_bucket_sample,
+    # repetition_stats, retention_cohorts, returned_item_customers,
+    # rolling_7d_active, seasonal_anomaly, sequence_pack,
+    # series_quantile_bands, series_trend, session_overlap,
+    # shipmode_priority_counts, shipping_priority, source_lang_matrix,
+    # source_mix_sample, stratified_sample, unigram_logprob,
+    # user_reach, value_drift_psi, value_histogram) rotate in next
+    # round together with the r06 cohort; until then they stay pinned
+    # by tests/test_oracle_parity.py like every past-cap key.
     "bigram_logprob": bigram_logprob,
     "cooccurrence_counts": cooccurrence_counts,
     "corpus_summary": corpus_summary,
@@ -3134,8 +3134,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_revenue_share": nation_revenue_share,
     "pii_redact": pii_redact,
     "promo_revenue_pct": promo_revenue_pct,
-    "props_value_stats": props_value_stats,
-    "quality_bucket_sample": quality_bucket_sample,
+    # Slots 36-37: the distributed BPE trainer + real-tokenizer token
+    # counts, NEW this round and rows-only (iterative argmax per merge
+    # round is not ANSI SQL) — never-seen keys take window priority so
+    # the driver records their first rows-only rows; pinned by exact
+    # differential parity with an independent pure-Python reference
+    # (tests/test_bpe.py).
+    "bpe_learn": bpe_learn,
+    "bpe_token_count": bpe_token_count,
     # Slots 38-39: the two operators NEW this round on the events
     # table — the Markov transition matrix and top opening paths
     # (user-journey analytics next to funnel/retention/sessionize).
@@ -3189,13 +3195,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit": zipf_fit,
     "dedup_recall_report": dedup_recall_report,
     "knn_ivf_pq": knn_ivf_pq,
-    # NEW r8, rows-only (iterative argmax per merge round — not ANSI
-    # SQL): distributed BPE trainer + real-tokenizer document token
-    # counts, pinned by exact differential parity with an independent
-    # pure-Python reference (tests/test_bpe.py). Never-seen keys —
-    # give them window slots in round 9.
-    "bpe_learn": bpe_learn,
-    "bpe_token_count": bpe_token_count,
+    "props_value_stats": props_value_stats,
+    "quality_bucket_sample": quality_bucket_sample,
     "ewma_smooth": ewma_smooth,
     "holt_smooth": holt_smooth,
     "frame_sample": q_frame_sample,

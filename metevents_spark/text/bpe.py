@@ -171,7 +171,10 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
 
 
 def bpe_token_count(
-    spark: SparkSession, sf_dir: str, n_merges: int = 12
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = 12,
+    merges: list[tuple[int, str, str, str, int]] | None = None,
 ) -> DataFrame:
     """Per-document token count under a corpus-trained BPE merge table
     — the real-tokenizer upgrade of token_count_bpe's regex
@@ -183,11 +186,9 @@ def bpe_token_count(
     word. The merge table rides in the UDF closure: n_merges entries,
     tokenizer-sized driver state by definition.
     """
-    ranks = {
-        (l, r): rank for rank, l, r, _, _ in learn_merges(
-            spark, sf_dir, n_merges
-        )
-    }
+    if merges is None:
+        merges = learn_merges(spark, sf_dir, n_merges)
+    ranks = {(l, r): rank for rank, l, r, _, _ in merges}
 
     @F.pandas_udf("long")
     def n_tokens(words: pd.Series) -> pd.Series:

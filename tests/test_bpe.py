@@ -11,6 +11,20 @@ from metevents_spark.text.bpe import END, bpe_learn, bpe_token_count
 
 SF = "/root/testdata/sf0.001"
 
+# the distributed learn is the expensive step (12 one-job rounds);
+# train once per suite and share across both differential tests
+_CACHE: dict = {}
+
+
+def _spark_merges(spark):
+    if "m" not in _CACHE:
+        _CACHE["m"] = [
+            (r["rank"], r["left"], r["right"], r["merged"],
+             r["pair_count"])
+            for r in bpe_learn(spark, SF, n_merges=12).collect()
+        ]
+    return _CACHE["m"]
+
 
 def _corpus_word_freqs() -> dict[str, int]:
     docs = pd.read_parquet(f"{SF}/documents.parquet")
@@ -70,10 +84,7 @@ def _ref_encode(word: str, ranks: dict) -> int:
 
 
 def test_learned_merges_match_reference(spark):
-    got = [
-        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
-        for r in bpe_learn(spark, SF, n_merges=12).collect()
-    ]
+    got = _spark_merges(spark)
     want, _ = _ref_learn(_corpus_word_freqs(), 12)
     assert got == want
     # merged-pair counts can never increase round over round: every
@@ -84,7 +95,14 @@ def test_learned_merges_match_reference(spark):
 
 
 def test_token_counts_match_reference_encode(spark):
-    out = bpe_token_count(spark, SF, n_merges=12).toPandas()
+    df = bpe_token_count(spark, SF, merges=_spark_merges(spark))
+    # the plan sweep in test_plans skips the bpe keys (executing the
+    # training loop there buys no plan signal) — assert the encode
+    # plan's shape here instead: vocab broadcasts, nothing cartesian
+    plan = df._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    out = df.toPandas()
     freqs = _corpus_word_freqs()
     merges, _ = _ref_learn(freqs, 12)
     ranks = {(l, r): rank for rank, l, r, _, _ in merges}

@@ -38,6 +38,11 @@ def test_queries_all_run(spark):
     from tests.test_oracle_parity import past_cap_oracle_queries
 
     covered = set(past_cap_oracle_queries())
+    # the BPE pair runs END TO END with value-level reference parity in
+    # tests/test_bpe.py; re-running the 12-round training loop here is
+    # the same doubled-wall-time-for-zero-signal case as the parity
+    # keys below
+    covered |= {"bpe_learn", "bpe_token_count"}
     qs = entrymod.queries()
     assert len(qs) >= 20
     for name, fn in qs.items():
