@@ -248,25 +248,35 @@ def main() -> None:
 
     import gc
 
-    # Two passes per query: the first (cold) pass pays one-time JVM
-    # JIT + whole-stage-codegen class compilation for that query's
-    # plan; the second (warm) pass is the steady-state cost — what a
+    # Per query: one cold pass (pays one-time JVM JIT + whole-stage-
+    # codegen class compilation for that query's plan), then
+    # SPARK_GRAFT_WARM_REPS warm passes of which the MINIMUM is
+    # recorded. The warm minimum is the steady-state cost — what a
     # long-running cluster session pays per query, and the number that
-    # is comparable across rounds as the registry grows (with ~140
+    # is comparable across rounds as the registry grows (with ~150
     # distinct plans, single-shot timings are dominated by per-plan
-    # compile noise that shifts with registry ordering). Both passes
-    # execute end-to-end against the same sf dir (noop sink = full
-    # execution, no result materialization on the driver). Both are
-    # reported; `value` is the warm total.
+    # compile noise that shifts with registry ordering). The min-of-2
+    # exists because measured idle-machine runs still bounce individual
+    # heavy Arrow-kernel queries up to 2x on JVM GC state — a
+    # single-sample warm time made the drift gate cry wolf two rounds
+    # running; the minimum is the estimator least sensitive to that
+    # one-sided noise. All passes execute end-to-end against the same
+    # sf dir (noop sink = full execution, no result materialization on
+    # the driver). `value` is the warm total.
+    warm_reps = int(os.environ.get("SPARK_GRAFT_WARM_REPS", "2"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        for target in (cold, timings):
+        for rep in range(1 + warm_reps):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            target[name] = round(time.perf_counter() - t0, 3)
+            took = round(time.perf_counter() - t0, 3)
+            if rep == 0:
+                cold[name] = took
+            else:
+                timings[name] = min(timings.get(name, took), took)
             # outside the timed region: drop the query's DataFrame refs
             # so the ContextCleaner can release its localCheckpoint
             # blocks — across 100 queries the retained blocks otherwise
