@@ -181,6 +181,11 @@ HEADLINE = [
     "part_supplier_counts",
     "hash_sample",
     "media_embedding_near_dup",
+    "time_weighted_avg",
+    "counter_rate",
+    "pareto_parts",
+    "embedding_covariance",
+    "pca_embeddings",
 ]
 
 

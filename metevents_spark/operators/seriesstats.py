@@ -680,3 +680,114 @@ def anomaly_consensus(
         )
         .orderBy("sid", "ts", "seq")
     )
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(series, day) trapezoidal TIME-weighted mean over the
+    irregular event stream — the TSDB operator (TimescaleDB
+    ``time_weight('Linear')``, kdb ``twa``) that the plain AVG family
+    cannot express: on irregular timestamps a sample that held for six
+    hours must weigh 360x one that held for a minute.
+
+    Each consecutive (prev, curr) pair within a series forms a segment
+    whose mass is the trapezoid mean(prev, curr) x duration; a segment
+    is attributed to the day of its LATER endpoint (no segment
+    splitting — a deliberate, documented contract that keeps the
+    operator a pure lag + groupBy with one sid exchange). ``simple_avg``
+    of the same segment endpoints rides along so the two means can be
+    contrasted row-for-row. Days whose segments all have zero duration
+    (duplicate timestamps) drop — the time integral is undefined there.
+
+    Scale: one window pass (sid exchange) + one groupBy on (sid, day)
+    that AQE coalesces; no join, nothing driver-side. NULL/NaN values
+    are excluded up front, so a NULL bridges its neighbors into one
+    longer segment (the same skip-then-pair semantics the detectors
+    use for gap analysis).
+    """
+    df = series_frame(spark, sf_dir).filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    w = Window.partitionBy("sid").orderBy("ts", "seq")
+    seg = (
+        df.select(
+            "sid",
+            "ts",
+            "value",
+            F.lag("ts").over(w).alias("pts"),
+            F.lag("value").over(w).alias("pv"),
+        )
+        .filter(F.col("pts").isNotNull())
+    )
+    dt = (epoch_us(F.col("ts")) - epoch_us(F.col("pts"))).cast("double")
+    return (
+        seg.groupBy(
+            "sid", F.date_trunc("day", F.col("ts")).alias("bucket_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(dt).alias("_dt_total"),
+            F.round(
+                F.sum((F.col("pv") + F.col("value")) / 2 * dt) / F.sum(dt),
+                6,
+            ).alias("twa"),
+            F.round(F.avg("value"), 6).alias("simple_avg"),
+        )
+        .filter(F.col("_dt_total") > 0)
+        .drop("_dt_total")
+        .orderBy("sid", "bucket_day")
+    )
+
+
+def counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series monotonic-counter increase and hourly rate with
+    RESET handling — the Prometheus ``increase()``/``rate()`` contract:
+    a value drop means the counter (a tipping-bucket rain gauge, a
+    byte counter) restarted at zero, so the post-reset reading is
+    itself new accumulation, not a negative delta.
+
+    Per consecutive pair: delta = value - prev if the counter grew,
+    else the raw value (reset). Per series: total increase, reset
+    count, observed span, and increase / span-hours. Series need >= 2
+    points and a positive span for a defined rate.
+
+    Scale: identical shape to ``time_weighted_avg`` — one lag window on
+    the sid exchange, one sid-sized groupBy; no joins, no driver state.
+    """
+    df = series_frame(spark, sf_dir).filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    w = Window.partitionBy("sid").orderBy("ts", "seq")
+    lagged = df.select(
+        "sid", "ts", "value", F.lag("value").over(w).alias("pv")
+    )
+    delta = F.when(
+        F.col("pv").isNull(), F.lit(None).cast("double")
+    ).when(
+        F.col("value") >= F.col("pv"), F.col("value") - F.col("pv")
+    ).otherwise(F.col("value"))
+    span_hours = (
+        (epoch_us(F.max("ts")) - epoch_us(F.min("ts"))) / F.lit(3.6e9)
+    )
+    out = lagged.groupBy("sid").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(
+            F.when(
+                F.col("pv").isNotNull() & (F.col("value") < F.col("pv")), 1
+            ).otherwise(0)
+        ).cast("long").alias("resets"),
+        F.round(F.sum(delta), 6).alias("increase"),
+        span_hours.alias("_span_h"),
+    )
+    return (
+        out.filter((F.col("n_points") >= 2) & (F.col("_span_h") > 0))
+        .select(
+            "sid",
+            "n_points",
+            "resets",
+            "increase",
+            F.round(F.col("increase") / F.col("_span_h"), 6).alias(
+                "rate_per_hour"
+            ),
+        )
+        .orderBy("sid")
+    )

@@ -48,6 +48,7 @@ from metevents_spark.relational import (
     nation_segment_rollup,
     nation_trade_flow,
     order_priority_check,
+    pareto_parts,
     pricing_summary,
     props_value_stats,
     region_revenue,
@@ -132,7 +133,9 @@ from metevents_spark.text.pipeline import (
 from metevents_spark.session import tune_session
 from metevents_spark.similarity import (
     ann_recall_report,
+    embedding_covariance,
     knn_ivf_pq,
+    pca_embeddings,
     embedding_near_dup,
     kmeans_embeddings,
     semantic_dedup,
@@ -151,7 +154,9 @@ from metevents_spark.quality import data_expectations, value_drift_psi
 from metevents_spark.operators.changepoint import cusum_alarm
 from metevents_spark.operators.seriesstats import (
     anomaly_consensus,
+    counter_rate,
     downsample_ohlc,
+    time_weighted_avg,
     event_type_corr,
     ewma_smooth,
     holt_smooth,
@@ -3050,6 +3055,76 @@ FROM c ORDER BY n_users DESC, path LIMIT 20
 # claim that the prefilter is invisible to results.
 ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate_ngram"]
 
+# TSDB pair: both are one LAG window + one grouped aggregate on the
+# canonical series frame; the oracles replay the identical trapezoid /
+# reset-delta algebra so only engine window/agg machinery differs.
+ORACLE_SQL["time_weighted_avg"] = f"""
+WITH {_SERIES},
+clean AS (SELECT * FROM series WHERE value IS NOT NULL AND NOT isnan(value)),
+seg AS (SELECT sid, ts, value,
+        LAG(ts) OVER (PARTITION BY sid ORDER BY ts, seq) AS pts,
+        LAG(value) OVER (PARTITION BY sid ORDER BY ts, seq) AS pv
+        FROM clean),
+s2 AS (SELECT sid, date_trunc('day', ts) AS bucket_day,
+       CAST(epoch_us(ts) - epoch_us(pts) AS DOUBLE) AS dt, value, pv
+       FROM seg WHERE pts IS NOT NULL)
+SELECT sid, bucket_day, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       ROUND(SUM((pv + value) / 2 * dt) / SUM(dt), 6) AS twa,
+       ROUND(AVG(value), 6) AS simple_avg
+FROM s2 GROUP BY sid, bucket_day HAVING SUM(dt) > 0
+ORDER BY sid, bucket_day
+"""
+
+ORACLE_SQL["counter_rate"] = f"""
+WITH {_SERIES},
+clean AS (SELECT * FROM series WHERE value IS NOT NULL AND NOT isnan(value)),
+lagged AS (SELECT sid, ts, value,
+           LAG(value) OVER (PARTITION BY sid ORDER BY ts, seq) AS pv
+           FROM clean),
+agg AS (SELECT sid, COUNT(*) AS n_points,
+        CAST(SUM(CASE WHEN pv IS NOT NULL AND value < pv THEN 1 ELSE 0 END)
+             AS BIGINT) AS resets,
+        ROUND(SUM(CASE WHEN pv IS NULL THEN NULL
+                       WHEN value >= pv THEN value - pv
+                       ELSE value END), 6) AS increase,
+        (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 3.6e9 AS span_h
+        FROM lagged GROUP BY sid)
+SELECT sid, n_points, resets, increase,
+       ROUND(increase / span_h, 6) AS rate_per_hour
+FROM agg WHERE n_points >= 2 AND span_h > 0 ORDER BY sid
+"""
+
+# Skyline: the oracle is the TEXTBOOK O(n^2) NOT EXISTS dominance
+# definition, deliberately a different algorithm from the Spark
+# sort-based frontier (relational/skyline.py) — the hash match is a
+# genuine differential check of the window algebra.
+ORACLE_SQL["pareto_parts"] = """
+SELECT a.p_partkey, a.p_name, a.p_retailprice, a.p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+ORDER BY a.p_partkey
+"""
+
+# Covariance: the oracle expands every (i, j) pair per vector via a
+# generated index cross join — O(rows x dim^2), fine at oracle scale,
+# exactly what the Spark kernel's O(rows x dim) partial-sum pass
+# avoids at real scale (similarity/pca.py).
+ORACLE_SQL["embedding_covariance"] = """
+WITH idx AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 64) AS t(i)),
+pairs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
+stats AS (SELECT p.i, p.j,
+          SUM(CAST(embedding[p.i] AS DOUBLE) * CAST(embedding[p.j] AS DOUBLE)) AS sp,
+          SUM(CAST(embedding[p.i] AS DOUBLE)) AS si,
+          SUM(CAST(embedding[p.j] AS DOUBLE)) AS sj,
+          COUNT(*) AS n
+          FROM embeddings, pairs p GROUP BY p.i, p.j)
+SELECT i - 1 AS i, j - 1 AS j, ROUND((sp - si * sj / n) / n, 6) AS cov
+FROM stats ORDER BY i, j
+"""
+
 
 # Insertion order matters: the verification driver checks the FIRST 50
 # entries, so slot assignment is a deliberate rotation policy.
@@ -3099,9 +3174,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_expectations": data_expectations,
     "events_cube": events_cube,
     "token_count_bpe": token_count_bpe,
-    # Slots 12-35: the first 24 (alphabetical) of the 44 oracle-backed
+    # Slots 12-30: the first 19 (alphabetical) of the 44 oracle-backed
     # keys whose newest driver-green row dates to r05. The remaining
-    # twenty (props_value_stats, quality_bucket_sample,
+    # twenty-five (loyal_customers, media_dedup, nation_revenue_share,
+    # pii_redact, promo_revenue_pct — displaced late in the round by
+    # the five NEW operators below, which take window priority —
+    # props_value_stats, quality_bucket_sample,
     # repetition_stats, retention_cohorts, returned_item_customers,
     # rolling_7d_active, seasonal_anomaly, sequence_pack,
     # series_quantile_bands, series_trend, session_overlap,
@@ -3129,12 +3207,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_shippers": heavy_shippers,
     "label_centroids": label_centroids,
     "lineitem_unpivot": lineitem_unpivot,
-    "loyal_customers": loyal_customers,
-    "media_dedup": q_media_dedup,
-    "nation_revenue_share": nation_revenue_share,
-    "pii_redact": pii_redact,
-    "promo_revenue_pct": promo_revenue_pct,
-    # Slots 36-37: the distributed BPE trainer + real-tokenizer token
+    # Slots 31-32: the distributed BPE trainer + real-tokenizer token
     # counts, NEW this round and rows-only (iterative argmax per merge
     # round is not ANSI SQL) — never-seen keys take window priority so
     # the driver records their first rows-only rows; pinned by exact
@@ -3142,12 +3215,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (tests/test_bpe.py).
     "bpe_learn": bpe_learn,
     "bpe_token_count": bpe_token_count,
-    # Slots 38-39: the two operators NEW this round on the events
+    # Slots 33-34: the two operators NEW this round on the events
     # table — the Markov transition matrix and top opening paths
     # (user-journey analytics next to funnel/retention/sessionize).
     "event_transitions": event_transitions,
     "top_paths": top_paths,
-    # Slots 40-44: the five keys upgraded THIS round from rows-only to
+    # Slots 35-39: the five keys upgraded THIS round from rows-only to
     # oracle-backed (minhash/simhash family + clusters via the
     # md5-derived portable hash base; storm_find via a recursive-CTE
     # replay of the burst fold) — in-window so the driver records
@@ -3157,7 +3230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": simhash_near_dup,
     "minhash_near_dup": q_minhash_near_dup,
     "dedup_clusters": dedup_clusters,
-    # Slots 45-50: NEW oracle-backed operators this round — Bloom-
+    # Slots 40-45: NEW oracle-backed operators this round — Bloom-
     # prefiltered decontamination (result-identical to the exact join),
     # cross-corpus incremental dedup (batch vs reference corpus),
     # DSIR-style importance resampling, per-source boilerplate-phrase
@@ -3169,10 +3242,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_phrases": boilerplate_phrases,
     "ngram_novelty": ngram_novelty,
     "contamination_fraction": contamination_fraction,
+    # Slots 46-50: the five operators NEW late this round — the TSDB
+    # pair (trapezoidal time-weighted mean, Prometheus-style counter
+    # rate with reset handling), the sort-based skyline vs its
+    # textbook NOT EXISTS oracle, the one-pass distributed embedding
+    # covariance, and PCA projection (rows-only: eigendecomposition is
+    # not ANSI SQL; pinned by numpy differential parity,
+    # tests/test_pca.py).
+    "time_weighted_avg": time_weighted_avg,
+    "counter_rate": counter_rate,
+    "pareto_parts": pareto_parts,
+    "embedding_covariance": embedding_covariance,
+    "pca_embeddings": pca_embeddings,
     # ====== PAST THE DRIVER CAP: every key below has a driver-green
     # ====== (or rows-only for non-SQL ops) row in r01-r07 and stays
     # ====== pinned by tests/test_oracle_parity.py (oracle-backed) or
     # ====== golden/differential pytest (rows-only) ======================
+    "loyal_customers": loyal_customers,
+    "media_dedup": q_media_dedup,
+    "nation_revenue_share": nation_revenue_share,
+    "pii_redact": pii_redact,
+    "promo_revenue_pct": promo_revenue_pct,
     "repetition_stats": repetition_stats,
     "retention_cohorts": retention_cohorts,
     "returned_item_customers": returned_item_customers,

@@ -10,6 +10,10 @@ from metevents_spark.similarity.knn import (  # noqa: F401
     label_centroids,
     random_projection,
 )
+from metevents_spark.similarity.pca import (  # noqa: F401
+    embedding_covariance,
+    pca_embeddings,
+)
 from metevents_spark.similarity.semdedup import (  # noqa: F401
     kmeans_embeddings,
     semantic_dedup,

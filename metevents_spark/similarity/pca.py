@@ -1,0 +1,194 @@
+"""Distributed covariance + PCA over the embedding column.
+
+The similarity tier's statistics layer: the population covariance
+matrix of the corpus embeddings (whitening, drift monitoring, and the
+input to every spectral method) and PCA projection (dimensionality
+reduction before clustering/ANN — SemDeDup and DSIR both run on
+PCA-reduced vectors at scale).
+
+Scale shape — the only one that survives 100 TB:
+  * ONE ``mapInPandas`` pass computes per-Arrow-batch partial
+    outer-product sums (X^T X, column sums, count) with a single BLAS
+    matmul each; a batch of any size folds to dim*(dim+1)/2 + dim + 1
+    numbers, so the shuffle moves O(partitions x dim^2) floats, never
+    O(rows x dim^2) — the posexplode formulation (explode i, explode
+    j, groupBy) would shuffle rows x dim^2 and die at scale.
+  * The partials reduce with a dimension-sized groupBy; everything
+    after (index mapping, the covariance formula) runs on dim^2 rows.
+  * PCA additionally folds the dim x dim matrix on the driver and
+    eigendecomposes it there — O(dim^3) on a CONSTANT-size matrix, the
+    same legitimate tiny-collect as ``lloyd_centroids``' k x dim state
+    (semdedup.py); the component matrix broadcasts back inside the
+    projection kernel's closure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metevents_spark.cache import track
+from metevents_spark.io import load_table
+
+PARTIAL_SCHEMA = "n long, sums array<double>, prods array<double>"
+
+
+def _covariance_partials(emb: DataFrame, dim: int) -> DataFrame:
+    """Per-partition (count, column-sum, upper-triangle X^T X) rows."""
+
+    def partials(batches):
+        s = np.zeros(dim)
+        prods = np.zeros((dim, dim))
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            prods += x.T @ x
+            s += x.sum(axis=0)
+            n += len(x)
+        if n:
+            iu = np.triu_indices(dim)
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "sums": [s.tolist()],
+                    "prods": [prods[iu].tolist()],
+                }
+            )
+
+    return emb.select("embedding").mapInPandas(partials, PARTIAL_SCHEMA)
+
+
+def embedding_covariance(
+    spark: SparkSession, sf_dir: str, dim: int = 64
+) -> DataFrame:
+    """Upper-triangle population covariance of the embedding corpus:
+    one row (i, j, cov) per dimension pair with i <= j,
+    cov = E[x_i x_j] - E[x_i] E[x_j].
+
+    The partial rows reduce via posexplode + groupBy on the flat
+    index (O(partitions x dim^2) rows — tiny), then a driver-built
+    (pos -> i, j) mapping (dim^2 CONSTANT rows, broadcast) and the
+    two column-sum joins assemble the formula. No driver collect in
+    the plan itself.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # three consumers (prods, sums, count) — persist the partials so
+    # the corpus scans once; partitions x dim^2 floats, trivially cached
+    p = track(_covariance_partials(emb, dim).persist())
+
+    sp = (
+        p.select(F.posexplode("prods").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("sp"))
+    )
+    sums = (
+        p.select(F.posexplode("sums").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("s"))
+    )
+    n_tot = p.groupBy().agg(F.sum("n").alias("n_tot"))
+
+    iu_i, iu_j = np.triu_indices(dim)
+    mapping = spark.createDataFrame(
+        [(int(k), int(i), int(j)) for k, (i, j) in enumerate(zip(iu_i, iu_j))],
+        "pos int, i int, j int",
+    )
+    si = sums.select(F.col("idx").alias("i"), F.col("s").alias("si"))
+    sj = sums.select(F.col("idx").alias("j"), F.col("s").alias("sj"))
+    return (
+        sp.join(F.broadcast(mapping), "pos")
+        .join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("sp") - F.col("si") * F.col("sj") / F.col("n_tot"))
+                / F.col("n_tot"),
+                6,
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def _principal_components(
+    emb: DataFrame, dim: int, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """(mean vector, top-k components [k x dim], explained-variance
+    ratios, count) from one distributed covariance pass + driver eigh.
+
+    Sign convention: each component's largest-|coefficient| entry is
+    made positive — eigenvectors are sign-ambiguous, this pins them
+    deterministically.
+    """
+    rows = _covariance_partials(emb, dim).collect()
+    if not rows:
+        raise ValueError("empty embedding corpus")
+    n = 0
+    s = np.zeros(dim)
+    tri = np.zeros(len(rows[0]["prods"]))
+    for r in rows:
+        n += r["n"]
+        s += np.asarray(r["sums"])
+        tri += np.asarray(r["prods"])
+    iu = np.triu_indices(dim)
+    prods = np.zeros((dim, dim))
+    prods[iu] = tri
+    prods = prods + prods.T - np.diag(np.diag(prods))
+    mean = s / n
+    cov = prods / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # k x dim
+    flip = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    ratios = evals[order] / max(evals.sum(), 1e-300)
+    return mean, comps, ratios, n
+
+
+def pca_embeddings(
+    spark: SparkSession, sf_dir: str, k: int = 4, dim: int = 64
+) -> DataFrame:
+    """Project every embedding onto the corpus's top-``k`` principal
+    axes: (vec_id, label, pc1..pck), centered, deterministic signs.
+
+    Rows-only in the driver contract (eigendecomposition is not ANSI
+    SQL); pinned by exact differential parity with an independent
+    numpy PCA over the full sf0.001 corpus (tests/test_pca.py).
+    Projection is map-side: the k x dim component matrix rides the
+    kernel closure (broadcast), so the pass after training touches
+    each row once and shuffles nothing but the final sort.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, _, _ = _principal_components(emb, dim, k)
+
+    out_schema = "vec_id long, label int, " + ", ".join(
+        f"pc{i + 1} double" for i in range(k)
+    )
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            proj = np.round((x - mean) @ comps.T, 6)
+            out = {
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "label": pdf["label"].astype("int32"),
+            }
+            for i in range(k):
+                out[f"pc{i + 1}"] = proj[:, i]
+            yield pd.DataFrame(out)
+
+    return (
+        emb.select("vec_id", "label", "embedding")
+        .mapInPandas(project, out_schema)
+        .orderBy("vec_id")
+    )

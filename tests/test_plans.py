@@ -223,6 +223,8 @@ def test_no_query_plans_a_cartesian_product(spark):
         # cross-joins its 200-doc deterministic sample (sample^2/2
         # pairs regardless of corpus size — scale-independent cost)
         "dedup_recall_report",
+        # 1-row corpus-count broadcast in the covariance formula
+        "embedding_covariance",
     }
     for name, fn in entrymod.queries().items():
         # the BPE entries EXECUTE their 12-round training loop during

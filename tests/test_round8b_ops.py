@@ -1,0 +1,132 @@
+"""Semantic pins for the late round-8 operators: the trapezoidal
+time-weighted mean and reset-aware counter rate against independent
+pandas replays, and the sort-based skyline against a brute-force
+O(n^2) dominance scan. (Oracle equality is pinned separately by
+tests/test_oracle_parity.py; these check the SEMANTICS against a
+third implementation, not just Spark-vs-DuckDB agreement.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from tests.conftest import SF_SMALL
+
+
+def _series_pandas() -> pd.DataFrame:
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ev["sid"] = ev["user_id"].astype(str)
+    ev = ev.sort_values(["sid", "ts", "event_id"], kind="stable")
+    g = ev.groupby("sid")
+    ev["pts"] = g["ts"].shift()
+    ev["pv"] = g["value"].shift()
+    return ev
+
+
+def test_time_weighted_avg_matches_pandas(spark):
+    from metevents_spark.operators.seriesstats import time_weighted_avg
+
+    got = time_weighted_avg(spark, SF_SMALL).toPandas()
+
+    ev = _series_pandas()
+    seg = ev[ev["pts"].notna()].copy()
+    seg["dt"] = (seg["ts"] - seg["pts"]).dt.total_seconds() * 1e6
+    seg["bucket_day"] = seg["ts"].dt.floor("D")
+    seg["mass"] = (seg["pv"] + seg["value"]) / 2 * seg["dt"]
+    agg = seg.groupby(["sid", "bucket_day"]).agg(
+        n_segments=("dt", "size"),
+        dt_total=("dt", "sum"),
+        mass=("mass", "sum"),
+        simple_avg=("value", "mean"),
+    )
+    agg = agg[agg["dt_total"] > 0]
+    agg["twa"] = agg["mass"] / agg["dt_total"]
+    ref = agg.reset_index().sort_values(["sid", "bucket_day"])
+
+    assert len(got) == len(ref)
+    merged = got.merge(
+        ref, on=["sid", "bucket_day"], suffixes=("", "_ref")
+    )
+    assert len(merged) == len(got)
+    assert (merged["n_segments"] == merged["n_segments_ref"]).all()
+    assert np.allclose(merged["twa"], merged["twa_ref"], atol=2e-6)
+    assert np.allclose(merged["simple_avg"], merged["simple_avg_ref"], atol=2e-6)
+    # non-degenerate: on irregular timestamps the time weighting must
+    # actually disagree with the plain mean somewhere
+    assert (np.abs(merged["twa"] - merged["simple_avg"]) > 1e-3).any()
+
+
+def test_counter_rate_matches_pandas(spark):
+    from metevents_spark.operators.seriesstats import counter_rate
+
+    got = counter_rate(spark, SF_SMALL).toPandas()
+
+    ev = _series_pandas()
+    delta = np.where(
+        ev["pv"].isna(),
+        np.nan,
+        np.where(
+            ev["value"] >= ev["pv"], ev["value"] - ev["pv"], ev["value"]
+        ),
+    )
+    ev = ev.assign(delta=delta, reset=(ev["value"] < ev["pv"]).astype(int))
+    agg = ev.groupby("sid").agg(
+        n_points=("value", "size"),
+        resets=("reset", "sum"),
+        increase=("delta", "sum"),
+        first_ts=("ts", "min"),
+        last_ts=("ts", "max"),
+    )
+    agg["span_h"] = (
+        agg["last_ts"] - agg["first_ts"]
+    ).dt.total_seconds() / 3600.0
+    ref = agg[(agg["n_points"] >= 2) & (agg["span_h"] > 0)].copy()
+    ref["rate_per_hour"] = np.round(ref["increase"], 6) / ref["span_h"]
+
+    assert len(got) == len(ref)
+    merged = got.merge(ref.reset_index(), on="sid", suffixes=("", "_ref"))
+    assert len(merged) == len(got)
+    assert (merged["n_points"] == merged["n_points_ref"]).all()
+    assert (merged["resets"] == merged["resets_ref"]).all()
+    assert np.allclose(merged["increase"], merged["increase_ref"], atol=2e-6)
+    assert np.allclose(
+        merged["rate_per_hour"], merged["rate_per_hour_ref"], atol=2e-6
+    )
+    # reset semantics are actually exercised by the corpus (the events
+    # values are not monotonic), and the folded increase is the sum of
+    # non-negative deltas — never negative
+    assert (merged["resets"] > 0).any()
+    assert (merged["increase"] >= 0).all()
+
+
+def test_pareto_parts_matches_bruteforce(spark):
+    from metevents_spark.relational.skyline import pareto_parts
+
+    got = pareto_parts(spark, SF_SMALL).toPandas()
+
+    parts = pd.read_parquet(f"{SF_SMALL}/part.parquet")
+    price = parts["p_retailprice"].to_numpy()
+    size = parts["p_size"].to_numpy()
+    # dominance matrix: dom[b, a] == True iff part b dominates part a
+    dom = (
+        (price[:, None] <= price[None, :])
+        & (size[:, None] >= size[None, :])
+        & (
+            (price[:, None] < price[None, :])
+            | (size[:, None] > size[None, :])
+        )
+    )
+    sky = parts[~dom.any(axis=0)]
+
+    assert sorted(got["p_partkey"]) == sorted(sky["p_partkey"])
+    # skyline members are mutually non-dominating by construction
+    gp = got["p_retailprice"].to_numpy()
+    gs = got["p_size"].to_numpy()
+    inner = (
+        (gp[:, None] <= gp[None, :])
+        & (gs[:, None] >= gs[None, :])
+        & ((gp[:, None] < gp[None, :]) | (gs[:, None] > gs[None, :]))
+    )
+    assert not inner.any()
