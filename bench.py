@@ -186,6 +186,9 @@ HEADLINE = [
     "pareto_parts",
     "embedding_covariance",
     "pca_embeddings",
+    "token_entropy",
+    "source_token_kl",
+    "dominant_part_suppliers",
 ]
 
 

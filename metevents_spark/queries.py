@@ -73,6 +73,7 @@ from metevents_spark.relational.tpch import (
     churned_customers,
     cumulative_revenue,
     customers_no_order_1996,
+    dominant_part_suppliers,
     events_pivot,
     repeat_customers,
     small_qty_part_revenue,
@@ -189,7 +190,9 @@ from metevents_spark.text import (
     simhash_near_dup,
     bm25_rank,
     source_lang_matrix,
+    source_token_kl,
     text_stats,
+    token_entropy,
     tfidf_top_terms,
     vocab_top_terms_approx,
     token_count_bpe,
@@ -3125,6 +3128,65 @@ SELECT i - 1 AS i, j - 1 AS j, ROUND((sp - si * sj / n) / n, 6) AS cov
 FROM stats ORDER BY i, j
 """
 
+# Entropy: the oracle materializes per-(doc, term) counts the textbook
+# way (unnest + two GROUP BYs); the Spark kernel gets the same
+# sum(c*ln(c)) from a sorted-array run fold WITHOUT any shuffle — a
+# genuine differential check of the map-side algebra.
+ORACLE_SQL["token_entropy"] = """
+WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+cnt AS (SELECT doc_id, ANY_VALUE(source) AS source, term, COUNT(*) AS c
+        FROM toks GROUP BY doc_id, term),
+agg AS (SELECT doc_id, ANY_VALUE(source) AS source,
+        CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        SUM(c * ln(c)) AS s
+        FROM cnt GROUP BY doc_id)
+SELECT doc_id, source, n_tokens, n_distinct,
+       ROUND(ln(n_tokens) - s / n_tokens, 6) AS entropy_nats,
+       CASE WHEN n_distinct > 1
+            THEN ROUND((ln(n_tokens) - s / n_tokens) / ln(n_distinct), 6)
+       END AS evenness
+FROM agg ORDER BY doc_id
+"""
+
+ORACLE_SQL["source_token_kl"] = """
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+st AS (SELECT source, term, COUNT(*) AS c_st FROM toks GROUP BY source, term),
+ct AS (SELECT term, SUM(c_st) AS c_t FROM st GROUP BY term),
+ns AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source),
+nt AS (SELECT SUM(c_st) AS n_t FROM st)
+SELECT st.source,
+       CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(SUM((c_st / n_s) * ln((c_st / n_s) / (c_t / n_t))), 6)
+         AS kl_nats
+FROM st JOIN ct USING (term) JOIN ns USING (source), nt
+GROUP BY st.source ORDER BY st.source
+"""
+
+# Q20's correlated ratio predicate: the oracle states it as the
+# textbook correlated scalar subquery; the Spark plan is the two-level
+# aggregate + rejoin that actually scales.
+ORACLE_SQL["dominant_part_suppliers"] = """
+WITH l95 AS (SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+               AND l_shipdate < TIMESTAMP '1996-01-01'),
+ps AS (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+       FROM l95 GROUP BY l_partkey, l_suppkey),
+dom AS (SELECT l_suppkey, COUNT(*) AS n_dominant_parts,
+        CAST(SUM(qty) AS DOUBLE) AS dominated_qty
+        FROM ps a
+        WHERE (SELECT COUNT(*) FROM ps b WHERE b.l_partkey = a.l_partkey) >= 2
+          AND qty > 0.5 * (SELECT SUM(qty) FROM ps b
+                           WHERE b.l_partkey = a.l_partkey)
+        GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, n_dominant_parts, dominated_qty
+FROM dom JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY n_dominant_parts DESC, s_suppkey
+"""
+
 
 # Insertion order matters: the verification driver checks the FIRST 50
 # entries, so slot assignment is a deliberate rotation policy.
@@ -3174,11 +3236,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_expectations": data_expectations,
     "events_cube": events_cube,
     "token_count_bpe": token_count_bpe,
-    # Slots 12-30: the first 19 (alphabetical) of the 44 oracle-backed
+    # Slots 12-27: the first 16 (alphabetical) of the 44 oracle-backed
     # keys whose newest driver-green row dates to r05. The remaining
-    # twenty-five (loyal_customers, media_dedup, nation_revenue_share,
+    # twenty-eight (heavy_shippers, label_centroids, lineitem_unpivot,
+    # loyal_customers, media_dedup, nation_revenue_share,
     # pii_redact, promo_revenue_pct — displaced late in the round by
-    # the five NEW operators below, which take window priority —
+    # the eight NEW operators below, which take window priority —
     # props_value_stats, quality_bucket_sample,
     # repetition_stats, retention_cohorts, returned_item_customers,
     # rolling_7d_active, seasonal_anomaly, sequence_pack,
@@ -3204,10 +3267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": embedding_quantize,
     "event_type_corr": event_type_corr,
     "funnel_conversion": funnel_conversion,
-    "heavy_shippers": heavy_shippers,
-    "label_centroids": label_centroids,
-    "lineitem_unpivot": lineitem_unpivot,
-    # Slots 31-32: the distributed BPE trainer + real-tokenizer token
+    # Slots 28-29: the distributed BPE trainer + real-tokenizer token
     # counts, NEW this round and rows-only (iterative argmax per merge
     # round is not ANSI SQL) — never-seen keys take window priority so
     # the driver records their first rows-only rows; pinned by exact
@@ -3215,12 +3275,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (tests/test_bpe.py).
     "bpe_learn": bpe_learn,
     "bpe_token_count": bpe_token_count,
-    # Slots 33-34: the two operators NEW this round on the events
+    # Slots 30-31: the two operators NEW this round on the events
     # table — the Markov transition matrix and top opening paths
     # (user-journey analytics next to funnel/retention/sessionize).
     "event_transitions": event_transitions,
     "top_paths": top_paths,
-    # Slots 35-39: the five keys upgraded THIS round from rows-only to
+    # Slots 32-36: the five keys upgraded THIS round from rows-only to
     # oracle-backed (minhash/simhash family + clusters via the
     # md5-derived portable hash base; storm_find via a recursive-CTE
     # replay of the burst fold) — in-window so the driver records
@@ -3230,7 +3290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": simhash_near_dup,
     "minhash_near_dup": q_minhash_near_dup,
     "dedup_clusters": dedup_clusters,
-    # Slots 40-45: NEW oracle-backed operators this round — Bloom-
+    # Slots 37-42: NEW oracle-backed operators this round — Bloom-
     # prefiltered decontamination (result-identical to the exact join),
     # cross-corpus incremental dedup (batch vs reference corpus),
     # DSIR-style importance resampling, per-source boilerplate-phrase
@@ -3242,7 +3302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_phrases": boilerplate_phrases,
     "ngram_novelty": ngram_novelty,
     "contamination_fraction": contamination_fraction,
-    # Slots 46-50: the five operators NEW late this round — the TSDB
+    # Slots 43-47: the five operators NEW late this round — the TSDB
     # pair (trapezoidal time-weighted mean, Prometheus-style counter
     # rate with reset handling), the sort-based skyline vs its
     # textbook NOT EXISTS oracle, the one-pass distributed embedding
@@ -3254,10 +3314,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pareto_parts": pareto_parts,
     "embedding_covariance": embedding_covariance,
     "pca_embeddings": pca_embeddings,
+    # Slots 48-50: the final three NEW operators this round — the
+    # shuffle-free per-document Shannon-entropy fold, per-source
+    # unigram KL divergence vs the corpus mix, and Q20's correlated
+    # ratio predicate (dominant supplier per contested part).
+    "token_entropy": token_entropy,
+    "source_token_kl": source_token_kl,
+    "dominant_part_suppliers": dominant_part_suppliers,
     # ====== PAST THE DRIVER CAP: every key below has a driver-green
     # ====== (or rows-only for non-SQL ops) row in r01-r07 and stays
     # ====== pinned by tests/test_oracle_parity.py (oracle-backed) or
     # ====== golden/differential pytest (rows-only) ======================
+    "heavy_shippers": heavy_shippers,
+    "label_centroids": label_centroids,
+    "lineitem_unpivot": lineitem_unpivot,
     "loyal_customers": loyal_customers,
     "media_dedup": q_media_dedup,
     "nation_revenue_share": nation_revenue_share,

@@ -1295,3 +1295,54 @@ def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
         )
     )
+
+
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's CORRELATED ratio predicate (``availqty > 0.5 *
+    sum(l_quantity)``), re-expressed on this schema (no partsupp):
+    suppliers who shipped MORE THAN HALF of a contested part's total
+    1995 volume — per supplier, how many parts they dominate. The
+    companion ``heavy_shippers`` keeps Q20's semi-join chain but
+    flattens the predicate to a constant threshold; this query keeps
+    the part-correlated comparison, the piece that makes Q20 Q20.
+
+    Scale shape: lineitem collapses FIRST on (partkey, suppkey) — the
+    one fact-sized exchange, map-side combinable. Part totals and the
+    contested-part count come from a WINDOW over partkey on that
+    collapsed table — one more (part,supp)-sized exchange and zero
+    joins, instead of the aggregate-and-rejoin that would scan the
+    fact side twice. Quantities are integers carried in doubles, so
+    the 0.5x comparison is exact — no epsilon at the predicate
+    boundary.
+    """
+    line = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    ps = line.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    wp = Window.partitionBy("l_partkey")
+    dominant = (
+        ps.withColumn("part_qty", F.sum("qty").over(wp))
+        .withColumn("n_suppliers", F.count(F.lit(1)).over(wp))
+        .filter(
+            (F.col("n_suppliers") >= 2)
+            & (F.col("qty") > 0.5 * F.col("part_qty"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_dominant_parts"),
+            F.sum("qty").cast("double").alias("dominated_qty"),
+        )
+    )
+    return (
+        dominant.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            "s_suppkey", "s_name", "n_dominant_parts", "dominated_qty"
+        )
+        .orderBy(F.col("n_dominant_parts").desc(), "s_suppkey")
+    )

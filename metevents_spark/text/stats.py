@@ -796,3 +796,113 @@ def zipf_fit(
         F.round(slope, 5).alias("zipf_slope"),
         F.round(intercept, 5).alias("zipf_intercept"),
     ).orderBy("source")
+
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the document's own token
+    distribution, plus Pielou evenness (H / ln(n_distinct)) — the
+    information-theoretic quality signal text_stats' distinct_ratio
+    only approximates: boilerplate and template spam score near 0
+    evenness even when their raw type/token ratio looks healthy.
+
+    Scale shape: ENTIRELY map-side — no explode, no shuffle, no
+    Python. Sort the token array per row, then one O(n) SQL
+    ``aggregate`` fold over run boundaries accumulates sum(c*ln(c))
+    without materializing per-term counts (H = ln(N) - sum(c ln c)/N).
+    The only exchange in the plan is the final presentation sort. The
+    (doc_id, token) explode+groupBy formulation would shuffle every
+    token in the corpus; this shuffles nothing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    # sum over distinct terms of c*ln(c), via runs in the sorted array:
+    # positions 2..n close a run when s[i] != s[i-1]; the finish lambda
+    # closes the last run. filter() guards n=1 (sequence(2,1) would
+    # DESCEND, not be empty).
+    sum_clnc = F.expr(
+        """
+        aggregate(
+          filter(sequence(2, greatest(size(_srt), 2)),
+                 i -> i <= size(_srt)),
+          named_struct('s', cast(0.0 as double), 'run', 1),
+          (acc, i) -> IF(element_at(_srt, i) = element_at(_srt, i - 1),
+                         named_struct('s', acc.s, 'run', acc.run + 1),
+                         named_struct('s', acc.s + acc.run * ln(acc.run),
+                                      'run', 1)),
+          acc -> acc.s + acc.run * ln(acc.run))
+        """
+    )
+    n = F.col("n_tokens").cast("double")
+    h = F.log(n) - F.col("_clnc") / n
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+            F.array_sort(toks).alias("_srt"),
+        )
+        .withColumn("_clnc", sum_clnc)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "n_distinct",
+            F.round(h, 6).alias("entropy_nats"),
+            F.when(
+                F.col("n_distinct") > 1,
+                F.round(h / F.log(F.col("n_distinct").cast("double")), 6),
+            ).alias("evenness"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-distribution divergence from the corpus:
+    KL(source || corpus) in nats — the source-weighting / drift signal
+    a mixture planner reads before reweighting (DSIR-style importance
+    weights are exactly exp of these log-ratios). Every source term
+    also appears in the corpus distribution by construction, so the KL
+    is always finite; KL >= 0 with equality iff the source matches the
+    corpus mix.
+
+    Scale shape: one explode feeding a map-side-combinable
+    (source, term) count — the ONLY corpus-sized exchange, and partial
+    aggregation collapses it to |sources| x |vocab| before the wire.
+    That collapsed table feeds four consumers (the join spine, corpus
+    term totals, per-source totals, the grand total), so it persists
+    (tracked, released by the next registry query) — without the cache
+    each consumer would re-run the corpus explode, turning one scan
+    into four. Everything after runs on vocabulary-scale tables:
+    per-source totals broadcast (|sources| rows), the grand total is a
+    1-row broadcast.
+    """
+    from metevents_spark.cache import track
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = track(
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .persist()
+    )
+    ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    nt = st.groupBy().agg(F.sum("c_st").alias("n_t"))
+    p = F.col("c_st") / F.col("n_s")  # term share within the source
+    q = F.col("c_t") / F.col("n_t")  # term share within the corpus
+    return (
+        st.join(ct, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nt))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )

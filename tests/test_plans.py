@@ -225,6 +225,8 @@ def test_no_query_plans_a_cartesian_product(spark):
         "dedup_recall_report",
         # 1-row corpus-count broadcast in the covariance formula
         "embedding_covariance",
+        # 1-row corpus-total broadcast in the KL formula
+        "source_token_kl",
     }
     for name, fn in entrymod.queries().items():
         # the BPE entries EXECUTE their 12-round training loop during

@@ -130,3 +130,90 @@ def test_pareto_parts_matches_bruteforce(spark):
         & ((gp[:, None] < gp[None, :]) | (gs[:, None] > gs[None, :]))
     )
     assert not inner.any()
+
+
+def test_token_entropy_matches_counter(spark):
+    """The shuffle-free sorted-run fold must equal a per-doc
+    collections.Counter entropy (the textbook computation)."""
+    from collections import Counter
+    import math
+
+    from metevents_spark.text.stats import token_entropy
+
+    got = token_entropy(spark, SF_SMALL).toPandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+
+    assert len(got) == len(docs)
+    for _, row in docs.iterrows():
+        toks = row["text"].split(" ")
+        c = Counter(toks)
+        n = len(toks)
+        h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        g = got.loc[row["doc_id"]]
+        assert g["n_tokens"] == n
+        assert g["n_distinct"] == len(c)
+        assert abs(g["entropy_nats"] - h) < 2e-6
+        if len(c) > 1:
+            assert abs(g["evenness"] - h / math.log(len(c))) < 2e-6
+        else:
+            assert pd.isna(g["evenness"])
+    # quality signal is non-degenerate: entropies differ across docs
+    assert got["entropy_nats"].nunique() > 10
+
+
+def test_source_token_kl_matches_pandas(spark):
+    from metevents_spark.text.stats import source_token_kl
+
+    got = source_token_kl(spark, SF_SMALL).toPandas().set_index("source")
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    toks = docs.assign(term=docs["text"].str.split(" ")).explode("term")
+    st = toks.groupby(["source", "term"]).size().rename("c")
+    ct = st.groupby("term").sum()
+    n_t = st.sum()
+    for source, grp in st.groupby(level="source"):
+        g = grp.droplevel("source")
+        n_s = g.sum()
+        p = g / n_s
+        q = ct.loc[g.index] / n_t
+        kl = float((p * np.log(p / q)).sum())
+        row = got.loc[source]
+        assert row["n_tokens"] == n_s
+        assert row["n_terms"] == len(g)
+        assert abs(row["kl_nats"] - kl) < 2e-6
+    # KL is non-negative everywhere and strictly positive somewhere
+    assert (got["kl_nats"] >= 0).all()
+    assert (got["kl_nats"] > 1e-4).any()
+
+
+def test_dominant_part_suppliers_matches_bruteforce(spark):
+    from metevents_spark.relational import dominant_part_suppliers
+
+    got = dominant_part_suppliers(spark, SF_SMALL).toPandas()
+
+    line = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    line = line[
+        (line["l_shipdate"] >= "1995-01-01") & (line["l_shipdate"] < "1996-01-01")
+    ]
+    ps = (
+        line.groupby(["l_partkey", "l_suppkey"])["l_quantity"]
+        .sum()
+        .rename("qty")
+        .reset_index()
+    )
+    pt = ps.groupby("l_partkey").agg(
+        part_qty=("qty", "sum"), n_suppliers=("qty", "size")
+    )
+    m = ps.merge(pt, on="l_partkey")
+    dom = m[(m["n_suppliers"] >= 2) & (m["qty"] > 0.5 * m["part_qty"])]
+    ref = dom.groupby("l_suppkey").agg(
+        n_dominant_parts=("qty", "size"), dominated_qty=("qty", "sum")
+    )
+
+    assert sorted(got["s_suppkey"]) == sorted(ref.index)
+    g = got.set_index("s_suppkey")
+    ref = ref.loc[g.index]
+    assert (g["n_dominant_parts"] == ref["n_dominant_parts"]).all()
+    assert np.allclose(g["dominated_qty"], ref["dominated_qty"])
+    # the correlated predicate actually bites: some supplier dominates
+    # more than one part, and no dominated part has a single supplier
+    assert (g["n_dominant_parts"] >= 1).all()
