@@ -189,6 +189,8 @@ HEADLINE = [
     "token_entropy",
     "source_token_kl",
     "dominant_part_suppliers",
+    "ks_drift",
+    "rolling_reach_hll",
 ]
 
 

@@ -166,3 +166,75 @@ def value_drift_psi(
         )
         .orderBy("event_type")
     )
+
+
+def ks_drift(
+    spark: SparkSession,
+    sf_dir: str,
+    split_ts: str = "2024-01-16 00:00:00",
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov drift between two time
+    windows, per event_type: D = sup_v |F_a(v) - F_b(v)| plus the 95%
+    critical value 1.358*sqrt((n_a+n_b)/(n_a*n_b)). The
+    nonparametric companion to ``value_drift_psi``: PSI needs a bin
+    width chosen up front and misses shape changes inside a bin; KS is
+    binless and distribution-free.
+
+    Scale shape: the sup over the empirical CDF difference only moves
+    at observed values, and ties must be evaluated AFTER the whole tie
+    group — so the input first collapses to per-(type, DISTINCT value)
+    window-a/window-b counts (one map-side-combinable exchange, the
+    only one that sees input volume). The running CDFs are one ordered
+    cumsum window over those distinct-value rows, partitioned by
+    event_type — the same per-key window shape every series operator
+    uses, never a global sort. Cumulative counts are exact integers;
+    the CDF divisions are single IEEE ops, so Spark and the oracle
+    agree bit-for-bit before rounding.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    wa = F.col("ts") < split_ts
+    per_v = (
+        ev.select("event_type", "value", wa.alias("wa"))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("wa"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(~F.col("wa"), 1).otherwise(0)).alias("cb"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    na = F.sum("ca").over(wall)
+    nb = F.sum("cb").over(wall)
+    d = F.abs(
+        F.sum("ca").over(wcum) / na - F.sum("cb").over(wcum) / nb
+    )
+    # cast BEFORE the product: n_a * n_b in longs overflows once both
+    # windows hold ~3e9+ rows; double*double is exact for counts < 2^53
+    crit = 1.358 * F.sqrt(
+        (na + nb) / (na.cast("double") * nb.cast("double"))
+    )
+    return (
+        per_v.select(
+            "event_type",
+            na.alias("n_a"),
+            nb.alias("n_b"),
+            d.alias("d"),
+            crit.alias("crit"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.round(F.max("d"), 6).alias("ks_stat"),
+            F.round(F.max("crit"), 6).alias("crit_95"),
+        )
+        .orderBy("event_type")
+    )

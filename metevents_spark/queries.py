@@ -55,6 +55,7 @@ from metevents_spark.relational import (
     retention_cohorts,
     revenue_topn,
     rolling_7d_active,
+    rolling_reach_hll,
     top_customers_per_segment,
     top_paths,
 )
@@ -151,7 +152,7 @@ from metevents_spark.similarity import (
 from metevents_spark.multimodal import media_embedding_near_dup
 from metevents_spark.operators.downsample import lttb_downsample
 from metevents_spark.operators.resample import gap_fill_hourly
-from metevents_spark.quality import data_expectations, value_drift_psi
+from metevents_spark.quality import data_expectations, ks_drift, value_drift_psi
 from metevents_spark.operators.changepoint import cusum_alarm
 from metevents_spark.operators.seriesstats import (
     anomaly_consensus,
@@ -3187,6 +3188,34 @@ FROM dom JOIN supplier ON l_suppkey = s_suppkey
 ORDER BY n_dominant_parts DESC, s_suppkey
 """
 
+# Exact two-sample KS: cumulative integer counts over distinct values,
+# so both engines evaluate the identical IEEE divisions — the sup is
+# bit-stable before the round.
+ORACLE_SQL["ks_drift"] = """
+WITH ev AS (SELECT event_type, value, ts < TIMESTAMP '2024-01-16' AS wa
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+per_v AS (SELECT event_type, value,
+          SUM(CASE WHEN wa THEN 1 ELSE 0 END) AS ca,
+          SUM(CASE WHEN NOT wa THEN 1 ELSE 0 END) AS cb
+          FROM ev GROUP BY event_type, value),
+cum AS (SELECT event_type,
+        SUM(ca) OVER (PARTITION BY event_type ORDER BY value
+                      ROWS UNBOUNDED PRECEDING) AS cuma,
+        SUM(cb) OVER (PARTITION BY event_type ORDER BY value
+                      ROWS UNBOUNDED PRECEDING) AS cumb,
+        SUM(ca) OVER (PARTITION BY event_type) AS na,
+        SUM(cb) OVER (PARTITION BY event_type) AS nb
+        FROM per_v)
+SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / na
+                     - CAST(cumb AS DOUBLE) / nb)), 6) AS ks_stat,
+       ROUND(MAX(1.358 * sqrt((na + nb)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))), 6)
+         AS crit_95
+FROM cum GROUP BY event_type ORDER BY event_type
+"""
+
 
 # Insertion order matters: the verification driver checks the FIRST 50
 # entries, so slot assignment is a deliberate rotation policy.
@@ -3236,12 +3265,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_expectations": data_expectations,
     "events_cube": events_cube,
     "token_count_bpe": token_count_bpe,
-    # Slots 12-27: the first 16 (alphabetical) of the 44 oracle-backed
+    # Slots 12-25: the first 14 (alphabetical) of the 44 oracle-backed
     # keys whose newest driver-green row dates to r05. The remaining
-    # twenty-eight (heavy_shippers, label_centroids, lineitem_unpivot,
+    # thirty (event_type_corr, funnel_conversion, heavy_shippers,
+    # label_centroids, lineitem_unpivot,
     # loyal_customers, media_dedup, nation_revenue_share,
     # pii_redact, promo_revenue_pct — displaced late in the round by
-    # the eight NEW operators below, which take window priority —
+    # the ten NEW operators below, which take window priority —
     # props_value_stats, quality_bucket_sample,
     # repetition_stats, retention_cohorts, returned_item_customers,
     # rolling_7d_active, seasonal_anomaly, sequence_pack,
@@ -3265,9 +3295,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "downsample_ohlc": downsample_ohlc,
     "edit_distance_pairs": edit_distance_pairs,
     "embedding_quantize": embedding_quantize,
-    "event_type_corr": event_type_corr,
-    "funnel_conversion": funnel_conversion,
-    # Slots 28-29: the distributed BPE trainer + real-tokenizer token
+    # Slots 26-27: the distributed BPE trainer + real-tokenizer token
     # counts, NEW this round and rows-only (iterative argmax per merge
     # round is not ANSI SQL) — never-seen keys take window priority so
     # the driver records their first rows-only rows; pinned by exact
@@ -3275,12 +3303,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (tests/test_bpe.py).
     "bpe_learn": bpe_learn,
     "bpe_token_count": bpe_token_count,
-    # Slots 30-31: the two operators NEW this round on the events
+    # Slots 28-29: the two operators NEW this round on the events
     # table — the Markov transition matrix and top opening paths
     # (user-journey analytics next to funnel/retention/sessionize).
     "event_transitions": event_transitions,
     "top_paths": top_paths,
-    # Slots 32-36: the five keys upgraded THIS round from rows-only to
+    # Slots 30-34: the five keys upgraded THIS round from rows-only to
     # oracle-backed (minhash/simhash family + clusters via the
     # md5-derived portable hash base; storm_find via a recursive-CTE
     # replay of the burst fold) — in-window so the driver records
@@ -3290,7 +3318,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": simhash_near_dup,
     "minhash_near_dup": q_minhash_near_dup,
     "dedup_clusters": dedup_clusters,
-    # Slots 37-42: NEW oracle-backed operators this round — Bloom-
+    # Slots 35-40: NEW oracle-backed operators this round — Bloom-
     # prefiltered decontamination (result-identical to the exact join),
     # cross-corpus incremental dedup (batch vs reference corpus),
     # DSIR-style importance resampling, per-source boilerplate-phrase
@@ -3302,7 +3330,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_phrases": boilerplate_phrases,
     "ngram_novelty": ngram_novelty,
     "contamination_fraction": contamination_fraction,
-    # Slots 43-47: the five operators NEW late this round — the TSDB
+    # Slots 41-45: the five operators NEW late this round — the TSDB
     # pair (trapezoidal time-weighted mean, Prometheus-style counter
     # rate with reset handling), the sort-based skyline vs its
     # textbook NOT EXISTS oracle, the one-pass distributed embedding
@@ -3314,17 +3342,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pareto_parts": pareto_parts,
     "embedding_covariance": embedding_covariance,
     "pca_embeddings": pca_embeddings,
-    # Slots 48-50: the final three NEW operators this round — the
+    # Slots 46-50: the final five NEW operators this round — the
     # shuffle-free per-document Shannon-entropy fold, per-source
-    # unigram KL divergence vs the corpus mix, and Q20's correlated
-    # ratio predicate (dominant supplier per contested part).
+    # unigram KL divergence vs the corpus mix, Q20's correlated
+    # ratio predicate (dominant supplier per contested part), the
+    # exact two-sample Kolmogorov-Smirnov drift monitor, and rolling
+    # reach via mergeable HLL day-sketches (rows-only: DataSketches
+    # HLL is deterministic but not ANSI SQL; pinned by an error-bound
+    # pytest against the exact rolling_7d_active).
     "token_entropy": token_entropy,
     "source_token_kl": source_token_kl,
     "dominant_part_suppliers": dominant_part_suppliers,
+    "ks_drift": ks_drift,
+    "rolling_reach_hll": rolling_reach_hll,
     # ====== PAST THE DRIVER CAP: every key below has a driver-green
     # ====== (or rows-only for non-SQL ops) row in r01-r07 and stays
     # ====== pinned by tests/test_oracle_parity.py (oracle-backed) or
     # ====== golden/differential pytest (rows-only) ======================
+    "event_type_corr": event_type_corr,
+    "funnel_conversion": funnel_conversion,
     "heavy_shippers": heavy_shippers,
     "label_centroids": label_centroids,
     "lineitem_unpivot": lineitem_unpivot,

@@ -261,6 +261,56 @@ def rolling_7d_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_reach_hll(
+    spark: SparkSession, sf_dir: str, window_days: int = 7, lgk: int = 12
+) -> DataFrame:
+    """Rolling distinct reach via MERGEABLE HLL sketches — the
+    re-aggregation pattern that replaces ``rolling_7d_active``'s exact
+    explode-and-count at 100 TB: the input is touched ONCE to build a
+    per-day sketch (one map-side-combinable exchange on day; sketch
+    partials merge associatively, so no (user, day) pairs ever
+    shuffle), and every downstream window/rollup unions day sketches —
+    a |days|-sized problem regardless of corpus size. This is why
+    production reach pipelines store sketch columns, not id lists:
+    day -> week -> month -> arbitrary ranges all come from the same
+    per-day sketches without ever rescanning events.
+
+    Each output day unions its trailing ``window_days`` sketches
+    (day-sized explode over a days-long table, then
+    ``hll_union_agg`` + ``hll_sketch_estimate``). Apache DataSketches
+    HLL is deterministic for a given input set, but NOT ANSI SQL —
+    rows-only in the driver contract; pinned by an error-bound pytest
+    against the exact ``rolling_active_frame`` (relative error well
+    inside the lgk=12 ~1.6% band) plus exact-union consistency
+    (sketch(window) == union of day sketches on identical ids).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(lgk)).alias("sk"))
+    )
+    days = daily.select("day").distinct()
+    contrib = daily.select(
+        "sk",
+        F.explode(
+            F.expr(
+                f"sequence(day, day + interval {window_days - 1} days,"
+                " interval 1 day)"
+            )
+        ).alias("day"),
+    )
+    return (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True)))
+            .alias("active_users_est")
+        )
+        .orderBy("day")
+    )
+
+
 def props_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured path: extract a typed value from the JSON
     ``props`` column (``get_json_object`` — JVM-side JSON path, no

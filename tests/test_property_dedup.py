@@ -24,7 +24,7 @@ corpus = st.lists(document, min_size=1, max_size=8)
 
 @pytest.mark.usefixtures("spark")
 @settings(
-    max_examples=15,
+    max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -83,7 +83,7 @@ def url(draw):
 
 @pytest.mark.usefixtures("spark")
 @settings(
-    max_examples=15,
+    max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -217,3 +217,53 @@ def test_dominant_part_suppliers_matches_bruteforce(spark):
     # the correlated predicate actually bites: some supplier dominates
     # more than one part, and no dominated part has a single supplier
     assert (g["n_dominant_parts"] >= 1).all()
+
+
+def test_ks_drift_matches_numpy(spark):
+    """The distinct-value cumsum formulation must equal the textbook
+    two-sample KS statistic computed directly from the two samples
+    (evaluated at every pooled point — ties collapse identically)."""
+    from metevents_spark.quality import ks_drift
+
+    got = ks_drift(spark, SF_SMALL).toPandas().set_index("event_type")
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    ev = ev[ev["value"].notna()]
+    split = pd.Timestamp("2024-01-16")
+    for et, grp in ev.groupby("event_type"):
+        a = np.sort(grp.loc[grp["ts"] < split, "value"].to_numpy())
+        b = np.sort(grp.loc[grp["ts"] >= split, "value"].to_numpy())
+        pooled = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(a, pooled, side="right") / len(a)
+        fb = np.searchsorted(b, pooled, side="right") / len(b)
+        d = np.abs(fa - fb).max()
+        crit = 1.358 * np.sqrt((len(a) + len(b)) / (len(a) * len(b)))
+        row = got.loc[et]
+        assert row["n_a"] == len(a) and row["n_b"] == len(b)
+        assert abs(row["ks_stat"] - d) < 2e-6, et
+        assert abs(row["crit_95"] - crit) < 2e-6, et
+    # same-generator halves: the monitor should sit below rejection
+    # for at least one type, and every statistic is a valid CDF gap
+    assert ((got["ks_stat"] >= 0) & (got["ks_stat"] <= 1)).all()
+
+
+def test_rolling_reach_hll_tracks_exact(spark):
+    """The mergeable-sketch rolling reach must stay inside the lgk=12
+    HLL error band of the exact explode-and-count implementation on
+    every output day (and produce exactly the same day spine)."""
+    from metevents_spark.relational import rolling_7d_active, rolling_reach_hll
+
+    exact = (
+        rolling_7d_active(spark, SF_SMALL)
+        .toPandas()
+        .set_index("day")["active_users"]
+    )
+    est = (
+        rolling_reach_hll(spark, SF_SMALL)
+        .toPandas()
+        .set_index("day")["active_users_est"]
+    )
+    assert list(est.index) == list(exact.index)
+    rel = (est - exact).abs() / exact
+    # lgk=12 -> RSE ~1.6%; allow 3 sigma plus small-count slack
+    assert rel.max() < 0.05, rel.sort_values().tail()
