@@ -731,3 +731,101 @@ def stream_ohlc(stream_df: DataFrame, watermark: str = "1 day") -> DataFrame:
             "n_obs",
         )
     )
+
+
+COUNTER_OUTPUT_SCHEMA = (
+    "sid string, ts timestamp, value double, n_points long, resets long,"
+    " increase double, rate_per_hour double"
+)
+COUNTER_STATE_SCHEMA = StructType(
+    [
+        StructField("last_v", DoubleType()),
+        StructField("n", LongType()),
+        StructField("resets", LongType()),
+        StructField("inc", DoubleType()),  # UNROUNDED running increase
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def stream_counter_rate(stream_df: DataFrame) -> DataFrame:
+    """Streaming reset-aware counter rate: the incremental counterpart
+    of the batch ``counter_rate`` (operators/seriesstats.py). Each
+    arriving reading emits the series' RUNNING aggregate — points,
+    resets, accumulated increase, increase-per-hour over the observed
+    span — so the LAST emitted row per series equals the batch
+    operator's row exactly (same reset-delta algebra, same rounding
+    order: the rate divides the ROUNDED increase like the batch
+    select does). rate_per_hour is NULL until the series has >= 2
+    points and a positive span, mirroring the batch HAVING filter.
+
+    State per series is SIX numbers — constant for any stream length,
+    no watermark needed. NULL/NaN readings are filtered up front like
+    the batch operator (a NULL bridges its neighbors). Chunking
+    invariance holds because the carried state is the whole history.
+    """
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            last_v, n, resets, inc, first_us, last_us = state.get
+        else:
+            last_v, n, resets, inc, first_us, last_us = (
+                None, 0, 0, 0.0, None, None,
+            )
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = _sort_batch(pdf)
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            us = (
+                pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            )
+            rows_n = np.empty(len(v), dtype=np.int64)
+            rows_r = np.empty(len(v), dtype=np.int64)
+            rows_i = np.empty(len(v))
+            rows_rate = np.full(len(v), np.nan)
+            for i in range(len(v)):
+                x = float(v[i])
+                if last_v is not None:
+                    if x < last_v:
+                        resets += 1
+                        inc += x
+                    else:
+                        inc += x - last_v
+                last_v = x
+                n += 1
+                if first_us is None:
+                    first_us = int(us[i])
+                last_us = int(us[i])
+                rows_n[i] = n
+                rows_r[i] = resets
+                rows_i[i] = round(inc, 6)
+                span_h = (last_us - first_us) / 3.6e9
+                if n >= 2 and span_h > 0:
+                    rows_rate[i] = round(round(inc, 6) / span_h, 6)
+            yield pd.DataFrame(
+                {
+                    "sid": pdf["sid"].to_numpy(),
+                    "ts": pdf["ts"].to_numpy(),
+                    "value": v,
+                    "n_points": rows_n,
+                    "resets": rows_r,
+                    "increase": rows_i,
+                    "rate_per_hour": rows_rate,
+                }
+            )
+        state.update((last_v, n, resets, inc, first_us, last_us))
+
+    return (
+        stream_df.select(*_clean_series_cols(stream_df))
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy("sid")
+        .applyInPandasWithState(
+            fn,
+            COUNTER_OUTPUT_SCHEMA,
+            COUNTER_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

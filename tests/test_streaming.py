@@ -857,3 +857,125 @@ def test_stream_ohlc_matches_batch_bars(spark, stream_dir):
             got[col].to_numpy(), want[col].to_numpy(), rtol=0, atol=0
         )
     assert (got["n_obs"].to_numpy() == want["n_obs"].to_numpy()).all()
+
+
+@pytest.mark.parametrize("split", [400, 1000])
+def test_stream_counter_rate_chunk_invariant_matches_batch(
+    spark, stream_dir, split
+):
+    """The streaming counter fold over the REAL events table must end
+    at exactly the batch counter_rate row for every series, however
+    the replay is chunked — and per-row emissions must be identical
+    between chunkings (the carried state is the whole history)."""
+    from metevents_spark.streaming import stream_counter_rate
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    pdf = (
+        pd.DataFrame(
+            {
+                "sid": ev["user_id"].astype(str),
+                "seq": ev["event_id"].astype("int64"),
+                "ts": ev["ts"],
+                "value": ev["value"],
+            }
+        )
+        .sort_values(["ts", "seq"], kind="stable")
+        .reset_index(drop=True)
+    )
+    d = Path(stream_dir, f"ctr_in_{split}")
+    d.mkdir()
+    pdf.iloc[:split].to_parquet(f"{d}/c0.parquet", coerce_timestamps="us")
+    if split < len(pdf):
+        time.sleep(0.05)
+        pdf.iloc[split:].to_parquet(
+            f"{d}/c1.parquet", coerce_timestamps="us"
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "sid string, seq long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    name = f"ctr_out_{split}"
+    q = (
+        stream_counter_rate(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{stream_dir}/ckpt_ctr{split}")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+
+    # one emission per clean reading
+    n_clean = int(pdf["value"].notna().sum())
+    assert len(got) == n_clean
+
+    # final state per series == the batch aggregate (for series that
+    # meet the batch n>=2 / span>0 filter)
+    from metevents_spark.operators.seriesstats import counter_rate
+
+    batch = (
+        counter_rate(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .set_index("sid")
+    )
+    last = (
+        got.sort_values(["sid", "n_points"]).groupby("sid").tail(1)
+    ).set_index("sid")
+    assert set(batch.index) <= set(last.index)
+    sub = last.loc[batch.index]
+    assert (sub["n_points"] == batch["n_points"]).all()
+    assert (sub["resets"] == batch["resets"]).all()
+    assert np.allclose(sub["increase"], batch["increase"], atol=1e-9)
+    assert np.allclose(
+        sub["rate_per_hour"], batch["rate_per_hour"], atol=1e-9
+    )
+    # series excluded by the batch filter must have NULL rate on their
+    # last emission (n < 2 or zero span)
+    excl = last.index.difference(batch.index)
+    assert last.loc[excl, "rate_per_hour"].isna().all()
+
+    # per-ROW emissions equal a sequential pandas replay of the fold —
+    # chunking cannot change any intermediate, not just the final row
+    clean = pdf[pdf["value"].notna()]
+    exp_rows = []
+    for sid, grp in clean.groupby("sid"):
+        grp = grp.sort_values(["ts", "seq"], kind="stable")
+        lv, n, r, inc, f_us = None, 0, 0, 0.0, None
+        for ts, x in zip(grp["ts"], grp["value"]):
+            x = float(x)
+            if lv is not None:
+                if x < lv:
+                    r += 1
+                    inc += x
+                else:
+                    inc += x - lv
+            lv = x
+            n += 1
+            us = ts.value // 1000
+            if f_us is None:
+                f_us = us
+            span_h = (us - f_us) / 3.6e9
+            exp_rows.append(
+                (sid, ts, n, r, round(inc, 6),
+                 round(round(inc, 6) / span_h, 6)
+                 if n >= 2 and span_h > 0 else np.nan)
+            )
+    exp = pd.DataFrame(
+        exp_rows,
+        columns=["sid", "ts", "n_points", "resets", "increase",
+                 "rate_per_hour"],
+    ).sort_values(["sid", "n_points"]).reset_index(drop=True)
+    g = got.sort_values(["sid", "n_points"]).reset_index(drop=True)
+    assert (g["sid"] == exp["sid"]).all()
+    assert (g["n_points"] == exp["n_points"]).all()
+    assert (g["resets"] == exp["resets"]).all()
+    assert np.allclose(g["increase"], exp["increase"], atol=1e-9)
+    assert np.allclose(
+        g["rate_per_hour"], exp["rate_per_hour"], atol=1e-9, equal_nan=True
+    )
