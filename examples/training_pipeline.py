@@ -60,6 +60,18 @@ from metevents_spark.similarity import semantic_dedup
 sem = semantic_dedup(spark, sf_dir)
 print(f"  semantic-dedup drops: {sem.filter('NOT keep').count()} vectors")
 
+# 1c-bis. the spectral view of the same embedding corpus: covariance
+# conditioning + a PCA projection (the reduced space SemDeDup-style
+# pipelines cluster in at scale)
+from metevents_spark.similarity import pca_embeddings
+
+pca = pca_embeddings(spark, sf_dir, k=4)
+print(
+    "  PCA projection: "
+    f"{pca.count()} vectors -> 4 components "
+    f"(pc1 span {pca.agg(F.round(F.max('pc1') - F.min('pc1'), 2)).collect()[0][0]})"
+)
+
 # 1d. paragraph-level dedup (CCNet recipe): recurring cross-document
 # boilerplate paragraphs removed, first occurrence kept. Our synthetic
 # corpus has single-line docs, so split on sentences to demonstrate.
@@ -96,6 +108,14 @@ clf = classifier_score(spark, sf_dir)
 print(f"  classifier gate keeps: {clf.filter('keep').count()}")
 sampled = quality_bucket_sample(spark, sf_dir)
 print(f"  quality-bucket sample keeps: {sampled.count()}")
+
+# 2a-bis. information-theoretic quality: low token-entropy evenness
+# flags template/boilerplate documents the length ratios miss
+from metevents_spark.text.stats import token_entropy
+
+ent = token_entropy(spark, sf_dir)
+low_even = ent.filter("evenness IS NOT NULL AND evenness < 0.8").count()
+print(f"  low-evenness (templated) docs: {low_even}")
 
 # 2b. corpus forensics: which phrases are per-source boilerplate, and
 # does the ingestion stream still carry novelty (dedup ROI)?
@@ -166,6 +186,18 @@ ratio = tok.agg(
     F.round(F.sum("n_tokens_bpe") / F.sum("n_words"), 3)
 ).collect()[0][0]
 print(f"  BPE tokens per word: {ratio}")
+
+# 4c. before weighting sources, measure how far each sits from the
+# corpus mix: per-source unigram KL divergence (the drift/weighting
+# signal DSIR-style importance weights exponentiate)
+from metevents_spark.text.stats import source_token_kl
+
+kl = source_token_kl(spark, sf_dir)
+top_kl = kl.orderBy(F.desc("kl_nats")).limit(3).collect()
+print(
+    "  most corpus-divergent sources: "
+    + ", ".join(f"{r['source']} ({r['kl_nats']})" for r in top_kl)
+)
 
 # 5. mixture planning: how to sample each source to hit a token budget
 from metevents_spark.text.pipeline import mixture_plan

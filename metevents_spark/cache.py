@@ -31,10 +31,28 @@ def track(df: T) -> T:
     return df
 
 
+def release(df: DataFrame) -> None:
+    """Unpersist ``df`` whether it was cached via ``persist()`` (the
+    CacheManager path) or via ``localCheckpoint`` — whose persistence
+    lives on the UNDERLYING RDD, where ``DataFrame.unpersist()`` is a
+    silent no-op: a checkpointed frame's analyzed plan is a LogicalRDD
+    and the storage entry belongs to that RDD, so it must be released
+    directly (otherwise it lingers until the JVM ContextCleaner
+    GC-notices the dropped reference — unbounded storage-tier drift
+    across a long 169-query session)."""
+    df.unpersist()
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # defensive: a failed release must never fail a query
+
+
 def release_all() -> int:
     """Unpersist every tracked DataFrame (no-op on already-released
     ones). Returns how many frames were released."""
     n = len(_TRACKED)
     while _TRACKED:
-        _TRACKED.pop().unpersist()
+        release(_TRACKED.pop())
     return n

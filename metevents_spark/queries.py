@@ -369,10 +369,15 @@ def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # both event types sessionized in ONE scan + one exchange, then the
     # (tiny, aggregated) session frame is cut once — localCheckpoint so
-    # the two join branches don't each recompute the pipeline
-    sess = sessionize(ev, gap_s=14400.0, by=("sid", "event_type")).select(
-        "sid", "event_type", "session_id", "start", "stop"
-    ).localCheckpoint()
+    # the two join branches don't each recompute the pipeline; tracked
+    # so the next registry query releases the checkpoint's RDD storage
+    from metevents_spark.cache import track as _track
+
+    sess = _track(
+        sessionize(ev, gap_s=14400.0, by=("sid", "event_type")).select(
+            "sid", "event_type", "session_id", "start", "stop"
+        ).localCheckpoint()
+    )
     cols = ["sid", "session_id", "start", "stop"]
     err = sess.filter(F.col("event_type") == "error").select(*cols)
     pur = sess.filter(F.col("event_type") == "purchase").select(*cols)

@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from metevents_spark.cache import release
 from metevents_spark.io import load_table
 
 END = "</w>"
@@ -96,6 +97,7 @@ def learn_merges(
         .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, str, int]] = []
+    prev = None  # superseded checkpoint, released once its child lands
     for rank in range(1, n_merges + 1):
         pairs = wf.select(
             "freq",
@@ -115,12 +117,27 @@ def learn_merges(
         )
         if not best:
             break
+        # the collect above materialized wf's checkpoint, so the
+        # PREVIOUS round's checkpoint is no longer anyone's lineage —
+        # release it now instead of waiting for the JVM ContextCleaner
+        # to GC-notice it (at real scale each is a vocab-sized frame,
+        # and a 169-query session shouldn't accumulate n_merges of
+        # them per training run)
+        if prev is not None:
+            release(prev)
+        prev = wf
         left, right, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
         merged = left + right
         merges.append((rank, left, right, merged, n))
         wf = wf.withColumn(
             "syms", _merge_fold(left, right, merged)
         ).localCheckpoint(eager=False)
+    # the loop's tail: the last materialized checkpoint and the final
+    # (possibly never-materialized) lazy one — nothing downstream reads
+    # them; the merge table in `merges` is plain Python
+    if prev is not None:
+        release(prev)
+    release(wf)
     return merges
 
 

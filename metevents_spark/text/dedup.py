@@ -16,7 +16,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from metevents_spark.cache import track
+from metevents_spark.cache import release, track
 from metevents_spark.io import load_table
 
 
@@ -707,7 +707,10 @@ def dedup_clusters(
     # iteration cut GraphX/MLlib use; on a fault-tolerant cluster run,
     # swap for reliable .checkpoint() with a checkpoint dir.
     rep_pairs, member_rep = _minhash_rep_pairs(spark, sf_dir, threshold=threshold)
-    pairs = rep_pairs.select("doc_a", "doc_b").localCheckpoint()
+    # tracked like every multi-consumer persist: the next registry
+    # query (after this one's result materializes) releases the
+    # checkpoint instead of waiting for the ContextCleaner to GC it
+    pairs = track(rep_pairs.select("doc_a", "doc_b").localCheckpoint())
     edges = pairs.union(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -716,7 +719,7 @@ def dedup_clusters(
 
     # vertices touched by at least one edge — the only ones whose label
     # can ever change under min-propagation
-    labels = (
+    labels = track(
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster", F.col("doc_id"))
@@ -743,7 +746,11 @@ def dedup_clusters(
             .localCheckpoint(eager=False)
         )
         cur_sum = new_labels.agg(F.sum("cluster")).collect()[0][0]
-        labels = new_labels
+        # the sum collect materialized new_labels' checkpoint, so the
+        # superseded round's frame is lineage for nothing — release it
+        # now rather than accumulating max_iters label frames
+        release(labels)
+        labels = track(new_labels)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

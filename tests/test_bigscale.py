@@ -22,8 +22,12 @@ BIG_DIR = "/tmp/metevents-sfbig-x10"
 # (media_resize — py-node output path) and the recursive-CTE replay
 # (lttb_downsample — 10x more series through the 18-step recursion),
 # plus the round-8 additions whose value claim IS scale behavior: the
-# cross-corpus LSH join (incremental_dedup) and the Bloom prefilter
-# (decontaminate_bloom — 10x the gram stream through the probe)
+# cross-corpus LSH join (incremental_dedup), the Bloom prefilter
+# (decontaminate_bloom — 10x the gram stream through the probe), the
+# one-pass covariance (10x embeddings through the Arrow partial-sum
+# kernel vs the oracle's row x dim^2 expansion), the exact KS monitor
+# (10x the distinct-value cumsum windows), and the shuffle-free
+# entropy fold (10x documents through the sorted-run aggregate)
 HEAVY = (
     "remove_duplicate_spans",
     "anomaly_consensus",
@@ -34,6 +38,9 @@ HEAVY = (
     "lttb_downsample",
     "incremental_dedup",
     "decontaminate_bloom",
+    "embedding_covariance",
+    "ks_drift",
+    "token_entropy",
 )
 
 
