@@ -8,6 +8,7 @@ from metevents_spark.streaming.detect import (  # noqa: F401
     stream_sessions,
     stream_storm_find,
     stream_storm_find_tws,
+    stream_time_weighted,
     stream_zscore,
 )
 from metevents_spark.streaming.dedup import (  # noqa: F401

@@ -829,3 +829,110 @@ def stream_counter_rate(stream_df: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TWA_OUTPUT_SCHEMA = (
+    "sid string, bucket_day timestamp, n_segments long, twa double,"
+    " simple_avg double"
+)
+TWA_STATE_SCHEMA = StructType(
+    [
+        StructField("prev_us", LongType()),
+        StructField("prev_v", DoubleType()),
+        StructField("open_day_us", LongType()),
+        StructField("n_seg", LongType()),
+        StructField("sum_dt", DoubleType()),
+        StructField("sum_mass", DoubleType()),
+        StructField("sum_v", DoubleType()),
+    ]
+)
+
+_DAY_US = 86_400 * 1_000_000
+
+
+def stream_time_weighted(stream_df: DataFrame) -> DataFrame:
+    """Streaming trapezoidal time-weighted daily mean: the incremental
+    counterpart of the batch ``time_weighted_avg``
+    (operators/seriesstats.py). Segments form between consecutive
+    clean readings exactly as in batch (a segment belongs to the day
+    of its LATER endpoint); a day's row is emitted when the first
+    segment of a LATER day arrives — the same provably-closed contract
+    as ``stream_storm_find``: every emitted day is final, the
+    currently-open day is withheld until a later-day segment proves it
+    complete. Days whose segments all have zero duration drop, like
+    the batch HAVING filter.
+
+    Replaying a static corpus yields exactly the batch rows for every
+    series-day except each series' LAST (still-open) day — pinned by
+    pytest together with chunking-invariance. State per series is
+    SEVEN numbers; no watermark machinery, so late data within the
+    open day still folds exactly, and data later than one full day
+    only extends the open day (it can never reopen an emitted one,
+    because days close strictly in event-time order per series).
+    """
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            prev_us, prev_v, open_day, n_seg, s_dt, s_mass, s_v = state.get
+        else:
+            prev_us, prev_v, open_day, n_seg, s_dt, s_mass, s_v = (
+                None, None, None, 0, 0.0, 0.0, 0.0,
+            )
+        out_sid, out_day, out_n, out_twa, out_avg = [], [], [], [], []
+
+        def close_day():
+            if s_dt > 0:
+                out_sid.append(key[0])
+                out_day.append(open_day)
+                out_n.append(n_seg)
+                out_twa.append(round(s_mass / s_dt, 6))
+                out_avg.append(round(s_v / n_seg, 6))
+
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = _sort_batch(pdf)
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            for i in range(len(v)):
+                x, u = float(v[i]), int(us[i])
+                if prev_us is not None:
+                    dt = float(u - prev_us)
+                    seg_day = (u // _DAY_US) * _DAY_US
+                    if open_day is None:
+                        open_day = seg_day
+                    elif seg_day > open_day:
+                        close_day()
+                        open_day = seg_day
+                        n_seg, s_dt, s_mass, s_v = 0, 0.0, 0.0, 0.0
+                    n_seg += 1
+                    s_dt += dt
+                    s_mass += (prev_v + x) / 2.0 * dt
+                    s_v += x
+                prev_us, prev_v = u, x
+        state.update((prev_us, prev_v, open_day, n_seg, s_dt, s_mass, s_v))
+        if out_sid:
+            yield pd.DataFrame(
+                {
+                    "sid": out_sid,
+                    "bucket_day": pd.to_datetime(
+                        np.asarray(out_day, dtype="int64"), unit="us"
+                    ),
+                    "n_segments": np.asarray(out_n, dtype="int64"),
+                    "twa": out_twa,
+                    "simple_avg": out_avg,
+                }
+            )
+
+    return (
+        stream_df.select(*_clean_series_cols(stream_df))
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy("sid")
+        .applyInPandasWithState(
+            fn,
+            TWA_OUTPUT_SCHEMA,
+            TWA_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

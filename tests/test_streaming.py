@@ -979,3 +979,81 @@ def test_stream_counter_rate_chunk_invariant_matches_batch(
     assert np.allclose(
         g["rate_per_hour"], exp["rate_per_hour"], atol=1e-9, equal_nan=True
     )
+
+
+@pytest.mark.parametrize("split", [300, 700])
+def test_stream_time_weighted_closed_days_match_batch(
+    spark, stream_dir, split
+):
+    """Every emitted (series, day) row must equal the batch
+    time_weighted_avg row exactly; the set of emitted days must be all
+    batch days EXCEPT each series' last (still-open) one — however the
+    replay is chunked."""
+    from metevents_spark.streaming import stream_time_weighted
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    pdf = (
+        pd.DataFrame(
+            {
+                "sid": ev["user_id"].astype(str),
+                "seq": ev["event_id"].astype("int64"),
+                "ts": ev["ts"],
+                "value": ev["value"],
+            }
+        )
+        .sort_values(["ts", "seq"], kind="stable")
+        .reset_index(drop=True)
+    )
+    d = Path(stream_dir, f"twa_in_{split}")
+    d.mkdir()
+    pdf.iloc[:split].to_parquet(f"{d}/c0.parquet", coerce_timestamps="us")
+    time.sleep(0.05)
+    pdf.iloc[split:].to_parquet(f"{d}/c1.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema(
+            "sid string, seq long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    name = f"twa_out_{split}"
+    q = (
+        stream_time_weighted(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{stream_dir}/ckpt_twa{split}")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql(f"SELECT * FROM {name}")
+        .toPandas()
+        .sort_values(["sid", "bucket_day"])
+        .reset_index(drop=True)
+    )
+
+    from metevents_spark.operators.seriesstats import time_weighted_avg
+
+    batch = time_weighted_avg(spark, "/root/testdata/sf0.001").toPandas()
+    # expected emissions: batch rows minus each series' LAST day
+    last_day = batch.groupby("sid")["bucket_day"].transform("max")
+    want = (
+        batch[batch["bucket_day"] != last_day]
+        .sort_values(["sid", "bucket_day"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["sid"] == want["sid"]).all()
+    assert (
+        got["bucket_day"].to_numpy() == want["bucket_day"].to_numpy()
+    ).all()
+    assert (got["n_segments"] == want["n_segments"]).all()
+    assert np.allclose(got["twa"], want["twa"], atol=2e-6)
+    assert np.allclose(got["simple_avg"], want["simple_avg"], atol=2e-6)
+    # the withheld open days really are each series' maximum
+    assert (batch.groupby("sid").size() - got.groupby("sid").size().reindex(
+        batch["sid"].unique(), fill_value=0
+    ) == 1).all()
