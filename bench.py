@@ -191,6 +191,8 @@ HEADLINE = [
     "dominant_part_suppliers",
     "ks_drift",
     "rolling_reach_hll",
+    "nation_yoy_growth",
+    "embedding_whitening",
 ]
 
 

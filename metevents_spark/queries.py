@@ -47,6 +47,7 @@ from metevents_spark.relational import (
     funnel_conversion,
     nation_segment_rollup,
     nation_trade_flow,
+    nation_yoy_growth,
     order_priority_check,
     pareto_parts,
     pricing_summary,
@@ -136,6 +137,7 @@ from metevents_spark.session import tune_session
 from metevents_spark.similarity import (
     ann_recall_report,
     embedding_covariance,
+    embedding_whitening,
     knn_ivf_pq,
     pca_embeddings,
     embedding_near_dup,
@@ -3221,6 +3223,29 @@ SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_a,
 FROM cum GROUP BY event_type ORDER BY event_type
 """
 
+# YoY growth: exact DECIMAL yearly revenue, LAG over the dimension-
+# sized aggregate, final ratio in identical double ops.
+ORACLE_SQL["nation_yoy_growth"] = """
+WITH yearly AS (
+  SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+              (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+              AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, EXTRACT(year FROM o_orderdate)),
+lagged AS (
+  SELECT n_name, CAST(o_year AS BIGINT) AS o_year,
+         ROUND(revenue, 3) AS revenue,
+         ROUND((revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w, 6)
+           AS yoy_growth
+  FROM yearly WINDOW w AS (PARTITION BY n_name ORDER BY o_year))
+SELECT * FROM lagged WHERE yoy_growth IS NOT NULL
+ORDER BY n_name, o_year
+"""
+
 
 # Insertion order matters: the verification driver checks the FIRST 50
 # entries, so slot assignment is a deliberate rotation policy.
@@ -3270,13 +3295,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_expectations": data_expectations,
     "events_cube": events_cube,
     "token_count_bpe": token_count_bpe,
-    # Slots 12-25: the first 14 (alphabetical) of the 44 oracle-backed
+    # Slots 12-23: the first 12 (alphabetical) of the 44 oracle-backed
     # keys whose newest driver-green row dates to r05. The remaining
-    # thirty (event_type_corr, funnel_conversion, heavy_shippers,
+    # thirty-two (edit_distance_pairs, embedding_quantize,
+    # event_type_corr, funnel_conversion, heavy_shippers,
     # label_centroids, lineitem_unpivot,
     # loyal_customers, media_dedup, nation_revenue_share,
     # pii_redact, promo_revenue_pct — displaced late in the round by
-    # the ten NEW operators below, which take window priority —
+    # the twelve NEW operators below, which take window priority —
     # props_value_stats, quality_bucket_sample,
     # repetition_stats, retention_cohorts, returned_item_customers,
     # rolling_7d_active, seasonal_anomaly, sequence_pack,
@@ -3298,9 +3324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunking": doc_chunking,
     "domain_stats": domain_stats,
     "downsample_ohlc": downsample_ohlc,
-    "edit_distance_pairs": edit_distance_pairs,
-    "embedding_quantize": embedding_quantize,
-    # Slots 26-27: the distributed BPE trainer + real-tokenizer token
+    # Slots 24-25: the distributed BPE trainer + real-tokenizer token
     # counts, NEW this round and rows-only (iterative argmax per merge
     # round is not ANSI SQL) — never-seen keys take window priority so
     # the driver records their first rows-only rows; pinned by exact
@@ -3308,12 +3332,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (tests/test_bpe.py).
     "bpe_learn": bpe_learn,
     "bpe_token_count": bpe_token_count,
-    # Slots 28-29: the two operators NEW this round on the events
+    # Slots 26-27: the two operators NEW this round on the events
     # table — the Markov transition matrix and top opening paths
     # (user-journey analytics next to funnel/retention/sessionize).
     "event_transitions": event_transitions,
     "top_paths": top_paths,
-    # Slots 30-34: the five keys upgraded THIS round from rows-only to
+    # Slots 28-32: the five keys upgraded THIS round from rows-only to
     # oracle-backed (minhash/simhash family + clusters via the
     # md5-derived portable hash base; storm_find via a recursive-CTE
     # replay of the burst fold) — in-window so the driver records
@@ -3323,7 +3347,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": simhash_near_dup,
     "minhash_near_dup": q_minhash_near_dup,
     "dedup_clusters": dedup_clusters,
-    # Slots 35-40: NEW oracle-backed operators this round — Bloom-
+    # Slots 33-38: NEW oracle-backed operators this round — Bloom-
     # prefiltered decontamination (result-identical to the exact join),
     # cross-corpus incremental dedup (batch vs reference corpus),
     # DSIR-style importance resampling, per-source boilerplate-phrase
@@ -3335,7 +3359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_phrases": boilerplate_phrases,
     "ngram_novelty": ngram_novelty,
     "contamination_fraction": contamination_fraction,
-    # Slots 41-45: the five operators NEW late this round — the TSDB
+    # Slots 39-43: the five operators NEW late this round — the TSDB
     # pair (trapezoidal time-weighted mean, Prometheus-style counter
     # rate with reset handling), the sort-based skyline vs its
     # textbook NOT EXISTS oracle, the one-pass distributed embedding
@@ -3347,7 +3371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pareto_parts": pareto_parts,
     "embedding_covariance": embedding_covariance,
     "pca_embeddings": pca_embeddings,
-    # Slots 46-50: the final five NEW operators this round — the
+    # Slots 44-48: five more NEW operators this round — the
     # shuffle-free per-document Shannon-entropy fold, per-source
     # unigram KL divergence vs the corpus mix, Q20's correlated
     # ratio predicate (dominant supplier per contested part), the
@@ -3360,10 +3384,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dominant_part_suppliers": dominant_part_suppliers,
     "ks_drift": ks_drift,
     "rolling_reach_hll": rolling_reach_hll,
+    # Slots 49-50: the last two NEW operators — year-over-year revenue
+    # growth per nation (LAG window over the dimension-sized yearly
+    # aggregate) and PCA-whitened embeddings (rows-only: eigh is not
+    # ANSI SQL; pinned by the identity-covariance invariant,
+    # tests/test_pca.py).
+    "nation_yoy_growth": nation_yoy_growth,
+    "embedding_whitening": embedding_whitening,
     # ====== PAST THE DRIVER CAP: every key below has a driver-green
     # ====== (or rows-only for non-SQL ops) row in r01-r07 and stays
     # ====== pinned by tests/test_oracle_parity.py (oracle-backed) or
     # ====== golden/differential pytest (rows-only) ======================
+    "edit_distance_pairs": edit_distance_pairs,
+    "embedding_quantize": embedding_quantize,
     "event_type_corr": event_type_corr,
     "funnel_conversion": funnel_conversion,
     "heavy_shippers": heavy_shippers,

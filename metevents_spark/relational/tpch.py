@@ -1346,3 +1346,46 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_dominant_parts").desc(), "s_suppkey")
     )
+
+
+def nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation — the
+    window-over-aggregate report every BI layer runs on the fact
+    table: exact DECIMAL revenue per (nation, year), then a LAG window
+    over the tiny aggregate computes the growth ratio. Years without a
+    predecessor drop (growth undefined).
+
+    Scale shape: the fact join shuffles on orderkey once; the customer
+    join is left to AQE (customer scales with SF — the fixed-size
+    broadcast is only the nation dim); the LAG window runs on
+    |nations| x |years| rows — dimension-sized, never the fact table.
+    Revenue sums in exact DECIMAL and only the FINAL ratio is double,
+    so the growth numbers are engine-deterministic bit-for-bit after
+    rounding.
+    """
+    line = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount", "4,2"))
+    yearly = (
+        line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return (
+        yearly.select(
+            "n_name",
+            F.col("o_year").cast("long").alias("o_year"),
+            F.round("revenue", 3).alias("revenue"),
+            F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"),
+        )
+        .filter(F.col("yoy_growth").isNotNull())
+        .orderBy("n_name", "o_year")
+    )

@@ -12,6 +12,7 @@ from metevents_spark.similarity.knn import (  # noqa: F401
 )
 from metevents_spark.similarity.pca import (  # noqa: F401
     embedding_covariance,
+    embedding_whitening,
     pca_embeddings,
 )
 from metevents_spark.similarity.semdedup import (  # noqa: F401

@@ -119,9 +119,10 @@ def embedding_covariance(
 
 def _principal_components(
     emb: DataFrame, dim: int, k: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
-    """(mean vector, top-k components [k x dim], explained-variance
-    ratios, count) from one distributed covariance pass + driver eigh.
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """(mean vector, top-k components [k x dim], top-k eigenvalues,
+    explained-variance ratios, count) from one distributed covariance
+    pass + driver eigh.
 
     Sign convention: each component's largest-|coefficient| entry is
     made positive — eigenvectors are sign-ambiguous, this pins them
@@ -150,7 +151,7 @@ def _principal_components(
     flip[flip == 0] = 1.0
     comps = comps * flip[:, None]
     ratios = evals[order] / max(evals.sum(), 1e-300)
-    return mean, comps, ratios, n
+    return mean, comps, evals[order], ratios, n
 
 
 def pca_embeddings(
@@ -167,7 +168,7 @@ def pca_embeddings(
     each row once and shuffles nothing but the final sort.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    mean, comps, _, _ = _principal_components(emb, dim, k)
+    mean, comps, _, _, _ = _principal_components(emb, dim, k)
 
     out_schema = "vec_id long, label int, " + ", ".join(
         f"pc{i + 1} double" for i in range(k)
@@ -190,5 +191,50 @@ def pca_embeddings(
     return (
         emb.select("vec_id", "label", "embedding")
         .mapInPandas(project, out_schema)
+        .orderBy("vec_id")
+    )
+
+
+def embedding_whitening(
+    spark: SparkSession, sf_dir: str, k: int = 8, dim: int = 64
+) -> DataFrame:
+    """PCA-whitened embeddings: z = diag(1/sqrt(lambda_i)) V_k^T (x - mu)
+    — the standard preconditioner before clustering/ANN when feature
+    scales are anisotropic (whitened space makes Euclidean == Mahalanobis,
+    so k-means stops being dominated by the high-variance axes).
+
+    Same scale shape as :func:`pca_embeddings`: one distributed
+    covariance pass, driver eigh on the CONSTANT dim x dim matrix, then
+    a map-side Arrow kernel projects and rescales each row — nothing
+    shuffles but the presentation sort. Rows-only in the driver
+    contract; pinned by the defining invariant (the whitened corpus's
+    own covariance equals the k x k identity) plus numpy differential
+    parity (tests/test_pca.py).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, lam, _, _ = _principal_components(emb, dim, k)
+    scale = 1.0 / np.sqrt(np.maximum(lam, 1e-12))  # k
+
+    out_schema = "vec_id long, label int, " + ", ".join(
+        f"w{i + 1} double" for i in range(k)
+    )
+
+    def whiten(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            z = np.round(((x - mean) @ comps.T) * scale, 6)
+            out = {
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "label": pdf["label"].astype("int32"),
+            }
+            for i in range(k):
+                out[f"w{i + 1}"] = z[:, i]
+            yield pd.DataFrame(out)
+
+    return (
+        emb.select("vec_id", "label", "embedding")
+        .mapInPandas(whiten, out_schema)
         .orderBy("vec_id")
     )

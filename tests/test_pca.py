@@ -77,7 +77,7 @@ def test_pca_variance_structure(spark):
     from metevents_spark.io import load_table
 
     emb = load_table(spark, SF_SMALL, "embeddings")
-    mean, comps, ratios, n = _principal_components(emb, DIM, K)
+    mean, comps, evals_got, ratios, n = _principal_components(emb, DIM, K)
 
     x, _ = _corpus()
     assert n == len(x)
@@ -90,3 +90,34 @@ def test_pca_variance_structure(spark):
     proj = (x - x.mean(axis=0)) @ comps.T
     _, _, evals = _numpy_pca(x, K)
     assert np.allclose(proj.var(axis=0), evals, rtol=1e-6)
+    assert np.allclose(evals_got, evals, rtol=1e-9)
+
+
+def test_embedding_whitening_identity_covariance(spark):
+    """The defining invariant: the whitened corpus's own covariance is
+    the k x k identity (variance 1 on every axis, zero cross-terms),
+    and the values match a numpy whitening replay."""
+    from metevents_spark.similarity.pca import embedding_whitening
+
+    K8 = 8
+    got = (
+        embedding_whitening(spark, SF_SMALL, k=K8, dim=DIM)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    z = got[[f"w{i + 1}" for i in range(K8)]].to_numpy()
+    cov = np.cov(z.T, bias=True)
+    assert np.allclose(cov, np.eye(K8), atol=1e-4)
+
+    x, emb = _corpus()
+    mean = x.mean(axis=0)
+    c = np.cov(x.T, bias=True)
+    evals, evecs = np.linalg.eigh(c)
+    order = np.argsort(evals)[::-1][:K8]
+    comps = evecs[:, order].T
+    flip = np.sign(comps[np.arange(K8), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    ref = ((x - mean) @ comps.T) / np.sqrt(evals[order])
+    ref_sorted = ref[np.argsort(emb["vec_id"].to_numpy())]
+    assert np.allclose(z, ref_sorted, atol=1e-4)
