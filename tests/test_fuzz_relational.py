@@ -1,0 +1,158 @@
+"""Differential query fuzzing: randomly composed filter -> groupBy ->
+aggregate specs executed on BOTH engines from one spec.
+
+The oracle suite pins 153 hand-written query pairs; this fuzzer covers
+the composition space BETWEEN them — every case derives a Spark
+DataFrame plan and a DuckDB SQL string from the same randomly drawn
+spec, so any hash mismatch is an engine-semantics divergence (filter
+pushdown interaction, grouping of computed keys, aggregate null
+handling), not a transcription error. Seeds are fixed: the 16 cases
+are deterministic, CI-stable, and each failure message prints the
+full spec for replay.
+
+Money aggregates run in exact integer cents (LONG) on both sides —
+the repo-wide convention that makes sums order-independent and the
+hashes bit-stable (see relational/tpch.py pricing_summary).
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from tools.check_oracle import frame_hash, normalize
+
+LINEITEM = f"{SF_SMALL}/lineitem.parquet"
+
+# ---- the spec space ------------------------------------------------------
+# (name, spark column builder, duckdb SQL fragment)
+FILTERS = [
+    ("qty_lo", lambda: F.col("l_quantity") >= 25, "l_quantity >= 25"),
+    ("qty_hi", lambda: F.col("l_quantity") < 40, "l_quantity < 40"),
+    (
+        "ship_96",
+        lambda: F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"),
+        "l_shipdate >= TIMESTAMP '1996-01-01'",
+    ),
+    (
+        "ship_pre97",
+        lambda: F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"),
+        "l_shipdate < TIMESTAMP '1997-01-01'",
+    ),
+    ("flag_r", lambda: F.col("l_returnflag") == "R", "l_returnflag = 'R'"),
+    ("disc_pos", lambda: F.col("l_discount") > 0.02, "l_discount > 0.02"),
+]
+
+KEYS = [
+    ("l_returnflag", lambda: F.col("l_returnflag"), "l_returnflag"),
+    ("l_linestatus", lambda: F.col("l_linestatus"), "l_linestatus"),
+    (
+        "ship_year",
+        lambda: F.year("l_shipdate").cast("long"),
+        "CAST(EXTRACT(year FROM l_shipdate) AS BIGINT)",
+    ),
+    (
+        "supp_mod",
+        lambda: (F.col("l_suppkey") % 10).cast("long"),
+        "CAST(l_suppkey % 10 AS BIGINT)",
+    ),
+    (
+        "qty_band",
+        lambda: F.floor(F.col("l_quantity") / 10).cast("long"),
+        "CAST(FLOOR(l_quantity / 10) AS BIGINT)",
+    ),
+]
+
+_CENTS = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+AGGS = [
+    (
+        "n_rows",
+        lambda: F.count(F.lit(1)).alias("n_rows"),
+        "COUNT(*) AS n_rows",
+    ),
+    (
+        "sum_cents",
+        lambda: F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+        f"SUM({_CENTS}) AS sum_cents",
+    ),
+    (
+        "max_cents",
+        lambda: F.max(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "max_cents"
+        ),
+        f"MAX({_CENTS}) AS max_cents",
+    ),
+    (
+        "min_qty",
+        lambda: F.min(F.col("l_quantity")).alias("min_qty"),
+        "MIN(l_quantity) AS min_qty",
+    ),
+    (
+        "n_parts",
+        lambda: F.countDistinct("l_partkey").alias("n_parts"),
+        "COUNT(DISTINCT l_partkey) AS n_parts",
+    ),
+    (
+        "sum_qty",
+        lambda: F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        "SUM(CAST(l_quantity AS BIGINT)) AS sum_qty",
+    ),
+]
+
+
+def draw_spec(seed: int):
+    rng = random.Random(seed)
+    filters = rng.sample(FILTERS, rng.randint(0, 2))
+    keys = rng.sample(KEYS, rng.randint(1, 2))
+    aggs = rng.sample(AGGS, rng.randint(2, 3))
+    return filters, keys, aggs
+
+
+def spec_label(filters, keys, aggs) -> str:
+    return (
+        f"WHERE {[f[0] for f in filters]} "
+        f"GROUP BY {[k[0] for k in keys]} AGG {[a[0] for a in aggs]}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_random_composition_matches_duckdb(spark, seed):
+    filters, keys, aggs = draw_spec(seed)
+
+    # Spark side: declarative composition of the same spec
+    df = spark.read.parquet(LINEITEM)
+    for _, col, _ in filters:
+        df = df.filter(col())
+    got = (
+        df.groupBy(*[k[1]().alias(k[0]) for k in keys])
+        .agg(*[a[1]() for a in aggs])
+        .toPandas()
+    )
+
+    # DuckDB side: the textbook SQL for the same spec
+    where = (
+        "WHERE " + " AND ".join(f[2] for f in filters) if filters else ""
+    )
+    key_sql = ", ".join(f"{k[2]} AS {k[0]}" for k in keys)
+    agg_sql = ", ".join(a[2] for a in aggs)
+    sql = (
+        f"SELECT {key_sql}, {agg_sql} FROM lineitem {where} "
+        f"GROUP BY {', '.join(k[0] for k in keys)}"
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{LINEITEM}'")
+    want = con.sql(sql).df()
+
+    label = spec_label(filters, keys, aggs)
+    assert len(got) == len(want), f"row count: {label}\n{sql}"
+    g, w = normalize(got), normalize(want)
+    assert sorted(g.columns) == sorted(w.columns), label
+    assert frame_hash(g) == frame_hash(w), f"value hash: {label}\n{sql}"
