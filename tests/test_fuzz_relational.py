@@ -20,7 +20,6 @@ from __future__ import annotations
 import random
 
 import duckdb
-import pandas as pd
 import pytest
 
 from pyspark.sql import functions as F
@@ -155,4 +154,77 @@ def test_random_composition_matches_duckdb(spark, seed):
     assert len(got) == len(want), f"row count: {label}\n{sql}"
     g, w = normalize(got), normalize(want)
     assert sorted(g.columns) == sorted(w.columns), label
+    assert frame_hash(g) == frame_hash(w), f"value hash: {label}\n{sql}"
+
+
+# ---- join compositions ---------------------------------------------------
+ORDER_FILTERS = [
+    ("stat_f", lambda: F.col("o_orderstatus") == "F", "o_orderstatus = 'F'"),
+    (
+        "od_96",
+        lambda: F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"),
+        "o_orderdate >= TIMESTAMP '1996-01-01'",
+    ),
+    (
+        "prio_urgent",
+        lambda: F.col("o_orderpriority") == "1-URGENT",
+        "o_orderpriority = '1-URGENT'",
+    ),
+]
+
+JOIN_KEYS = [
+    ("o_orderstatus", lambda: F.col("o_orderstatus"), "o_orderstatus"),
+    ("o_orderpriority", lambda: F.col("o_orderpriority"), "o_orderpriority"),
+    (
+        "order_year",
+        lambda: F.year("o_orderdate").cast("long"),
+        "CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)",
+    ),
+] + KEYS[:3]
+
+
+@pytest.mark.parametrize("seed", range(100, 110))
+def test_random_join_composition_matches_duckdb(spark, seed):
+    """Same contract through a fact-fact join: filters drawn on BOTH
+    sides must push through the join identically in both engines."""
+    orders_path = f"{SF_SMALL}/orders.parquet"
+    rng = random.Random(seed)
+    lfilters = rng.sample(FILTERS, rng.randint(0, 2))
+    ofilters = rng.sample(ORDER_FILTERS, rng.randint(0, 2))
+    keys = rng.sample(JOIN_KEYS, rng.randint(1, 2))
+    aggs = rng.sample(AGGS, rng.randint(2, 3))
+
+    line = spark.read.parquet(LINEITEM)
+    for _, col, _ in lfilters:
+        line = line.filter(col())
+    orders = spark.read.parquet(orders_path)
+    for _, col, _ in ofilters:
+        orders = orders.filter(col())
+    got = (
+        line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(*[k[1]().alias(k[0]) for k in keys])
+        .agg(*[a[1]() for a in aggs])
+        .toPandas()
+    )
+
+    conds = [f[2] for f in lfilters] + [f[2] for f in ofilters]
+    where = "WHERE " + " AND ".join(conds) if conds else ""
+    key_sql = ", ".join(f"{k[2]} AS {k[0]}" for k in keys)
+    agg_sql = ", ".join(a[2] for a in aggs)
+    sql = (
+        f"SELECT {key_sql}, {agg_sql} FROM lineitem "
+        f"JOIN orders ON l_orderkey = o_orderkey {where} "
+        f"GROUP BY {', '.join(k[0] for k in keys)}"
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{LINEITEM}'")
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{orders_path}'")
+    want = con.sql(sql).df()
+
+    label = (
+        f"l={[f[0] for f in lfilters]} o={[f[0] for f in ofilters]} "
+        f"k={[k[0] for k in keys]} a={[a[0] for a in aggs]}"
+    )
+    assert len(got) == len(want), f"row count: {label}\n{sql}"
+    g, w = normalize(got), normalize(want)
     assert frame_hash(g) == frame_hash(w), f"value hash: {label}\n{sql}"
