@@ -41,6 +41,8 @@ HEAVY = (
     "embedding_covariance",
     "ks_drift",
     "token_entropy",
+    "nation_yoy_growth",
+    "dominant_part_suppliers",
 )
 
 
