@@ -75,6 +75,12 @@ def lloyd_centroids(
         .select("vec_id", "embedding")
         .collect()
     )
+    if len(seeds) < k:
+        raise ValueError(
+            f"k-means needs at least k={k} seed vectors with vec_id < k; "
+            f"corpus provided {len(seeds)} (empty or too-small embedding "
+            "corpus)"
+        )
     cmat = np.array([v for _, v in seeds], dtype=np.float64)
     kk, dim = cmat.shape
     for _ in range(iters):
