@@ -193,6 +193,7 @@ HEADLINE = [
     "rolling_reach_hll",
     "nation_yoy_growth",
     "embedding_whitening",
+    "mad_drift",
 ]
 
 

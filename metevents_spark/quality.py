@@ -238,3 +238,66 @@ def ks_drift(
         )
         .orderBy("event_type")
     )
+
+
+def mad_drift(
+    spark: SparkSession,
+    sf_dir: str,
+    split_ts: str = "2024-01-16 00:00:00",
+) -> DataFrame:
+    """Robust location/scale drift between two time windows, per
+    event_type: window medians, MADs (median absolute deviation), and
+    the robust shift score (med_b - med_a) / (1.4826 * MAD_a) — the
+    outlier-immune member of the drift triad next to ``value_drift_psi``
+    (binned) and ``ks_drift`` (distribution-free): a handful of extreme
+    values moves a mean-and-stddev monitor but not this one.
+
+    Scale shape: two passes over the input (medians, then absolute
+    deviations against the BROADCAST 2x|types| median table), each a
+    partial+final percentile aggregate on (event_type, window) — the
+    per-key exact-percentile shape value_quantiles already uses. No
+    window functions, no sort of the input.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    labeled = ev.select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < split_ts, "a").otherwise("b").alias("w"),
+    )
+    med = labeled.groupBy("event_type", "w").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mad = (
+        labeled.join(F.broadcast(med), ["event_type", "w"])
+        .select(
+            "event_type",
+            "w",
+            F.abs(F.col("value") - F.col("med")).alias("dev"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
+    )
+    both = med.join(mad, ["event_type", "w"])
+
+    def pick(col, w):
+        return F.max(F.when(F.col("w") == w, F.col(col)))
+
+    out = both.groupBy("event_type").agg(
+        pick("n", "a").cast("long").alias("n_a"),
+        pick("n", "b").cast("long").alias("n_b"),
+        F.round(pick("med", "a"), 6).alias("med_a"),
+        F.round(pick("med", "b"), 6).alias("med_b"),
+        F.round(pick("mad", "a"), 6).alias("mad_a"),
+        F.round(pick("mad", "b"), 6).alias("mad_b"),
+        F.round(
+            (pick("med", "b") - pick("med", "a"))
+            / (F.lit(1.4826) * pick("mad", "a")),
+            6,
+        ).alias("robust_shift"),
+    )
+    return out.filter(
+        F.col("n_a").isNotNull() & F.col("n_b").isNotNull()
+    ).orderBy("event_type")

@@ -154,7 +154,12 @@ from metevents_spark.similarity import (
 from metevents_spark.multimodal import media_embedding_near_dup
 from metevents_spark.operators.downsample import lttb_downsample
 from metevents_spark.operators.resample import gap_fill_hourly
-from metevents_spark.quality import data_expectations, ks_drift, value_drift_psi
+from metevents_spark.quality import (
+    data_expectations,
+    ks_drift,
+    mad_drift,
+    value_drift_psi,
+)
 from metevents_spark.operators.changepoint import cusum_alarm
 from metevents_spark.operators.seriesstats import (
     anomaly_consensus,
@@ -3246,6 +3251,37 @@ SELECT * FROM lagged WHERE yoy_growth IS NOT NULL
 ORDER BY n_name, o_year
 """
 
+# MAD drift: same two-pass median/abs-dev algebra; quantile_cont is
+# DuckDB's exact interpolated percentile, matching Spark's percentile
+# (the value_quantiles-proven pairing).
+ORACLE_SQL["mad_drift"] = """
+WITH ev AS (SELECT event_type, value,
+            CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS w
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+med AS (SELECT event_type, w, quantile_cont(value, 0.5) AS med,
+        COUNT(*) AS n FROM ev GROUP BY event_type, w),
+mad AS (SELECT ev.event_type, ev.w,
+        quantile_cont(ABS(value - med), 0.5) AS mad
+        FROM ev JOIN med ON ev.event_type = med.event_type AND ev.w = med.w
+        GROUP BY ev.event_type, ev.w),
+b AS (SELECT * FROM med JOIN mad USING (event_type, w))
+SELECT event_type,
+  CAST(MAX(CASE WHEN w = 'a' THEN n END) AS BIGINT) AS n_a,
+  CAST(MAX(CASE WHEN w = 'b' THEN n END) AS BIGINT) AS n_b,
+  ROUND(MAX(CASE WHEN w = 'a' THEN med END), 6) AS med_a,
+  ROUND(MAX(CASE WHEN w = 'b' THEN med END), 6) AS med_b,
+  ROUND(MAX(CASE WHEN w = 'a' THEN mad END), 6) AS mad_a,
+  ROUND(MAX(CASE WHEN w = 'b' THEN mad END), 6) AS mad_b,
+  ROUND((MAX(CASE WHEN w = 'b' THEN med END)
+         - MAX(CASE WHEN w = 'a' THEN med END))
+        / (1.4826 * MAX(CASE WHEN w = 'a' THEN mad END)), 6)
+    AS robust_shift
+FROM b GROUP BY event_type
+HAVING MAX(CASE WHEN w = 'a' THEN n END) IS NOT NULL
+   AND MAX(CASE WHEN w = 'b' THEN n END) IS NOT NULL
+ORDER BY event_type
+"""
+
 
 # Insertion order matters: the verification driver checks the FIRST 50
 # entries, so slot assignment is a deliberate rotation policy.
@@ -3295,14 +3331,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_expectations": data_expectations,
     "events_cube": events_cube,
     "token_count_bpe": token_count_bpe,
-    # Slots 12-23: the first 12 (alphabetical) of the 44 oracle-backed
+    # Slots 12-22: the first 11 (alphabetical) of the 44 oracle-backed
     # keys whose newest driver-green row dates to r05. The remaining
-    # thirty-two (edit_distance_pairs, embedding_quantize,
+    # thirty-three (downsample_ohlc, edit_distance_pairs, embedding_quantize,
     # event_type_corr, funnel_conversion, heavy_shippers,
     # label_centroids, lineitem_unpivot,
     # loyal_customers, media_dedup, nation_revenue_share,
     # pii_redact, promo_revenue_pct — displaced late in the round by
-    # the twelve NEW operators below, which take window priority —
+    # the thirteen NEW operators below, which take window priority —
     # props_value_stats, quality_bucket_sample,
     # repetition_stats, retention_cohorts, returned_item_customers,
     # rolling_7d_active, seasonal_anomaly, sequence_pack,
@@ -3323,8 +3359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "disjunctive_part_revenue": disjunctive_part_revenue,
     "doc_chunking": doc_chunking,
     "domain_stats": domain_stats,
-    "downsample_ohlc": downsample_ohlc,
-    # Slots 24-25: the distributed BPE trainer + real-tokenizer token
+    # Slots 23-24: the distributed BPE trainer + real-tokenizer token
     # counts, NEW this round and rows-only (iterative argmax per merge
     # round is not ANSI SQL) — never-seen keys take window priority so
     # the driver records their first rows-only rows; pinned by exact
@@ -3332,12 +3367,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (tests/test_bpe.py).
     "bpe_learn": bpe_learn,
     "bpe_token_count": bpe_token_count,
-    # Slots 26-27: the two operators NEW this round on the events
+    # Slots 25-26: the two operators NEW this round on the events
     # table — the Markov transition matrix and top opening paths
     # (user-journey analytics next to funnel/retention/sessionize).
     "event_transitions": event_transitions,
     "top_paths": top_paths,
-    # Slots 28-32: the five keys upgraded THIS round from rows-only to
+    # Slots 27-31: the five keys upgraded THIS round from rows-only to
     # oracle-backed (minhash/simhash family + clusters via the
     # md5-derived portable hash base; storm_find via a recursive-CTE
     # replay of the burst fold) — in-window so the driver records
@@ -3347,7 +3382,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": simhash_near_dup,
     "minhash_near_dup": q_minhash_near_dup,
     "dedup_clusters": dedup_clusters,
-    # Slots 33-38: NEW oracle-backed operators this round — Bloom-
+    # Slots 32-37: NEW oracle-backed operators this round — Bloom-
     # prefiltered decontamination (result-identical to the exact join),
     # cross-corpus incremental dedup (batch vs reference corpus),
     # DSIR-style importance resampling, per-source boilerplate-phrase
@@ -3359,7 +3394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_phrases": boilerplate_phrases,
     "ngram_novelty": ngram_novelty,
     "contamination_fraction": contamination_fraction,
-    # Slots 39-43: the five operators NEW late this round — the TSDB
+    # Slots 38-42: the five operators NEW late this round — the TSDB
     # pair (trapezoidal time-weighted mean, Prometheus-style counter
     # rate with reset handling), the sort-based skyline vs its
     # textbook NOT EXISTS oracle, the one-pass distributed embedding
@@ -3371,7 +3406,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pareto_parts": pareto_parts,
     "embedding_covariance": embedding_covariance,
     "pca_embeddings": pca_embeddings,
-    # Slots 44-48: five more NEW operators this round — the
+    # Slots 43-47: five more NEW operators this round — the
     # shuffle-free per-document Shannon-entropy fold, per-source
     # unigram KL divergence vs the corpus mix, Q20's correlated
     # ratio predicate (dominant supplier per contested part), the
@@ -3384,17 +3419,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dominant_part_suppliers": dominant_part_suppliers,
     "ks_drift": ks_drift,
     "rolling_reach_hll": rolling_reach_hll,
-    # Slots 49-50: the last two NEW operators — year-over-year revenue
+    # Slots 48-50: the last three NEW operators — year-over-year revenue
     # growth per nation (LAG window over the dimension-sized yearly
     # aggregate) and PCA-whitened embeddings (rows-only: eigh is not
     # ANSI SQL; pinned by the identity-covariance invariant,
     # tests/test_pca.py).
     "nation_yoy_growth": nation_yoy_growth,
     "embedding_whitening": embedding_whitening,
+    # (plus MAD drift — the robust member of the PSI/KS/MAD monitor
+    # triad, exact interpolated medians both engines compute alike)
+    "mad_drift": mad_drift,
     # ====== PAST THE DRIVER CAP: every key below has a driver-green
     # ====== (or rows-only for non-SQL ops) row in r01-r07 and stays
     # ====== pinned by tests/test_oracle_parity.py (oracle-backed) or
     # ====== golden/differential pytest (rows-only) ======================
+    "downsample_ohlc": downsample_ohlc,
     "edit_distance_pairs": edit_distance_pairs,
     "embedding_quantize": embedding_quantize,
     "event_type_corr": event_type_corr,
