@@ -3127,17 +3127,26 @@ ORDER BY a.p_partkey
 # Covariance: the oracle expands every (i, j) pair per vector via a
 # generated index cross join — O(rows x dim^2), fine at oracle scale,
 # exactly what the Spark kernel's O(rows x dim) partial-sum pass
-# avoids at real scale (similarity/pca.py).
+# avoids at real scale (similarity/pca.py). Engine-exact contract:
+# both sides quantize to the 1e-6 integer grid (the random_projection
+# pattern) and sum EXACT integers — DuckDB's SUM(BIGINT) is HUGEINT,
+# Spark reduces as DECIMAL(38,0) — so the only float ops are the
+# final identical-IEEE (sp - si*sj/n)/n/1e12 and no accumulation-order
+# ulp can flip ROUND(...,6) at a boundary (the r08 flake).
 ORACLE_SQL["embedding_covariance"] = """
-WITH idx AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 64) AS t(i)),
+WITH q AS (SELECT list_transform(embedding,
+             x -> CAST(ROUND(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS qe
+           FROM embeddings),
+idx AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 64) AS t(i)),
 pairs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
 stats AS (SELECT p.i, p.j,
-          SUM(CAST(embedding[p.i] AS DOUBLE) * CAST(embedding[p.j] AS DOUBLE)) AS sp,
-          SUM(CAST(embedding[p.i] AS DOUBLE)) AS si,
-          SUM(CAST(embedding[p.j] AS DOUBLE)) AS sj,
+          CAST(SUM(qe[p.i] * qe[p.j]) AS DOUBLE) AS sp,
+          CAST(SUM(qe[p.i]) AS DOUBLE) AS si,
+          CAST(SUM(qe[p.j]) AS DOUBLE) AS sj,
           COUNT(*) AS n
-          FROM embeddings, pairs p GROUP BY p.i, p.j)
-SELECT i - 1 AS i, j - 1 AS j, ROUND((sp - si * sj / n) / n, 6) AS cov
+          FROM q, pairs p GROUP BY p.i, p.j)
+SELECT i - 1 AS i, j - 1 AS j,
+       ROUND((sp - si * sj / n) / n / 1e12, 6) AS cov
 FROM stats ORDER BY i, j
 """
 

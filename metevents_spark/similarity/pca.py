@@ -62,12 +62,60 @@ def _covariance_partials(emb: DataFrame, dim: int) -> DataFrame:
     return emb.select("embedding").mapInPandas(partials, PARTIAL_SCHEMA)
 
 
+INT_PARTIAL_SCHEMA = "n long, sums array<long>, prods array<long>"
+
+
+def _covariance_partials_exact(emb: DataFrame, dim: int) -> DataFrame:
+    """Per-Arrow-batch EXACT integer partials: embeddings quantize to a
+    1e-6 grid (half-away-from-zero, matching SQL ROUND) and X^T X /
+    column sums accumulate as int64 — order-independent, so the result
+    is bit-identical under any partitioning / batching / engine.
+
+    This is the random_projection pattern (knn.py): the float-sum
+    nondeterminism that flipped ROUND(...,6) at ±5e-7 boundaries
+    between the BLAS fold and a SQL per-row sum cannot occur in
+    integer arithmetic. Overflow bound: |q| <= max|x|*1e6, so a batch
+    of B rows bounds each prod cell by B*(max|x|*1e6)^2; per-batch
+    emission keeps B at Arrow-batch size (<=10k), i.e. <=1e16 even for
+    |x|=1 — far under int64. The cross-batch reduce then sums as
+    DECIMAL(38,0), exact at any corpus size.
+    """
+
+    def partials(batches):
+        iu = np.triu_indices(dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1e6
+            # half-away-from-zero, matching SQL ROUND (np.rint is half-even)
+            q = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
+                np.int64
+            )
+            prods = q.T @ q  # exact int64 matmul
+            yield pd.DataFrame(
+                {
+                    "n": [len(q)],
+                    "sums": [q.sum(axis=0).tolist()],
+                    "prods": [prods[iu].tolist()],
+                }
+            )
+
+    return emb.select("embedding").mapInPandas(partials, INT_PARTIAL_SCHEMA)
+
+
 def embedding_covariance(
     spark: SparkSession, sf_dir: str, dim: int = 64
 ) -> DataFrame:
-    """Upper-triangle population covariance of the embedding corpus:
-    one row (i, j, cov) per dimension pair with i <= j,
-    cov = E[x_i x_j] - E[x_i] E[x_j].
+    """Upper-triangle population covariance of the 1e-6-quantized
+    embedding corpus: one row (i, j, cov) per dimension pair with
+    i <= j, cov = E[x_i x_j] - E[x_i] E[x_j].
+
+    Engine-exact: the moment sums are exact integers on the 1e-6 grid
+    (see :func:`_covariance_partials_exact`), reduced with
+    DECIMAL(38,0) sums; the only float ops are the final
+    (sp - si*sj/n)/n / 1e12 with a fixed expression tree, identical
+    IEEE in any engine — so the DuckDB oracle's per-row SQL fold and
+    this kernel's batched integer matmul agree bit-for-bit.
 
     The partial rows reduce via posexplode + groupBy on the flat
     index (O(partitions x dim^2) rows — tiny), then a driver-built
@@ -77,18 +125,19 @@ def embedding_covariance(
     """
     emb = load_table(spark, sf_dir, "embeddings")
     # three consumers (prods, sums, count) — persist the partials so
-    # the corpus scans once; partitions x dim^2 floats, trivially cached
-    p = track(_covariance_partials(emb, dim).persist())
+    # the corpus scans once; partitions x dim^2 longs, trivially cached
+    p = track(_covariance_partials_exact(emb, dim).persist())
 
+    dec = "decimal(38,0)"
     sp = (
         p.select(F.posexplode("prods").alias("pos", "v"))
         .groupBy("pos")
-        .agg(F.sum("v").alias("sp"))
+        .agg(F.sum(F.col("v").cast(dec)).cast("double").alias("sp"))
     )
     sums = (
         p.select(F.posexplode("sums").alias("idx", "v"))
         .groupBy("idx")
-        .agg(F.sum("v").alias("s"))
+        .agg(F.sum(F.col("v").cast(dec)).cast("double").alias("s"))
     )
     n_tot = p.groupBy().agg(F.sum("n").alias("n_tot"))
 
@@ -109,7 +158,8 @@ def embedding_covariance(
             "j",
             F.round(
                 (F.col("sp") - F.col("si") * F.col("sj") / F.col("n_tot"))
-                / F.col("n_tot"),
+                / F.col("n_tot")
+                / F.lit(1e12),
                 6,
             ).alias("cov"),
         )

@@ -48,6 +48,46 @@ def test_embedding_covariance_matches_numpy(spark):
     assert np.allclose(rebuilt[iu], ref[iu], atol=2e-6)
 
 
+def test_embedding_covariance_partition_invariant(spark):
+    """The r08 driver flake was accumulation-order float drift flipping
+    ROUND(...,6) at a boundary; the integer-grid kernel is
+    order-independent, so the rounded values must be BIT-IDENTICAL
+    under any input partitioning — pin it by diffing a 1-partition
+    run against a 32-partition run."""
+    from metevents_spark.io import load_table
+    from metevents_spark.similarity.pca import (
+        _covariance_partials_exact,
+        embedding_covariance,
+    )
+
+    base = embedding_covariance(spark, SF_SMALL, dim=DIM).toPandas()
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    for n_parts in (1, 32):
+        p = _covariance_partials_exact(emb.repartition(n_parts), DIM)
+        # fold the exact integer partials on the driver and replay the
+        # engine's float expression tree
+        rows = p.collect()
+        import numpy as np
+
+        n = sum(r["n"] for r in rows)
+        sums = np.sum([r["sums"] for r in rows], axis=0, dtype=object)
+        prods = np.sum([r["prods"] for r in rows], axis=0, dtype=object)
+        iu_i, iu_j = np.triu_indices(DIM)
+        got = np.array(
+            [
+                round(
+                    (float(sp) - float(sums[i]) * float(sums[j]) / n)
+                    / n
+                    / 1e12,
+                    6,
+                )
+                for sp, i, j in zip(prods, iu_i, iu_j)
+            ]
+        )
+        assert (got == base["cov"].to_numpy()).all(), n_parts
+
+
 def test_pca_matches_numpy_reference(spark):
     from metevents_spark.similarity.pca import pca_embeddings
 
