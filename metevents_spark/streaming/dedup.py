@@ -295,7 +295,14 @@ def stream_embedding_near_dup(
             flat = list(flat)
         else:
             vec_ids, flat, closed = [], [], 0
-        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        # an empty iterator is impossible under NoTimeout but becomes
+        # reachable the moment a state timeout is added — guard it
+        # instead of letting pd.concat raise "No objects to concatenate"
+        pdfs = list(pdf_iter)
+        if not pdfs:
+            state.update((vec_ids, flat, int(closed)))
+            return
+        batch = pd.concat(pdfs, ignore_index=True)
         if not len(batch) or closed:
             state.update((vec_ids, flat, int(closed)))
             return

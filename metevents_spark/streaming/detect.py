@@ -764,6 +764,12 @@ def stream_counter_rate(stream_df: DataFrame) -> DataFrame:
     no watermark needed. NULL/NaN readings are filtered up front like
     the batch operator (a NULL bridges its neighbors). Chunking
     invariance holds because the carried state is the whole history.
+    Ordering contract: per-series event time must be non-decreasing
+    ACROSS micro-batches (within a batch we sort). An out-of-order
+    point would compare against the wrong neighbor (fake reset) and
+    shrink the observed span — if the source can deliver late data,
+    sort/stage it upstream or use the batch operator on the replayed
+    log.
     """
 
     def fn(key, pdf_iter, state: GroupState):
@@ -844,6 +850,7 @@ TWA_STATE_SCHEMA = StructType(
         StructField("sum_dt", DoubleType()),
         StructField("sum_mass", DoubleType()),
         StructField("sum_v", DoubleType()),
+        StructField("n_late", LongType()),  # dropped out-of-order points
     ]
 )
 
@@ -865,18 +872,25 @@ def stream_time_weighted(stream_df: DataFrame) -> DataFrame:
     Replaying a static corpus yields exactly the batch rows for every
     series-day except each series' LAST (still-open) day — pinned by
     pytest together with chunking-invariance. State per series is
-    SEVEN numbers; no watermark machinery, so late data within the
-    open day still folds exactly, and data later than one full day
-    only extends the open day (it can never reopen an emitted one,
-    because days close strictly in event-time order per series).
+    EIGHT numbers. Ordering contract: points are sorted within each
+    micro-batch, but across micro-batches a point whose event time is
+    BEFORE the previous processed point (u < prev_us) is out of order —
+    it would form a negative-duration segment whose negative trapezoid
+    mass (possibly belonging to an already-emitted day) would corrupt
+    the open day's twa. Such points are DROPPED and counted in the
+    ``n_late`` state slot (observability; never silently folded).
+    Equal timestamps (dt = 0) keep batch semantics: the segment counts
+    but adds no mass. Late data ON TIME ORDER within the open day
+    still folds exactly; emitted days are final.
     """
 
     def fn(key, pdf_iter, state: GroupState):
         if state.exists:
-            prev_us, prev_v, open_day, n_seg, s_dt, s_mass, s_v = state.get
+            (prev_us, prev_v, open_day, n_seg, s_dt, s_mass, s_v,
+             n_late) = state.get
         else:
-            prev_us, prev_v, open_day, n_seg, s_dt, s_mass, s_v = (
-                None, None, None, 0, 0.0, 0.0, 0.0,
+            prev_us, prev_v, open_day, n_seg, s_dt, s_mass, s_v, n_late = (
+                None, None, None, 0, 0.0, 0.0, 0.0, 0,
             )
         out_sid, out_day, out_n, out_twa, out_avg = [], [], [], [], []
 
@@ -896,6 +910,9 @@ def stream_time_weighted(stream_df: DataFrame) -> DataFrame:
             us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
             for i in range(len(v)):
                 x, u = float(v[i]), int(us[i])
+                if prev_us is not None and u < prev_us:
+                    n_late += 1
+                    continue
                 if prev_us is not None:
                     dt = float(u - prev_us)
                     seg_day = (u // _DAY_US) * _DAY_US
@@ -910,7 +927,9 @@ def stream_time_weighted(stream_df: DataFrame) -> DataFrame:
                     s_mass += (prev_v + x) / 2.0 * dt
                     s_v += x
                 prev_us, prev_v = u, x
-        state.update((prev_us, prev_v, open_day, n_seg, s_dt, s_mass, s_v))
+        state.update(
+            (prev_us, prev_v, open_day, n_seg, s_dt, s_mass, s_v, n_late)
+        )
         if out_sid:
             yield pd.DataFrame(
                 {

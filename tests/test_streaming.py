@@ -1057,3 +1057,66 @@ def test_stream_time_weighted_closed_days_match_batch(
     assert (batch.groupby("sid").size() - got.groupby("sid").size().reindex(
         batch["sid"].unique(), fill_value=0
     ) == 1).all()
+
+
+def test_stream_time_weighted_drops_out_of_order_points(spark, stream_dir):
+    """A point arriving in a LATER micro-batch with an EARLIER event
+    time than the last processed point must be dropped (counted, never
+    folded): before the r9 guard its negative-duration segment folded
+    negative trapezoid mass into the open day. Emitted days must equal
+    the in-order-only fold exactly."""
+    from metevents_spark.streaming import stream_time_weighted
+
+    day = datetime(2023, 1, 1)
+    chunk0 = pd.DataFrame(
+        {
+            "sid": ["a"] * 3,
+            "seq": [1, 2, 3],
+            "ts": [day, day + timedelta(hours=12), day + timedelta(days=1)],
+            "value": [1.0, 3.0, 5.0],
+        }
+    )
+    chunk1 = pd.DataFrame(
+        {
+            "sid": ["a"] * 2,
+            # the first point is 18h BEFORE the last processed point
+            "ts": [day + timedelta(hours=6), day + timedelta(days=2)],
+            "seq": [4, 5],
+            "value": [100.0, 7.0],
+        }
+    )[["sid", "seq", "ts", "value"]]
+    d = Path(stream_dir, "twa_ooo")
+    d.mkdir()
+    chunk0.to_parquet(f"{d}/c0.parquet", coerce_timestamps="us")
+    time.sleep(0.05)
+    chunk1.to_parquet(f"{d}/c1.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema(
+            "sid string, seq long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_time_weighted(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("twa_ooo_out")
+        .option("checkpointLocation", f"{stream_dir}/ckpt_twa_ooo")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM twa_ooo_out")
+        .toPandas()
+        .sort_values("bucket_day")
+        .reset_index(drop=True)
+    )
+    # day1 closes in chunk0; day2 closes in chunk1 (the late point is
+    # dropped, so day2's single segment is 12:00 -> day2 00:00)
+    assert list(got["bucket_day"]) == [day, day + timedelta(days=1)]
+    assert list(got["n_segments"]) == [1, 1]
+    assert np.allclose(got["twa"], [2.0, 4.0])
+    assert np.allclose(got["simple_avg"], [3.0, 5.0])
