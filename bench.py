@@ -206,14 +206,30 @@ def main() -> None:
     # the threshold, stamp the run "tainted" and SKIP both the drift
     # comparison and the baseline overwrite so a polluted run can never
     # become the next round's drift-gate reference.
-    load_start = os.getloadavg()[0]
     load_threshold = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "2.0"))
+    # Wait-for-quiet (r9): stamping alone still commits a noisy artifact
+    # (BENCH_r08.json ran at load 3.33). Sleep-retry until the 1-min
+    # load drops under the threshold, bounded by SPARK_GRAFT_QUIET_WAIT
+    # seconds (default 300); only if the machine never quiets does the
+    # run proceed tainted.
+    quiet_wait = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "300"))
+    deadline = time.time() + quiet_wait
+    load_start = os.getloadavg()[0]
+    while load_start > load_threshold and time.time() < deadline:
+        print(
+            f"waiting for quiet: 1-min load {load_start:.2f} > "
+            f"{load_threshold:.1f}",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(15)
+        load_start = os.getloadavg()[0]
     tainted = load_start > load_threshold
     if tainted:
         print(
             f"TAINTED: 1-min load {load_start:.2f} > {load_threshold:.1f} "
-            "at bench start; drift gate and baseline update disabled "
-            "for this run",
+            f"after waiting {quiet_wait:.0f}s; drift gate and baseline "
+            "update disabled for this run",
             file=sys.stderr,
             flush=True,
         )

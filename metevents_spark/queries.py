@@ -300,8 +300,13 @@ def q_storm_find(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_spike_valley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """find_peaks spike/valley events (reference events.py:199-248).
+    Total rounds to 3 like the other detector queries — the run sums
+    are 2-decimal-grid values, so ROUND(...,3) is engine-stable."""
     tune_session(spark)
-    return spike_valley(series_frame(spark, sf_dir), prominence=300.0)
+    return _round_total(
+        spike_valley(series_frame(spark, sf_dir), prominence=300.0)
+    )
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3291,6 +3296,121 @@ HAVING MAX(CASE WHEN w = 'a' THEN n END) IS NOT NULL
 ORDER BY event_type
 """
 
+
+# spike_valley (reference events.py:199-248): a FULL relational replay
+# of the find_peaks pipeline the kernel implements (operators/peaks.py)
+# — plateau-midpoint local maxima (runs of equal values with strictly
+# smaller neighbours), prominence via the nearest strictly-higher-or-
+# NULL border and the scan-order base argmin (downward scan keeps the
+# LARGEST index at the left min, upward the SMALLEST at the right),
+# interpolated width at vp - prom/2, the int() truncation and Python
+# negative-slice-start semantics of the mask expansion (events.py:240-247),
+# run grouping. Everything is MIN/MAX/argmin over ranges — order-
+# independent, so no float-fold drift; the only SUM is the final
+# 2-decimal-grid total, rounded to 3 like every detector. NaN values
+# act as scan borders exactly as in numpy (NULL comparisons are false).
+ORACLE_SQL["spike_valley"] = r"""
+WITH series AS (SELECT CAST(user_id AS VARCHAR) AS sid, event_id AS seq, ts, value
+                FROM events),
+pts AS (SELECT sid, ts, seq, value,
+        CAST(ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ts, seq) - 1 AS BIGINT) AS i,
+        COUNT(*) OVER (PARTITION BY sid) AS n
+        FROM series),
+sgns AS (SELECT 1.0 AS sgn UNION ALL SELECT -1.0),
+sp AS (SELECT sid, i, n, sgn, value * sgn AS v FROM pts, sgns),
+r0 AS (SELECT *, CASE WHEN v IS NOT NULL AND LAG(v) OVER w = v THEN 0 ELSE 1 END AS brk
+       FROM sp WINDOW w AS (PARTITION BY sid, sgn ORDER BY i)),
+r1 AS (SELECT *, SUM(brk) OVER (PARTITION BY sid, sgn ORDER BY i) AS rid FROM r0),
+runs AS (SELECT sid, sgn, rid, MIN(i) AS le, MAX(i) AS re,
+         ANY_VALUE(v) AS v, ANY_VALUE(n) AS n
+         FROM r1 GROUP BY sid, sgn, rid),
+cand AS (SELECT r.sid, r.sgn, (r.le + r.re) // 2 AS p, r.v AS vp, r.n
+         FROM runs r
+         JOIN sp pl ON pl.sid = r.sid AND pl.sgn = r.sgn AND pl.i = r.le - 1
+         JOIN sp pr ON pr.sid = r.sid AND pr.sgn = r.sgn AND pr.i = r.re + 1
+         WHERE pl.v < r.v AND pr.v < r.v),
+bl AS (SELECT c.sid, c.sgn, c.p, MAX(s.i) AS b
+       FROM cand c JOIN sp s ON s.sid = c.sid AND s.sgn = c.sgn
+        AND s.i < c.p AND (s.v > c.vp OR s.v IS NULL)
+       GROUP BY 1, 2, 3),
+br AS (SELECT c.sid, c.sgn, c.p, MIN(s.i) AS b
+       FROM cand c JOIN sp s ON s.sid = c.sid AND s.sgn = c.sgn
+        AND s.i > c.p AND (s.v > c.vp OR s.v IS NULL)
+       GROUP BY 1, 2, 3),
+lmin AS (SELECT c.sid, c.sgn, c.p, MIN(s.v) AS lmin
+         FROM cand c LEFT JOIN bl ON bl.sid = c.sid AND bl.sgn = c.sgn AND bl.p = c.p
+         JOIN sp s ON s.sid = c.sid AND s.sgn = c.sgn
+          AND s.i BETWEEN COALESCE(bl.b, -1) + 1 AND c.p
+         GROUP BY 1, 2, 3),
+rmin AS (SELECT c.sid, c.sgn, c.p, MIN(s.v) AS rmin
+         FROM cand c LEFT JOIN br ON br.sid = c.sid AND br.sgn = c.sgn AND br.p = c.p
+         JOIN sp s ON s.sid = c.sid AND s.sgn = c.sgn
+          AND s.i BETWEEN c.p AND COALESCE(br.b, c.n) - 1
+         GROUP BY 1, 2, 3),
+lbase AS (SELECT l.sid, l.sgn, l.p, MAX(s.i) AS lb
+          FROM lmin l
+          LEFT JOIN bl ON bl.sid = l.sid AND bl.sgn = l.sgn AND bl.p = l.p
+          JOIN sp s ON s.sid = l.sid AND s.sgn = l.sgn
+           AND s.i BETWEEN COALESCE(bl.b, -1) + 1 AND l.p AND s.v = l.lmin
+          GROUP BY 1, 2, 3),
+rbase AS (SELECT r.sid, r.sgn, r.p, MIN(s.i) AS rb
+          FROM rmin r
+          JOIN cand c ON c.sid = r.sid AND c.sgn = r.sgn AND c.p = r.p
+          LEFT JOIN br ON br.sid = r.sid AND br.sgn = r.sgn AND br.p = r.p
+          JOIN sp s ON s.sid = r.sid AND s.sgn = r.sgn
+           AND s.i BETWEEN r.p AND COALESCE(br.b, c.n) - 1 AND s.v = r.rmin
+          GROUP BY 1, 2, 3),
+prom AS (SELECT c.sid, c.sgn, c.p, c.vp, c.n, lbase.lb, rbase.rb,
+         c.vp - GREATEST(lmin.lmin, rmin.rmin) AS prom
+         FROM cand c
+         JOIN lmin  ON lmin.sid = c.sid AND lmin.sgn = c.sgn AND lmin.p = c.p
+         JOIN rmin  ON rmin.sid = c.sid AND rmin.sgn = c.sgn AND rmin.p = c.p
+         JOIN lbase ON lbase.sid = c.sid AND lbase.sgn = c.sgn AND lbase.p = c.p
+         JOIN rbase ON rbase.sid = c.sid AND rbase.sgn = c.sgn AND rbase.p = c.p
+         WHERE c.vp - GREATEST(lmin.lmin, rmin.rmin) >= 300.0),
+hw AS (SELECT *, vp - prom * 0.5 AS height FROM prom),
+sl AS (SELECT h.sid, h.sgn, h.p,
+       COALESCE(MAX(s.i) FILTER (s.v <= h.height), h.lb) AS s_l
+       FROM hw h JOIN sp s ON s.sid = h.sid AND s.sgn = h.sgn
+        AND s.i BETWEEN h.lb AND h.p
+       GROUP BY h.sid, h.sgn, h.p, h.lb),
+sr AS (SELECT h.sid, h.sgn, h.p,
+       COALESCE(MIN(s.i) FILTER (s.v <= h.height), h.rb) AS s_r
+       FROM hw h JOIN sp s ON s.sid = h.sid AND s.sgn = h.sgn
+        AND s.i BETWEEN h.p AND h.rb
+       GROUP BY h.sid, h.sgn, h.p, h.rb),
+wid AS (SELECT h.sid, h.sgn, h.p,
+        (CAST(sr.s_r AS DOUBLE) -
+         CASE WHEN vr.v < h.height
+              THEN (h.height - vr.v) / (vr1.v - vr.v) ELSE 0 END)
+        -
+        (CAST(sl.s_l AS DOUBLE) +
+         CASE WHEN vl.v < h.height
+              THEN (h.height - vl.v) / (vl1.v - vl.v) ELSE 0 END) AS w
+        FROM hw h
+        JOIN sl ON sl.sid = h.sid AND sl.sgn = h.sgn AND sl.p = h.p
+        JOIN sr ON sr.sid = h.sid AND sr.sgn = h.sgn AND sr.p = h.p
+        JOIN sp vl  ON vl.sid = h.sid AND vl.sgn = h.sgn AND vl.i = sl.s_l
+        JOIN sp vl1 ON vl1.sid = h.sid AND vl1.sgn = h.sgn AND vl1.i = sl.s_l + 1
+        JOIN sp vr  ON vr.sid = h.sid AND vr.sgn = h.sgn AND vr.i = sr.s_r
+        JOIN sp vr1 ON vr1.sid = h.sid AND vr1.sgn = h.sgn AND vr1.i = sr.s_r - 1),
+marks AS (SELECT sid, CAST(TRUNC(p - w) AS BIGINT) AS m1,
+                 CAST(TRUNC(p + w) AS BIGINT) AS m2
+          FROM wid WHERE w >= 0 AND w <= 3 AND TRUNC(p - w) >= 0),
+flagged AS (SELECT pts.*,
+            EXISTS (SELECT 1 FROM marks m
+                    WHERE m.sid = pts.sid
+                      AND pts.i BETWEEN m.m1 AND m.m2) AS cond
+            FROM pts),
+fruns AS (SELECT *, SUM(CASE WHEN cond THEN 0 ELSE 1 END) OVER (
+          PARTITION BY sid ORDER BY ts, seq
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+          FROM flagged)
+SELECT sid, MIN(ts) AS "start", MAX(ts) AS "stop",
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+       COUNT(*) AS n_points, ROUND(SUM(value), 3) AS total
+FROM fruns WHERE cond GROUP BY sid, run_id ORDER BY sid, "start"
+"""
 
 # Insertion order matters: the verification driver checks the FIRST 50
 # entries, so slot assignment is a deliberate rotation policy.
