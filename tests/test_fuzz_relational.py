@@ -228,3 +228,166 @@ def test_random_join_composition_matches_duckdb(spark, seed):
     assert len(got) == len(want), f"row count: {label}\n{sql}"
     g, w = normalize(got), normalize(want)
     assert frame_hash(g) == frame_hash(w), f"value hash: {label}\n{sql}"
+
+
+# ---- window-function compositions -----------------------------------------
+# The engine's most-used primitive class between the hand-written
+# oracle pairs: specs draw partition keys, an order expression, and a
+# mix of ranking / offset / frame aggregates, then replay in DuckDB.
+#
+# Determinism contract: ranking functions (rank/dense_rank) order by
+# the bare expression — peers share a rank, so ties are well-defined;
+# everything row-positional (row_number, lag/lead, ROWS frames) appends
+# the unique (l_orderkey, l_linenumber) tiebreaker so the total order
+# is identical in both engines. Frame sums run in exact integer cents.
+
+ORDER_EXPRS = [
+    ("by_qty", lambda: F.col("l_quantity"), "l_quantity"),
+    (
+        "by_cents",
+        lambda: F.round(F.col("l_extendedprice") * 100).cast("long"),
+        _CENTS,
+    ),
+    ("by_ship", lambda: F.col("l_shipdate"), "l_shipdate"),
+]
+
+def _tie():
+    return [F.col("l_orderkey"), F.col("l_linenumber")]
+
+
+_TIE_SQL = "l_orderkey, l_linenumber"
+
+
+def _wf_pool():
+    from pyspark.sql import Window
+
+    cents = lambda: F.round(F.col("l_extendedprice") * 100).cast("long")
+
+    def total(w):  # positional: unique total order
+        return w[0].orderBy(w[1](), *_tie())
+
+    def peers(w):  # ranking: peers share rank, no tiebreaker
+        return w[0].orderBy(w[1]())
+
+    return [
+        (
+            "row_num",
+            lambda w: F.row_number().over(total(w)),
+            lambda o: f"ROW_NUMBER() OVER ({{P}} ORDER BY {o}, {_TIE_SQL})",
+        ),
+        (
+            "rnk",
+            lambda w: F.rank().over(peers(w)),
+            lambda o: f"RANK() OVER ({{P}} ORDER BY {o})",
+        ),
+        (
+            "drnk",
+            lambda w: F.dense_rank().over(peers(w)),
+            lambda o: f"DENSE_RANK() OVER ({{P}} ORDER BY {o})",
+        ),
+        (
+            "lag_cents",
+            lambda w: F.lag(cents(), 1).over(total(w)),
+            lambda o: f"LAG({_CENTS}, 1) OVER ({{P}} ORDER BY {o}, {_TIE_SQL})",
+        ),
+        (
+            "lead_qty",
+            lambda w: F.lead(F.col("l_quantity"), 2).over(total(w)),
+            lambda o: f"LEAD(l_quantity, 2) OVER ({{P}} ORDER BY {o}, {_TIE_SQL})",
+        ),
+        (
+            "cum_cents",
+            lambda w: F.sum(cents()).over(
+                total(w).rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            lambda o: (
+                f"SUM({_CENTS}) OVER ({{P}} ORDER BY {o}, {_TIE_SQL} "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            ),
+        ),
+        (
+            "roll_max_cents",
+            lambda w: F.max(cents()).over(total(w).rowsBetween(-3, 0)),
+            lambda o: (
+                f"MAX({_CENTS}) OVER ({{P}} ORDER BY {o}, {_TIE_SQL} "
+                "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+            ),
+        ),
+        (
+            "roll_min_qty",
+            lambda w: F.min(F.col("l_quantity")).over(
+                total(w).rowsBetween(-2, 1)
+            ),
+            lambda o: (
+                f"MIN(l_quantity) OVER ({{P}} ORDER BY {o}, {_TIE_SQL} "
+                "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)"
+            ),
+        ),
+        (
+            "ntile4",
+            lambda w: F.ntile(4).over(total(w)),
+            lambda o: f"NTILE(4) OVER ({{P}} ORDER BY {o}, {_TIE_SQL})",
+        ),
+        (
+            "pct_cnt",
+            lambda w: F.count(F.lit(1)).over(
+                total(w).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+            lambda o: (
+                f"COUNT(*) OVER ({{P}} ORDER BY {o}, {_TIE_SQL} "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+            ),
+        ),
+    ]
+
+
+@pytest.mark.parametrize("seed", range(200, 212))
+def test_random_window_composition_matches_duckdb(spark, seed):
+    from pyspark.sql import Window
+
+    rng = random.Random(seed)
+    filters = rng.sample(FILTERS, rng.randint(0, 1))
+    pkeys = rng.sample(KEYS, rng.randint(0, 2))
+    order = rng.choice(ORDER_EXPRS)
+    funcs = rng.sample(_wf_pool(), rng.randint(2, 3))
+
+    base = Window.partitionBy(*[k[1]() for k in pkeys]) if pkeys else (
+        Window.partitionBy()
+    )
+    w = (base, order[1])
+
+    df = spark.read.parquet(LINEITEM)
+    for _, col, _ in filters:
+        df = df.filter(col())
+    got = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[fn[1](w).alias(fn[0]) for fn in funcs],
+    ).toPandas()
+
+    p_sql = (
+        "PARTITION BY " + ", ".join(k[2] for k in pkeys) if pkeys else ""
+    )
+    where = "WHERE " + " AND ".join(f[2] for f in filters) if filters else ""
+    fn_sql = ", ".join(
+        fn[2](order[2]).replace("{P}", p_sql) + f" AS {fn[0]}"
+        for fn in funcs
+    )
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {fn_sql} "
+        f"FROM lineitem {where}"
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{LINEITEM}'")
+    want = con.sql(sql).df()
+
+    label = (
+        f"f={[f[0] for f in filters]} p={[k[0] for k in pkeys]} "
+        f"o={order[0]} fn={[fn[0] for fn in funcs]}"
+    )
+    assert len(got) == len(want), f"row count: {label}\n{sql}"
+    g, w2 = normalize(got), normalize(want)
+    assert sorted(g.columns) == sorted(w2.columns), label
+    assert frame_hash(g) == frame_hash(w2), f"value hash: {label}\n{sql}"
