@@ -194,6 +194,12 @@ HEADLINE = [
     "nation_yoy_growth",
     "embedding_whitening",
     "mad_drift",
+    "market_basket_lift",
+    "rolling_median",
+    "interval_coverage",
+    "weighted_sample",
+    "user_reach_kmv",
+    "key_skew_report",
 ]
 
 

@@ -21,7 +21,7 @@ bounded when ``bucket_s`` is chosen near the typical interval length.
 from __future__ import annotations
 
 from metevents_spark.timeutil import epoch_us
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -87,4 +87,81 @@ def interval_overlap_join(
         (
             epoch_us(F.least(lt, rt)) - epoch_us(F.greatest(ls, rs))
         ).alias("overlap_us"),
+    )
+
+
+def interval_coverage(
+    spark, sf_dir: str, cover_minutes: int = 15
+) -> "DataFrame":
+    """Per-user union of overlapping activity windows (gaps-and-islands):
+    each event covers [ts, ts + cover_minutes); merge overlapping covers
+    per user and report how many merged intervals remain, the total and
+    longest covered spans, and covered hours.
+
+    The sweep is the classic window formulation: ordered by start, an
+    island begins where the start exceeds the running MAX of all
+    previous stops; island ids are the running count of island starts.
+    Everything is integer microsecond arithmetic — exact in any engine.
+
+    Scale shape: one hash exchange on sid, two window passes over the
+    sorted run (running max, running island count), one aggregate —
+    no self-join, no interval explosion. This is the cheap statistic;
+    the pairwise overlap JOIN lives in interval_overlap_join above.
+    """
+    from metevents_spark.io import series_frame
+
+    spark_df = series_frame(spark, sf_dir)
+    cover_us = cover_minutes * 60 * 1_000_000
+
+    start_us = epoch_us(F.col("ts"))
+    w = Window.partitionBy("sid").orderBy("ts", "seq")
+    prev_max_stop = F.max(F.col("stop_us")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = spark_df.select(
+        "sid",
+        "ts",
+        "seq",
+        start_us.alias("start_us"),
+        (start_us + F.lit(cover_us)).alias("stop_us"),
+    )
+    islanded = (
+        base.withColumn(
+            "new_island",
+            F.when(
+                prev_max_stop.isNull()
+                | (F.col("start_us") > prev_max_stop),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    islands = islanded.groupBy("sid", "island").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("stop_us") - F.min("start_us")).alias("span_us"),
+    )
+    return (
+        islands.groupBy("sid")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("span_us").alias("covered_us"),
+            F.max("span_us").alias("longest_us"),
+        )
+        .select(
+            "sid",
+            "n_events",
+            "n_intervals",
+            "covered_us",
+            "longest_us",
+            F.round(F.col("covered_us") / F.lit(3.6e9), 6).alias(
+                "covered_hours"
+            ),
+        )
+        .orderBy("sid")
     )

@@ -791,3 +791,38 @@ def counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sid")
     )
+
+
+def rolling_median(
+    spark: SparkSession, sf_dir: str, window_rows: int = 7
+) -> DataFrame:
+    """Exact trailing rolling median per series: for every point, the
+    interpolated median (QUANTILE_CONT semantics) of the last
+    ``window_rows`` values including the current one — the robust
+    smoother the z-score family should be read against (a median
+    window shrugs off the spikes that drag a rolling mean).
+
+    NULL values are skipped by the percentile aggregate exactly as
+    numpy's nanmedian would; a window of all-NULLs yields NULL.
+
+    Scale shape: ONE hash exchange on sid feeds a bounded ROWS-frame
+    window — no self-join, no explode; per-partition state is the
+    frame's ``window_rows`` values. Interpolation at p=0.5 lands on
+    the half-grid of the input values, so ROUND(...,6) is stable
+    across engines.
+    """
+    s = series_frame(spark, sf_dir)
+    w = (
+        Window.partitionBy("sid")
+        .orderBy("ts", "seq")
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    return s.select(
+        "sid",
+        "seq",
+        "ts",
+        "value",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias(
+            f"med{window_rows}"
+        ),
+    ).orderBy("sid", "ts", "seq")

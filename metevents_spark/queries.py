@@ -33,9 +33,15 @@ from metevents_spark.operators import (
     spike_valley,
     storm_find,
 )
-from metevents_spark.operators.intervals import interval_overlap_join
+from metevents_spark.operators.intervals import (
+    interval_coverage,
+    interval_overlap_join,
+)
 from metevents_spark.operators.sessions import sessionize
 from metevents_spark.functions import freq_infer
+from metevents_spark.functions.sketches import user_reach_kmv
+from metevents_spark.relational.basket import market_basket_lift
+from metevents_spark.operators.skew import key_skew_report
 from metevents_spark.relational import (
     brand_revenue,
     latest_event_per_user,
@@ -112,6 +118,7 @@ from metevents_spark.text.stats import gopher_quality, zipf_fit
 from metevents_spark.text.bpe import bpe_learn, bpe_token_count
 from metevents_spark.text.pipeline import (
     bigram_logprob,
+    weighted_sample,
     hash_sample,
     holdout_split,
     mixture_plan,
@@ -163,6 +170,7 @@ from metevents_spark.quality import (
 from metevents_spark.operators.changepoint import cusum_alarm
 from metevents_spark.operators.seriesstats import (
     anomaly_consensus,
+    rolling_median,
     counter_rate,
     downsample_ohlc,
     time_weighted_avg,
@@ -3297,6 +3305,118 @@ ORDER BY event_type
 """
 
 
+# Market basket: the oracle is the same algebra stated as plain joins;
+# exact integer counts, fixed float expression tree for the ratios,
+# rounded-lift ordering with key tiebreak so the LIMIT cut is
+# deterministic in both engines.
+ORACLE_SQL["market_basket_lift"] = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+          COUNT(*) AS n_ab
+          FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+ic AS (SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY 1),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items)
+SELECT part_a, part_b, n_ab, na.n_item AS n_a, nb.n_item AS n_b,
+ ROUND(CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS support,
+ ROUND(CAST(n_ab AS DOUBLE) / CAST(na.n_item AS DOUBLE), 6) AS confidence,
+ ROUND(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE) /
+       (CAST(na.n_item AS DOUBLE) * CAST(nb.n_item AS DOUBLE)), 6) AS lift
+FROM pairs JOIN ic na ON na.l_partkey = part_a
+JOIN ic nb ON nb.l_partkey = part_b, tot
+ORDER BY lift DESC, part_a, part_b LIMIT 100
+"""
+
+# Rolling median: QUANTILE_CONT over a ROWS frame is the identical
+# type-7 interpolation Spark's percentile uses; inputs are on the 0.01
+# grid so the p=0.5 half-grid result rounds stably at 6 decimals.
+ORACLE_SQL["rolling_median"] = f"""
+WITH {_SERIES}
+SELECT sid, seq, ts, value,
+  ROUND(QUANTILE_CONT(value, 0.5) OVER (PARTITION BY sid ORDER BY ts, seq
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+FROM series ORDER BY sid, ts, seq
+"""
+
+# Interval coverage (gaps-and-islands): pure integer microsecond
+# window algebra — running max of previous stops, running island
+# count, one aggregate. Engine-exact by construction.
+ORACLE_SQL["interval_coverage"] = f"""
+WITH {_SERIES},
+base AS (SELECT sid, ts, seq, epoch_us(ts) AS start_us,
+         epoch_us(ts) + 900000000 AS stop_us FROM series),
+isl AS (SELECT *, CASE WHEN MAX(stop_us) OVER w IS NULL
+         OR start_us > MAX(stop_us) OVER w THEN 1 ELSE 0 END AS new_island
+        FROM base WINDOW w AS (PARTITION BY sid ORDER BY ts, seq
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+isl2 AS (SELECT *, SUM(new_island) OVER (PARTITION BY sid ORDER BY ts, seq
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM isl),
+agg AS (SELECT sid, island, COUNT(*) AS n_events,
+        MAX(stop_us) - MIN(start_us) AS span_us FROM isl2 GROUP BY 1, 2)
+SELECT sid, CAST(SUM(n_events) AS BIGINT) AS n_events,
+  COUNT(*) AS n_intervals,
+  CAST(SUM(span_us) AS BIGINT) AS covered_us,
+  MAX(span_us) AS longest_us,
+  ROUND(CAST(SUM(span_us) AS DOUBLE) / 3.6e9, 6) AS covered_hours
+FROM agg GROUP BY sid ORDER BY sid
+"""
+
+# Weighted sampling (Efraimidis-Spirakis): md5-derived uniform, one
+# ln() per row; the 1e-12 key rounding absorbs libm ulp differences
+# between engines (keys of distinct docs are never within 1e-12).
+ORACLE_SQL["weighted_sample"] = """
+WITH k AS (SELECT doc_id, source, n_chars,
+  ROUND(-ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        + 1) / 1152921504606846976.0)) / CAST(n_chars AS DOUBLE), 12)
+    AS sample_key
+  FROM documents)
+SELECT * FROM k ORDER BY sample_key, doc_id LIMIT 100
+"""
+
+# KMV distinct sketch: the estimate is a pure function of the k-th
+# smallest distinct 60-bit hash — exact integers until one final
+# float expression, so the sketch itself hash-matches (unlike HLL,
+# whose estimate is implementation-defined and only bound-checkable).
+ORACLE_SQL["user_reach_kmv"] = """
+WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day,
+  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events),
+r AS (SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rk,
+      COUNT(*) OVER (PARTITION BY day) AS nd FROM du),
+kth AS (SELECT day, h, nd FROM r WHERE rk = 64 OR (nd < 64 AND rk = 1)),
+ex AS (SELECT date_trunc('day', ts) AS day,
+       COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+SELECT ex.day, n_exact,
+  ROUND(CASE WHEN nd >= 64
+        THEN 63.0 * 1152921504606846976.0 / CAST(h + 1 AS DOUBLE)
+        ELSE CAST(nd AS DOUBLE) END, 4) AS kmv_est,
+  ROUND(ABS(CASE WHEN nd >= 64
+        THEN 63.0 * 1152921504606846976.0 / CAST(h + 1 AS DOUBLE)
+        ELSE CAST(nd AS DOUBLE) END - CAST(n_exact AS DOUBLE))
+        / CAST(n_exact AS DOUBLE), 4) AS rel_err
+FROM ex JOIN kth ON ex.day = kth.day ORDER BY ex.day
+"""
+
+# Key-skew diagnostics: exact integer counts; the cumulative share is
+# a sequential window over <= 20 rows in a fixed total order.
+ORACLE_SQL["key_skew_report"] = """
+WITH c AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys FROM c),
+k AS (SELECT l_partkey, cnt FROM c ORDER BY cnt DESC, l_partkey LIMIT 20)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, l_partkey) AS BIGINT)
+         AS rank,
+  l_partkey AS key, cnt,
+  ROUND(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS share,
+  ROUND(SUM(CAST(cnt AS DOUBLE)) OVER (ORDER BY cnt DESC, l_partkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        / CAST(n_rows AS DOUBLE), 6) AS cum_share,
+  ROUND(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        / CAST(n_rows AS DOUBLE), 4) AS x_mean
+FROM k, t ORDER BY rank
+"""
+
 # spike_valley (reference events.py:199-248): a FULL relational replay
 # of the find_peaks pipeline the kernel implements (operators/peaks.py)
 # — plateau-midpoint local maxima (runs of equal values with strictly
@@ -3415,153 +3535,56 @@ FROM fruns WHERE cond GROUP BY sid, run_id ORDER BY sid, "start"
 # Insertion order matters: the verification driver checks the FIRST 50
 # entries, so slot assignment is a deliberate rotation policy.
 #
-# ROTATION (round 8): staleness-driven refresh. The r01-r07 union keeps
-# every registry key driver-verified (131/131 oracle-backed keys
-# hash-green at least once, 18/18 rows-only keys rows-checked, zero
-# FAILs ever); this round's window re-confirms the keys whose newest
-# driver row is oldest. Slots 1-5 keep the SURVEY §2 reference
-# detectors (the parity core, checked every round); slots 6-11 are the
-# six oracle-backed keys displaced from the round-7 window whose
-# newest green row dates to r04 (zscore_anomaly, robust_zscore,
-# event_pair_lift, data_expectations, events_cube, token_count_bpe);
-# slots 12-35 are 24 of the 44 oracle-backed keys last green in r05;
-# slots 36-39 are four NEW operators (bpe_learn, bpe_token_count
-# rows-only; event_transitions, top_paths oracle-backed); slots 40-44
-# are the five keys upgraded THIS round from rows-only to
-# oracle-backed (storm_find via a recursive-CTE replay of the burst
-# fold; simhash_fingerprints / simhash_near_dup / minhash_near_dup /
-# dedup_clusters via the md5-based, DuckDB-replayable fingerprint
-# family); slots 45-50 are the six NEW corpus operators
-# (decontaminate_bloom, incremental_dedup, importance_resample,
-# boilerplate_phrases, ngram_novelty, contamination_fraction) —
-# never-seen keys take window priority. The twenty leftover r05
-# keys + the r06 cohort rotate in round 9. The remaining rows-only keys spend no slots this
-# round — all earned their driver rows-only row by r07 and stay pinned
-# by golden/differential pytest.
+# ROTATION (round 9): staleness-driven refresh, continuing round 8's
+# policy. The r01-r08 union keeps every registry key driver-verified;
+# this round's window re-confirms the keys whose newest driver row is
+# oldest, plus everything NEW or previously red:
+#   * slots 1-5: the SURVEY §2 reference detectors (parity core,
+#     checked every round);
+#   * slot 6: spike_valley — UPGRADED this round from rows-only to a
+#     full relational find_peaks oracle; in-window to record its first
+#     hash-green row (it was also the stalest key in the registry,
+#     last driver-checked r01);
+#   * slot 7: embedding_covariance — the registry's only red driver
+#     row (r08 float-fold rounding flake); the kernel is now
+#     integer-grid exact and must re-earn its green here;
+#   * slots 8-13: the six operators NEW this round (market-basket
+#     lift, exact rolling median, interval coverage, Efraimidis-
+#     Spirakis weighted sampling, the KMV distinct sketch with an
+#     EXACT oracle, and the join-key skew report) — never-seen keys
+#     take window priority;
+#   * slots 14-46: the 33 oracle-backed keys whose newest green row
+#     dates to r05 (the leftovers round 8's window could not fit);
+#   * slots 47-48: knn_lsh / knn_ivf — rows-only, but their only
+#     driver rows date to r01, eight rounds stale; a refresh costs
+#     two slots once;
+#   * slots 49-50: the first two (alphabetical) of the r06 cohort
+#     (ann_recall_report, anomaly_consensus). The remaining 39 r06
+#     keys rotate in round 10.
 #
 # Everything past the cap stays pinned by tests/test_oracle_parity.py
 # (same row-count/schema/value-hash comparison vs DuckDB at sf0.001,
 # runs in every pytest suite) or, for rows-only ops, by their golden /
 # differential tests.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ============ DRIVER WINDOW: slots 1-50 (round-8 rotation) =========
-    # Slots 1-5: SURVEY §2 reference detectors (parity core, every round).
+    # ===== DRIVER WINDOW slots 1-5: SURVEY §2 parity detectors =====
     "extreme_value": q_extreme_value,
     "flat_line": q_flat_line,
     "extreme_change": q_extreme_change,
     "data_gap": q_data_gap,
     "freq_infer": q_freq_infer,
-    # Slots 6-11: the six keys displaced from the round-7 rotation whose
-    # newest driver-green row dates to r04 — the stalest oracle-backed
-    # keys in the registry.
-    "zscore_anomaly": zscore_anomaly,
-    "robust_zscore": robust_zscore,
-    "event_pair_lift": event_pair_lift,
-    "data_expectations": data_expectations,
-    "events_cube": events_cube,
-    "token_count_bpe": token_count_bpe,
-    # Slots 12-22: the first 11 (alphabetical) of the 44 oracle-backed
-    # keys whose newest driver-green row dates to r05. The remaining
-    # thirty-three (downsample_ohlc, edit_distance_pairs, embedding_quantize,
-    # event_type_corr, funnel_conversion, heavy_shippers,
-    # label_centroids, lineitem_unpivot,
-    # loyal_customers, media_dedup, nation_revenue_share,
-    # pii_redact, promo_revenue_pct — displaced late in the round by
-    # the thirteen NEW operators below, which take window priority —
-    # props_value_stats, quality_bucket_sample,
-    # repetition_stats, retention_cohorts, returned_item_customers,
-    # rolling_7d_active, seasonal_anomaly, sequence_pack,
-    # series_quantile_bands, series_trend, session_overlap,
-    # shipmode_priority_counts, shipping_priority, source_lang_matrix,
-    # source_mix_sample, stratified_sample, unigram_logprob,
-    # user_reach, value_drift_psi, value_histogram) rotate in next
-    # round together with the r06 cohort; until then they stay pinned
-    # by tests/test_oracle_parity.py like every past-cap key.
-    "bigram_logprob": bigram_logprob,
-    "cooccurrence_counts": cooccurrence_counts,
-    "corpus_summary": corpus_summary,
-    "cross_doc_ngram_share": cross_doc_ngram_share,
-    "customer_order_distribution": customer_order_distribution,
-    "cusum_alarm": cusum_alarm,
-    "decontaminate_ngram": decontaminate_ngram,
-    "discounted_revenue": discounted_revenue,
-    "disjunctive_part_revenue": disjunctive_part_revenue,
-    "doc_chunking": doc_chunking,
-    "domain_stats": domain_stats,
-    # Slots 23-24: the distributed BPE trainer + real-tokenizer token
-    # counts, NEW this round and rows-only (iterative argmax per merge
-    # round is not ANSI SQL) — never-seen keys take window priority so
-    # the driver records their first rows-only rows; pinned by exact
-    # differential parity with an independent pure-Python reference
-    # (tests/test_bpe.py).
-    "bpe_learn": bpe_learn,
-    "bpe_token_count": bpe_token_count,
-    # Slots 25-26: the two operators NEW this round on the events
-    # table — the Markov transition matrix and top opening paths
-    # (user-journey analytics next to funnel/retention/sessionize).
-    "event_transitions": event_transitions,
-    "top_paths": top_paths,
-    # Slots 27-31: the five keys upgraded THIS round from rows-only to
-    # oracle-backed (minhash/simhash family + clusters via the
-    # md5-derived portable hash base; storm_find via a recursive-CTE
-    # replay of the burst fold) — in-window so the driver records
-    # their first hash-green rows.
-    "storm_find": q_storm_find,
-    "simhash_fingerprints": simhash_fingerprints,
-    "simhash_near_dup": simhash_near_dup,
-    "minhash_near_dup": q_minhash_near_dup,
-    "dedup_clusters": dedup_clusters,
-    # Slots 32-37: NEW oracle-backed operators this round — Bloom-
-    # prefiltered decontamination (result-identical to the exact join),
-    # cross-corpus incremental dedup (batch vs reference corpus),
-    # DSIR-style importance resampling, per-source boilerplate-phrase
-    # forensics, the ingestion-order n-gram novelty curve, and graded
-    # train/eval contamination fractions.
-    "decontaminate_bloom": decontaminate_bloom,
-    "incremental_dedup": incremental_dedup,
-    "importance_resample": importance_resample,
-    "boilerplate_phrases": boilerplate_phrases,
-    "ngram_novelty": ngram_novelty,
-    "contamination_fraction": contamination_fraction,
-    # Slots 38-42: the five operators NEW late this round — the TSDB
-    # pair (trapezoidal time-weighted mean, Prometheus-style counter
-    # rate with reset handling), the sort-based skyline vs its
-    # textbook NOT EXISTS oracle, the one-pass distributed embedding
-    # covariance, and PCA projection (rows-only: eigendecomposition is
-    # not ANSI SQL; pinned by numpy differential parity,
-    # tests/test_pca.py).
-    "time_weighted_avg": time_weighted_avg,
-    "counter_rate": counter_rate,
-    "pareto_parts": pareto_parts,
+    # ===== slot 6: spike_valley first hash-green; slot 7: the
+    # ===== embedding_covariance re-green (r08's only red row)
+    "spike_valley": q_spike_valley,
     "embedding_covariance": embedding_covariance,
-    "pca_embeddings": pca_embeddings,
-    # Slots 43-47: five more NEW operators this round — the
-    # shuffle-free per-document Shannon-entropy fold, per-source
-    # unigram KL divergence vs the corpus mix, Q20's correlated
-    # ratio predicate (dominant supplier per contested part), the
-    # exact two-sample Kolmogorov-Smirnov drift monitor, and rolling
-    # reach via mergeable HLL day-sketches (rows-only: DataSketches
-    # HLL is deterministic but not ANSI SQL; pinned by an error-bound
-    # pytest against the exact rolling_7d_active).
-    "token_entropy": token_entropy,
-    "source_token_kl": source_token_kl,
-    "dominant_part_suppliers": dominant_part_suppliers,
-    "ks_drift": ks_drift,
-    "rolling_reach_hll": rolling_reach_hll,
-    # Slots 48-50: the last three NEW operators — year-over-year revenue
-    # growth per nation (LAG window over the dimension-sized yearly
-    # aggregate) and PCA-whitened embeddings (rows-only: eigh is not
-    # ANSI SQL; pinned by the identity-covariance invariant,
-    # tests/test_pca.py).
-    "nation_yoy_growth": nation_yoy_growth,
-    "embedding_whitening": embedding_whitening,
-    # (plus MAD drift — the robust member of the PSI/KS/MAD monitor
-    # triad, exact interpolated medians both engines compute alike)
-    "mad_drift": mad_drift,
-    # ====== PAST THE DRIVER CAP: every key below has a driver-green
-    # ====== (or rows-only for non-SQL ops) row in r01-r07 and stays
-    # ====== pinned by tests/test_oracle_parity.py (oracle-backed) or
-    # ====== golden/differential pytest (rows-only) ======================
+    # ===== slots 8-13: the six NEW round-9 operators =====
+    "market_basket_lift": market_basket_lift,
+    "rolling_median": rolling_median,
+    "interval_coverage": interval_coverage,
+    "weighted_sample": weighted_sample,
+    "user_reach_kmv": user_reach_kmv,
+    "key_skew_report": key_skew_report,
+    # ===== slots 14-46: the 33 r05-stale oracle-backed keys =====
     "downsample_ohlc": downsample_ohlc,
     "edit_distance_pairs": edit_distance_pairs,
     "embedding_quantize": embedding_quantize,
@@ -3575,6 +3598,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_revenue_share": nation_revenue_share,
     "pii_redact": pii_redact,
     "promo_revenue_pct": promo_revenue_pct,
+    "props_value_stats": props_value_stats,
+    "quality_bucket_sample": quality_bucket_sample,
     "repetition_stats": repetition_stats,
     "retention_cohorts": retention_cohorts,
     "returned_item_customers": returned_item_customers,
@@ -3588,6 +3613,64 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": shipping_priority,
     "source_lang_matrix": source_lang_matrix,
     "source_mix_sample": source_mix_sample,
+    "stratified_sample": stratified_sample,
+    "unigram_logprob": unigram_logprob,
+    "user_reach": user_reach,
+    "value_drift_psi": value_drift_psi,
+    "value_histogram": value_histogram,
+    # ===== slots 47-48: r01-stale rows-only ANN refresh; 49-50:
+    # ===== the first two of the r06 cohort
+    "knn_lsh": knn_lsh,
+    "knn_ivf": knn_ivf,
+    "ann_recall_report": ann_recall_report,
+    "anomaly_consensus": anomaly_consensus,
+    # ====== PAST THE DRIVER CAP: every key below has a committed
+    # ====== driver row and stays pinned by tests/test_oracle_parity.py
+    # ====== (oracle-backed) or golden/differential pytest (rows-only)
+    "zscore_anomaly": zscore_anomaly,
+    "robust_zscore": robust_zscore,
+    "event_pair_lift": event_pair_lift,
+    "data_expectations": data_expectations,
+    "events_cube": events_cube,
+    "token_count_bpe": token_count_bpe,
+    "bigram_logprob": bigram_logprob,
+    "cooccurrence_counts": cooccurrence_counts,
+    "corpus_summary": corpus_summary,
+    "cross_doc_ngram_share": cross_doc_ngram_share,
+    "customer_order_distribution": customer_order_distribution,
+    "cusum_alarm": cusum_alarm,
+    "decontaminate_ngram": decontaminate_ngram,
+    "discounted_revenue": discounted_revenue,
+    "disjunctive_part_revenue": disjunctive_part_revenue,
+    "doc_chunking": doc_chunking,
+    "domain_stats": domain_stats,
+    "bpe_learn": bpe_learn,
+    "bpe_token_count": bpe_token_count,
+    "event_transitions": event_transitions,
+    "top_paths": top_paths,
+    "storm_find": q_storm_find,
+    "simhash_fingerprints": simhash_fingerprints,
+    "simhash_near_dup": simhash_near_dup,
+    "minhash_near_dup": q_minhash_near_dup,
+    "dedup_clusters": dedup_clusters,
+    "decontaminate_bloom": decontaminate_bloom,
+    "incremental_dedup": incremental_dedup,
+    "importance_resample": importance_resample,
+    "boilerplate_phrases": boilerplate_phrases,
+    "ngram_novelty": ngram_novelty,
+    "contamination_fraction": contamination_fraction,
+    "time_weighted_avg": time_weighted_avg,
+    "counter_rate": counter_rate,
+    "pareto_parts": pareto_parts,
+    "pca_embeddings": pca_embeddings,
+    "token_entropy": token_entropy,
+    "source_token_kl": source_token_kl,
+    "dominant_part_suppliers": dominant_part_suppliers,
+    "ks_drift": ks_drift,
+    "rolling_reach_hll": rolling_reach_hll,
+    "nation_yoy_growth": nation_yoy_growth,
+    "embedding_whitening": embedding_whitening,
+    "mad_drift": mad_drift,
     "gopher_quality": q_gopher_quality,
     "url_canonicalize": q_url_canonicalize,
     "paragraph_dedup": q_paragraph_dedup,
@@ -3597,8 +3680,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit": zipf_fit,
     "dedup_recall_report": dedup_recall_report,
     "knn_ivf_pq": knn_ivf_pq,
-    "props_value_stats": props_value_stats,
-    "quality_bucket_sample": quality_bucket_sample,
     "ewma_smooth": ewma_smooth,
     "holt_smooth": holt_smooth,
     "frame_sample": q_frame_sample,
@@ -3644,7 +3725,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sole_return_supplier": sole_return_supplier,
     "rich_idle_customers": rich_idle_customers,
     "corpus_yield": corpus_yield,
-    "anomaly_consensus": anomaly_consensus,
     "series_acf": series_acf,
     "classifier_score": classifier_score,
     "bpe_pair_counts": bpe_pair_counts,
@@ -3659,7 +3739,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_sample": hash_sample,
     "random_projection": random_projection,
     "bm25_rank": bm25_rank,
-    "ann_recall_report": ann_recall_report,
     "media_embedding_near_dup": media_embedding_near_dup,
     "semantic_dedup": semantic_dedup,
     "kmeans_embeddings": kmeans_embeddings,
@@ -3676,14 +3755,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_before_error": q_asof_purchase_before_error,
     "text_stats": text_stats,
     "media_features": q_media_features,
-    "user_reach": user_reach,
-    "value_histogram": value_histogram,
-    "stratified_sample": stratified_sample,
-    "unigram_logprob": unigram_logprob,
-    "value_drift_psi": value_drift_psi,
-    "spike_valley": q_spike_valley,
-    "knn_lsh": knn_lsh,
-    "knn_ivf": knn_ivf,
 }
 
 

@@ -1167,3 +1167,42 @@ def shuffle_shards(
     return keyed.withColumn(
         "offset", (F.row_number().over(w) - 1).cast("long")
     ).orderBy("shard", "offset")
+
+
+def weighted_sample(
+    spark: SparkSession, sf_dir: str, n: int = 100
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis exponential keys): take the ``n`` documents
+    with the smallest key = -ln(u) / w, where u is an md5-derived
+    uniform in (0, 1] and w = n_chars — equivalent to drawing without
+    replacement with probability proportional to document length, but
+    fully deterministic and engine-replayable (the published A-ES
+    reservoir algorithm's key, with the hash supplying u).
+
+    Complements hash_sample (uniform, fixed size) and
+    importance_resample (distribution-ratio weights): this is the
+    'sample big documents more' primitive a token-budgeted corpus cut
+    needs.
+
+    Scale shape: the key is one map-side expression; selection is a
+    rounded-key TakeOrdered (per-partition top-n heap, driver merges
+    n-row heads) — one scan, no global sort, no driver-side weighting
+    table. The 1e-12 rounding absorbs libm ln() ulp differences
+    between engines; keys of distinct documents are never that close.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h60 + F.lit(1)).cast("double") / F.lit(1152921504606846976.0)
+    key = F.round(-F.log(u) / F.col("n_chars").cast("double"), 12)
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars", key.alias("sample_key")
+        )
+        .orderBy("sample_key", "doc_id")
+        .limit(n)
+    )

@@ -28,6 +28,9 @@ BIG_DIR = "/tmp/metevents-sfbig-x10"
 # kernel vs the oracle's row x dim^2 expansion), the exact KS monitor
 # (10x the distinct-value cumsum windows), and the shuffle-free
 # entropy fold (10x documents through the sorted-run aggregate)
+# ... and the round-9 additions: the two dedup operators whose scale
+# story (banded LSH buckets, iterative connected components) most
+# needs empirical confirmation at 10x
 HEAVY = (
     "remove_duplicate_spans",
     "anomaly_consensus",
@@ -43,6 +46,8 @@ HEAVY = (
     "token_entropy",
     "nation_yoy_growth",
     "dominant_part_suppliers",
+    "minhash_near_dup",
+    "dedup_clusters",
 )
 
 
@@ -82,3 +87,86 @@ def test_bigscale_heavy_oracle_hashes():
         assert len(sdf) == len(ddf), (name, len(sdf), len(ddf))
         assert sorted(sdf.columns) == sorted(ddf.columns), name
         assert frame_hash(sdf) == frame_hash(ddf), name
+
+
+@pytest.mark.bigscale
+def test_bigscale_hot_bucket_cap_triggers_at_default(tmp_path_factory):
+    """The DEFAULT HOT_BUCKET_CAP (1000) must actually fire at scale:
+    plant a 1200-document near-identical boilerplate block into the 10x
+    corpus and assert (a) the guard records the over-cap bucket, (b)
+    the query completes without the quadratic bucket self-join, and
+    (c) pairs among the ORGANIC documents are byte-identical to a run
+    without the planted block — the cap only sheds the pathological
+    bucket, never organic recall."""
+    import pandas as pd
+
+    sys.path.insert(0, REPO)
+    from metevents_spark.session import get_spark
+    from metevents_spark.text.dedup import (
+        HOT_BUCKET_CAP,
+        LAST_GUARD_METRICS,
+        minhash_near_dup,
+    )
+
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_bigscale.py"),
+         "10", BIG_DIR],
+        check=True,
+        cwd=REPO,
+    )
+
+    spark = get_spark(app_name="bigscale-hotbucket", master="local[16]",
+                      shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_hot = HOT_BUCKET_CAP + 200
+    docs = pd.read_parquet(f"{BIG_DIR}/documents.parquet")
+    base_id = int(docs["doc_id"].max()) + 1
+    boiler = " ".join(f"tok{i % 7}" for i in range(60))
+    planted = pd.DataFrame(
+        {
+            "doc_id": [base_id + i for i in range(n_hot)],
+            "text": [f"{boiler} unique{i}" for i in range(n_hot)],
+        }
+    )
+    for c in docs.columns:
+        if c not in planted.columns:
+            planted[c] = docs[c].iloc[0]
+    planted = planted[docs.columns]
+
+    d = tmp_path_factory.mktemp("hotbig")
+    pd.concat([docs, planted], ignore_index=True).to_parquet(
+        str(d / "documents.parquet")
+    )
+
+    organic = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup(spark, BIG_DIR).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup(spark, str(d)).collect()
+    }
+    dropped = LAST_GUARD_METRICS["minhash_lsh_guard"]["dropped_buckets"]
+    rows = dropped.collect()
+    # the guard fired on the planted block (a few of the 1200 planted
+    # docs land in different buckets per band — the unique trailing
+    # token perturbs edge shingles — so the hot bucket holds slightly
+    # fewer than n_hot)
+    assert rows and max(r.bsz for r in rows) > HOT_BUCKET_CAP
+    # the quadratic bucket self-join was avoided: pairs touching the
+    # planted block are at most the few stragglers outside the shed
+    # bucket, orders of magnitude below the ~720k uncapped pairs
+    planted_ids = {base_id + i for i in range(n_hot)}
+    planted_pairs = [
+        (a, b) for a, b in got if a in planted_ids or b in planted_ids
+    ]
+    assert len(planted_pairs) < n_hot * (n_hot - 1) // 2 * 0.01
+    # pairs among ORGANIC documents are byte-identical to the run
+    # without the planted block
+    organic_got = {
+        (a, b)
+        for a, b in got
+        if a not in planted_ids and b not in planted_ids
+    }
+    assert organic_got == organic
