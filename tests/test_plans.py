@@ -227,6 +227,10 @@ def test_no_query_plans_a_cartesian_product(spark):
         "embedding_covariance",
         # 1-row corpus-total broadcast in the KL formula
         "source_token_kl",
+        # 1-row n_orders broadcast in the support/lift formula
+        "market_basket_lift",
+        # 1-row (n_rows, n_keys) totals broadcast onto the top-20 keys
+        "key_skew_report",
     }
     for name, fn in entrymod.queries().items():
         # the BPE entries EXECUTE their 12-round training loop during
