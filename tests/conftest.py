@@ -41,13 +41,23 @@ def pytest_configure(config):
         "dataset in /tmp and hash-checks the heaviest oracle queries "
         "(opt-in: pytest -m bigscale)",
     )
+    config.addinivalue_line(
+        "markers",
+        "slowfuzz: heaviest hypothesis property suites (many Spark "
+        "jobs per example); invariants already spot-pinned by the "
+        "deterministic dedup tests (opt-in: pytest -m slowfuzz)",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
-    # bigscale is opt-in: skipped unless the -m expression names it
-    if "bigscale" in (config.getoption("-m") or ""):
-        return
-    skip = pytest.mark.skip(reason="opt-in: run with `pytest -m bigscale`")
-    for item in items:
-        if "bigscale" in item.keywords:
-            item.add_marker(skip)
+    # bigscale / slowfuzz are opt-in: skipped unless -m names them
+    expr = config.getoption("-m") or ""
+    for marker in ("bigscale", "slowfuzz"):
+        if marker in expr:
+            continue
+        skip = pytest.mark.skip(
+            reason=f"opt-in: run with `pytest -m {marker}`"
+        )
+        for item in items:
+            if marker in item.keywords:
+                item.add_marker(skip)

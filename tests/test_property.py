@@ -315,3 +315,129 @@ def test_top_paths_match_brute_force(spark, log):
         paths[">".join(s for _, _, s in evs[:3])] += 1
     want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert got == [(i + 1, p, n) for i, (p, n) in enumerate(want)]
+
+
+# --- round-9 window algebra: rolling median + interval coverage ---------
+
+r9_values = st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=16),
+    ),
+    min_size=1,
+    max_size=25,
+)
+r9_batch = st.lists(r9_values, min_size=1, max_size=6)
+
+# random per-user event offsets in minutes — duplicates and bunching
+# welcome (they exercise island merging and the dt=0 cases)
+offsets = st.lists(
+    st.integers(min_value=0, max_value=240), min_size=1, max_size=25
+)
+offsets_batch = st.lists(offsets, min_size=1, max_size=6)
+
+
+def _events_dir(tmp_path_factory, rows):
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("r9ev")
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).to_parquet(f"{d}/events.parquet", coerce_timestamps="us")
+    return str(d)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=r9_batch)
+def test_rolling_median_matches_pandas_on_random_series(
+    spark, batch, tmp_path_factory
+):
+    import numpy as np
+    import pandas as pd
+
+    from metevents_spark.operators.seriesstats import rolling_median
+
+    rows = []
+    eid = 0
+    for s, vals in enumerate(batch):
+        for i, v in enumerate(vals):
+            rows.append(
+                (eid, START + timedelta(hours=i), s, "t",
+                 None if v is None else float(v))
+            )
+            eid += 1
+    d = _events_dir(tmp_path_factory, rows)
+    got = (
+        rolling_median(spark, d)
+        .toPandas()
+        .sort_values(["sid", "ts", "seq"])
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "t", "v"])
+    pdf["sid"] = pdf["user_id"].astype(str)
+    pdf = pdf.sort_values(["sid", "ts", "event_id"]).reset_index(drop=True)
+    want = (
+        pdf.groupby("sid")["v"]
+        .rolling(7, min_periods=1)
+        .median()
+        .reset_index(level=0, drop=True)
+    )
+    assert np.allclose(
+        got["med7"].to_numpy(),
+        np.round(want.to_numpy(), 6),
+        atol=1e-9,
+        equal_nan=True,
+    ), batch
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=offsets_batch)
+def test_interval_coverage_matches_sweepline_on_random_offsets(
+    spark, batch, tmp_path_factory
+):
+    from metevents_spark.operators.intervals import interval_coverage
+
+    cover_us = 15 * 60 * 1_000_000
+    rows = []
+    eid = 0
+    for s, offs in enumerate(batch):
+        for m in offs:
+            rows.append(
+                (eid, START + timedelta(minutes=m), s, "t", 1.0)
+            )
+            eid += 1
+    d = _events_dir(tmp_path_factory, rows)
+    got = {
+        r.sid: (r.n_events, r.n_intervals, r.covered_us, r.longest_us)
+        for r in interval_coverage(spark, d).collect()
+    }
+    for s, offs in enumerate(batch):
+        import numpy as np
+
+        us = sorted(
+            int(np.datetime64(START + timedelta(minutes=m), "us").astype("int64"))
+            for m in offs
+        )
+        islands = []
+        cs, ce = None, None
+        for u in us:
+            if ce is None or u > ce:
+                if ce is not None:
+                    islands.append(ce - cs)
+                cs, ce = u, u + cover_us
+            else:
+                ce = max(ce, u + cover_us)
+        islands.append(ce - cs)
+        assert got[str(s)] == (
+            len(us), len(islands), sum(islands), max(islands)
+        ), (s, offs)

@@ -22,6 +22,7 @@ document = st.lists(paragraph, min_size=1, max_size=6).map("\n\n".join)
 corpus = st.lists(document, min_size=1, max_size=8)
 
 
+@pytest.mark.slowfuzz
 @pytest.mark.usefixtures("spark")
 @settings(
     max_examples=10,
@@ -81,6 +82,7 @@ def url(draw):
     return f"{scheme}://{h}{port}{p}" + (f"?{q}" if q else "")
 
 
+@pytest.mark.slowfuzz
 @pytest.mark.usefixtures("spark")
 @settings(
     max_examples=10,
