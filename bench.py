@@ -200,6 +200,11 @@ HEADLINE = [
     "weighted_sample",
     "user_reach_kmv",
     "key_skew_report",
+    "holt_backtest",
+    "survival_retention",
+    "mutual_information",
+    "benford_deviation",
+    "score_percentile_by_source",
 ]
 
 

@@ -826,3 +826,84 @@ def rolling_median(
             f"med{window_rows}"
         ),
     ).orderBy("sid", "ts", "seq")
+
+
+def holt_backtest(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.2, beta: float = 0.1
+) -> DataFrame:
+    """Walk-forward backtest of the Holt forecaster: at every point
+    with existing state, the one-step-ahead forecast is
+    f_t = l_{t-1} + b_{t-1}; report per-series MAE, bias (mean signed
+    error) and RMSE — the accuracy meter that decides whether the
+    smoother's (alpha, beta) are fit for alerting.
+
+    Engine-exact by the repo's integer-unit convention: each error
+    quantizes to micro-units (ROUND(e*1e6) as int — both engines see
+    bit-identical ``e`` because the Holt recursion is the same
+    fixed-order float expression the hash-green holt_smooth oracle
+    replays), the sums fold as EXACT Python/HUGEINT integers, and the
+    final divisions/sqrt are one fixed float expression (IEEE sqrt is
+    correctly rounded, so even RMSE is deterministic).
+
+    Scale shape: the same single-exchange sorted-partition kernel as
+    every sequential smoother; output is one row per series.
+    """
+    import math
+
+    import numpy as np
+
+    from metevents_spark.operators.grouped import map_series_kernel
+
+    df = series_frame(spark, sf_dir)
+
+    def kernel(sid, ts, vals):
+        l = b = None
+        n = 0
+        s_abs = s_sig = s_sq = 0  # exact Python ints (micro-units)
+        for i in range(len(vals)):
+            x = vals[i]
+            if np.isnan(x):
+                continue
+            if l is None:
+                l, b = float(x), 0.0
+                continue
+            e = float(x) - (l + b)
+            v = e * 1e6
+            e_us = int(math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5))
+            n += 1
+            s_abs += abs(e_us)
+            s_sig += e_us
+            s_sq += e_us * e_us
+            prev_l = l
+            l = alpha * float(x) + (1.0 - alpha) * (l + b)
+            b = beta * (l - prev_l) + (1.0 - beta) * b
+        if n == 0:
+            return []
+
+        def q6(v: float) -> float:
+            # round to integer MICRO-units first (half-away-from-zero,
+            # matching SQL ROUND(x)), divide once — rounding the
+            # x.xxxxxx5-boundary µ-ratio after a /1e6 is where Python's
+            # correct decimal rounding and DuckDB's multiply-round-
+            # divide ROUND(v, 6) disagree by one last digit
+            r = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+            return r / 1e6
+
+        return [
+            (
+                sid,
+                n,
+                q6(float(s_abs) / n),
+                q6(float(s_sig) / n),
+                q6(math.sqrt(float(s_sq) / n)),
+            )
+        ]
+
+    return map_series_kernel(
+        df,
+        kernel,
+        "sid string, n_forecasts long, mae double, bias double, rmse double",
+        ["sid", "n_forecasts", "mae", "bias", "rmse"],
+        {"n_forecasts": "int64", "mae": "float64", "bias": "float64",
+         "rmse": "float64"},
+    ).orderBy("sid")

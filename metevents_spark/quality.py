@@ -301,3 +301,167 @@ def mad_drift(
     return out.filter(
         F.col("n_a").isNotNull() & F.col("n_b").isNotNull()
     ).orderBy("event_type")
+
+
+def mutual_information(
+    spark: SparkSession,
+    sf_dir: str,
+    bin_width: float = 50.0,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Mutual information (nats) between event_type and the fixed-width
+    value bin, with the marginal entropies — the dependence monitor
+    next to the drift triad (PSI/KS/MAD track each marginal over time;
+    MI tracks whether the JOINT structure between a categorical and a
+    numeric feature changed, e.g. a schema bug collapsing one type's
+    values).
+
+    One row: n, n_cells, h_type, h_bin, mi_nats, plus the normalized
+    redundancy mi / min(h) (0 = independent, 1 = deterministic).
+
+    Determinism: all counts are exact integers from ONE (type, bin)
+    groupBy whose partials collapse map-side; the final sums of ~60
+    float terms follow the hash-green source_token_kl precedent
+    (ROUND(...,6) absorbs fold-order ulp noise).
+
+    Scale shape: binning is codegen arithmetic at the scan; one
+    exchange carries |types| x |bins| partial counts; marginals and
+    totals derive from the tiny cell table (window sums), nothing
+    joins back to the fact table.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    binned = ev.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / bin_width).cast("long"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("c_xy")
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    w_x = Window.partitionBy("event_type")
+    w_y = Window.partitionBy("bin")
+    d = lambda c: F.col(c).cast("double")
+    enriched = cells.select(
+        "event_type",
+        "bin",
+        "c_xy",
+        F.sum("c_xy").over(w_x).alias("c_x"),
+        F.sum("c_xy").over(w_y).alias("c_y"),
+        F.sum("c_xy").over(w_all).alias("n"),
+    )
+    term = (d("c_xy") / d("n")) * F.log(
+        d("c_xy") * d("n") / (d("c_x") * d("c_y"))
+    )
+    hx_term = F.when(
+        F.col("bin") == F.min("bin").over(w_x),
+        -(d("c_x") / d("n")) * F.log(d("c_x") / d("n")),
+    ).otherwise(F.lit(0.0))
+    hy_term = F.when(
+        F.col("event_type") == F.min("event_type").over(w_y),
+        -(d("c_y") / d("n")) * F.log(d("c_y") / d("n")),
+    ).otherwise(F.lit(0.0))
+    return (
+        enriched.select(
+            "n",
+            term.alias("mi_term"),
+            hx_term.alias("hx_term"),
+            hy_term.alias("hy_term"),
+        )
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum("hx_term"), 6).alias("h_type"),
+            F.round(F.sum("hy_term"), 6).alias("h_bin"),
+            F.round(F.sum("mi_term"), 6).alias("mi_nats"),
+            F.round(
+                F.sum("mi_term")
+                / F.least(F.sum("hx_term"), F.sum("hy_term")),
+                6,
+            ).alias("redundancy"),
+        )
+        .select(
+            "n", "n_cells", "h_type", "h_bin", "mi_nats", "redundancy"
+        )
+    )
+
+
+def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of document lengths per
+    source vs Benford's law — the classic fabricated-data /
+    degenerate-generator screen: a source whose lengths cluster on one
+    leading digit (fixed-size chunking bugs, truncation) lights up as
+    a large absolute deviation even when means and quantiles look
+    sane.
+
+    Output: one row per (source, digit 1-9) with the exact count, the
+    observed share, Benford's expected share ln(1+1/d)/ln(10), and the
+    signed deviation; plus the per-source total variation distance
+    (repeated on each row of the source, window-summed over 9 rows).
+
+    Determinism: counts are exact integers from one map-side-collapsed
+    groupBy; shares/expectations are fixed float expressions; the TVD
+    sums 9 terms — all under ROUND(...,6).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    digits = docs.select(
+        "source",
+        F.substring(F.col("n_chars").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit"),
+    )
+    counts = digits.groupBy("source", "digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # densify to the full (source, 1..9) grid — a digit a source never
+    # produces still contributes |0 - expected| to the TVD (the
+    # fixed-size-chunking pathology is exactly the all-mass-on-one-
+    # digit case)
+    grid = (
+        counts.select("source")
+        .distinct()
+        .crossJoin(
+            spark.range(1, 10).select(F.col("id").cast("long").alias("digit"))
+        )
+    )
+    counts = grid.join(counts, ["source", "digit"], "left").select(
+        "source", "digit", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w_src = Window.partitionBy("source")
+    d = lambda c: F.col(c).cast("double")
+    expected = F.log(F.lit(1.0) + F.lit(1.0) / d("digit")) / F.log(
+        F.lit(10.0)
+    )
+    base = counts.select(
+        "source",
+        "digit",
+        "n",
+        (d("n") / F.sum("n").over(w_src).cast("double")).alias("obs"),
+        expected.alias("exp_"),
+    )
+    return (
+        base.select(
+            "source",
+            "digit",
+            "n",
+            F.round("obs", 6).alias("observed"),
+            F.round("exp_", 6).alias("benford"),
+            F.round(F.col("obs") - F.col("exp_"), 6).alias("deviation"),
+            F.round(
+                F.sum(F.abs(F.col("obs") - F.col("exp_"))).over(w_src)
+                / F.lit(2.0),
+                6,
+            ).alias("source_tvd"),
+        )
+        .orderBy("source", "digit")
+    )

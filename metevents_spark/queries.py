@@ -51,6 +51,7 @@ from metevents_spark.relational import (
     event_pair_lift,
     event_transitions,
     funnel_conversion,
+    survival_retention,
     nation_segment_rollup,
     nation_trade_flow,
     nation_yoy_growth,
@@ -114,7 +115,11 @@ from metevents_spark.text.dedup import (
     remove_duplicate_spans,
 )
 from metevents_spark.text.scrub import canonicalize_url, domain_stats, pii_redact
-from metevents_spark.text.stats import gopher_quality, zipf_fit
+from metevents_spark.text.stats import (
+    gopher_quality,
+    score_percentile_by_source,
+    zipf_fit,
+)
 from metevents_spark.text.bpe import bpe_learn, bpe_token_count
 from metevents_spark.text.pipeline import (
     bigram_logprob,
@@ -162,7 +167,9 @@ from metevents_spark.multimodal import media_embedding_near_dup
 from metevents_spark.operators.downsample import lttb_downsample
 from metevents_spark.operators.resample import gap_fill_hourly
 from metevents_spark.quality import (
+    benford_deviation,
     data_expectations,
+    mutual_information,
     ks_drift,
     mad_drift,
     value_drift_psi,
@@ -170,6 +177,7 @@ from metevents_spark.quality import (
 from metevents_spark.operators.changepoint import cusum_alarm
 from metevents_spark.operators.seriesstats import (
     anomaly_consensus,
+    holt_backtest,
     rolling_median,
     counter_rate,
     downsample_ohlc,
@@ -3305,6 +3313,148 @@ ORDER BY event_type
 """
 
 
+# Holt backtest: the SAME recursive-CTE replay as the hash-green
+# holt_smooth oracle (identical expression trees -> bit-identical
+# unrounded state), with each one-step-ahead error quantized to EXACT
+# integer micro-units before the fold — the repo's integer-cents
+# convention, so the per-series MAE/bias/RMSE cannot drift with fold
+# order (SQRT is IEEE correctly-rounded, so even RMSE is stable).
+ORACLE_SQL["holt_backtest"] = """
+WITH RECURSIVE s AS (
+  SELECT CAST(user_id AS VARCHAR) AS sid, ts, CAST(value AS DOUBLE) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), rec AS (
+  SELECT sid, rn, ts, value, value AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.sid, s.rn, s.ts, s.value,
+         CASE WHEN s.value IS NULL THEN rec.l
+              WHEN rec.l IS NULL THEN s.value
+              ELSE 0.2 * s.value + (1.0 - 0.2) * (rec.l + rec.b) END AS l,
+         CASE WHEN s.value IS NULL THEN rec.b
+              WHEN rec.l IS NULL THEN 0.0
+              ELSE 0.1 * ((0.2 * s.value + (1.0 - 0.2) * (rec.l + rec.b))
+                          - rec.l) + (1.0 - 0.1) * rec.b END AS b
+  FROM rec JOIN s ON s.sid = rec.sid AND s.rn = rec.rn + 1
+), err AS (
+  SELECT r.sid,
+         CAST(ROUND((s2.value - (r.l + r.b)) * 1e6) AS BIGINT) AS e_us
+  FROM rec r JOIN s s2 ON s2.sid = r.sid AND s2.rn = r.rn + 1
+  WHERE s2.value IS NOT NULL AND r.l IS NOT NULL
+)
+SELECT sid, COUNT(*) AS n_forecasts,
+  ROUND(CAST(SUM(ABS(e_us)) AS DOUBLE) / COUNT(*)) / 1e6 AS mae,
+  ROUND(CAST(SUM(e_us) AS DOUBLE) / COUNT(*)) / 1e6 AS bias,
+  ROUND(SQRT(CAST(SUM(e_us * e_us) AS DOUBLE) / COUNT(*))) / 1e6 AS rmse
+FROM err GROUP BY sid ORDER BY sid
+"""
+
+# Kaplan-Meier: integer risk/event cumulatives; the product-limit fold
+# is exp(cumsum(ln)) over the ORDERED duration window — sequential and
+# identical in both engines (ln ulp noise absorbed by ROUND(...,6)).
+ORACLE_SQL["survival_retention"] = """
+WITH pu AS (SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+            FROM events GROUP BY 1),
+oe AS (SELECT MAX(ts) AS obs_end FROM events),
+lt AS (SELECT
+        CAST(FLOOR((epoch_us(last_ts) - epoch_us(first_ts))
+                   / 86400000000) AS BIGINT) AS t_days,
+        CASE WHEN epoch_us(last_ts)
+                  < epoch_us(obs_end) - 1 * 86400000000
+             THEN 1 ELSE 0 END AS churned
+       FROM pu, oe),
+bt AS (SELECT t_days, COUNT(*) AS n_leaving,
+       CAST(SUM(churned) AS BIGINT) AS n_events FROM lt GROUP BY 1),
+rk AS (SELECT *, CAST(SUM(n_leaving) OVER (ORDER BY t_days DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS n_risk FROM bt)
+SELECT t_days, n_risk, n_events,
+  ROUND(EXP(SUM(LN(1.0 - CAST(n_events AS DOUBLE)
+                        / CAST(n_risk AS DOUBLE)))
+        OVER (ORDER BY t_days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+    AS survival
+FROM rk WHERE n_events > 0 ORDER BY t_days
+"""
+
+# Mutual information: exact integer cell/marginal counts; the final
+# sums over ~60 float terms follow the source_token_kl precedent.
+ORACLE_SQL["mutual_information"] = """
+WITH ev AS (SELECT event_type,
+            LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bin
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+cells AS (SELECT event_type, bin, COUNT(*) AS c_xy FROM ev GROUP BY 1, 2),
+enr AS (SELECT *,
+        SUM(c_xy) OVER (PARTITION BY event_type) AS c_x,
+        SUM(c_xy) OVER (PARTITION BY bin) AS c_y,
+        SUM(c_xy) OVER () AS n,
+        MIN(bin) OVER (PARTITION BY event_type) AS min_bin,
+        MIN(event_type) OVER (PARTITION BY bin) AS min_type
+        FROM cells),
+terms AS (SELECT CAST(n AS BIGINT) AS n,
+  (CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE))
+    * LN(CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE)
+         / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))) AS mi_term,
+  CASE WHEN bin = min_bin
+       THEN -(CAST(c_x AS DOUBLE) / CAST(n AS DOUBLE))
+            * LN(CAST(c_x AS DOUBLE) / CAST(n AS DOUBLE))
+       ELSE 0.0 END AS hx_term,
+  CASE WHEN event_type = min_type
+       THEN -(CAST(c_y AS DOUBLE) / CAST(n AS DOUBLE))
+            * LN(CAST(c_y AS DOUBLE) / CAST(n AS DOUBLE))
+       ELSE 0.0 END AS hy_term
+  FROM enr)
+SELECT n, COUNT(*) AS n_cells,
+  ROUND(SUM(hx_term), 6) AS h_type,
+  ROUND(SUM(hy_term), 6) AS h_bin,
+  ROUND(SUM(mi_term), 6) AS mi_nats,
+  ROUND(SUM(mi_term) / LEAST(SUM(hx_term), SUM(hy_term)), 6) AS redundancy
+FROM terms GROUP BY n
+"""
+
+# Benford screen: exact integer digit counts on the densified
+# (source x 1..9) grid; shares/expectations/TVD are fixed float
+# expressions under ROUND(...,6).
+ORACLE_SQL["benford_deviation"] = """
+WITH d0 AS (SELECT source,
+            CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM documents WHERE n_chars > 0),
+c0 AS (SELECT source, digit, COUNT(*) AS n FROM d0 GROUP BY 1, 2),
+grid AS (SELECT DISTINCT source FROM c0),
+dg AS (SELECT CAST(i AS BIGINT) AS digit FROM generate_series(1, 9) t(i)),
+cc AS (SELECT g.source, dg.digit, COALESCE(c0.n, 0) AS n
+       FROM grid g CROSS JOIN dg
+       LEFT JOIN c0 ON c0.source = g.source AND c0.digit = dg.digit),
+b AS (SELECT source, digit, n,
+      CAST(n AS DOUBLE)
+        / CAST(SUM(n) OVER (PARTITION BY source) AS DOUBLE) AS obs,
+      LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0) AS exp_
+      FROM cc)
+SELECT source, digit, n,
+  ROUND(obs, 6) AS observed,
+  ROUND(exp_, 6) AS benford,
+  ROUND(obs - exp_, 6) AS deviation,
+  ROUND(SUM(ABS(obs - exp_)) OVER (PARTITION BY source) / 2.0, 6)
+    AS source_tvd
+FROM b ORDER BY source, digit
+"""
+
+# Quantile normalization: percent_rank is the exact rational
+# (rank-1)/(n-1) with a doc_id tiebreak — identical total order, no
+# float accumulation at all.
+ORACLE_SQL["score_percentile_by_source"] = """
+SELECT doc_id, source, n_chars,
+  ROUND(percent_rank() OVER (PARTITION BY source
+        ORDER BY n_chars, doc_id), 6) AS pct_in_source,
+  ROUND(percent_rank() OVER (ORDER BY n_chars, doc_id), 6) AS pct_global,
+  ROUND(percent_rank() OVER (PARTITION BY source
+        ORDER BY n_chars, doc_id)
+        - percent_rank() OVER (ORDER BY n_chars, doc_id), 6)
+    AS calibration_gap
+FROM documents ORDER BY doc_id
+"""
+
 # Market basket: the oracle is the same algebra stated as plain joins;
 # exact integer counts, fixed float expression tree for the ratios,
 # rounded-lift ordering with key tiebreak so the LIMIT cut is
@@ -3315,7 +3465,7 @@ pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
           COUNT(*) AS n_ab
           FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
            AND a.l_partkey < b.l_partkey
-          GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
 ic AS (SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY 1),
 tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items)
 SELECT part_a, part_b, n_ab, na.n_item AS n_a, nb.n_item AS n_b,
@@ -3553,14 +3703,14 @@ FROM fruns WHERE cond GROUP BY sid, run_id ORDER BY sid, "start"
 #     Spirakis weighted sampling, the KMV distinct sketch with an
 #     EXACT oracle, and the join-key skew report) — never-seen keys
 #     take window priority;
-#   * slots 14-46: the 33 oracle-backed keys whose newest green row
-#     dates to r05 (the leftovers round 8's window could not fit);
-#   * slots 47-48: knn_lsh / knn_ivf — rows-only, but their only
-#     driver rows date to r01, eight rounds stale; a refresh costs
-#     two slots once;
-#   * slots 49-50: the first two (alphabetical) of the r06 cohort
-#     (ann_recall_report, anomaly_consensus). The remaining 39 r06
-#     keys rotate in round 10.
+#   * slots 14-18: the five LATE round-9 operators (Holt walk-forward
+#     backtest, Kaplan-Meier retention, event_type x value-bin mutual
+#     information, the Benford first-digit screen, per-source quantile
+#     normalization) — never-seen keys take window priority;
+#   * slots 19-50: 32 of the 33 oracle-backed keys whose newest green
+#     row dates to r05 (value_histogram, alphabetically last, plus the
+#     full r06 cohort rotate in round 10; all stay pinned by
+#     tests/test_oracle_parity.py meanwhile).
 #
 # Everything past the cap stays pinned by tests/test_oracle_parity.py
 # (same row-count/schema/value-hash comparison vs DuckDB at sf0.001,
@@ -3584,6 +3734,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": weighted_sample,
     "user_reach_kmv": user_reach_kmv,
     "key_skew_report": key_skew_report,
+    # ===== slots 14-18: the five LATE round-9 operators =====
+    "holt_backtest": holt_backtest,
+    "survival_retention": survival_retention,
+    "mutual_information": mutual_information,
+    "benford_deviation": benford_deviation,
+    "score_percentile_by_source": score_percentile_by_source,
     # ===== slots 14-46: the 33 r05-stale oracle-backed keys =====
     "downsample_ohlc": downsample_ohlc,
     "edit_distance_pairs": edit_distance_pairs,
@@ -3617,16 +3773,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": unigram_logprob,
     "user_reach": user_reach,
     "value_drift_psi": value_drift_psi,
+    # ====== PAST THE DRIVER CAP: every key below has a committed
+    # ====== driver row and stays pinned by tests/test_oracle_parity.py
+    # ====== (oracle-backed) or golden/differential pytest (rows-only)
     "value_histogram": value_histogram,
-    # ===== slots 47-48: r01-stale rows-only ANN refresh; 49-50:
-    # ===== the first two of the r06 cohort
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
     "ann_recall_report": ann_recall_report,
     "anomaly_consensus": anomaly_consensus,
-    # ====== PAST THE DRIVER CAP: every key below has a committed
-    # ====== driver row and stays pinned by tests/test_oracle_parity.py
-    # ====== (oracle-backed) or golden/differential pytest (rows-only)
     "zscore_anomaly": zscore_anomaly,
     "robust_zscore": robust_zscore,
     "event_pair_lift": event_pair_lift,

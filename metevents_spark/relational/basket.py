@@ -30,7 +30,7 @@ from metevents_spark.io import load_table
 def market_basket_lift(
     spark: SparkSession,
     sf_dir: str,
-    min_pair_orders: int = 3,
+    min_pair_orders: int = 2,
     top_n: int = 100,
 ) -> DataFrame:
     """Top item pairs by lift: for parts a < b co-purchased in at least

@@ -24,7 +24,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metevents_spark.io import load_table
@@ -486,4 +486,85 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
         .orderBy("user_id")
+    )
+
+
+def survival_retention(
+    spark: SparkSession, sf_dir: str, churn_gap_days: int = 1
+) -> DataFrame:
+    """Kaplan-Meier retention curve over user lifetimes: for each
+    distinct lifetime (days between a user's first and last event) at
+    which at least one CHURN occurred, the number at risk, the churn
+    count, and the product-limit survival estimate
+    S(t) = prod_{t_i <= t} (1 - d_i / n_i).
+
+    Censoring: a user whose last event is within ``churn_gap_days`` of
+    the corpus end is still alive (censored) — they leave the risk set
+    at their observed lifetime without counting as an event, exactly
+    the textbook estimator. The default gap of ONE day fits the
+    committed 30-day test corpora (users are active throughout, so a
+    14-day gap marks nobody churned); real deployments set it to their
+    product's reactivation horizon.
+
+    Engine determinism: n_i / d_i are exact integer window cumulatives;
+    the product folds as exp(cumsum(ln(1 - d/n))) over the ORDERED
+    duration window — a sequential cumulative, identical in both
+    engines (ln ulp noise is absorbed by ROUND(...,6); see
+    weighted_sample for the precedent).
+
+    Scale shape: one groupBy(user) collapses the fact table to a row
+    per user; everything after runs on the |distinct lifetimes|-sized
+    table (window cumulatives, no joins except the 1-row corpus-end
+    broadcast).
+    """
+    from metevents_spark.timeutil import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    obs_end = ev.groupBy().agg(F.max("ts").alias("obs_end"))
+    day_us = 86_400 * 1_000_000
+    lifetimes = per_user.crossJoin(F.broadcast(obs_end)).select(
+        # explicit FLOOR: Spark's double->long cast truncates but
+        # DuckDB's rounds, so the oracle mirrors FLOOR on both sides
+        F.floor(
+            (epoch_us(F.col("last_ts")) - epoch_us(F.col("first_ts")))
+            / F.lit(day_us)
+        ).cast("long").alias("t_days"),
+        (
+            epoch_us(F.col("last_ts"))
+            < epoch_us(F.col("obs_end")) - F.lit(churn_gap_days * day_us)
+        ).cast("long").alias("churned"),
+    )
+    by_t = lifetimes.groupBy("t_days").agg(
+        F.count(F.lit(1)).alias("n_leaving"),
+        F.sum("churned").alias("n_events"),
+    )
+    w_desc = Window.orderBy(F.desc("t_days")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = by_t.withColumn("n_risk", F.sum("n_leaving").over(w_desc))
+    w_asc = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        risk.filter(F.col("n_events") > 0)
+        .withColumn(
+            "survival",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            F.lit(1.0)
+                            - F.col("n_events").cast("double")
+                            / F.col("n_risk").cast("double")
+                        )
+                    ).over(w_asc)
+                ),
+                6,
+            ),
+        )
+        .select("t_days", "n_risk", "n_events", "survival")
+        .orderBy("t_days")
     )

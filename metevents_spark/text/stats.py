@@ -906,3 +906,43 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def score_percentile_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile normalization of a per-document metric (n_chars):
+    each document's percentile WITHIN its source and within the whole
+    corpus, plus the calibration gap between them — the standard
+    pre-mixing step when per-source score scales differ (a 0.8 from a
+    clean source is not a 0.8 from a noisy one; ranks are comparable,
+    raw scores are not).
+
+    percent_rank ties break on doc_id, so both engines compute the
+    identical total order; the ranks are exact rationals
+    (rank-1)/(n-1) — deterministic without rounding, rounded to 6 for
+    presentation anyway.
+
+    Scale shape: two window sorts (one per grain). Per-source ranks
+    partition by source (parallel across sources); the global rank is
+    a range exchange — the one unavoidable global sort, because a
+    corpus-wide rank IS a global order (at 100 TB you'd swap in the
+    approx-quantile two-phase rank; this is the exact tier).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_all = Window.orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.percent_rank().over(w_src), 6).alias("pct_in_source"),
+        F.round(F.percent_rank().over(w_all), 6).alias("pct_global"),
+        F.round(
+            F.percent_rank().over(w_src) - F.percent_rank().over(w_all), 6
+        ).alias("calibration_gap"),
+    ).orderBy("doc_id")

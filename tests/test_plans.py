@@ -229,6 +229,10 @@ def test_no_query_plans_a_cartesian_product(spark):
         "source_token_kl",
         # 1-row n_orders broadcast in the support/lift formula
         "market_basket_lift",
+        # 1-row corpus-end broadcast in the censoring predicate
+        "survival_retention",
+        # |sources| x 9 digit-grid densification (dimension-sized)
+        "benford_deviation",
         # 1-row (n_rows, n_keys) totals broadcast onto the top-20 keys
         "key_skew_report",
     }

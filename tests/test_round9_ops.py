@@ -114,7 +114,7 @@ def test_market_basket_lift_matches_bruteforce(spark):
             pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
     rows = []
     for (a, b), nab in pair_n.items():
-        if nab < 3:
+        if nab < 2:
             continue
         na, nb = item_n[a], item_n[b]
         rows.append(
@@ -182,3 +182,155 @@ def test_key_skew_report_matches_value_counts(spark):
         [round(c * n_keys / n_rows, 4) for _, c in order],
     )
     assert got["rank"].tolist() == list(range(1, len(got) + 1))
+
+
+def test_holt_backtest_matches_sequential_replay(spark):
+    from metevents_spark.operators.seriesstats import holt_backtest
+
+    got = holt_backtest(spark, SF_SMALL).toPandas().set_index("sid")
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    ev["sid"] = ev["user_id"].astype(str)
+    alpha, beta = 0.2, 0.1
+    for sid, grp in ev.groupby("sid"):
+        grp = grp.sort_values(["ts", "event_id"], kind="stable")
+        l = b = None
+        n, s_abs, s_sig, s_sq = 0, 0, 0, 0
+        for x in grp["value"]:
+            if pd.isna(x):
+                continue
+            x = float(x)
+            if l is None:
+                l, b = x, 0.0
+                continue
+            e = x - (l + b)
+            v = e * 1e6
+            e_us = int(math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5))
+            n += 1
+            s_abs += abs(e_us)
+            s_sig += e_us
+            s_sq += e_us * e_us
+            prev_l = l
+            l = alpha * x + (1.0 - alpha) * (l + b)
+            b = beta * (l - prev_l) + (1.0 - beta) * b
+        row = got.loc[sid]
+        assert row["n_forecasts"] == n
+        assert abs(row["mae"] - math.floor(s_abs / n + 0.5) / 1e6) < 1e-12
+        assert abs(row["rmse"] - math.floor(math.sqrt(s_sq / n) + 0.5) / 1e6) < 1e-12
+
+
+def test_survival_retention_matches_km_by_hand(spark):
+    from metevents_spark.relational.product import survival_retention
+
+    got = survival_retention(spark, SF_SMALL).toPandas()
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    pu = ev.groupby("user_id")["ts"].agg(["min", "max"])
+    obs_end = ev["ts"].max()
+    day_us = 86_400 * 1_000_000
+    t = (
+        (pu["max"].astype("datetime64[us]").astype("int64")
+         - pu["min"].astype("datetime64[us]").astype("int64")) // day_us
+    )
+    churned = (
+        pu["max"].astype("datetime64[us]").astype("int64")
+        < int(np.datetime64(obs_end, "us").astype("int64")) - day_us
+    )
+    df = pd.DataFrame({"t": t, "e": churned.astype(int)})
+    surv, rows = 1.0, []
+    for td in sorted(df["t"].unique()):
+        n_risk = int((df["t"] >= td).sum())
+        d = int(df.loc[df["t"] == td, "e"].sum())
+        if d > 0:
+            surv *= 1.0 - d / n_risk
+            rows.append((td, n_risk, d))
+    assert list(got["t_days"]) == [r[0] for r in rows]
+    assert list(got["n_risk"]) == [r[1] for r in rows]
+    assert list(got["n_events"]) == [r[2] for r in rows]
+    # replay the product-limit independently (plain running product)
+    s, want = 1.0, []
+    for td, n_risk, d in rows:
+        s *= 1.0 - d / n_risk
+        want.append(s)
+    assert np.allclose(got["survival"], np.round(want, 6), atol=2e-6)
+    # survival is a non-increasing curve in (0, 1]
+    assert (np.diff(got["survival"]) <= 1e-12).all()
+    assert (got["survival"] > 0).all() and (got["survival"] <= 1).all()
+
+
+def test_mutual_information_matches_counter(spark):
+    from collections import Counter
+
+    from metevents_spark.quality import mutual_information
+
+    got = mutual_information(spark, SF_SMALL).toPandas().iloc[0]
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    ev = ev[ev["value"].notna()]
+    xs = ev["event_type"].to_numpy()
+    ys = np.minimum(np.floor(ev["value"].to_numpy() / 50.0), 9).astype(int)
+    n = len(xs)
+    cxy = Counter(zip(xs, ys))
+    cx, cy = Counter(xs), Counter(ys)
+    mi = sum(
+        (c / n) * math.log(c * n / (cx[x] * cy[y]))
+        for (x, y), c in cxy.items()
+    )
+    hx = -sum((c / n) * math.log(c / n) for c in cx.values())
+    hy = -sum((c / n) * math.log(c / n) for c in cy.values())
+    assert got["n"] == n and got["n_cells"] == len(cxy)
+    assert abs(got["mi_nats"] - round(mi, 6)) < 1e-6
+    assert abs(got["h_type"] - round(hx, 6)) < 1e-6
+    assert abs(got["h_bin"] - round(hy, 6)) < 1e-6
+    # information inequalities: 0 <= MI <= min(H)
+    assert -1e-9 <= got["mi_nats"] <= min(hx, hy) + 1e-9
+
+
+def test_benford_deviation_matches_counter(spark):
+    from collections import Counter
+
+    from metevents_spark.quality import benford_deviation
+
+    got = benford_deviation(spark, SF_SMALL).toPandas()
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    docs = docs[docs["n_chars"] > 0]
+    for src, grp in docs.groupby("source"):
+        digs = Counter(int(str(n)[0]) for n in grp["n_chars"])
+        tot = sum(digs.values())
+        sub = got[got["source"] == src].set_index("digit")
+        assert list(sub.index) == list(range(1, 10))  # densified grid
+        tvd = 0.0
+        for dgt in range(1, 10):
+            obs = digs.get(dgt, 0) / tot
+            exp = math.log(1 + 1 / dgt) / math.log(10)
+            assert sub.loc[dgt, "n"] == digs.get(dgt, 0)
+            assert abs(sub.loc[dgt, "observed"] - round(obs, 6)) < 1e-9
+            assert abs(sub.loc[dgt, "deviation"] - round(obs - exp, 6)) < 2e-6
+            tvd += abs(obs - exp)
+        assert (abs(sub["source_tvd"] - round(tvd / 2, 6)) < 2e-6).all()
+
+
+def test_score_percentile_matches_pandas_rank(spark):
+    from metevents_spark.text.stats import score_percentile_by_source
+
+    got = score_percentile_by_source(spark, SF_SMALL).toPandas()
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet").sort_values(
+        ["n_chars", "doc_id"]
+    )
+    n = len(docs)
+    docs["pct_global"] = np.round(np.arange(n) / (n - 1), 6)
+    docs["pct_in_source"] = (
+        docs.groupby("source").cumcount()
+        / (docs.groupby("source")["doc_id"].transform("size") - 1)
+    ).round(6)
+    m = got.set_index("doc_id")
+    w = docs.set_index("doc_id")
+    assert np.allclose(m["pct_global"], w.loc[m.index, "pct_global"])
+    assert np.allclose(m["pct_in_source"], w.loc[m.index, "pct_in_source"])
+    assert np.allclose(
+        m["calibration_gap"],
+        (w.loc[m.index, "pct_in_source"] - w.loc[m.index, "pct_global"]).round(6),
+        atol=2e-6,
+    )
