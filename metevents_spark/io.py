@@ -104,11 +104,48 @@ def load_csv_series(
     )
 
 
-def write_events(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+#: formats the generic table sink/source accept — all three are Spark
+#: built-ins with JVM-side codecs (no Python in the data path). Parquet
+#: is the system default (column pruning + predicate pushdown +
+#: min/max pruning); ORC is the interop path for Hive-era lakes (same
+#: pushdown machinery via the ORC reader); JSONL is the interchange/
+#: debug sink (schema-on-read, no pushdown — never the analytics path).
+TABLE_FORMATS = ("parquet", "orc", "json")
+
+
+def write_events(
+    df: DataFrame, path: str, mode: str = "overwrite", fmt: str = "parquet"
+) -> None:
     """Sink: events frames are tiny relative to inputs — a plain
-    parquet write; partition by sid only when callers expect per-series
-    consumption patterns."""
-    df.write.mode(mode).parquet(path)
+    columnar write; partition by sid only when callers expect
+    per-series consumption patterns. ``fmt`` picks any TABLE_FORMATS
+    entry; parquet unless interop demands otherwise."""
+    if fmt not in TABLE_FORMATS:
+        raise ValueError(f"fmt must be one of {TABLE_FORMATS}: {fmt}")
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "json":
+        # default JSON timestamp pattern truncates to milliseconds;
+        # keep the microsecond precision the parquet testdata carries
+        w = w.option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        w = w.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    w.save(path)
+
+
+def read_events(spark: SparkSession, path: str, fmt: str = "parquet",
+                schema: str | None = None) -> DataFrame:
+    """Source dual of :func:`write_events`. JSON gets an explicit
+    schema when provided (schema inference is a full extra scan and
+    types drift — timestamps read back as strings without one)."""
+    if fmt not in TABLE_FORMATS:
+        raise ValueError(f"fmt must be one of {TABLE_FORMATS}: {fmt}")
+    reader = spark.read.format(fmt)
+    if fmt == "json":
+        reader = reader.option(
+            "timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+        ).option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
 
 
 def series_from_columns(

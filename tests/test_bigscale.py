@@ -48,6 +48,14 @@ HEAVY = (
     "dominant_part_suppliers",
     "minhash_near_dup",
     "dedup_clusters",
+    # r9 additions whose value claim IS scale behavior: the 1M-row
+    # rolling-median window output, the Holt recursion replayed over
+    # 10x series, the global-sort quantile normalization, and the
+    # basket self-join over 10x orders
+    "rolling_median",
+    "holt_backtest",
+    "score_percentile_by_source",
+    "market_basket_lift",
 )
 
 

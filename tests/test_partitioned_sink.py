@@ -79,3 +79,36 @@ def test_upsert_partitioned_merges_and_leaves_untouched_partitions(
     untouched_before = {p: m for p, m in before.items() if f"event_date={day}" not in p}
     untouched_after = {p: m for p, m in after.items() if f"event_date={day}" not in p}
     assert untouched_before == untouched_after
+
+
+def test_table_format_roundtrip(spark, tmp_path):
+    """Every TABLE_FORMATS entry must round-trip the canonical series
+    frame value-identically (ORC is the Hive-interop path, JSONL the
+    interchange sink; timestamps survive via the explicit read
+    schema)."""
+    from metevents_spark.io import (
+        TABLE_FORMATS,
+        read_events,
+        series_frame,
+        write_events,
+    )
+
+    src = series_frame(spark, "/root/testdata/sf0.001")
+    want = sorted(
+        (r.sid, r.seq, r.ts, r.value)
+        for r in src.collect()
+    )
+    schema = "sid string, seq long, ts timestamp_ntz, value double"
+    for fmt in TABLE_FORMATS:
+        p = str(tmp_path / f"rt_{fmt}")
+        write_events(src, p, fmt=fmt)
+        got = sorted(
+            (r.sid, r.seq, r.ts, r.value)
+            for r in read_events(spark, p, fmt=fmt, schema=schema).collect()
+        )
+        assert got == want, fmt
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_events(src, str(tmp_path / "bad"), fmt="avro")
