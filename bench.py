@@ -205,6 +205,9 @@ HEADLINE = [
     "mutual_information",
     "benford_deviation",
     "score_percentile_by_source",
+    "source_weighted_sample",
+    "interarrival_stats",
+    "burst_collapse",
 ]
 
 

@@ -907,3 +907,56 @@ def holt_backtest(
         {"n_forecasts": "int64", "mae": "float64", "bias": "float64",
          "rmse": "float64"},
     ).orderBy("sid")
+
+
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series inter-arrival statistics: gap count, mean/max gap,
+    coefficient of variation squared (CV² = 1 for Poisson arrivals,
+    > 1 bursty, < 1 regular) and the Goh-Barabási burstiness
+    B = (σ-μ)/(σ+μ) in [-1, 1] — the arrival-process fingerprint that
+    complements freq_infer's modal-gap answer.
+
+    Engine-exact: gaps quantize to integer SECONDS (floor — exact in
+    both engines), the moment sums are exact int64 (max gap ~2.6e6 s,
+    squared x 150 gaps ≈ 1e15, far under 2^63), and the final
+    mean/variance/σ are one fixed float expression tree (IEEE sqrt).
+
+    Scale shape: one sid exchange for the lag window, then a per-sid
+    aggregate — the standard detector plan.
+    """
+    s = series_frame(spark, sf_dir)
+    w = Window.partitionBy("sid").orderBy("ts", "seq")
+    gaps = (
+        s.select(
+            "sid",
+            # explicit FLOOR: Spark's double->long cast truncates but
+            # DuckDB's rounds, so the oracle mirrors FLOOR on both sides
+            F.floor(
+                (epoch_us(F.col("ts"))
+                 - epoch_us(F.lag("ts").over(w))) / F.lit(1_000_000)
+            ).cast("long").alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    d = lambda c: F.col(c).cast("double")
+    agg = gaps.groupBy("sid").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("g").alias("s1"),
+        F.sum(F.col("g") * F.col("g")).alias("s2"),
+        F.max("g").alias("max_gap_s"),
+    )
+    mean = d("s1") / d("n_gaps")
+    var = (d("s2") - d("s1") * d("s1") / d("n_gaps")) / d("n_gaps")
+    sd = F.sqrt(var)
+    return (
+        agg.filter(F.col("n_gaps") >= 2)
+        .select(
+            "sid",
+            "n_gaps",
+            F.round(mean, 6).alias("mean_gap_s"),
+            "max_gap_s",
+            F.round(var / (mean * mean), 6).alias("cv2"),
+            F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
+        )
+        .orderBy("sid")
+    )

@@ -53,3 +53,62 @@ def sessionize(
         .select(*keys, "session_id", "start", "stop", "duration_us", "n_events", "total")
         .orderBy(*keys, "session_id")
     )
+
+
+def burst_collapse(
+    spark, sf_dir: str, refractory_minutes: int = 30
+):
+    """Telemetry debounce: collapse each burst of same-type events per
+    user (consecutive events closer than ``refractory_minutes``) to its
+    FIRST event, reporting how many rows the burst contained and its
+    span — the event-stream member of the dedup tier (retry storms and
+    double-fires inflate downstream counts; debouncing at ingest is
+    the standard fix).
+
+    Gaps-and-islands per (user, type): a burst starts where the gap
+    from the previous same-type event exceeds the refractory window.
+    Pure integer microsecond window algebra — engine-exact.
+
+    Scale shape: ONE hash exchange on (sid, event_type), two window
+    passes, one aggregate; output is burst heads, bounded by the
+    debounced event count.
+    """
+    from metevents_spark.io import load_table
+    from metevents_spark.timeutil import epoch_us
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("sid"),
+        F.col("event_id").cast("long").alias("seq"),
+        "event_type",
+        "ts",
+    )
+    gap_us = refractory_minutes * 60 * 1_000_000
+    w = Window.partitionBy("sid", "event_type").orderBy("ts", "seq")
+    prev = F.lag(epoch_us(F.col("ts"))).over(w)
+    islanded = ev.withColumn(
+        "new_burst",
+        F.when(
+            prev.isNull() | ((epoch_us(F.col("ts")) - prev) > gap_us), 1
+        ).otherwise(0),
+    ).withColumn(
+        "burst",
+        F.sum("new_burst").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islanded.groupBy("sid", "event_type", "burst")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.min("seq").alias("first_seq"),
+            F.count(F.lit(1)).alias("n_collapsed"),
+            (epoch_us(F.max("ts")) - epoch_us(F.min("ts"))).alias("span_us"),
+        )
+        .select(
+            "sid", "event_type", "first_ts", "first_seq",
+            "n_collapsed", "span_us",
+        )
+        .orderBy("sid", "event_type", "first_ts", "first_seq")
+    )

@@ -37,7 +37,7 @@ from metevents_spark.operators.intervals import (
     interval_coverage,
     interval_overlap_join,
 )
-from metevents_spark.operators.sessions import sessionize
+from metevents_spark.operators.sessions import burst_collapse, sessionize
 from metevents_spark.functions import freq_infer
 from metevents_spark.functions.sketches import user_reach_kmv
 from metevents_spark.relational.basket import market_basket_lift
@@ -123,6 +123,7 @@ from metevents_spark.text.stats import (
 from metevents_spark.text.bpe import bpe_learn, bpe_token_count
 from metevents_spark.text.pipeline import (
     bigram_logprob,
+    source_weighted_sample,
     weighted_sample,
     hash_sample,
     holdout_split,
@@ -178,6 +179,7 @@ from metevents_spark.operators.changepoint import cusum_alarm
 from metevents_spark.operators.seriesstats import (
     anomaly_consensus,
     holt_backtest,
+    interarrival_stats,
     rolling_median,
     counter_rate,
     downsample_ohlc,
@@ -3455,6 +3457,62 @@ SELECT doc_id, source, n_chars,
 FROM documents ORDER BY doc_id
 """
 
+# Stratified weighted sampling: the per-source dual of weighted_sample
+# — same engine-replayable A-ES key, row_number per source.
+ORACLE_SQL["source_weighted_sample"] = """
+WITH k AS (SELECT doc_id, source, n_chars,
+  ROUND(-ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        + 1) / 1152921504606846976.0)) / CAST(n_chars AS DOUBLE), 12)
+    AS sample_key
+  FROM documents)
+SELECT doc_id, source, n_chars, sample_key,
+  CAST(ROW_NUMBER() OVER (PARTITION BY source
+       ORDER BY sample_key, doc_id) AS BIGINT) AS rank_in_source
+FROM k QUALIFY rank_in_source <= 20 ORDER BY source, rank_in_source
+"""
+
+# Inter-arrival stats: gaps quantize to integer seconds (FLOOR, exact
+# both engines), moment sums are exact int64, the mean/var/σ formulas
+# are one fixed float expression tree (IEEE sqrt).
+ORACLE_SQL["interarrival_stats"] = f"""
+WITH {_SERIES},
+g0 AS (SELECT sid, CAST(FLOOR((epoch_us(ts) - epoch_us(LAG(ts) OVER (
+        PARTITION BY sid ORDER BY ts, seq))) / 1000000) AS BIGINT) AS g
+       FROM series),
+agg AS (SELECT sid, COUNT(*) AS n_gaps, CAST(SUM(g) AS BIGINT) AS s1,
+        CAST(SUM(g * g) AS BIGINT) AS s2, MAX(g) AS max_gap_s
+        FROM g0 WHERE g IS NOT NULL GROUP BY sid),
+m AS (SELECT sid, n_gaps, max_gap_s,
+      CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean,
+      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE) AS var
+      FROM agg WHERE n_gaps >= 2)
+SELECT sid, n_gaps, ROUND(mean, 6) AS mean_gap_s, max_gap_s,
+  ROUND(var / (mean * mean), 6) AS cv2,
+  ROUND((SQRT(var) - mean) / (SQRT(var) + mean), 6) AS burstiness
+FROM m ORDER BY sid
+"""
+
+# Burst collapse (telemetry debounce): gaps-and-islands per
+# (user, type) in pure integer microsecond window algebra.
+ORACLE_SQL["burst_collapse"] = """
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS sid, event_id AS seq,
+            event_type, ts FROM events),
+l AS (SELECT *, LAG(epoch_us(ts)) OVER (
+       PARTITION BY sid, event_type ORDER BY ts, seq) AS prev_us FROM ev),
+i AS (SELECT *, CASE WHEN prev_us IS NULL
+       OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS nb
+      FROM l),
+b AS (SELECT *, SUM(nb) OVER (PARTITION BY sid, event_type
+       ORDER BY ts, seq
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst FROM i)
+SELECT sid, event_type, MIN(ts) AS first_ts, MIN(seq) AS first_seq,
+  COUNT(*) AS n_collapsed,
+  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us
+FROM b GROUP BY sid, event_type, burst
+ORDER BY sid, event_type, first_ts, first_seq
+"""
+
 # Market basket: the oracle is the same algebra stated as plain joins;
 # exact integer counts, fixed float expression tree for the ratios,
 # rounded-lift ordering with key tiebreak so the LIMIT cut is
@@ -3707,9 +3765,13 @@ FROM fruns WHERE cond GROUP BY sid, run_id ORDER BY sid, "start"
 #     backtest, Kaplan-Meier retention, event_type x value-bin mutual
 #     information, the Benford first-digit screen, per-source quantile
 #     normalization) — never-seen keys take window priority;
-#   * slots 19-50: 32 of the 33 oracle-backed keys whose newest green
-#     row dates to r05 (value_histogram, alphabetically last, plus the
-#     full r06 cohort rotate in round 10; all stay pinned by
+#   * slots 19-21: the three batch-3 operators (per-source A-ES
+#     weighted sampling, inter-arrival burstiness stats, burst-collapse
+#     telemetry debounce) — never-seen keys take window priority;
+#   * slots 22-50: the first 29 (alphabetical) of the 33 oracle-backed
+#     keys whose newest green row dates to r05 (the last four —
+#     unigram_logprob, user_reach, value_drift_psi, value_histogram —
+#     plus the full r06 cohort rotate in round 10; all stay pinned by
 #     tests/test_oracle_parity.py meanwhile).
 #
 # Everything past the cap stays pinned by tests/test_oracle_parity.py
@@ -3740,6 +3802,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mutual_information": mutual_information,
     "benford_deviation": benford_deviation,
     "score_percentile_by_source": score_percentile_by_source,
+    # ===== slots 19-21: the three batch-3 operators =====
+    "source_weighted_sample": source_weighted_sample,
+    "interarrival_stats": interarrival_stats,
+    "burst_collapse": burst_collapse,
     # ===== slots 14-46: the 33 r05-stale oracle-backed keys =====
     "downsample_ohlc": downsample_ohlc,
     "edit_distance_pairs": edit_distance_pairs,
@@ -3770,12 +3836,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_lang_matrix": source_lang_matrix,
     "source_mix_sample": source_mix_sample,
     "stratified_sample": stratified_sample,
-    "unigram_logprob": unigram_logprob,
-    "user_reach": user_reach,
-    "value_drift_psi": value_drift_psi,
     # ====== PAST THE DRIVER CAP: every key below has a committed
     # ====== driver row and stays pinned by tests/test_oracle_parity.py
     # ====== (oracle-backed) or golden/differential pytest (rows-only)
+    "unigram_logprob": unigram_logprob,
+    "user_reach": user_reach,
+    "value_drift_psi": value_drift_psi,
     "value_histogram": value_histogram,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,

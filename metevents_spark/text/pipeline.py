@@ -1206,3 +1206,35 @@ def weighted_sample(
         .orderBy("sample_key", "doc_id")
         .limit(n)
     )
+
+
+def source_weighted_sample(
+    spark: SparkSession, sf_dir: str, per_source: int = 20
+) -> DataFrame:
+    """Per-source weighted sampling without replacement: the
+    ``per_source`` documents with the smallest Efraimidis-Spirakis key
+    WITHIN each source — the stratified dual of :func:`weighted_sample`
+    (a global cut starves small sources; per-source cuts are how eval
+    subsets stay representative across a skewed mixture).
+
+    Same md5-derived key (deterministic, engine-replayable, 1e-12
+    rounding absorbs libm ulp); selection is a per-source row_number
+    window — partitions process sources in parallel, nothing global.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h60 + F.lit(1)).cast("double") / F.lit(1152921504606846976.0)
+    key = F.round(-F.log(u) / F.col("n_chars").cast("double"), 12)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("sample_key"))
+        .withColumn("rank_in_source", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_source") <= per_source)
+        .orderBy("source", "rank_in_source")
+    )

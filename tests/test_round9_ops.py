@@ -334,3 +334,85 @@ def test_score_percentile_matches_pandas_rank(spark):
         (w.loc[m.index, "pct_in_source"] - w.loc[m.index, "pct_global"]).round(6),
         atol=2e-6,
     )
+
+
+def test_source_weighted_sample_stratification(spark):
+    from metevents_spark.text.pipeline import source_weighted_sample
+
+    got = source_weighted_sample(spark, SF_SMALL).toPandas()
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    # exactly min(20, source size) docs per source, keys replayed
+    sizes = docs.groupby("source").size()
+    per = got.groupby("source").size()
+    for src, n in sizes.items():
+        assert per.get(src, 0) == min(20, n), src
+    keys = {
+        int(r.doc_id): round(
+            -math.log((_h60(int(r.doc_id)) + 1) / TWO60) / float(r.n_chars),
+            12,
+        )
+        for r in docs.itertuples()
+    }
+    for src, grp in docs.groupby("source"):
+        want = sorted(grp["doc_id"], key=lambda d: (keys[int(d)], d))[:20]
+        sub = got[got["source"] == src].sort_values("rank_in_source")
+        assert list(sub["doc_id"]) == [int(d) for d in want], src
+
+
+def test_interarrival_stats_matches_numpy(spark):
+    from metevents_spark.operators.seriesstats import interarrival_stats
+
+    got = interarrival_stats(spark, SF_SMALL).toPandas().set_index("sid")
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    ev["sid"] = ev["user_id"].astype(str)
+    for sid, grp in ev.groupby("sid"):
+        grp = grp.sort_values(["ts", "event_id"], kind="stable")
+        us = grp["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        g = np.floor(np.diff(us) / 1e6).astype("int64")
+        if len(g) < 2:
+            assert sid not in got.index
+            continue
+        mean, var = g.mean(), g.var()  # population
+        sd = math.sqrt(var)
+        row = got.loc[sid]
+        assert row["n_gaps"] == len(g)
+        assert abs(row["mean_gap_s"] - round(mean, 6)) < 1e-6
+        assert row["max_gap_s"] == g.max()
+        assert abs(row["cv2"] - var / mean**2) < 1e-5
+        assert abs(row["burstiness"] - (sd - mean) / (sd + mean)) < 1e-5
+        assert -1 <= row["burstiness"] <= 1
+
+
+def test_burst_collapse_matches_sweepline(spark):
+    from metevents_spark.operators.sessions import burst_collapse
+
+    got = burst_collapse(spark, SF_SMALL).toPandas()
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    ev["sid"] = ev["user_id"].astype(str)
+    gap = 30 * 60 * 1_000_000
+    want = []
+    for (sid, et), grp in ev.groupby(["sid", "event_type"]):
+        grp = grp.sort_values(["ts", "event_id"], kind="stable")
+        us = grp["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        seqs = grp["event_id"].to_numpy()
+        start = 0
+        for i in range(1, len(us) + 1):
+            if i == len(us) or us[i] - us[i - 1] > gap:
+                want.append(
+                    (sid, et, us[start], int(seqs[start:i].min()),
+                     i - start, int(us[i - 1] - us[start]))
+                )
+                start = i
+    want.sort()
+    g = sorted(
+        (r.sid, r.event_type,
+         int(np.datetime64(r.first_ts, "us").astype("int64")),
+         int(r.first_seq), int(r.n_collapsed), int(r.span_us))
+        for r in got.itertuples()
+    )
+    assert g == want
+    # debouncing never loses events: collapsed counts refold to total
+    assert got["n_collapsed"].sum() == len(ev)
