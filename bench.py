@@ -208,6 +208,8 @@ HEADLINE = [
     "source_weighted_sample",
     "interarrival_stats",
     "burst_collapse",
+    "region_nation_rollup",
+    "region_nations_csv",
 ]
 
 

@@ -68,6 +68,8 @@ from metevents_spark.relational import (
     top_paths,
 )
 from metevents_spark.relational.tpch import (
+    region_nation_rollup,
+    region_nations_csv,
     big_spender_1995,
     events_cube,
     lineitem_unpivot,
@@ -3457,6 +3459,33 @@ SELECT doc_id, source, n_chars,
 FROM documents ORDER BY doc_id
 """
 
+# ROLLUP + GROUPING: standard-SQL bitmask semantics agree between
+# engines (detail 0, region subtotal 1, grand total 3); revenue is the
+# exact-DECIMAL convention.
+ORACLE_SQL["region_nation_rollup"] = """
+SELECT r_name, n_name,
+  CAST(GROUPING(r_name, n_name) AS BIGINT) AS level,
+  COUNT(*) AS n_items,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY level, r_name, n_name
+"""
+
+# Ordered string aggregation (LISTAGG surface): ordering is explicit
+# on both sides, never collect order.
+ORACLE_SQL["region_nations_csv"] = """
+SELECT r_name, COUNT(*) AS n_nations,
+  STRING_AGG(n_name, ',' ORDER BY n_name) AS nations_csv
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
 # Stratified weighted sampling: the per-source dual of weighted_sample
 # — same engine-replayable A-ES key, row_number per source.
 ORACLE_SQL["source_weighted_sample"] = """
@@ -3765,13 +3794,15 @@ FROM fruns WHERE cond GROUP BY sid, run_id ORDER BY sid, "start"
 #     backtest, Kaplan-Meier retention, event_type x value-bin mutual
 #     information, the Benford first-digit screen, per-source quantile
 #     normalization) — never-seen keys take window priority;
-#   * slots 19-21: the three batch-3 operators (per-source A-ES
+#   * slots 19-23: the five batch-3 operators (per-source A-ES
 #     weighted sampling, inter-arrival burstiness stats, burst-collapse
-#     telemetry debounce) — never-seen keys take window priority;
-#   * slots 22-50: the first 29 (alphabetical) of the 33 oracle-backed
-#     keys whose newest green row dates to r05 (the last four —
-#     unigram_logprob, user_reach, value_drift_psi, value_histogram —
-#     plus the full r06 cohort rotate in round 10; all stay pinned by
+#     telemetry debounce, ROLLUP/grouping_id hierarchy report, ordered
+#     string aggregation) — never-seen keys take window priority;
+#   * slots 24-50: the first 27 (alphabetical) of the 33 oracle-backed
+#     keys whose newest green row dates to r05 (the last six —
+#     source_mix_sample, stratified_sample, unigram_logprob,
+#     user_reach, value_drift_psi, value_histogram — plus the full r06
+#     cohort rotate in round 10; all stay pinned by
 #     tests/test_oracle_parity.py meanwhile).
 #
 # Everything past the cap stays pinned by tests/test_oracle_parity.py
@@ -3806,6 +3837,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_weighted_sample": source_weighted_sample,
     "interarrival_stats": interarrival_stats,
     "burst_collapse": burst_collapse,
+    # ===== slots 22-23: ROLLUP/grouping_id + ordered string agg =====
+    "region_nation_rollup": region_nation_rollup,
+    "region_nations_csv": region_nations_csv,
     # ===== slots 14-46: the 33 r05-stale oracle-backed keys =====
     "downsample_ohlc": downsample_ohlc,
     "edit_distance_pairs": edit_distance_pairs,
@@ -3834,11 +3868,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipmode_priority_counts": shipmode_priority_counts,
     "shipping_priority": shipping_priority,
     "source_lang_matrix": source_lang_matrix,
-    "source_mix_sample": source_mix_sample,
-    "stratified_sample": stratified_sample,
     # ====== PAST THE DRIVER CAP: every key below has a committed
     # ====== driver row and stays pinned by tests/test_oracle_parity.py
     # ====== (oracle-backed) or golden/differential pytest (rows-only)
+    "source_mix_sample": source_mix_sample,
+    "stratified_sample": stratified_sample,
     "unigram_logprob": unigram_logprob,
     "user_reach": user_reach,
     "value_drift_psi": value_drift_psi,

@@ -1389,3 +1389,64 @@ def nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("yoy_growth").isNotNull())
         .orderBy("n_name", "o_year")
     )
+
+
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets with grouping_id: supplier-side revenue at
+    three hierarchy levels in ONE pass — (region, nation), per-region
+    subtotal, grand total — the drill-down report CUBE (events_cube)
+    does not cover: ROLLUP's Expand emits only the hierarchy's prefix
+    sets (3 here vs CUBE's 4), and ``grouping_id`` labels each row's
+    level so consumers need no NULL-sniffing.
+
+    Exact DECIMAL revenue (integer-cents convention), counts exact —
+    hash-stable. One Expand + one aggregate; dims broadcast onto the
+    fact scan.
+    """
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    supp = load_table(spark, sf_dir, "supplier")
+    line = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount", "4,2"))
+    return (
+        line.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("long").alias("level"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+        .select(
+            "r_name",
+            "n_name",
+            "level",
+            "n_items",
+            F.round("revenue", 2).alias("revenue"),
+        )
+        .orderBy("level", "r_name", "n_name")
+    )
+
+
+def region_nations_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: each region's nations as one sorted
+    CSV cell — the LISTAGG/STRING_AGG surface (report/export sinks).
+    Determinism comes from ``array_sort`` before the join, never from
+    collect order; the per-region arrays are dimension-sized, so the
+    collect_list is bounded by construction.
+    """
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        nat.join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations_csv"),
+        )
+        .orderBy("r_name")
+    )

@@ -416,3 +416,35 @@ def test_burst_collapse_matches_sweepline(spark):
     assert g == want
     # debouncing never loses events: collapsed counts refold to total
     assert got["n_collapsed"].sum() == len(ev)
+
+
+def test_region_nation_rollup_levels(spark):
+    from metevents_spark.relational.tpch import region_nation_rollup
+
+    got = region_nation_rollup(spark, SF_SMALL).toPandas()
+
+    detail = got[got["level"] == 0]
+    sub = got[got["level"] == 1]
+    grand = got[got["level"] == 3]
+    assert len(grand) == 1 and grand["r_name"].isna().all()
+    assert set(got["level"]) == {0, 1, 3}  # ROLLUP: no nation-only sets
+    # subtotals refold exactly from details (counts and revenue)
+    agg = detail.groupby("r_name")[["n_items", "revenue"]].sum()
+    s = sub.set_index("r_name")
+    assert (agg["n_items"] == s["n_items"]).all()
+    assert np.allclose(agg["revenue"], s["revenue"], atol=0.05)
+    assert grand["n_items"].iloc[0] == detail["n_items"].sum()
+
+
+def test_region_nations_csv_ordered(spark):
+    from metevents_spark.relational.tpch import region_nations_csv
+
+    got = region_nations_csv(spark, SF_SMALL).toPandas()
+
+    nat = pd.read_parquet(f"{SF_SMALL}/nation.parquet")
+    reg = pd.read_parquet(f"{SF_SMALL}/region.parquet")
+    j = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    for _, row in got.iterrows():
+        names = sorted(j.loc[j["r_name"] == row["r_name"], "n_name"])
+        assert row["n_nations"] == len(names)
+        assert row["nations_csv"] == ",".join(names)
