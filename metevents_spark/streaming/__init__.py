@@ -1,4 +1,5 @@
 from metevents_spark.streaming.detect import (  # noqa: F401
+    stream_burst_collapse,
     stream_counter_rate,
     stream_cusum,
     stream_holt,

@@ -955,3 +955,107 @@ def stream_time_weighted(stream_df: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+BURST_OUTPUT_SCHEMA = (
+    "sid string, event_type string, first_ts timestamp, first_seq long,"
+    " n_collapsed long, span_us long"
+)
+BURST_STATE_SCHEMA = StructType(
+    [
+        StructField("first_us", LongType()),
+        StructField("first_seq", LongType()),
+        StructField("n", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_late", LongType()),  # dropped out-of-order points
+    ]
+)
+
+
+def stream_burst_collapse(
+    stream_df: DataFrame, refractory_minutes: int = 30
+) -> DataFrame:
+    """Streaming telemetry debounce: the incremental counterpart of the
+    batch ``burst_collapse`` (operators/sessions.py). A burst of
+    same-type events per user CLOSES — and emits exactly once — when a
+    later same-type event arrives more than ``refractory_minutes``
+    after the burst's last member; the currently-open burst is
+    withheld (the stream_storm_find provably-closed contract, so
+    replaying a static corpus yields exactly the batch rows minus each
+    (user, type)'s LAST burst — pytest-pinned with chunking
+    invariance).
+
+    State per (user, type) is FIVE numbers. Ordering contract: within
+    a micro-batch points are sorted; across micro-batches an event
+    older than the group's last processed point would splice into an
+    already-summarized burst, so it is DROPPED and counted in the
+    ``n_late`` state slot (the round-9 out-of-order policy shared with
+    stream_time_weighted).
+    """
+    gap_us = refractory_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            first_us, first_seq, n, last_us, n_late = state.get
+        else:
+            first_us, first_seq, n, last_us, n_late = (
+                None, None, 0, None, 0,
+            )
+        out = []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = _sort_batch(pdf)
+            us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            seqs = pdf["seq"].to_numpy(dtype="int64")
+            for i in range(len(us)):
+                u, q = int(us[i]), int(seqs[i])
+                if last_us is not None and u < last_us:
+                    n_late += 1
+                    continue
+                if first_us is None:
+                    first_us, first_seq, n, last_us = u, q, 1, u
+                elif u - last_us > gap_us:
+                    out.append(
+                        (key[0], key[1], first_us, first_seq, n,
+                         last_us - first_us)
+                    )
+                    first_us, first_seq, n, last_us = u, q, 1, u
+                else:
+                    n += 1
+                    # the batch operator's MIN(seq) over the burst
+                    first_seq = min(first_seq, q)
+                    last_us = u
+        state.update((first_us, first_seq, n, last_us, n_late))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "sid": [r[0] for r in out],
+                    "event_type": [r[1] for r in out],
+                    "first_ts": pd.to_datetime(
+                        np.asarray([r[2] for r in out], dtype="int64"),
+                        unit="us",
+                    ),
+                    "first_seq": np.asarray(
+                        [r[3] for r in out], dtype="int64"
+                    ),
+                    "n_collapsed": np.asarray(
+                        [r[4] for r in out], dtype="int64"
+                    ),
+                    "span_us": np.asarray(
+                        [r[5] for r in out], dtype="int64"
+                    ),
+                }
+            )
+
+    return (
+        stream_df.select("sid", "seq", "event_type", "ts")
+        .groupBy("sid", "event_type")
+        .applyInPandasWithState(
+            fn,
+            BURST_OUTPUT_SCHEMA,
+            BURST_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

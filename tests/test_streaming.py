@@ -1120,3 +1120,74 @@ def test_stream_time_weighted_drops_out_of_order_points(spark, stream_dir):
     assert list(got["n_segments"]) == [1, 1]
     assert np.allclose(got["twa"], [2.0, 4.0])
     assert np.allclose(got["simple_avg"], [3.0, 5.0])
+
+
+@pytest.mark.parametrize("split", [250, 600])
+def test_stream_burst_collapse_closed_bursts_match_batch(
+    spark, stream_dir, split
+):
+    """Every emitted burst must equal the batch burst_collapse row
+    exactly; the emitted set must be all batch bursts EXCEPT each
+    (user, type)'s LAST (still-open) one — however the replay is
+    chunked."""
+    from metevents_spark.streaming import stream_burst_collapse
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    pdf = (
+        pd.DataFrame(
+            {
+                "sid": ev["user_id"].astype(str),
+                "seq": ev["event_id"].astype("int64"),
+                "event_type": ev["event_type"],
+                "ts": ev["ts"],
+            }
+        )
+        .sort_values(["ts", "seq"], kind="stable")
+        .reset_index(drop=True)
+    )
+    d = Path(stream_dir, f"bc_in_{split}")
+    d.mkdir()
+    pdf.iloc[:split].to_parquet(f"{d}/c0.parquet", coerce_timestamps="us")
+    time.sleep(0.05)
+    pdf.iloc[split:].to_parquet(f"{d}/c1.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema(
+            "sid string, seq long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    name = f"bc_out_{split}"
+    q = (
+        stream_burst_collapse(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{stream_dir}/ckpt_bc{split}")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.sid, r.event_type,
+         np.datetime64(r.first_ts, "us").astype("int64").item(),
+         r.first_seq, r.n_collapsed, r.span_us)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    from metevents_spark.operators.sessions import burst_collapse
+
+    batch = burst_collapse(spark, "/root/testdata/sf0.001").toPandas()
+    batch["first_us"] = (
+        batch["first_ts"].astype("datetime64[us]").astype("int64")
+    )
+    last_start = batch.groupby(["sid", "event_type"])["first_us"].transform(
+        "max"
+    )
+    want = {
+        (r.sid, r.event_type, int(r.first_us), int(r.first_seq),
+         int(r.n_collapsed), int(r.span_us))
+        for r in batch[batch["first_us"] != last_start].itertuples()
+    }
+    assert got == want
