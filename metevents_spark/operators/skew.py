@@ -26,7 +26,21 @@ def salted_join(
     """Join ``probe`` (large, possibly skewed) to ``build`` (smaller)
     on the given keys, spreading each probe key over ``n_salts``
     shuffle partitions. The build side is replicated once per salt
-    value (explode of a literal range — cheap, no extra scan)."""
+    value (explode of a literal range — cheap, no extra scan).
+
+    Only probe-preserving join types are supported: the build side is
+    replicated ``n_salts`` times, so ``right``/``full`` (and
+    build-side semi/anti) would surface each unmatched build row once
+    per salt — silently wrong. Guarded with a ``ValueError``.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports probe-preserving joins only "
+            f"(inner/left/left_semi/left_anti), got how={how!r}: the "
+            f"replicated build side would emit unmatched build rows "
+            f"once per salt"
+        )
     if SALT in probe.columns or SALT in build.columns:
         raise ValueError(f"column {SALT!r} already present")
     salts = F.array(*[F.lit(i).cast("int") for i in range(n_salts)])
@@ -37,6 +51,52 @@ def salted_join(
     )
     build_s = build.withColumn(SALT, F.explode(salts))
     return probe_s.join(build_s, on + [SALT], how).drop(SALT)
+
+
+def events_above_type_avg(spark, sf_dir: str, n_salts: int = 8):
+    """Per-user count of events whose value exceeds their event-type's
+    corpus average — the canonical hot-key join: ``event_type`` has a
+    handful of distinct values over the whole stream (5 keys at any
+    sf), so the plain shuffle join puts ~1/|types| of a 100 TB fact
+    table in ONE reducer. This query routes it through
+    :func:`salted_join`, spreading every type over ``n_salts``
+    sub-partitions; results are provably identical to the plain join
+    (the DuckDB oracle IS the plain join).
+
+    Engine-exact: values quantize to integer micro-units and the
+    "above average" comparison cross-multiplies (value_us * n_type >
+    sum_us_type) — exact integers, no float division anywhere; the
+    aggregate outputs are counts.
+
+    Scale shape: the build side is a |types|-row aggregate (map-side
+    collapsed groupBy); the salted join then shuffles the fact side
+    over |types| x n_salts keys instead of |types|; the final
+    per-user count is one more map-side-collapsing groupBy.
+    """
+    from metevents_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 1e6) AS BIGINT)").alias("value_us"),
+    )
+    type_stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_type"),
+        F.sum("value_us").alias("sum_us"),
+    )
+    joined = salted_join(ev, type_stats, ["event_type"], n_salts=n_salts)
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("value_us") * F.col("n_type") > F.col("sum_us"), 1
+                ).otherwise(0)
+            ).alias("n_above_type_avg"),
+        )
+        .orderBy("user_id")
+    )
 
 
 def key_skew_report(

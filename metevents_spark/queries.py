@@ -41,7 +41,10 @@ from metevents_spark.operators.sessions import burst_collapse, sessionize
 from metevents_spark.functions import freq_infer
 from metevents_spark.functions.sketches import user_reach_kmv
 from metevents_spark.relational.basket import market_basket_lift
-from metevents_spark.operators.skew import key_skew_report
+from metevents_spark.operators.skew import (
+    events_above_type_avg,
+    key_skew_report,
+)
 from metevents_spark.relational import (
     brand_revenue,
     latest_event_per_user,
@@ -118,7 +121,9 @@ from metevents_spark.text.dedup import (
 )
 from metevents_spark.text.scrub import canonicalize_url, domain_stats, pii_redact
 from metevents_spark.text.stats import (
+    chi2_terms,
     gopher_quality,
+    rrf_fusion,
     score_percentile_by_source,
     zipf_fit,
 )
@@ -3153,11 +3158,13 @@ ORDER BY a.p_partkey
 # generated index cross join — O(rows x dim^2), fine at oracle scale,
 # exactly what the Spark kernel's O(rows x dim) partial-sum pass
 # avoids at real scale (similarity/pca.py). Engine-exact contract:
-# both sides quantize to the 1e-6 integer grid (the random_projection
-# pattern) and sum EXACT integers — DuckDB's SUM(BIGINT) is HUGEINT,
-# Spark reduces as DECIMAL(38,0) — so the only float ops are the
-# final identical-IEEE (sp - si*sj/n)/n/1e12 and no accumulation-order
-# ulp can flip ROUND(...,6) at a boundary (the r08 flake).
+# both sides quantize to the 1e-6 integer grid, sum EXACT integers
+# (DuckDB HUGEINT / Spark DECIMAL(38,0)), and round to 6 dp in PURE
+# INTEGER arithmetic — half-away-from-zero on num = sp*n - si*sj over
+# den = n^2*1e6 — so the only float op is the final exact-int cast
+# divided once by 1e6. The previous ROUND((..)/1e12, 6) double
+# rounding differed across engine versions at 6-dp half-boundaries
+# (the r08/r09 driver-red); no float ROUND remains anywhere.
 ORACLE_SQL["embedding_covariance"] = """
 WITH q AS (SELECT list_transform(embedding,
              x -> CAST(ROUND(CAST(x AS DOUBLE)*1e6) AS BIGINT)) AS qe
@@ -3165,14 +3172,18 @@ WITH q AS (SELECT list_transform(embedding,
 idx AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 64) AS t(i)),
 pairs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
 stats AS (SELECT p.i, p.j,
-          CAST(SUM(qe[p.i] * qe[p.j]) AS DOUBLE) AS sp,
-          CAST(SUM(qe[p.i]) AS DOUBLE) AS si,
-          CAST(SUM(qe[p.j]) AS DOUBLE) AS sj,
-          COUNT(*) AS n
-          FROM q, pairs p GROUP BY p.i, p.j)
+          SUM(CAST(qe[p.i] AS HUGEINT) * qe[p.j]) AS sp,
+          SUM(CAST(qe[p.i] AS HUGEINT)) AS si,
+          SUM(CAST(qe[p.j] AS HUGEINT)) AS sj,
+          CAST(COUNT(*) AS HUGEINT) AS n
+          FROM q, pairs p GROUP BY p.i, p.j),
+mic AS (SELECT i, j, sp * n - si * sj AS num,
+               n * n * 1000000 AS den FROM stats)
 SELECT i - 1 AS i, j - 1 AS j,
-       ROUND((sp - si * sj / n) / n / 1e12, 6) AS cov
-FROM stats ORDER BY i, j
+       CAST(CASE WHEN num >= 0 THEN (2 * num + den) // (2 * den)
+                 ELSE -((-2 * num + den) // (2 * den)) END AS DOUBLE)
+         / 1e6 AS cov
+FROM mic ORDER BY i, j
 """
 
 # Entropy: the oracle materializes per-(doc, term) counts the textbook
@@ -3654,6 +3665,71 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, l_partkey) AS BIGINT)
 FROM k, t ORDER BY rank
 """
 
+# Salted-join demo: the oracle IS the plain join the salted plan must
+# be indistinguishable from. Exact integers only — the above-average
+# test cross-multiplies (value_us * n_type > sum_us), never divides.
+ORACLE_SQL["events_above_type_avg"] = """
+WITH ev AS (SELECT user_id, event_type,
+                   CAST(ROUND(value * 1e6) AS BIGINT) AS value_us
+            FROM events),
+ts AS (SELECT event_type, COUNT(*) AS n_type,
+              CAST(SUM(value_us) AS BIGINT) AS sum_us
+       FROM ev GROUP BY event_type)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN value_us * n_type > sum_us THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above_type_avg
+FROM ev JOIN ts USING (event_type)
+GROUP BY user_id ORDER BY user_id
+"""
+
+# Reciprocal-rank fusion: integer-quantized per-term scores
+# (1e6 div (k + rank)) — exact integers end to end, ties on doc_id.
+ORACLE_SQL["rrf_fusion"] = """
+WITH d AS (SELECT doc_id, n_chars,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+r AS (SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+                  AS BIGINT) AS rank_chars,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id)
+                  AS BIGINT) AS rank_tokens
+      FROM d)
+SELECT doc_id, rank_chars, rank_tokens,
+       CAST((1000000 // (60 + rank_chars))
+            + (1000000 // (60 + rank_tokens)) AS BIGINT) AS rrf_ppm
+FROM r ORDER BY rrf_ppm DESC, doc_id LIMIT 100
+"""
+
+# Chi-squared term selection: all-integer contingency arithmetic in
+# HUGEINT (Spark side: DECIMAL(38,0)); chi2 emitted in integer
+# micro-units via floor division — no float op on either side.
+ORACLE_SQL["chi2_terms"] = """
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+st AS (SELECT source, term, COUNT(*) AS a_cnt FROM toks GROUP BY source, term),
+tt AS (SELECT term, SUM(a_cnt) AS t_cnt FROM st GROUP BY term),
+sc AS (SELECT source, SUM(a_cnt) AS s_cnt FROM st GROUP BY source),
+nt AS (SELECT SUM(a_cnt) AS n_tot FROM st),
+cand AS (SELECT st.source, st.term,
+                CAST(a_cnt AS HUGEINT) AS a,
+                CAST(s_cnt - a_cnt AS HUGEINT) AS b,
+                CAST(t_cnt - a_cnt AS HUGEINT) AS c,
+                CAST(n_tot - s_cnt - t_cnt + a_cnt AS HUGEINT) AS d
+         FROM st JOIN tt USING (term) JOIN sc USING (source), nt
+         WHERE a_cnt >= 5),
+scored AS (SELECT source, term, a,
+                  (1000000 * (a + b + c + d) * (a*d - b*c) * (a*d - b*c)) //
+                  ((a + b) * (c + d) * (a + c) * (b + d)) AS chi2_micro
+           FROM cand),
+rk AS (SELECT source, term, a, chi2_micro,
+              ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY chi2_micro DESC, term) AS rank
+       FROM scored)
+SELECT source, CAST(rank AS BIGINT) AS rank, term,
+       CAST(a AS BIGINT) AS a, CAST(chi2_micro AS BIGINT) AS chi2_micro
+FROM rk WHERE rank <= 10 ORDER BY source, rank
+"""
+
 # spike_valley (reference events.py:199-248): a FULL relational replay
 # of the find_peaks pipeline the kernel implements (operators/peaks.py)
 # — plateau-midpoint local maxima (runs of equal values with strictly
@@ -3772,75 +3848,102 @@ FROM fruns WHERE cond GROUP BY sid, run_id ORDER BY sid, "start"
 # Insertion order matters: the verification driver checks the FIRST 50
 # entries, so slot assignment is a deliberate rotation policy.
 #
-# ROTATION (round 9): staleness-driven refresh, continuing round 8's
-# policy. The r01-r08 union keeps every registry key driver-verified;
-# this round's window re-confirms the keys whose newest driver row is
-# oldest, plus everything NEW or previously red:
+# ROTATION (round 10): staleness-driven refresh, continuing the
+# committed policy. Newest-driver-row age per key (computed from
+# CORRECTNESS_r01..r09): 6 keys last green r05, 33 last green r06,
+# knn_lsh/knn_ivf (rows-only) last checked r01 and displaced twice.
+# This round's window:
 #   * slots 1-5: the SURVEY §2 reference detectors (parity core,
 #     checked every round);
-#   * slot 6: spike_valley — UPGRADED this round from rows-only to a
-#     full relational find_peaks oracle; in-window to record its first
-#     hash-green row (it was also the stalest key in the registry,
-#     last driver-checked r01);
-#   * slot 7: embedding_covariance — the registry's only red driver
-#     row (r08 float-fold rounding flake); the kernel is now
-#     integer-grid exact and must re-earn its green here;
-#   * slots 8-13: the six operators NEW this round (market-basket
-#     lift, exact rolling median, interval coverage, Efraimidis-
-#     Spirakis weighted sampling, the KMV distinct sketch with an
-#     EXACT oracle, and the join-key skew report) — never-seen keys
-#     take window priority;
-#   * slots 14-18: the five LATE round-9 operators (Holt walk-forward
-#     backtest, Kaplan-Meier retention, event_type x value-bin mutual
-#     information, the Benford first-digit screen, per-source quantile
-#     normalization) — never-seen keys take window priority;
-#   * slots 19-23: the five batch-3 operators (per-source A-ES
-#     weighted sampling, inter-arrival burstiness stats, burst-collapse
-#     telemetry debounce, ROLLUP/grouping_id hierarchy report, ordered
-#     string aggregation) — never-seen keys take window priority;
-#   * slots 24-50: the first 27 (alphabetical) of the 33 oracle-backed
-#     keys whose newest green row dates to r05 (the last six —
-#     source_mix_sample, stratified_sample, unigram_logprob,
-#     user_reach, value_drift_psi, value_histogram — plus the full r06
-#     cohort rotate in round 10; all stay pinned by
-#     tests/test_oracle_parity.py meanwhile).
+#   * slot 6: embedding_covariance — red r08+r09; the float
+#     ROUND(double, 6) at the query boundary is now replaced by pure
+#     integer micro-unit rounding (similarity/pca.py) and must re-earn
+#     its green here;
+#   * slots 7-9: the three operators NEW this round (the salted-join
+#     hot-key demo whose oracle is the plain join, reciprocal-rank
+#     fusion, chi-squared term selection) — never-seen keys take
+#     window priority;
+#   * slots 10-15: the six r05-stale keys displaced from the r09
+#     window (source_mix_sample, stratified_sample, unigram_logprob,
+#     user_reach, value_drift_psi, value_histogram);
+#   * slots 16-17: knn_lsh / knn_ivf — rows-only, last driver-checked
+#     r01, displaced twice; refreshed now per the r9 rotation note;
+#   * slots 18-50: the full 33-key r06-stale cohort (alphabetical).
+# Every key green in r07-r09 rotates past the cap; the r07 cohort
+# (43 keys) and r08 cohort (39 keys) are next in line for r11/r12.
 #
 # Everything past the cap stays pinned by tests/test_oracle_parity.py
 # (same row-count/schema/value-hash comparison vs DuckDB at sf0.001,
 # runs in every pytest suite) or, for rows-only ops, by their golden /
 # differential tests.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ===== DRIVER WINDOW slots 1-5: SURVEY §2 parity detectors =====
     "extreme_value": q_extreme_value,
     "flat_line": q_flat_line,
     "extreme_change": q_extreme_change,
     "data_gap": q_data_gap,
     "freq_infer": q_freq_infer,
-    # ===== slot 6: spike_valley first hash-green; slot 7: the
-    # ===== embedding_covariance re-green (r08's only red row)
-    "spike_valley": q_spike_valley,
     "embedding_covariance": embedding_covariance,
-    # ===== slots 8-13: the six NEW round-9 operators =====
+    "events_above_type_avg": events_above_type_avg,
+    "rrf_fusion": rrf_fusion,
+    "chi2_terms": chi2_terms,
+    "source_mix_sample": source_mix_sample,
+    "stratified_sample": stratified_sample,
+    "unigram_logprob": unigram_logprob,
+    "user_reach": user_reach,
+    "value_drift_psi": value_drift_psi,
+    "value_histogram": value_histogram,
+    "knn_lsh": knn_lsh,
+    "knn_ivf": knn_ivf,
+    "anomaly_consensus": anomaly_consensus,
+    "asof_purchase_before_error": q_asof_purchase_before_error,
+    "bm25_rank": bm25_rank,
+    "bpe_pair_counts": bpe_pair_counts,
+    "classifier_score": classifier_score,
+    "corpus_yield": corpus_yield,
+    "duplicate_spans": duplicate_spans,
+    "embedding_near_dup": embedding_near_dup,
+    "exact_dedup": exact_dedup,
+    "gap_fill_hourly": gap_fill_hourly,
+    "hash_sample": hash_sample,
+    "holdout_split": holdout_split,
+    "important_parts": important_parts,
+    "knn_cosine": knn_cosine,
+    "large_volume_customers": large_volume_customers,
+    "latest_event_per_user": latest_event_per_user,
+    "media_features": q_media_features,
+    "min_cost_supplier": min_cost_supplier,
+    "nation_market_share": nation_market_share,
+    "normalize_text": normalize_text,
+    "part_supplier_counts": part_supplier_counts,
+    "pricing_summary": pricing_summary,
+    "product_type_profit": product_type_profit,
+    "random_projection": random_projection,
+    "region_revenue": region_revenue,
+    "remove_duplicate_spans": remove_duplicate_spans,
+    "rich_idle_customers": rich_idle_customers,
+    "seasonal_decompose": seasonal_decompose,
+    "series_acf": series_acf,
+    "sole_return_supplier": sole_return_supplier,
+    "text_stats": text_stats,
+    "top_supplier": top_supplier,
+    "winsorize_series": winsorize_series,
+    "spike_valley": q_spike_valley,
     "market_basket_lift": market_basket_lift,
     "rolling_median": rolling_median,
     "interval_coverage": interval_coverage,
     "weighted_sample": weighted_sample,
     "user_reach_kmv": user_reach_kmv,
     "key_skew_report": key_skew_report,
-    # ===== slots 14-18: the five LATE round-9 operators =====
     "holt_backtest": holt_backtest,
     "survival_retention": survival_retention,
     "mutual_information": mutual_information,
     "benford_deviation": benford_deviation,
     "score_percentile_by_source": score_percentile_by_source,
-    # ===== slots 19-21: the three batch-3 operators =====
     "source_weighted_sample": source_weighted_sample,
     "interarrival_stats": interarrival_stats,
     "burst_collapse": burst_collapse,
-    # ===== slots 22-23: ROLLUP/grouping_id + ordered string agg =====
     "region_nation_rollup": region_nation_rollup,
     "region_nations_csv": region_nations_csv,
-    # ===== slots 14-46: the 33 r05-stale oracle-backed keys =====
     "downsample_ohlc": downsample_ohlc,
     "edit_distance_pairs": edit_distance_pairs,
     "embedding_quantize": embedding_quantize,
@@ -3868,19 +3971,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipmode_priority_counts": shipmode_priority_counts,
     "shipping_priority": shipping_priority,
     "source_lang_matrix": source_lang_matrix,
-    # ====== PAST THE DRIVER CAP: every key below has a committed
-    # ====== driver row and stays pinned by tests/test_oracle_parity.py
-    # ====== (oracle-backed) or golden/differential pytest (rows-only)
-    "source_mix_sample": source_mix_sample,
-    "stratified_sample": stratified_sample,
-    "unigram_logprob": unigram_logprob,
-    "user_reach": user_reach,
-    "value_drift_psi": value_drift_psi,
-    "value_histogram": value_histogram,
-    "knn_lsh": knn_lsh,
-    "knn_ivf": knn_ivf,
     "ann_recall_report": ann_recall_report,
-    "anomaly_consensus": anomaly_consensus,
     "zscore_anomaly": zscore_anomaly,
     "robust_zscore": robust_zscore,
     "event_pair_lift": event_pair_lift,
@@ -3970,29 +4061,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_mean": rolling_mean,
     "trailing_24h_mean": trailing_24h_mean,
     "price_deciles": price_deciles,
-    "duplicate_spans": duplicate_spans,
-    "remove_duplicate_spans": remove_duplicate_spans,
-    "min_cost_supplier": min_cost_supplier,
-    "important_parts": important_parts,
-    "top_supplier": top_supplier,
-    "large_volume_customers": large_volume_customers,
-    "sole_return_supplier": sole_return_supplier,
-    "rich_idle_customers": rich_idle_customers,
-    "corpus_yield": corpus_yield,
-    "series_acf": series_acf,
-    "classifier_score": classifier_score,
-    "bpe_pair_counts": bpe_pair_counts,
-    "seasonal_decompose": seasonal_decompose,
-    "latest_event_per_user": latest_event_per_user,
-    "winsorize_series": winsorize_series,
-    "holdout_split": holdout_split,
-    "normalize_text": normalize_text,
-    "nation_market_share": nation_market_share,
-    "product_type_profit": product_type_profit,
-    "part_supplier_counts": part_supplier_counts,
-    "hash_sample": hash_sample,
-    "random_projection": random_projection,
-    "bm25_rank": bm25_rank,
     "media_embedding_near_dup": media_embedding_near_dup,
     "semantic_dedup": semantic_dedup,
     "kmeans_embeddings": kmeans_embeddings,
@@ -4000,15 +4068,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_summary_approx": corpus_summary_approx,
     "vocab_top_terms_approx": vocab_top_terms_approx,
     "value_quantiles_approx": value_quantiles_approx,
-    "pricing_summary": pricing_summary,
-    "region_revenue": region_revenue,
-    "exact_dedup": exact_dedup,
-    "knn_cosine": knn_cosine,
-    "embedding_near_dup": embedding_near_dup,
-    "gap_fill_hourly": gap_fill_hourly,
-    "asof_purchase_before_error": q_asof_purchase_before_error,
-    "text_stats": text_stats,
-    "media_features": q_media_features,
 }
 
 

@@ -91,6 +91,15 @@ def _covariance_partials_exact(emb: DataFrame, dim: int) -> DataFrame:
             q = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
                 np.int64
             )
+            # overflow guard: a prod cell is bounded by B * qmax^2; keep
+            # it under 2^62 so the int64 matmul cannot silently wrap
+            # (|x| ~ 30 at a full 10k-row Arrow batch is the ceiling)
+            qmax = int(np.abs(q).max(initial=0))
+            if qmax and qmax * qmax > (2**62) // len(q):
+                raise OverflowError(
+                    f"embedding magnitude {qmax / 1e6:.3g} too large for "
+                    f"exact int64 accumulation over a {len(q)}-row batch"
+                )
             prods = q.T @ q  # exact int64 matmul
             yield pd.DataFrame(
                 {
@@ -108,14 +117,21 @@ def embedding_covariance(
 ) -> DataFrame:
     """Upper-triangle population covariance of the 1e-6-quantized
     embedding corpus: one row (i, j, cov) per dimension pair with
-    i <= j, cov = E[x_i x_j] - E[x_i] E[x_j].
+    i <= j, cov = round_6dp((sp - si*sj/n)/n/1e12) where sp/si/sj are
+    the exact integer moment sums on the 1e-6 grid.
 
-    Engine-exact: the moment sums are exact integers on the 1e-6 grid
-    (see :func:`_covariance_partials_exact`), reduced with
-    DECIMAL(38,0) sums; the only float ops are the final
-    (sp - si*sj/n)/n / 1e12 with a fixed expression tree, identical
-    IEEE in any engine — so the DuckDB oracle's per-row SQL fold and
-    this kernel's batched integer matmul agree bit-for-bit.
+    Engine-exact BY CONSTRUCTION — no float op touches the result
+    until the last division: the moments accumulate as int64 / reduce
+    as DECIMAL(38,0) (see :func:`_covariance_partials_exact`), the
+    6-dp rounding happens in pure integer arithmetic
+    (half-away-from-zero on num = sp*n - si*sj over den = n^2 * 1e6 —
+    the holt_backtest micro-unit pattern, seriesstats.py), and the
+    only float op is one exact-int -> double cast divided once by
+    1e6, a single correctly-rounded IEEE op identical in any engine.
+    The earlier formulation ended in ROUND(double, 6), whose
+    half-boundary behavior differs across engine versions (Spark
+    rounds the exact decimal expansion HALF_UP; DuckDB multiplies/
+    rounds/divides in floats) — that was the r08/r09 driver-red.
 
     The partial rows reduce via posexplode + groupBy on the flat
     index (O(partitions x dim^2) rows — tiny), then a driver-built
@@ -132,14 +148,14 @@ def embedding_covariance(
     sp = (
         p.select(F.posexplode("prods").alias("pos", "v"))
         .groupBy("pos")
-        .agg(F.sum(F.col("v").cast(dec)).cast("double").alias("sp"))
+        .agg(F.sum(F.col("v").cast(dec)).alias("sp"))
     )
     sums = (
         p.select(F.posexplode("sums").alias("idx", "v"))
         .groupBy("idx")
-        .agg(F.sum(F.col("v").cast(dec)).cast("double").alias("s"))
+        .agg(F.sum(F.col("v").cast(dec)).alias("s"))
     )
-    n_tot = p.groupBy().agg(F.sum("n").alias("n_tot"))
+    n_tot = p.groupBy().agg(F.sum("n").cast(dec).alias("n_tot"))
 
     iu_i, iu_j = np.triu_indices(dim)
     mapping = spark.createDataFrame(
@@ -148,20 +164,30 @@ def embedding_covariance(
     )
     si = sums.select(F.col("idx").alias("i"), F.col("s").alias("si"))
     sj = sums.select(F.col("idx").alias("j"), F.col("s").alias("sj"))
+    # cov = (sp - si*sj/n)/n/1e12 rounded to 6 dp, computed WITHOUT any
+    # float op: num/den with num = sp*n - si*sj (exact DECIMAL(38,0)),
+    # den = n^2 * 1e6, rounded half-away-from-zero in integer
+    # arithmetic — r = sign * ((2|num| + den) div (2 den)); `div` on
+    # positive decimals truncates = floors, and the BIGINT quotient is
+    # cov in micro-units (~|cov|*1e6, far inside int64). One exact
+    # int -> double cast + /1e6 yields the double — the single
+    # correctly-rounded IEEE op no engine version can disagree on.
+    num = F.col("sp") * F.col("n_tot") - F.col("si") * F.col("sj")
+    den = F.col("n_tot") * F.col("n_tot") * F.lit(1000000).cast("decimal(7,0)")
+    micro = F.when(
+        num >= 0, F.expr("(2 * num + den) div (2 * den)")
+    ).otherwise(-F.expr("(-2 * num + den) div (2 * den)"))
     return (
         sp.join(F.broadcast(mapping), "pos")
         .join(F.broadcast(si), "i")
         .join(F.broadcast(sj), "j")
         .crossJoin(F.broadcast(n_tot))
+        .withColumn("num", num)
+        .withColumn("den", den)
         .select(
             "i",
             "j",
-            F.round(
-                (F.col("sp") - F.col("si") * F.col("sj") / F.col("n_tot"))
-                / F.col("n_tot")
-                / F.lit(1e12),
-                6,
-            ).alias("cov"),
+            (micro.cast("double") / F.lit(1e6)).alias("cov"),
         )
         .orderBy("i", "j")
     )

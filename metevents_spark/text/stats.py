@@ -946,3 +946,127 @@ def score_percentile_by_source(
             F.percent_rank().over(w_src) - F.percent_rank().over(w_all), 6
         ).alias("calibration_gap"),
     ).orderBy("doc_id")
+
+
+def rrf_fusion(
+    spark: SparkSession, sf_dir: str, k: int = 60, top: int = 100
+) -> DataFrame:
+    """Reciprocal-rank fusion of two document rankings — the standard
+    combiner for hybrid retrieval (lexical rank + semantic rank fuse
+    into one list without score calibration, Cormack et al. 2009).
+    Here the two signals are document length (n_chars DESC) and
+    whitespace token count (DESC), each ranked corpus-wide with
+    doc_id tiebreak; RRF(d) = sum_r 1/(k + rank_r(d)).
+
+    Engine-exact: the fused score is quantized per-term in integer
+    arithmetic — rrf_ppm = (1e6 div (k+r1)) + (1e6 div (k+r2)) — so
+    the output is exact integers end to end; ordering ties break on
+    doc_id. No float op anywhere.
+
+    Scale shape: two window row_numbers (range exchanges over the
+    ranked metric — at 100 TB each ranking would itself be the top-N
+    of an ANN/BM25 stage, thousands of rows, not the corpus; this is
+    the exact tier over the full table) and a TakeOrdered for the
+    final top-``top``.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    r1 = Window.orderBy(F.desc("n_chars"), "doc_id")
+    r2 = Window.orderBy(F.desc("n_tokens"), "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        F.row_number().over(r1).cast("long").alias("rank_chars"),
+        F.row_number().over(r2).cast("long").alias("rank_tokens"),
+    )
+    rrf = (
+        F.expr(f"1000000 div ({k} + rank_chars)")
+        + F.expr(f"1000000 div ({k} + rank_tokens)")
+    ).alias("rrf_ppm")
+    return (
+        ranked.select("doc_id", "rank_chars", "rank_tokens", rrf)
+        .orderBy(F.desc("rrf_ppm"), "doc_id")
+        .limit(top)
+    )
+
+
+def chi2_terms(
+    spark: SparkSession, sf_dir: str, top: int = 10, min_count: int = 5
+) -> DataFrame:
+    """Chi-squared term selection per source: for every (source, term)
+    the 2x2 contingency chi2 statistic against the rest of the corpus
+    — the classic feature-selection step when training a quality /
+    domain classifier over a 100 TB crawl (pick the terms most
+    associated with each source, drop the rest of the vocabulary).
+
+    With a = count(term in source), b = other tokens in source,
+    c = count(term elsewhere), d = other tokens elsewhere, N = a+b+c+d:
+    chi2 = N * (a*d - b*c)^2 / ((a+b)(c+d)(a+c)(b+d)).
+
+    Engine-exact: all counts are integers; chi2 is emitted in integer
+    MICRO-units — chi2_micro = (1e6 * N * (ad-bc)^2) div
+    ((a+b)(c+d)(a+c)(b+d)) — computed in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB), so no float op exists anywhere and ordering ties
+    break on term. Only terms with a >= ``min_count`` rank (textbook
+    chi2 validity floor).
+
+    Scale shape: one explode + two map-side-collapsing groupBys (term
+    counts per source, then global term counts) joined on term; the
+    per-source totals frame (|sources| rows) broadcasts; ranking is a
+    per-source window over the candidate set. Nothing touches raw
+    text after the first aggregate.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    )
+    st = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("a_cnt")
+    )
+    term_tot = st.groupBy("term").agg(F.sum("a_cnt").alias("t_cnt"))
+    src_tot = st.groupBy("source").agg(F.sum("a_cnt").alias("s_cnt"))
+    n_tot = st.groupBy().agg(F.sum("a_cnt").alias("n_tot"))
+
+    dec = "decimal(38,0)"
+    cand = (
+        st.join(term_tot, "term")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .where(F.col("a_cnt") >= min_count)
+        .select(
+            "source",
+            "term",
+            F.col("a_cnt").alias("a"),
+            (F.col("s_cnt") - F.col("a_cnt")).alias("b"),
+            (F.col("t_cnt") - F.col("a_cnt")).alias("c"),
+            (
+                F.col("n_tot") - F.col("s_cnt") - F.col("t_cnt")
+                + F.col("a_cnt")
+            ).alias("d"),
+            F.col("n_tot"),
+        )
+    )
+    big = lambda c: F.col(c).cast(dec)
+    diff = big("a") * big("d") - big("b") * big("c")
+    chi2_micro = F.expr(
+        "(1000000 * CAST(n_tot AS DECIMAL(38,0)) * num_sq) div "
+        "(CAST(a + b AS DECIMAL(38,0)) * CAST(c + d AS DECIMAL(38,0)) "
+        " * CAST(a + c AS DECIMAL(38,0)) * CAST(b + d AS DECIMAL(38,0)))"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("chi2_micro"), "term"
+    )
+    return (
+        cand.withColumn("num_sq", diff * diff)
+        .withColumn("chi2_micro", chi2_micro)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top)
+        .select("source", "rank", "term", "a", "chi2_micro")
+        .orderBy("source", "rank")
+    )

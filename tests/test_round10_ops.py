@@ -1,0 +1,114 @@
+"""Independent-replay pins for the round-10 operators: each op is
+re-derived by hand in pandas (not by re-running the same SQL) so a
+shared-oracle blind spot cannot hide a semantic bug.
+
+events_above_type_avg (the salted-join demo) is pinned in
+tests/test_skew.py next to the mechanism it exercises.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from tests.conftest import SF_SMALL
+
+
+def test_rrf_fusion_matches_pandas_replay(spark):
+    from metevents_spark.text.stats import rrf_fusion
+
+    got = rrf_fusion(spark, SF_SMALL).toPandas()
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    docs = docs.assign(
+        n_tokens=docs["text"].str.split(" ").map(len)
+    )
+    r1 = (
+        docs.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+        .assign(rank_chars=lambda d: d.index + 1)
+        .set_index("doc_id")["rank_chars"]
+    )
+    r2 = (
+        docs.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+        .assign(rank_tokens=lambda d: d.index + 1)
+        .set_index("doc_id")["rank_tokens"]
+    )
+    ppm = (1_000_000 // (60 + r1)) + (1_000_000 // (60 + r2))
+    want = (
+        pd.DataFrame(
+            {
+                "doc_id": r1.index,
+                "rank_chars": r1.values,
+                "rank_tokens": r2.reindex(r1.index).values,
+                "rrf_ppm": ppm.reindex(r1.index).values,
+            }
+        )
+        .sort_values(["rrf_ppm", "doc_id"], ascending=[False, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["rrf_ppm"]) == list(want["rrf_ppm"])
+    assert list(got["rank_chars"]) == list(want["rank_chars"])
+    assert list(got["rank_tokens"]) == list(want["rank_tokens"])
+    # fused top is not simply either input ranking
+    assert (got["rank_chars"] != got["rank_tokens"]).any()
+
+
+def test_chi2_terms_matches_counter_replay(spark):
+    from collections import Counter
+
+    from metevents_spark.text.stats import chi2_terms
+
+    got = chi2_terms(spark, SF_SMALL).toPandas()
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    st: Counter = Counter()
+    for source, text in zip(docs["source"], docs["text"]):
+        for term in text.split(" "):
+            st[(source, term)] += 1
+    t_cnt: Counter = Counter()
+    s_cnt: Counter = Counter()
+    for (source, term), c in st.items():
+        t_cnt[term] += c
+        s_cnt[source] += c
+    n_tot = sum(st.values())
+
+    rows = []
+    for (source, term), a in st.items():
+        if a < 5:
+            continue
+        b = s_cnt[source] - a
+        c = t_cnt[term] - a
+        d = n_tot - s_cnt[source] - t_cnt[term] + a
+        num = 1_000_000 * n_tot * (a * d - b * c) ** 2  # exact Python int
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        rows.append((source, term, a, num // den))
+    want = pd.DataFrame(rows, columns=["source", "term", "a", "chi2_micro"])
+    want = (
+        want.sort_values(
+            ["source", "chi2_micro", "term"],
+            ascending=[True, False, True],
+        )
+        .groupby("source")
+        .head(10)
+        .reset_index(drop=True)
+    )
+    want["rank"] = want.groupby("source").cumcount() + 1
+
+    got_k = got.set_index(["source", "rank"]).sort_index()
+    want_k = want.set_index(["source", "rank"]).sort_index()
+    assert list(got_k.index) == list(want_k.index)
+    assert list(got_k["term"]) == list(want_k["term"])
+    assert list(got_k["a"]) == list(want_k["a"])
+    assert list(got_k["chi2_micro"]) == list(want_k["chi2_micro"])
+    # a selected term is over-represented in its source: a/(a+b) > c/(c+d)
+    # for the top-1 of every source (cross-multiplied, exact ints)
+    for source in want["source"].unique():
+        top = want[(want["source"] == source) & (want["rank"] == 1)].iloc[0]
+        a = int(top["a"])
+        b = s_cnt[source] - a
+        c = t_cnt[top["term"]] - a
+        d = n_tot - s_cnt[source] - t_cnt[top["term"]] + a
+        assert a * (c + d) != c * (a + b)  # genuinely skewed association

@@ -216,6 +216,11 @@ def test_holt_backtest_matches_sequential_replay(spark):
         row = got.loc[sid]
         assert row["n_forecasts"] == n
         assert abs(row["mae"] - math.floor(s_abs / n + 0.5) / 1e6) < 1e-12
+        # bias = signed mean error; s_sig can be negative, so mirror the
+        # kernel's half-away-from-zero µ-unit rounding exactly
+        v = s_sig / n
+        bias_us = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+        assert abs(row["bias"] - bias_us / 1e6) < 1e-12
         assert abs(row["rmse"] - math.floor(math.sqrt(s_sq / n) + 0.5) / 1e6) < 1e-12
 
 

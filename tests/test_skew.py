@@ -34,3 +34,65 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_salted_join_rejects_build_preserving_how(spark):
+    import pytest
+
+    line = load_table(spark, SF, "lineitem").select("l_partkey")
+    part = (
+        load_table(spark, SF, "part")
+        .select("p_partkey")
+        .withColumnRenamed("p_partkey", "l_partkey")
+    )
+    for how in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="probe-preserving"):
+            salted_join(line, part, ["l_partkey"], how=how)
+
+
+def test_salted_join_left_and_semi(spark):
+    """left / left_semi / left_anti survive the salt: unmatched PROBE
+    rows appear exactly once, and semi/anti sets equal the plain ones."""
+    probe = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k int, v string"
+    )
+    build = spark.createDataFrame([(1, 10), (2, 20)], "k int, w int")
+    for how in ("left", "left_semi", "left_anti"):
+        plain = probe.join(build, ["k"], how)
+        salted = salted_join(probe, build, ["k"], n_salts=4, how=how)
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        ), how
+
+
+def test_events_above_type_avg_matches_plain_join(spark):
+    """The registry query (salted path) equals the identical plan with
+    a plain join — the end-to-end skew-remedy demonstration."""
+    from metevents_spark.io import load_table as lt
+    from metevents_spark.operators.skew import events_above_type_avg
+
+    salted_rows = sorted(
+        map(tuple, events_above_type_avg(spark, SF).collect())
+    )
+    ev = lt(spark, SF, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 1e6) AS BIGINT)").alias("value_us"),
+    )
+    ts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_type"), F.sum("value_us").alias("sum_us")
+    )
+    plain = (
+        ev.join(ts, "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("value_us") * F.col("n_type") > F.col("sum_us"), 1
+                ).otherwise(0)
+            ).alias("n_above_type_avg"),
+        )
+        .orderBy("user_id")
+    )
+    assert salted_rows == sorted(map(tuple, plain.collect()))
