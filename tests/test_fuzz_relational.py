@@ -251,11 +251,20 @@ ORDER_EXPRS = [
     ("by_ship", lambda: F.col("l_shipdate"), "l_shipdate"),
 ]
 
+# (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
+# duplicated line rows with different payloads exist — so the
+# positional tiebreak appends cents and quantity; rows still tied after
+# that are full-duplicate window inputs and therefore interchangeable.
 def _tie():
-    return [F.col("l_orderkey"), F.col("l_linenumber")]
+    return [
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        F.col("l_quantity"),
+    ]
 
 
-_TIE_SQL = "l_orderkey, l_linenumber"
+_TIE_SQL = f"l_orderkey, l_linenumber, {_CENTS}, l_quantity"
 
 
 def _wf_pool():
@@ -390,4 +399,239 @@ def test_random_window_composition_matches_duckdb(spark, seed):
     assert len(got) == len(want), f"row count: {label}\n{sql}"
     g, w2 = normalize(got), normalize(want)
     assert sorted(g.columns) == sorted(w2.columns), label
+    assert frame_hash(g) == frame_hash(w2), f"value hash: {label}\n{sql}"
+
+
+# ---- grouping-set compositions (ROLLUP / CUBE + grouping_id) --------------
+# The r9 hierarchy-report family (region_nation_rollup, events_cube)
+# fuzzed between the hand-written pairs: specs draw 2-3 keys, a
+# grouping mode, and integer aggregates; GROUPING_ID is computed over
+# the same key order on both engines so every subtotal row is labeled
+# identically. Aggregates stay exact-integer (the repo convention), so
+# the hash is bit-stable.
+
+GROUP_MODES = ["rollup", "cube"]
+
+
+@pytest.mark.parametrize("seed", range(300, 308))
+def test_random_grouping_sets_match_duckdb(spark, seed):
+    rng = random.Random(seed)
+    filters = rng.sample(FILTERS, rng.randint(0, 1))
+    keys = rng.sample(KEYS, rng.randint(2, 3))
+    aggs = rng.sample(AGGS, rng.randint(2, 3))
+    mode = rng.choice(GROUP_MODES)
+
+    df = spark.read.parquet(LINEITEM)
+    for _, col, _ in filters:
+        df = df.filter(col())
+    grouped = (
+        df.rollup(*[k[1]().alias(k[0]) for k in keys])
+        if mode == "rollup"
+        else df.cube(*[k[1]().alias(k[0]) for k in keys])
+    )
+    got = grouped.agg(
+        F.grouping_id().cast("long").alias("gid"),
+        *[a[1]() for a in aggs],
+    ).toPandas()
+
+    where = "WHERE " + " AND ".join(f[2] for f in filters) if filters else ""
+    key_sql = ", ".join(f"{k[2]} AS {k[0]}" for k in keys)
+    gsql = ", ".join(k[2] for k in keys)
+    agg_sql = ", ".join(a[2] for a in aggs)
+    sql = (
+        f"SELECT {key_sql}, CAST(GROUPING({gsql}) AS BIGINT) AS gid, "
+        f"{agg_sql} FROM lineitem {where} "
+        f"GROUP BY {mode.upper()}({gsql})"
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{LINEITEM}'")
+    want = con.sql(sql).df()
+
+    label = (
+        f"{mode} f={[f[0] for f in filters]} k={[k[0] for k in keys]} "
+        f"a={[a[0] for a in aggs]}"
+    )
+    assert len(got) == len(want), f"row count: {label}\n{sql}"
+    g, w = normalize(got), normalize(want)
+    assert sorted(g.columns) == sorted(w.columns), label
+    assert frame_hash(g) == frame_hash(w), f"value hash: {label}\n{sql}"
+
+
+# ---- ordered string-aggregation compositions ------------------------------
+# The region_nations_csv family: per-order CSV cells (groups bounded by
+# basket size, <= 7 rows) with an explicit ORDER BY inside the
+# aggregate. Spark derives the same order via array_sort over
+# (order-key, tiebreak, value) structs — determinism from sorting, never
+# from collect order; DESC variants reverse the sorted array.
+
+STRAGG_VALUES = [
+    (
+        "linenum",
+        "CAST(l_linenumber AS VARCHAR)",
+        lambda: F.col("l_linenumber").cast("string"),
+    ),
+    (
+        "qty",
+        "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)",
+        lambda: F.col("l_quantity").cast("long").cast("string"),
+    ),
+    (
+        "cents",
+        f"CAST({_CENTS} AS VARCHAR)",
+        lambda: F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .cast("string"),
+    ),
+]
+
+# (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
+# (duplicated line rows with different payloads exist), so every ORDER
+# BY below is totalized by appending the aggregated VALUE itself as the
+# last sort key — rows still tied after that are interchangeable
+# because all their sort keys AND the emitted value are equal.
+STRAGG_ORDERS = [
+    ("by_line", "l_linenumber", lambda: F.col("l_linenumber"), False),
+    (
+        "by_qty_desc",
+        "l_quantity DESC, l_linenumber DESC",
+        lambda: F.col("l_quantity"),
+        True,
+    ),
+    (
+        "by_cents",
+        f"{_CENTS}, l_linenumber",
+        lambda: F.round(F.col("l_extendedprice") * 100).cast("long"),
+        False,
+    ),
+]
+
+
+@pytest.mark.parametrize("seed", range(400, 406))
+def test_random_ordered_string_agg_matches_duckdb(spark, seed):
+    rng = random.Random(seed)
+    filters = rng.sample(FILTERS, rng.randint(0, 1))
+    val = rng.choice(STRAGG_VALUES)
+    order = rng.choice(STRAGG_ORDERS)
+
+    df = spark.read.parquet(LINEITEM)
+    for _, col, _ in filters:
+        df = df.filter(col())
+    # struct sort: (order expr, l_linenumber tiebreak, value) —
+    # lexicographic struct comparison IS the ORDER BY; reverse for DESC
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                order[2]().alias("o"),
+                F.col("l_linenumber").alias("t"),
+                val[2]().alias("v"),
+            )
+        )
+    )
+    if order[3]:
+        arr = F.reverse(arr)
+    val_dir = " DESC" if order[3] else ""
+    got = (
+        df.groupBy(F.col("l_orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.array_join(
+                F.transform(arr, lambda x: x["v"]), ","
+            ).alias("csv"),
+        )
+        .toPandas()
+    )
+
+    where = "WHERE " + " AND ".join(f[2] for f in filters) if filters else ""
+    sql = (
+        f"SELECT l_orderkey, COUNT(*) AS n_items, "
+        f"STRING_AGG({val[1]}, ',' "
+        f"ORDER BY {order[1]}, {val[1]}{val_dir}) AS csv "
+        f"FROM lineitem {where} GROUP BY l_orderkey"
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{LINEITEM}'")
+    want = con.sql(sql).df()
+
+    label = f"f={[f[0] for f in filters]} v={val[0]} o={order[0]}"
+    assert len(got) == len(want), f"row count: {label}\n{sql}"
+    g, w = normalize(got), normalize(want)
+    assert frame_hash(g) == frame_hash(w), f"value hash: {label}\n{sql}"
+
+
+# ---- bounded-frame percentile compositions --------------------------------
+# The rolling_median family: exact interpolated percentiles over ROWS
+# frames. Inputs are integer-valued (quantity, cents) and p is a
+# quarter fraction, so the type-7 interpolation is exact in double on
+# both engines — no rounding ambiguity exists to begin with.
+
+PCT_VALUES = [
+    ("qty", "l_quantity", lambda: F.col("l_quantity")),
+    (
+        "cents",
+        _CENTS,
+        lambda: F.round(F.col("l_extendedprice") * 100).cast("long"),
+    ),
+]
+
+PCT_FRAMES = [("p3c", -3, 0), ("p6c", -6, 0), ("p4f2", -4, 2)]
+PCT_PS = [0.25, 0.5, 0.75]
+
+
+@pytest.mark.parametrize("seed", range(500, 506))
+def test_random_bounded_frame_percentile_matches_duckdb(spark, seed):
+    from pyspark.sql import Window
+
+    rng = random.Random(seed)
+    filters = rng.sample(FILTERS, rng.randint(0, 1))
+    pkeys = rng.sample(KEYS, rng.randint(0, 1))
+    val = rng.choice(PCT_VALUES)
+    frame = rng.choice(PCT_FRAMES)
+    p = rng.choice(PCT_PS)
+
+    base = (
+        Window.partitionBy(*[k[1]() for k in pkeys])
+        if pkeys
+        else Window.partitionBy()
+    )
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data;
+    # appending the value expression itself makes the order total (any
+    # residual ties have equal window inputs, so they are harmless)
+    w = base.orderBy(
+        F.col("l_orderkey"), F.col("l_linenumber"), val[2]()
+    ).rowsBetween(frame[1], frame[2])
+
+    df = spark.read.parquet(LINEITEM)
+    for _, col, _ in filters:
+        df = df.filter(col())
+    got = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.percentile(val[2](), F.lit(p)).over(w).alias("pct"),
+    ).toPandas()
+
+    p_sql = (
+        "PARTITION BY " + ", ".join(k[2] for k in pkeys) if pkeys else ""
+    )
+    lead = (
+        f"{-frame[1]} PRECEDING AND "
+        + (f"{frame[2]} FOLLOWING" if frame[2] > 0 else "CURRENT ROW")
+    )
+    where = "WHERE " + " AND ".join(f[2] for f in filters) if filters else ""
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"QUANTILE_CONT({val[1]}, {p}) OVER ({p_sql} "
+        f"ORDER BY l_orderkey, l_linenumber, {val[1]} "
+        f"ROWS BETWEEN {lead}) AS pct "
+        f"FROM lineitem {where}"
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{LINEITEM}'")
+    want = con.sql(sql).df()
+
+    label = (
+        f"f={[f[0] for f in filters]} p={[k[0] for k in pkeys]} "
+        f"v={val[0]} fr={frame[0]} q={p}"
+    )
+    assert len(got) == len(want), f"row count: {label}\n{sql}"
+    g, w2 = normalize(got), normalize(want)
     assert frame_hash(g) == frame_hash(w2), f"value hash: {label}\n{sql}"
