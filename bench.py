@@ -210,7 +210,56 @@ HEADLINE = [
     "burst_collapse",
     "region_nation_rollup",
     "region_nations_csv",
+    "events_above_type_avg",
+    "rrf_fusion",
+    "chi2_terms",
 ]
+
+
+def _cpu_probe(reps: int = 3) -> float:
+    """Fixed-work single-thread CPU probe: hash a constant buffer and
+    return the best-of-``reps`` wall time. Catches per-core slowdown
+    (frequency scaling, steal) that loadavg misses. Best-of keeps one
+    GC hiccup from reading as contention."""
+    import hashlib
+
+    buf = b"\xa5" * (1 << 20)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        h = buf
+        for _ in range(24):
+            h = hashlib.sha256(h).digest() + buf
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _cpu_probe_parallel(n_threads: int = 16, reps: int = 2) -> float:
+    """Fixed-work MULTI-thread throughput probe: ``n_threads`` threads
+    each hash a 1 MB buffer concurrently (hashlib releases the GIL on
+    large buffers, so this genuinely exercises n cores). The failure
+    mode this catches — measured live on the r10 bench host — is a
+    hypervisor CONCURRENCY cap: the single-thread probe stayed flat at
+    ~22 ms while 32-thread Spark throughput collapsed ~3x. Only a
+    parallel probe can see that."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    buf = b"\xa5" * (1 << 20)
+
+    def work(_):
+        h = buf
+        for _ in range(24):
+            h = hashlib.sha256(h).digest() + buf
+        return 0
+
+    best = float("inf")
+    with ThreadPoolExecutor(max_workers=n_threads) as ex:
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            list(ex.map(work, range(n_threads)))
+            best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
@@ -311,7 +360,37 @@ def main() -> None:
     warm_reps = int(os.environ.get("SPARK_GRAFT_WARM_REPS", "2"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE:
+    # Mid-run contention gate (r10): the start-only loadavg check
+    # cannot see contention that begins mid-run, and loadavg DURING the
+    # run is dominated by our own executors. Instead, re-run the
+    # fixed-work CPU probe between query groups (Spark idle at that
+    # instant); a probe > PROBE_SLOW x the start probe means the
+    # host's effective CPU speed dropped — taint the run so the noisy
+    # numbers can't become the drift baseline.
+    probe_every = int(os.environ.get("SPARK_GRAFT_PROBE_EVERY", "20"))
+    probe_slow = float(os.environ.get("SPARK_GRAFT_PROBE_SLOW", "1.6"))
+    probe_start = _cpu_probe()
+    pprobe_start = _cpu_probe_parallel()
+    probes: list[float] = [round(probe_start, 4)]
+    pprobes: list[float] = [round(pprobe_start, 4)]
+    probe_taints: list[str] = []
+    for qi, name in enumerate(HEADLINE):
+        if probe_every > 0 and qi and qi % probe_every == 0:
+            p = _cpu_probe()
+            pp = _cpu_probe_parallel()
+            probes.append(round(p, 4))
+            pprobes.append(round(pp, 4))
+            if p > probe_slow * probe_start:
+                probe_taints.append(
+                    f"after {qi} queries: 1-thread probe {p:.3f}s vs "
+                    f"{probe_start:.3f}s at start ({p / probe_start:.2f}x)"
+                )
+            if pp > probe_slow * pprobe_start:
+                probe_taints.append(
+                    f"after {qi} queries: parallel probe {pp:.3f}s vs "
+                    f"{pprobe_start:.3f}s at start "
+                    f"({pp / pprobe_start:.2f}x)"
+                )
         fn = QUERIES[name]
         for rep in range(1 + warm_reps):
             t0 = time.perf_counter()
@@ -328,6 +407,11 @@ def main() -> None:
             # build GC pressure that pollutes later per-query timings
             del df
             gc.collect()
+
+    if probe_taints:
+        tainted = True
+        for msg in probe_taints:
+            print(f"TAINTED mid-run: {msg}", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
@@ -400,6 +484,8 @@ def main() -> None:
                         "tainted": False,
                         "load_start_1min": round(load_start, 2),
                         "load_end_1min": round(load_end, 2),
+                        "cpu_probes": probes,
+                        "cpu_probes_parallel": pprobes,
                     },
                     fh, indent=1, sort_keys=True,
                 )
@@ -445,6 +531,8 @@ def main() -> None:
                 "tainted": tainted,
                 "load_start_1min": round(load_start, 2),
                 "load_end_1min": round(load_end, 2),
+                "cpu_probes": probes,
+                "cpu_probes_parallel": pprobes,
             },
             separators=(",", ":"),
         ),

@@ -1,9 +1,23 @@
 from __future__ import annotations
 
+import os
 from datetime import datetime, timedelta
 
 import pandas as pd
 import pytest
+
+# Before any session exists: registry queries re-apply
+# SPARK_GRAFT_SHUFFLE via tune_session on EVERY entry (queries.py
+# _releasing), so without this the library default (32) silently
+# overrides the fixture's 4 and every registry-driven test runs 8x
+# too many tiny tasks on local[4] — pure scheduler overhead at
+# sf0.001 (~25% of test_oracle_parity's wall time).
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "4")
+
+# pytest.ini points basetemp at tmpfs (/dev/shm) for the streaming
+# checkpoints; make sure the directory exists on hosts where /dev/shm
+# was cleared between sessions
+os.makedirs("/dev/shm/pytest-metevents", exist_ok=True)
 
 from metevents_spark.session import get_spark
 

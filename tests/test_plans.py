@@ -235,6 +235,8 @@ def test_no_query_plans_a_cartesian_product(spark):
         "benford_deviation",
         # 1-row (n_rows, n_keys) totals broadcast onto the top-20 keys
         "key_skew_report",
+        # 1-row corpus token total broadcast into the contingency cells
+        "chi2_terms",
     }
     for name, fn in entrymod.queries().items():
         # the BPE entries EXECUTE their 12-round training loop during

@@ -96,3 +96,31 @@ def test_events_above_type_avg_matches_plain_join(spark):
         .orderBy("user_id")
     )
     assert salted_rows == sorted(map(tuple, plain.collect()))
+
+
+def test_salt_bounds_hot_key_partitions(spark):
+    """The remedy's point: after salting, the largest (key, salt) group
+    is ~n_salts-fold smaller than the hot key itself, so no single
+    reducer sees the whole hot key."""
+    from pyspark.sql.functions import pmod, xxhash64
+
+    n_salts = 8
+    ev = load_table(spark, SF, "events").select("user_id", "event_type", "value")
+    plain_max = (
+        ev.groupBy("event_type").count().agg(F.max("count")).collect()[0][0]
+    )
+    salted = ev.withColumn(
+        "_salt",
+        pmod(xxhash64(*[F.col(c) for c in ev.columns]), F.lit(n_salts)).cast(
+            "int"
+        ),
+    )
+    salted_max = (
+        salted.groupBy("event_type", "_salt")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    # perfectly uniform would be plain_max / n_salts; allow 2x slack for
+    # hash variance on the small fixture
+    assert salted_max <= 2 * plain_max / n_salts, (plain_max, salted_max)
