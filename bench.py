@@ -213,6 +213,8 @@ HEADLINE = [
     "events_above_type_avg",
     "rrf_fusion",
     "chi2_terms",
+    "classifier_calibration",
+    "doc_containment",
 ]
 
 

@@ -465,3 +465,98 @@ def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "digit")
     )
+
+
+def classifier_calibration(
+    spark: SparkSession, sf_dir: str, n_bins: int = 10
+) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE) for the
+    hashed quality classifier (text/stats.py classifier_score) against
+    the is-English proxy label — the monitoring table you build before
+    trusting a score threshold to gate a 100 TB crawl: a model can rank
+    well and still be mis-calibrated, and ECE is the standard meter
+    (Guo et al. 2017).
+
+    The LABEL is an explicit proxy (lang = 'en'); the point of the
+    operator is the calibration machinery — per-bin counts, confidence
+    vs empirical frequency, the |gap| fold — which is label-agnostic.
+
+    Engine-exact: the score is the classifier's exact integer ppm
+    probability (wsum * 1e6 div (n_tokens * WMOD)); bins, counts,
+    per-bin means, empirical frequencies and ECE all compute in
+    integer ppm via floor division — no float op anywhere.
+
+    Scale shape: one map-side-collapsed groupBy(bin) — the exchange
+    carries n_bins rows; ECE is a window fold over the n_bins-row
+    table. Zero joins, zero Python.
+    """
+    from pyspark.sql import Window
+
+    from metevents_spark.text.stats import (
+        _CLF_BUCKETS,
+        _CLF_MIX,
+        _CLF_WMOD,
+        _tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    def bucket(x):
+        return (
+            F.length(x).cast("long") * 131
+            + F.ascii(x).cast("long") * 7919
+            + F.ascii(F.reverse(x)).cast("long") * 104729
+        ) % _CLF_BUCKETS
+
+    wsum = F.aggregate(
+        F.transform(toks, lambda x: (bucket(x) * _CLF_MIX) % _CLF_WMOD),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_tok = F.size(toks).cast("long")
+    prob_ppm = F.expr(
+        f"wsum * 1000000L div (n_tok * {_CLF_WMOD}L)"
+    )
+    scored = docs.select(
+        wsum.alias("wsum"),
+        n_tok.alias("n_tok"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    ).select(
+        "label",
+        prob_ppm.alias("prob_ppm"),
+    )
+    binned = scored.select(
+        "label",
+        "prob_ppm",
+        F.least(
+            F.expr(f"prob_ppm div {1000000 // n_bins}"), F.lit(n_bins - 1)
+        ).cast("long").alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum("prob_ppm").alias("sum_ppm"),
+    )
+    conf = F.expr("sum_ppm div n_docs")
+    freq = F.expr("n_pos * 1000000L div n_docs")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = per_bin.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        conf.alias("conf_ppm"),
+        freq.alias("freq_ppm"),
+        F.abs(conf - freq).alias("gap_ppm"),
+    )
+    return (
+        out.withColumn(
+            "tot_gap", F.sum(F.col("gap_ppm") * F.col("n_docs")).over(w_all)
+        )
+        .withColumn("tot_n", F.sum("n_docs").over(w_all))
+        .select("bin", "n_docs", "n_pos", "conf_ppm", "freq_ppm", "gap_ppm",
+                F.expr("tot_gap div tot_n").alias("ece_ppm"))
+        .orderBy("bin")
+    )

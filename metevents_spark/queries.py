@@ -112,6 +112,7 @@ from metevents_spark.relational.tpch import (
 from metevents_spark.text.dedup import (
     dedup_clusters,
     dedup_recall_report,
+    doc_containment,
     duplicate_spans,
     edit_distance_pairs,
     incremental_dedup,
@@ -176,6 +177,7 @@ from metevents_spark.operators.downsample import lttb_downsample
 from metevents_spark.operators.resample import gap_fill_hourly
 from metevents_spark.quality import (
     benford_deviation,
+    classifier_calibration,
     data_expectations,
     mutual_information,
     ks_drift,
@@ -3730,6 +3732,63 @@ SELECT source, CAST(rank AS BIGINT) AS rank, term,
 FROM rk WHERE rank <= 10 ORDER BY source, rank
 """
 
+# Calibration: integer-ppm probabilities, bins, per-bin means,
+# empirical frequencies and the ECE fold — all floor division on
+# exact integers, no float op on either side.
+ORACLE_SQL["classifier_calibration"] = """
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+    (list_sum(list_transform(string_split(text, ' '),
+       x -> (((length(x) * 131 + ascii(x) * 7919
+               + ascii(reverse(x)) * 104729) % 4093)
+             * 2654435761) % 1000003)) * 1000000)
+      // (len(string_split(text, ' ')) * 1000003) AS prob_ppm
+  FROM documents),
+binned AS (SELECT label, prob_ppm,
+           LEAST(prob_ppm // 100000, 9) AS bin FROM scored),
+per_bin AS (SELECT bin, COUNT(*) AS n_docs,
+            CAST(SUM(label) AS BIGINT) AS n_pos,
+            SUM(prob_ppm) AS sum_ppm
+            FROM binned GROUP BY bin),
+g AS (SELECT bin, n_docs, n_pos,
+      sum_ppm // n_docs AS conf_ppm,
+      (n_pos * 1000000) // n_docs AS freq_ppm,
+      ABS(sum_ppm // n_docs - (n_pos * 1000000) // n_docs) AS gap_ppm
+      FROM per_bin)
+SELECT CAST(bin AS BIGINT) AS bin, n_docs, n_pos,
+       CAST(conf_ppm AS BIGINT) AS conf_ppm,
+       CAST(freq_ppm AS BIGINT) AS freq_ppm,
+       CAST(gap_ppm AS BIGINT) AS gap_ppm,
+       CAST(SUM(gap_ppm * n_docs) OVER () // SUM(n_docs) OVER ()
+            AS BIGINT) AS ece_ppm
+FROM g ORDER BY bin
+"""
+
+# Containment: inverted-index join on distinct 5-gram digests with the
+# max_df posting cap, shared counts and set sizes exact integers,
+# containment in integer ppm — the oracle replays the same algebra.
+ORACLE_SQL["doc_containment"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 4)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id,
+              md5(array_to_string(t[i:i+4], ' ')) AS sh FROM pos),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+dfc AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfc USING (sh)
+         WHERE df <= 10),
+shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared
+           FROM rare a JOIN rare b
+             ON a.sh = b.sh AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT doc_a, doc_b, n_shared, n_sh AS n_a,
+       CAST(n_shared * 1000000 // n_sh AS BIGINT) AS containment_ppm
+FROM shared JOIN sizes ON sizes.doc_id = shared.doc_a
+WHERE n_shared * 1000000 // n_sh >= 500000
+ORDER BY doc_a, doc_b
+"""
+
 # spike_valley (reference events.py:199-248): a FULL relational replay
 # of the find_peaks pipeline the kernel implements (operators/peaks.py)
 # — plateau-midpoint local maxima (runs of equal values with strictly
@@ -3859,16 +3918,19 @@ FROM fruns WHERE cond GROUP BY sid, run_id ORDER BY sid, "start"
 #     ROUND(double, 6) at the query boundary is now replaced by pure
 #     integer micro-unit rounding (similarity/pca.py) and must re-earn
 #     its green here;
-#   * slots 7-9: the three operators NEW this round (the salted-join
+#   * slots 7-11: the five operators NEW this round (the salted-join
 #     hot-key demo whose oracle is the plain join, reciprocal-rank
-#     fusion, chi-squared term selection) — never-seen keys take
-#     window priority;
-#   * slots 10-15: the six r05-stale keys displaced from the r09
+#     fusion, chi-squared term selection, classifier calibration/ECE,
+#     asymmetric n-gram containment) — never-seen keys take window
+#     priority;
+#   * slots 12-17: the six r05-stale keys displaced from the r09
 #     window (source_mix_sample, stratified_sample, unigram_logprob,
 #     user_reach, value_drift_psi, value_histogram);
-#   * slots 16-17: knn_lsh / knn_ivf — rows-only, last driver-checked
+#   * slots 18-19: knn_lsh / knn_ivf — rows-only, last driver-checked
 #     r01, displaced twice; refreshed now per the r9 rotation note;
-#   * slots 18-50: the full 33-key r06-stale cohort (alphabetical).
+#   * slots 20-50: the first 31 (alphabetical) of the 33-key r06-stale
+#     cohort; the last two (top_supplier, winsorize_series) sit just
+#     past the cap and lead the r11 window.
 # Every key green in r07-r09 rotates past the cap; the r07 cohort
 # (43 keys) and r08 cohort (39 keys) are next in line for r11/r12.
 #
@@ -3886,6 +3948,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_above_type_avg": events_above_type_avg,
     "rrf_fusion": rrf_fusion,
     "chi2_terms": chi2_terms,
+    "classifier_calibration": classifier_calibration,
+    "doc_containment": doc_containment,
     "source_mix_sample": source_mix_sample,
     "stratified_sample": stratified_sample,
     "unigram_logprob": unigram_logprob,

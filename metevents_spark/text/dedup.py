@@ -1178,3 +1178,105 @@ def dedup_recall_report(
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def doc_containment(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 5,
+    max_df: int = 10,
+    min_containment_ppm: int = 500_000,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Asymmetric n-gram containment C(A in B) = |S_A ∩ S_B| / |S_A| —
+    the superset detector Jaccard misses: a short document quoted
+    wholesale inside a long one has tiny Jaccard but containment ~1.
+    The standard screen for quote extraction / boilerplate supersets /
+    training-eval contamination in one direction.
+
+    Candidate generation is an inverted-index join on n-gram shingles
+    with a document-frequency cap: shingles appearing in more than
+    ``max_df`` documents are dropped BEFORE the self-join (the PPJoin
+    family's posting-list bound), so pair fan-out is bounded by
+    max_df^2 per surviving shingle, never corpus^2. Pairs must share
+    ``min_shared`` capped shingles to be scored.
+
+    Scoring contract: the numerator counts shared shingles among the
+    RARE (df <= max_df) set only, while |S_A| counts all of A's
+    distinct shingles — so the reported value is a LOWER BOUND on true
+    containment. Corpus-common shingles carry no pairwise-containment
+    signal (they match everything) and keeping them would undo the
+    posting-list bound; a pair whose overlap is entirely boilerplate
+    is exactly the pair this screen should NOT surface.
+
+    Engine-exact: shingle sets are distinct md5 digests; shared counts
+    and set sizes are exact integers; containment is emitted in integer
+    ppm via floor division. No float op anywhere.
+
+    Scale shape: one explode into (shingle, doc) postings, one
+    map-side-collapsed document-frequency count, the capped self-join
+    co-located on the shingle hash, one groupBy(pair) whose partial
+    aggregation collapses map-side, then a broadcast-sized join back to
+    per-doc set sizes (|docs| rows, one column). Document text never
+    moves past the first projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.filter(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda w, i: F.struct(w.alias("w"), i.alias("i")),
+                        ),
+                        lambda s: s["i"]
+                        <= F.size(F.split(F.col("text"), " ")) - n,
+                    ),
+                    lambda s: F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.slice(
+                                F.split(F.col("text"), " "), s["i"] + 1, n
+                            ),
+                        )
+                    ),
+                )
+            )
+        ).alias("sh"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_counts = grams.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    rare = grams.join(
+        df_counts.where(F.col("df") <= max_df).select("sh"), "sh"
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    sz_a = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    return (
+        shared.join(F.broadcast(sz_a), "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_a",
+            F.expr("n_shared * 1000000L div n_a").alias("containment_ppm"),
+        )
+        .where(F.col("containment_ppm") >= min_containment_ppm)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -112,3 +112,88 @@ def test_chi2_terms_matches_counter_replay(spark):
         c = t_cnt[top["term"]] - a
         d = n_tot - s_cnt[source] - t_cnt[top["term"]] + a
         assert a * (c + d) != c * (a + b)  # genuinely skewed association
+
+
+def test_classifier_calibration_matches_python_replay(spark):
+    from metevents_spark.quality import classifier_calibration
+
+    got = classifier_calibration(spark, SF_SMALL).toPandas()
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    BUCKETS, MIX, WMOD = 4093, 2654435761, 1000003
+    bins: dict[int, list[int]] = {}
+    for lang, text in zip(docs["lang"], docs["text"]):
+        toks = text.split(" ")
+        wsum = 0
+        for x in toks:
+            b = (len(x) * 131 + ord(x[0]) * 7919 + ord(x[-1]) * 104729) % BUCKETS
+            wsum += (b * MIX) % WMOD
+        prob_ppm = (wsum * 1_000_000) // (len(toks) * WMOD)
+        bn = min(prob_ppm // 100_000, 9)
+        n, pos, s = bins.get(bn, (0, 0, 0))
+        bins[bn] = (n + 1, pos + (1 if lang == "en" else 0), s + prob_ppm)
+
+    rows = []
+    for bn in sorted(bins):
+        n, pos, s = bins[bn]
+        conf = s // n
+        freq = (pos * 1_000_000) // n
+        rows.append((bn, n, pos, conf, freq, abs(conf - freq)))
+    tot_gap = sum(g * n for (_, n, _, _, _, g) in rows)
+    tot_n = sum(n for (_, n, _, _, _, _) in rows)
+    ece = tot_gap // tot_n
+
+    assert list(got["bin"]) == [r[0] for r in rows]
+    assert list(got["n_docs"]) == [r[1] for r in rows]
+    assert list(got["n_pos"]) == [r[2] for r in rows]
+    assert list(got["conf_ppm"]) == [r[3] for r in rows]
+    assert list(got["freq_ppm"]) == [r[4] for r in rows]
+    assert list(got["gap_ppm"]) == [r[5] for r in rows]
+    assert (got["ece_ppm"] == ece).all()
+
+
+def test_doc_containment_matches_set_replay(spark):
+    """Independent pandas replay over raw shingle STRINGS (no md5) —
+    catches digesting bugs as well as count/threshold bugs."""
+    from metevents_spark.text.dedup import doc_containment
+
+    got = doc_containment(spark, SF_SMALL).toPandas()
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    N, MAX_DF, MIN_SHARED, MIN_PPM = 5, 10, 3, 500_000
+    sh: dict[int, set[str]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        t = text.split(" ")
+        sh[int(doc_id)] = {
+            " ".join(t[i : i + N]) for i in range(len(t) - N + 1)
+        }
+    from collections import Counter
+
+    df_c: Counter = Counter()
+    for s in sh.values():
+        for g in s:
+            df_c[g] += 1
+    rare = {g for g, c in df_c.items() if c <= MAX_DF}
+    want = []
+    for a, sa in sh.items():
+        ra = sa & rare
+        for b, sb in sh.items():
+            if a == b:
+                continue
+            shared = len(ra & sb & rare)
+            if shared < MIN_SHARED:
+                continue
+            ppm = (shared * 1_000_000) // len(sa)
+            if ppm >= MIN_PPM:
+                want.append((a, b, shared, len(sa), ppm))
+    want.sort()
+    got_rows = sorted(
+        map(
+            tuple,
+            got[["doc_a", "doc_b", "n_shared", "n_a", "containment_ppm"]]
+            .astype("int64")
+            .itertuples(index=False, name=None),
+        )
+    )
+    assert got_rows == want
+    assert want, "fixture should surface at least one containment pair"
