@@ -215,6 +215,7 @@ HEADLINE = [
     "chi2_terms",
     "classifier_calibration",
     "doc_containment",
+    "part_pagerank",
 ]
 
 

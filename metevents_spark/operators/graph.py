@@ -1,0 +1,129 @@
+"""Iterative graph centrality over relationship graphs mined from the
+fact tables.
+
+The engine's Pregel-style tier: like ``dedup_clusters`` (text/dedup.py
+connected components), each iteration is ONE shuffle join + one
+map-side-combining aggregate, with a lazy ``localCheckpoint`` per round
+to cut the growing lineage (the standard Spark iterative-algorithm
+pattern; on a cluster with a checkpoint dir you would swap in reliable
+``.checkpoint()``).
+
+PageRank here runs over the co-purchase part graph: parts are linked
+when they appear in the same order (the product-graph construction
+behind "customers also bought"), edge weight = number of co-purchase
+orders. The walk follows weighted edges; the damping-mass budget uses
+the textbook formulation with uniform teleport.
+
+Scale shape:
+  * Edge construction is the market_basket_lift pattern — the basket
+    self-join is CO-LOCATED on l_orderkey, so pairs form inside each
+    order's group (bounded by basket size), never across the corpus.
+  * Each power-iteration round shuffles |edges| contribution rows into
+    a groupBy(dst) whose partial aggregation collapses map-side; the
+    rank frame is |nodes| rows.
+  * Dangling mass (isolated parts never co-purchased are excluded by
+    construction; a node set closed over edges has no danglers here)
+    — the uniform teleport term keeps the chain ergodic regardless.
+  * The iteration count is FIXED (deterministic output, no
+    driver-side convergence collect); per-round localCheckpoint keeps
+    the plan depth constant, with the RDDs released by the registry's
+    cache tracker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metevents_spark.cache import track
+from metevents_spark.io import load_table
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric weighted edge list (src, dst, w) over parts co-ordered
+    at least once; w = number of distinct orders containing both."""
+    items = track(
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    rev = pairs.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+    )
+    return pairs.unionByName(rev)
+
+
+def part_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    damping: float = 0.85,
+    n_iter: int = 12,
+    top: int = 50,
+) -> DataFrame:
+    """Weighted PageRank over the co-purchase part graph: the product-
+    centrality score behind recommendation seeds / crawl prioritization
+    — the registry's iterative-graph-algorithm representative beside
+    dedup_clusters' connected components.
+
+    Rows-only in the driver contract (a fixed-point iteration is not
+    ANSI SQL); pinned by an independent numpy power-iteration replay
+    over the full sf0.001 graph plus the PageRank invariants (ranks
+    sum to ~|nodes|, uniform-teleport floor) in
+    tests/test_round10_ops.py. Output ranks are quantized to integer
+    ppm for presentation; ordering ties break on part id.
+    """
+    edges = track(_copurchase_edges(spark, sf_dir).localCheckpoint())
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    # normalized transition weights: p(src -> dst) = w / w_out(src)
+    trans = track(
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("w_out")).alias("p"))
+        .localCheckpoint()
+    )
+    nodes = track(edges.select(F.col("src").alias("pid")).distinct().persist())
+    n_nodes = nodes.count()  # bounded: |parts| (dimension-sized)
+
+    # ranks normalized to SUM = n_nodes (the "mean rank 1.0" convention)
+    ranks = track(
+        nodes.select("pid", F.lit(1.0).alias("rank")).localCheckpoint()
+    )
+    teleport = 1.0 - damping
+    for _ in range(n_iter):
+        contrib = (
+            trans.join(
+                ranks.select(F.col("pid").alias("src"), "rank"), "src"
+            )
+            .groupBy(F.col("dst").alias("pid"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("in_mass"))
+        )
+        prev = ranks
+        ranks = track(
+            nodes.join(contrib, "pid", "left")
+            .select(
+                "pid",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        del prev  # released by the cache tracker after materialization
+
+    w = F.round((F.col("rank") * 1e6)).cast("long")
+    return (
+        ranks.select("pid", w.alias("rank_ppm"))
+        .orderBy(F.desc("rank_ppm"), "pid")
+        .limit(top)
+    )

@@ -41,6 +41,7 @@ from metevents_spark.operators.sessions import burst_collapse, sessionize
 from metevents_spark.functions import freq_infer
 from metevents_spark.functions.sketches import user_reach_kmv
 from metevents_spark.relational.basket import market_basket_lift
+from metevents_spark.operators.graph import part_pagerank
 from metevents_spark.operators.skew import (
     events_above_type_avg,
     key_skew_report,
@@ -3918,19 +3919,20 @@ FROM fruns WHERE cond GROUP BY sid, run_id ORDER BY sid, "start"
 #     ROUND(double, 6) at the query boundary is now replaced by pure
 #     integer micro-unit rounding (similarity/pca.py) and must re-earn
 #     its green here;
-#   * slots 7-11: the five operators NEW this round (the salted-join
+#   * slots 7-12: the six operators NEW this round (the salted-join
 #     hot-key demo whose oracle is the plain join, reciprocal-rank
 #     fusion, chi-squared term selection, classifier calibration/ECE,
-#     asymmetric n-gram containment) — never-seen keys take window
-#     priority;
-#   * slots 12-17: the six r05-stale keys displaced from the r09
+#     asymmetric n-gram containment, and the rows-only weighted
+#     PageRank over the co-purchase graph) — never-seen keys take
+#     window priority;
+#   * slots 13-18: the six r05-stale keys displaced from the r09
 #     window (source_mix_sample, stratified_sample, unigram_logprob,
 #     user_reach, value_drift_psi, value_histogram);
-#   * slots 18-19: knn_lsh / knn_ivf — rows-only, last driver-checked
+#   * slots 19-20: knn_lsh / knn_ivf — rows-only, last driver-checked
 #     r01, displaced twice; refreshed now per the r9 rotation note;
-#   * slots 20-50: the first 31 (alphabetical) of the 33-key r06-stale
-#     cohort; the last two (top_supplier, winsorize_series) sit just
-#     past the cap and lead the r11 window.
+#   * slots 21-50: the first 30 (alphabetical) of the 33-key r06-stale
+#     cohort; the last three (text_stats, top_supplier,
+#     winsorize_series) sit just past the cap and lead the r11 window.
 # Every key green in r07-r09 rotates past the cap; the r07 cohort
 # (43 keys) and r08 cohort (39 keys) are next in line for r11/r12.
 #
@@ -3950,6 +3952,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chi2_terms": chi2_terms,
     "classifier_calibration": classifier_calibration,
     "doc_containment": doc_containment,
+    "part_pagerank": part_pagerank,
     "source_mix_sample": source_mix_sample,
     "stratified_sample": stratified_sample,
     "unigram_logprob": unigram_logprob,
@@ -3988,9 +3991,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_decompose": seasonal_decompose,
     "series_acf": series_acf,
     "sole_return_supplier": sole_return_supplier,
+    "winsorize_series": winsorize_series,
     "text_stats": text_stats,
     "top_supplier": top_supplier,
-    "winsorize_series": winsorize_series,
     "spike_valley": q_spike_valley,
     "market_basket_lift": market_basket_lift,
     "rolling_median": rolling_median,

@@ -245,7 +245,11 @@ def test_no_query_plans_a_cartesian_product(spark):
         # merge table); tests/test_bpe.py asserts the encode plan's
         # shape (broadcast vocab, no cartesian) where the merges are
         # already cached
-        if name in ("bpe_learn", "bpe_token_count"):
+        # part_pagerank likewise EXECUTES its fixed-point iteration while
+        # building the frame (per-round localCheckpoint), and its final
+        # plan is a checkpointed LogicalRDD scan — no join signal there;
+        # tests/test_round10_ops.py pins it end to end
+        if name in ("bpe_learn", "bpe_token_count", "part_pagerank"):
             continue
         plan = plan_of(fn(spark, SF))
         assert "CartesianProduct" not in plan, name

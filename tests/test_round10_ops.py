@@ -197,3 +197,48 @@ def test_doc_containment_matches_set_replay(spark):
     )
     assert got_rows == want
     assert want, "fixture should surface at least one containment pair"
+
+
+def test_part_pagerank_matches_numpy_power_iteration(spark):
+    """Independent dense power-iteration replay of the full sf0.001
+    co-purchase graph; Spark's distributed float folds may differ in
+    ulps, so values compare at a 2-ppm tolerance."""
+    import numpy as np
+
+    from metevents_spark.operators.graph import part_pagerank
+
+    got = part_pagerank(spark, SF_SMALL).toPandas()
+
+    line = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    from collections import Counter
+
+    w: Counter = Counter()
+    for _, grp in line.groupby("l_orderkey"):
+        parts = sorted(grp["l_partkey"].unique())
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                w[(parts[i], parts[j])] += 1
+    nodes = sorted({p for pair in w for p in pair})
+    idx = {p: i for i, p in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for (a, b), c in w.items():
+        W[idx[a], idx[b]] += c
+        W[idx[b], idx[a]] += c
+    P = W / W.sum(axis=1, keepdims=True)  # row-stochastic
+    rank = np.ones(n)
+    for _ in range(12):
+        rank = 0.15 + 0.85 * (P.T @ rank)
+    want_ppm = {p: round(rank[idx[p]] * 1e6) for p in nodes}
+
+    # ranks sum to ~n (the mean-rank-1 convention) and respect the
+    # uniform-teleport floor
+    assert abs(rank.sum() - n) < 1e-6 * n
+    assert (rank >= 0.15 - 1e-12).all()
+
+    assert len(got) == 50
+    assert list(got["rank_ppm"]) == sorted(got["rank_ppm"], reverse=True)
+    for pid, ppm in zip(got["pid"], got["rank_ppm"]):
+        assert abs(ppm - want_ppm[int(pid)]) <= 2, (pid, ppm, want_ppm[int(pid)])
