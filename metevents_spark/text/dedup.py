@@ -1221,35 +1221,46 @@ def doc_containment(
     moves past the first projection.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.filter(
-                        F.transform(
-                            F.split(F.col("text"), " "),
-                            lambda w, i: F.struct(w.alias("w"), i.alias("i")),
-                        ),
-                        lambda s: s["i"]
-                        <= F.size(F.split(F.col("text"), " ")) - n,
-                    ),
-                    lambda s: F.md5(
-                        F.concat_ws(
-                            " ",
-                            F.slice(
-                                F.split(F.col("text"), " "), s["i"] + 1, n
+    # three consumers (set sizes, document frequencies, the capped
+    # postings) — persist so the text explodes ONCE; the frame is
+    # (doc_id, digest) only, text itself never enters it
+    grams = track(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.filter(
+                            F.transform(
+                                F.split(F.col("text"), " "),
+                                lambda w, i: F.struct(
+                                    w.alias("w"), i.alias("i")
+                                ),
                             ),
-                        )
-                    ),
+                            lambda s: s["i"]
+                            <= F.size(F.split(F.col("text"), " ")) - n,
+                        ),
+                        lambda s: F.md5(
+                            F.concat_ws(
+                                " ",
+                                F.slice(
+                                    F.split(F.col("text"), " "), s["i"] + 1, n
+                                ),
+                            )
+                        ),
+                    )
                 )
-            )
-        ).alias("sh"),
+            ).alias("sh"),
+        ).persist()
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     df_counts = grams.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    rare = grams.join(
-        df_counts.where(F.col("df") <= max_df).select("sh"), "sh"
+    # both self-join sides read the capped postings — persist the
+    # (small, df-filtered) frame rather than re-running the filter join
+    rare = track(
+        grams.join(
+            df_counts.where(F.col("df") <= max_df).select("sh"), "sh"
+        ).persist()
     )
     a, b = rare.alias("a"), rare.alias("b")
     shared = (

@@ -56,6 +56,13 @@ HEAVY = (
     "holt_backtest",
     "score_percentile_by_source",
     "market_basket_lift",
+    # r10 additions: the posting-cap containment join (10x documents
+    # through the inverted-index self-join — the max_df bound is the
+    # scale claim), the hot-key salted join over 10x events, and the
+    # all-integer chi2 contingency build over 10x the token stream
+    "doc_containment",
+    "events_above_type_avg",
+    "chi2_terms",
 )
 
 
