@@ -241,6 +241,24 @@ print(
     )
 )
 
+# 5d. before trusting the quality gate's threshold at scale: the
+# calibration monitor — per-bin confidence vs empirical frequency and
+# the expected calibration error (integer ppm; ece_ppm is constant
+# across rows)
+from metevents_spark.quality import classifier_calibration
+
+cal = classifier_calibration(spark, sf_dir)
+rows = cal.collect()
+print(f"  calibration: ECE {rows[0]['ece_ppm'] / 1e6:.4f} over {len(rows)} bins")
+
+# 5e. containment screen: docs largely contained in another doc (the
+# superset/quote overlap symmetric Jaccard misses) — candidates to drop
+# before packing
+from metevents_spark.text.dedup import doc_containment
+
+cont = doc_containment(spark, sf_dir)
+print(f"  containment pairs (>=50%): {cont.count()}")
+
 # 6. final layout: reproducible global shuffle into training shards
 from metevents_spark.text.pipeline import shuffle_shards
 
