@@ -216,6 +216,7 @@ HEADLINE = [
     "classifier_calibration",
     "doc_containment",
     "part_pagerank",
+    "purchase_attribution",
 ]
 
 

@@ -48,6 +48,7 @@ from metevents_spark.operators.skew import (
 )
 from metevents_spark.relational import (
     brand_revenue,
+    purchase_attribution,
     latest_event_per_user,
     loyal_customers,
     nation_revenue_share,
@@ -3790,6 +3791,32 @@ WHERE n_shared * 1000000 // n_sh >= 500000
 ORDER BY doc_a, doc_b
 """
 
+# Last-touch attribution: IGNORE NULLS carry-forward per user; the
+# three carried fields share one NULL pattern so separate LAST_VALUEs
+# pick the same row. Lookback test in exact integer microseconds.
+ORACLE_SQL["purchase_attribution"] = """
+WITH ev AS (SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS ts_us
+            FROM events),
+carried AS (SELECT *,
+  LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts_us END IGNORE NULLS)
+    OVER w AS t_us,
+  LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+    OVER w AS t_id,
+  LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+    OVER w AS t_type
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+  CASE WHEN t_us IS NOT NULL AND ts_us - t_us <= 604800000000
+       THEN t_id END AS touch_id,
+  CASE WHEN t_us IS NOT NULL AND ts_us - t_us <= 604800000000
+       THEN t_type END AS touch_type,
+  CASE WHEN t_us IS NOT NULL AND ts_us - t_us <= 604800000000
+       THEN ts_us - t_us END AS gap_us
+FROM carried WHERE event_type = 'purchase' ORDER BY purchase_id
+"""
+
 # spike_valley (reference events.py:199-248): a FULL relational replay
 # of the find_peaks pipeline the kernel implements (operators/peaks.py)
 # — plateau-midpoint local maxima (runs of equal values with strictly
@@ -3919,20 +3946,21 @@ FROM fruns WHERE cond GROUP BY sid, run_id ORDER BY sid, "start"
 #     ROUND(double, 6) at the query boundary is now replaced by pure
 #     integer micro-unit rounding (similarity/pca.py) and must re-earn
 #     its green here;
-#   * slots 7-12: the six operators NEW this round (the salted-join
+#   * slots 7-13: the seven operators NEW this round (the salted-join
 #     hot-key demo whose oracle is the plain join, reciprocal-rank
 #     fusion, chi-squared term selection, classifier calibration/ECE,
-#     asymmetric n-gram containment, and the rows-only weighted
-#     PageRank over the co-purchase graph) — never-seen keys take
-#     window priority;
-#   * slots 13-18: the six r05-stale keys displaced from the r09
+#     asymmetric n-gram containment, the rows-only weighted PageRank
+#     over the co-purchase graph, and last-touch purchase attribution)
+#     — never-seen keys take window priority;
+#   * slots 14-19: the six r05-stale keys displaced from the r09
 #     window (source_mix_sample, stratified_sample, unigram_logprob,
 #     user_reach, value_drift_psi, value_histogram);
-#   * slots 19-20: knn_lsh / knn_ivf — rows-only, last driver-checked
+#   * slots 20-21: knn_lsh / knn_ivf — rows-only, last driver-checked
 #     r01, displaced twice; refreshed now per the r9 rotation note;
-#   * slots 21-50: the first 30 (alphabetical) of the 33-key r06-stale
-#     cohort; the last three (text_stats, top_supplier,
-#     winsorize_series) sit just past the cap and lead the r11 window.
+#   * slots 22-50: the first 29 (alphabetical) of the 33-key r06-stale
+#     cohort; the last four (sole_return_supplier, text_stats,
+#     top_supplier, winsorize_series) sit just past the cap and lead
+#     the r11 window.
 # Every key green in r07-r09 rotates past the cap; the r07 cohort
 # (43 keys) and r08 cohort (39 keys) are next in line for r11/r12.
 #
@@ -3953,6 +3981,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_calibration": classifier_calibration,
     "doc_containment": doc_containment,
     "part_pagerank": part_pagerank,
+    "purchase_attribution": purchase_attribution,
     "source_mix_sample": source_mix_sample,
     "stratified_sample": stratified_sample,
     "unigram_logprob": unigram_logprob,
@@ -3990,8 +4019,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rich_idle_customers": rich_idle_customers,
     "seasonal_decompose": seasonal_decompose,
     "series_acf": series_acf,
-    "sole_return_supplier": sole_return_supplier,
     "winsorize_series": winsorize_series,
+    "sole_return_supplier": sole_return_supplier,
     "text_stats": text_stats,
     "top_supplier": top_supplier,
     "spike_valley": q_spike_valley,

@@ -568,3 +568,67 @@ def survival_retention(
         .select("t_days", "n_risk", "n_events", "survival")
         .orderBy("t_days")
     )
+
+
+def purchase_attribution(
+    spark: SparkSession, sf_dir: str, lookback_days: int = 7
+) -> DataFrame:
+    """Last-touch marketing attribution: every purchase event credits
+    the user's most recent PRECEDING non-purchase event within a
+    ``lookback_days`` window — the revenue-assignment query every
+    product-analytics stack runs (which channel "caused" the purchase);
+    purchases with no touch inside the window report NULL (organic).
+
+    Mechanics: one window per user ordered by (ts, event_id) with
+    ``last(..., ignorenulls=True)`` over ROWS UNBOUNDED PRECEDING..1
+    PRECEDING carrying the latest non-purchase (epoch, event_id, type)
+    struct past purchase rows — the classic IGNORE NULLS carry-forward,
+    identical semantics to DuckDB's LAST_VALUE ... IGNORE NULLS. The
+    lookback test is exact integer microseconds.
+
+    Scale shape: ONE exchange on user_id (the event log's natural key)
+    feeding the window; everything after is a row-wise projection and
+    the presentation sort. No joins, no Python.
+    """
+    from metevents_spark.timeutil import epoch_us
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        epoch_us(F.col("ts")).alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(
+                F.col("ts_us").alias("t_us"),
+                F.col("event_id").alias("t_id"),
+                F.col("event_type").alias("t_type"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    lb_us = lookback_days * 86_400_000_000
+    flagged = ev.withColumn("touch", touch).where(
+        F.col("event_type") == "purchase"
+    )
+    in_window = F.col("touch").isNotNull() & (
+        F.col("ts_us") - F.col("touch.t_us") <= F.lit(lb_us)
+    )
+    return flagged.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_window, F.col("touch.t_id")).alias("touch_id"),
+        F.when(in_window, F.col("touch.t_type")).alias("touch_type"),
+        F.when(in_window, F.col("ts_us") - F.col("touch.t_us")).alias(
+            "gap_us"
+        ),
+    ).orderBy("purchase_id")

@@ -242,3 +242,46 @@ def test_part_pagerank_matches_numpy_power_iteration(spark):
     assert list(got["rank_ppm"]) == sorted(got["rank_ppm"], reverse=True)
     for pid, ppm in zip(got["pid"], got["rank_ppm"]):
         assert abs(ppm - want_ppm[int(pid)]) <= 2, (pid, ppm, want_ppm[int(pid)])
+
+
+def test_purchase_attribution_matches_sequential_replay(spark):
+    """Per-user sequential replay: walk each user's events in (ts,
+    event_id) order carrying the last non-purchase touch, emit one row
+    per purchase with the 7-day window test — the IGNORE-NULLS window
+    re-derived imperatively."""
+    import numpy as np
+
+    from metevents_spark.relational.product import purchase_attribution
+
+    got = purchase_attribution(spark, SF_SMALL).toPandas()
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    LB = 7 * 86_400_000_000
+    want = []
+    for _, grp in ev.groupby("user_id"):
+        touch = None
+        for r in grp.sort_values(["ts_us", "event_id"]).itertuples():
+            if r.event_type == "purchase":
+                if touch is not None and r.ts_us - touch[0] <= LB:
+                    want.append(
+                        (r.event_id, touch[1], touch[2], r.ts_us - touch[0])
+                    )
+                else:
+                    want.append((r.event_id, None, None, None))
+            else:
+                touch = (r.ts_us, r.event_id, r.event_type)
+    want.sort()
+
+    assert len(got) == len(want)
+    for row, (pid, tid, ttype, gap) in zip(
+        got.sort_values("purchase_id").itertuples(), want
+    ):
+        assert row.purchase_id == pid
+        if tid is None:
+            assert pd.isna(row.touch_id) and pd.isna(row.gap_us)
+        else:
+            assert row.touch_id == tid and row.touch_type == ttype
+            assert row.gap_us == gap
+    # the fixture should actually attribute something
+    assert got["touch_id"].notna().any()
