@@ -1059,3 +1059,97 @@ def stream_burst_collapse(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ATTR_OUTPUT_SCHEMA = (
+    "sid string, purchase_id long, purchase_ts timestamp,"
+    " touch_id long, touch_type string, gap_us long"
+)
+ATTR_STATE_SCHEMA = StructType(
+    [
+        StructField("t_us", LongType()),
+        StructField("t_id", LongType()),
+        StructField("t_type", StringType()),
+        StructField("last_us", LongType()),
+        StructField("n_late", LongType()),  # dropped out-of-order points
+    ]
+)
+
+
+def stream_purchase_attribution(
+    stream_df: DataFrame, lookback_days: int = 7
+) -> DataFrame:
+    """Streaming last-touch attribution: the incremental counterpart of
+    the batch ``purchase_attribution`` (relational/product.py). Every
+    arriving purchase emits its attribution row IMMEDIATELY — the
+    credit depends only on events already seen, so nothing is withheld
+    and a static-corpus replay equals the batch result EXACTLY (not
+    minus a tail — pytest-pinned with chunking invariance).
+
+    State per user is the last non-purchase touch (epoch, id, type)
+    plus the out-of-order guard — FOUR numbers and a string, O(1)
+    regardless of stream length. Ordering contract: within a
+    micro-batch points sort by (ts, seq); an event older than the
+    user's last processed point is DROPPED and counted in ``n_late``
+    (the shared round-9 policy — splicing it in would rewrite an
+    attribution already emitted downstream).
+    """
+    lb_us = lookback_days * 86_400_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            t_us, t_id, t_type, last_us, n_late = state.get
+        else:
+            t_us, t_id, t_type, last_us, n_late = None, None, None, None, 0
+        out = []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = _sort_batch(pdf)
+            us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            seqs = pdf["seq"].to_numpy(dtype="int64")
+            types = pdf["event_type"].to_numpy()
+            for i in range(len(us)):
+                u, q, ty = int(us[i]), int(seqs[i]), str(types[i])
+                if last_us is not None and u < last_us:
+                    n_late += 1
+                    continue
+                last_us = u
+                if ty != "purchase":
+                    t_us, t_id, t_type = u, q, ty
+                    continue
+                if t_us is not None and u - t_us <= lb_us:
+                    out.append((key[0], q, u, t_id, t_type, u - t_us))
+                else:
+                    out.append((key[0], q, u, None, None, None))
+        state.update((t_us, t_id, t_type, last_us, n_late))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "sid": [r[0] for r in out],
+                    "purchase_id": np.asarray(
+                        [r[1] for r in out], dtype="int64"
+                    ),
+                    "purchase_ts": pd.to_datetime(
+                        np.asarray([r[2] for r in out], dtype="int64"),
+                        unit="us",
+                    ),
+                    "touch_id": pd.array(
+                        [r[3] for r in out], dtype="Int64"
+                    ),
+                    "touch_type": [r[4] for r in out],
+                    "gap_us": pd.array([r[5] for r in out], dtype="Int64"),
+                }
+            )
+
+    return (
+        stream_df.select("sid", "seq", "event_type", "ts")
+        .groupBy("sid")
+        .applyInPandasWithState(
+            fn,
+            ATTR_OUTPUT_SCHEMA,
+            ATTR_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -635,3 +635,77 @@ def test_random_bounded_frame_percentile_matches_duckdb(spark, seed):
     assert len(got) == len(want), f"row count: {label}\n{sql}"
     g, w2 = normalize(got), normalize(want)
     assert frame_hash(g) == frame_hash(w2), f"value hash: {label}\n{sql}"
+
+
+# ---- IGNORE-NULLS carry-forward compositions ------------------------------
+# The purchase_attribution family: last(expr_if_cond, ignorenulls) over
+# a running frame == LAST_VALUE(CASE ... END IGNORE NULLS). Specs draw
+# the carried value, the gating condition, the frame end (current row
+# vs 1 preceding), and an optional partition key; the order is the
+# totalized positional tiebreak.
+
+CARRY_VALUES = [
+    (
+        "cents",
+        _CENTS,
+        lambda: F.round(F.col("l_extendedprice") * 100).cast("long"),
+    ),
+    ("qty", "l_quantity", lambda: F.col("l_quantity")),
+    ("line", "l_linenumber", lambda: F.col("l_linenumber")),
+]
+
+CARRY_CONDS = [
+    ("flag_r", "l_returnflag = 'R'", lambda: F.col("l_returnflag") == "R"),
+    ("qty_25", "l_quantity >= 25", lambda: F.col("l_quantity") >= 25),
+    ("disc", "l_discount > 0.02", lambda: F.col("l_discount") > 0.02),
+]
+
+CARRY_ENDS = [("cur", 0, "CURRENT ROW"), ("prev", -1, "1 PRECEDING")]
+
+
+@pytest.mark.parametrize("seed", range(600, 606))
+def test_random_ignore_nulls_carry_matches_duckdb(spark, seed):
+    from pyspark.sql import Window
+
+    rng = random.Random(seed)
+    pkeys = rng.sample(KEYS, rng.randint(0, 1))
+    val = rng.choice(CARRY_VALUES)
+    cond = rng.choice(CARRY_CONDS)
+    end = rng.choice(CARRY_ENDS)
+
+    base = (
+        Window.partitionBy(*[k[1]() for k in pkeys])
+        if pkeys
+        else Window.partitionBy()
+    )
+    w = base.orderBy(*_tie()).rowsBetween(Window.unboundedPreceding, end[1])
+
+    df = spark.read.parquet(LINEITEM)
+    got = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.last(
+            F.when(cond[2](), val[2]()), ignorenulls=True
+        ).over(w).alias("carried"),
+    ).toPandas()
+
+    p_sql = (
+        "PARTITION BY " + ", ".join(k[2] for k in pkeys) if pkeys else ""
+    )
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"LAST_VALUE(CASE WHEN {cond[1]} THEN {val[1]} END IGNORE NULLS) "
+        f"OVER ({p_sql} ORDER BY {_TIE_SQL} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND {end[2]}) AS carried "
+        f"FROM lineitem"
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{LINEITEM}'")
+    want = con.sql(sql).df()
+
+    label = (
+        f"p={[k[0] for k in pkeys]} v={val[0]} c={cond[0]} end={end[0]}"
+    )
+    assert len(got) == len(want), f"row count: {label}\n{sql}"
+    g, w2 = normalize(got), normalize(want)
+    assert frame_hash(g) == frame_hash(w2), f"value hash: {label}\n{sql}"

@@ -1191,3 +1191,75 @@ def test_stream_burst_collapse_closed_bursts_match_batch(
         for r in batch[batch["first_us"] != last_start].itertuples()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("split", [300, 777])
+def test_stream_purchase_attribution_matches_batch(spark, stream_dir, split):
+    """Replaying the static corpus through the stateful kernel must
+    reproduce the batch purchase_attribution EXACTLY (attribution
+    depends only on past events, so no tail is withheld) — however the
+    replay is chunked."""
+    from metevents_spark.relational.product import purchase_attribution
+    from metevents_spark.streaming import stream_purchase_attribution
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    pdf = (
+        pd.DataFrame(
+            {
+                "sid": ev["user_id"].astype(str),
+                "seq": ev["event_id"].astype("int64"),
+                "event_type": ev["event_type"],
+                "ts": ev["ts"],
+            }
+        )
+        .sort_values(["ts", "seq"], kind="stable")
+        .reset_index(drop=True)
+    )
+    d = Path(stream_dir, f"attr_in_{split}")
+    d.mkdir()
+    pdf.iloc[:split].to_parquet(f"{d}/c0.parquet", coerce_timestamps="us")
+    time.sleep(0.05)
+    pdf.iloc[split:].to_parquet(f"{d}/c1.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema(
+            "sid string, seq long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    name = f"attr_out_{split}"
+    q = (
+        stream_purchase_attribution(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{stream_dir}/attr_ckpt_{split}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql(f"SELECT * FROM {name}")
+        .toPandas()
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )
+
+    want = (
+        purchase_attribution(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["purchase_id"]) == list(want["purchase_id"])
+    assert list(got["sid"]) == [str(u) for u in want["user_id"]]
+    for col in ("touch_id", "gap_us"):
+        g, w = got[col], want[col]
+        assert list(g.isna()) == list(w.isna()), col
+        assert list(g.dropna().astype("int64")) == list(
+            w.dropna().astype("int64")
+        ), col
+    assert list(got["touch_type"].fillna("~")) == list(
+        want["touch_type"].fillna("~")
+    )
