@@ -217,6 +217,7 @@ HEADLINE = [
     "doc_containment",
     "part_pagerank",
     "purchase_attribution",
+    "model_select_backtest",
 ]
 
 

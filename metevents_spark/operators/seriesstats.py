@@ -960,3 +960,86 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sid")
     )
+
+
+def model_select_backtest(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.2, beta: float = 0.1
+) -> DataFrame:
+    """Per-series forecaster selection by walk-forward backtest: run
+    the EWMA (level-only) and Holt (level+trend) recursions over the
+    same series in ONE pass, score both with one-step-ahead MAE, and
+    crown a champion — the model-selection step a forecasting pipeline
+    runs before alerting thresholds are fit (a trending series wants
+    Holt; a mean-reverting one is hurt by the trend term).
+
+    Both models initialize at the SAME first non-NULL point and
+    forecast at the SAME subsequent points, so n_forecasts is shared
+    and the champion test is a pure INTEGER comparison of the two
+    micro-unit absolute-error sums (ties -> 'ewma', parsimony). MAEs
+    quantize via the holt_backtest micro-unit pattern — engine-exact,
+    no float ROUND at the boundary.
+
+    Scale shape: the same single-exchange sorted-partition kernel as
+    every sequential smoother; one row per series out.
+    """
+    import math
+
+    import numpy as np
+
+    from metevents_spark.operators.grouped import map_series_kernel
+
+    df = series_frame(spark, sf_dir)
+
+    def kernel(sid, ts, vals):
+        s = l = b = None
+        n = 0
+        abs_e = abs_h = 0  # exact Python ints (micro-units)
+        for i in range(len(vals)):
+            x = vals[i]
+            if np.isnan(x):
+                continue
+            x = float(x)
+            if l is None:
+                s, l, b = x, x, 0.0
+                continue
+            n += 1
+            for fcast, acc in ((s, "e"), (l + b, "h")):
+                v = (x - fcast) * 1e6
+                e_us = int(
+                    math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+                )
+                if acc == "e":
+                    abs_e += abs(e_us)
+                else:
+                    abs_h += abs(e_us)
+            s = alpha * x + (1.0 - alpha) * s
+            prev_l = l
+            l = alpha * x + (1.0 - alpha) * (l + b)
+            b = beta * (l - prev_l) + (1.0 - beta) * b
+        if n == 0:
+            return []
+
+        def q6(v: float) -> float:
+            r = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+            return r / 1e6
+
+        champion = "ewma" if abs_e <= abs_h else "holt"
+        return [
+            (
+                sid,
+                n,
+                q6(float(abs_e) / n),
+                q6(float(abs_h) / n),
+                champion,
+            )
+        ]
+
+    return map_series_kernel(
+        df,
+        kernel,
+        "sid string, n_forecasts long, mae_ewma double, mae_holt double,"
+        " champion string",
+        ["sid", "n_forecasts", "mae_ewma", "mae_holt", "champion"],
+        {"n_forecasts": "int64", "mae_ewma": "float64",
+         "mae_holt": "float64"},
+    ).orderBy("sid")

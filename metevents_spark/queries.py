@@ -189,6 +189,7 @@ from metevents_spark.quality import (
 from metevents_spark.operators.changepoint import cusum_alarm
 from metevents_spark.operators.seriesstats import (
     anomaly_consensus,
+    model_select_backtest,
     holt_backtest,
     interarrival_stats,
     rolling_median,
@@ -3369,6 +3370,45 @@ SELECT sid, COUNT(*) AS n_forecasts,
 FROM err GROUP BY sid ORDER BY sid
 """
 
+# Model selection: both recursions replayed as recursive CTEs over the
+# SAME forecast points; the champion test compares the two micro-unit
+# absolute-error SUMS as exact integers (same n on both sides), MAEs
+# round via the holt_backtest integer micro-unit pattern.
+ORACLE_SQL["model_select_backtest"] = """
+WITH RECURSIVE s AS (
+  SELECT CAST(user_id AS VARCHAR) AS sid, ts, CAST(value AS DOUBLE) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), rec AS (
+  SELECT sid, rn, value, value AS sm, value AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.sid, s.rn, s.value,
+         CASE WHEN s.value IS NULL THEN rec.sm
+              WHEN rec.sm IS NULL THEN s.value
+              ELSE 0.2 * s.value + (1.0 - 0.2) * rec.sm END AS sm,
+         CASE WHEN s.value IS NULL THEN rec.l
+              WHEN rec.l IS NULL THEN s.value
+              ELSE 0.2 * s.value + (1.0 - 0.2) * (rec.l + rec.b) END AS l,
+         CASE WHEN s.value IS NULL THEN rec.b
+              WHEN rec.l IS NULL THEN 0.0
+              ELSE 0.1 * ((0.2 * s.value + (1.0 - 0.2) * (rec.l + rec.b))
+                          - rec.l) + (1.0 - 0.1) * rec.b END AS b
+  FROM rec JOIN s ON s.sid = rec.sid AND s.rn = rec.rn + 1
+), err AS (
+  SELECT r.sid,
+         ABS(CAST(ROUND((s2.value - r.sm) * 1e6) AS BIGINT)) AS ae_us,
+         ABS(CAST(ROUND((s2.value - (r.l + r.b)) * 1e6) AS BIGINT)) AS ah_us
+  FROM rec r JOIN s s2 ON s2.sid = r.sid AND s2.rn = r.rn + 1
+  WHERE s2.value IS NOT NULL AND r.l IS NOT NULL
+)
+SELECT sid, COUNT(*) AS n_forecasts,
+  ROUND(CAST(SUM(ae_us) AS DOUBLE) / COUNT(*)) / 1e6 AS mae_ewma,
+  ROUND(CAST(SUM(ah_us) AS DOUBLE) / COUNT(*)) / 1e6 AS mae_holt,
+  CASE WHEN SUM(ae_us) <= SUM(ah_us) THEN 'ewma' ELSE 'holt' END AS champion
+FROM err GROUP BY sid ORDER BY sid
+"""
+
 # Kaplan-Meier: integer risk/event cumulatives; the product-limit fold
 # is exp(cumsum(ln)) over the ORDERED duration window — sequential and
 # identical in both engines (ln ulp noise absorbed by ROUND(...,6)).
@@ -3946,21 +3986,22 @@ FROM fruns WHERE cond GROUP BY sid, run_id ORDER BY sid, "start"
 #     ROUND(double, 6) at the query boundary is now replaced by pure
 #     integer micro-unit rounding (similarity/pca.py) and must re-earn
 #     its green here;
-#   * slots 7-13: the seven operators NEW this round (the salted-join
+#   * slots 7-14: the eight operators NEW this round (the salted-join
 #     hot-key demo whose oracle is the plain join, reciprocal-rank
 #     fusion, chi-squared term selection, classifier calibration/ECE,
 #     asymmetric n-gram containment, the rows-only weighted PageRank
-#     over the co-purchase graph, and last-touch purchase attribution)
-#     — never-seen keys take window priority;
-#   * slots 14-19: the six r05-stale keys displaced from the r09
+#     over the co-purchase graph, last-touch purchase attribution, and
+#     the EWMA-vs-Holt walk-forward model selection) — never-seen keys
+#     take window priority;
+#   * slots 15-20: the six r05-stale keys displaced from the r09
 #     window (source_mix_sample, stratified_sample, unigram_logprob,
 #     user_reach, value_drift_psi, value_histogram);
-#   * slots 20-21: knn_lsh / knn_ivf — rows-only, last driver-checked
+#   * slots 21-22: knn_lsh / knn_ivf — rows-only, last driver-checked
 #     r01, displaced twice; refreshed now per the r9 rotation note;
-#   * slots 22-50: the first 29 (alphabetical) of the 33-key r06-stale
-#     cohort; the last four (sole_return_supplier, text_stats,
-#     top_supplier, winsorize_series) sit just past the cap and lead
-#     the r11 window.
+#   * slots 23-50: the first 28 (alphabetical) of the 33-key r06-stale
+#     cohort; the last five (series_acf, sole_return_supplier,
+#     text_stats, top_supplier, winsorize_series) sit just past the
+#     cap and lead the r11 window.
 # Every key green in r07-r09 rotates past the cap; the r07 cohort
 # (43 keys) and r08 cohort (39 keys) are next in line for r11/r12.
 #
@@ -3982,6 +4023,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_containment": doc_containment,
     "part_pagerank": part_pagerank,
     "purchase_attribution": purchase_attribution,
+    "model_select_backtest": model_select_backtest,
     "source_mix_sample": source_mix_sample,
     "stratified_sample": stratified_sample,
     "unigram_logprob": unigram_logprob,
@@ -4019,10 +4061,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rich_idle_customers": rich_idle_customers,
     "seasonal_decompose": seasonal_decompose,
     "series_acf": series_acf,
-    "winsorize_series": winsorize_series,
     "sole_return_supplier": sole_return_supplier,
     "text_stats": text_stats,
     "top_supplier": top_supplier,
+    "winsorize_series": winsorize_series,
     "spike_valley": q_spike_valley,
     "market_basket_lift": market_basket_lift,
     "rolling_median": rolling_median,

@@ -285,3 +285,51 @@ def test_purchase_attribution_matches_sequential_replay(spark):
             assert row.gap_us == gap
     # the fixture should actually attribute something
     assert got["touch_id"].notna().any()
+
+
+def test_model_select_backtest_matches_sequential_replay(spark):
+    import math
+
+    from metevents_spark.operators.seriesstats import model_select_backtest
+
+    got = (
+        model_select_backtest(spark, SF_SMALL)
+        .toPandas()
+        .set_index("sid")
+    )
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    ev["sid"] = ev["user_id"].astype(str)
+    a, b_ = 0.2, 0.1
+    for sid, grp in ev.groupby("sid"):
+        grp = grp.sort_values(["ts", "event_id"], kind="stable")
+        s = l = b = None
+        n, abs_e, abs_h = 0, 0, 0
+        for x in grp["value"]:
+            if pd.isna(x):
+                continue
+            x = float(x)
+            if l is None:
+                s, l, b = x, x, 0.0
+                continue
+            n += 1
+            for fc, is_e in ((s, True), (l + b, False)):
+                v = (x - fc) * 1e6
+                e = int(math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5))
+                if is_e:
+                    abs_e += abs(e)
+                else:
+                    abs_h += abs(e)
+            s = a * x + (1 - a) * s
+            prev = l
+            l = a * x + (1 - a) * (l + b)
+            b = b_ * (l - prev) + (1 - b_) * b
+        row = got.loc[sid]
+        assert row["n_forecasts"] == n
+        assert abs(row["mae_ewma"] - math.floor(abs_e / n + 0.5) / 1e6) < 1e-12
+        assert abs(row["mae_holt"] - math.floor(abs_h / n + 0.5) / 1e6) < 1e-12
+        assert row["champion"] == ("ewma" if abs_e <= abs_h else "holt")
+    # champion column is consistent with the reported MAEs up to the
+    # 1e-6 quantization (strictly better MAE implies the crown)
+    worse = got[got["mae_ewma"] > got["mae_holt"] + 1e-9]
+    assert (worse["champion"] == "holt").all()
