@@ -709,3 +709,66 @@ def test_random_ignore_nulls_carry_matches_duckdb(spark, seed):
     assert len(got) == len(want), f"row count: {label}\n{sql}"
     g, w2 = normalize(got), normalize(want)
     assert frame_hash(g) == frame_hash(w2), f"value hash: {label}\n{sql}"
+
+
+# ---- semi / anti join (EXISTS subquery) compositions -----------------------
+# Spark's left_semi/left_anti against the textbook EXISTS / NOT EXISTS
+# correlated subquery — the decorrelation path both engines optimize
+# differently, composed with filters drawn on BOTH sides and the
+# integer-exact aggregate pool.
+
+
+@pytest.mark.parametrize("seed", range(700, 706))
+def test_random_semi_anti_composition_matches_duckdb(spark, seed):
+    orders_path = f"{SF_SMALL}/orders.parquet"
+    rng = random.Random(seed)
+    lfilters = rng.sample(FILTERS, rng.randint(0, 1))
+    ofilters = rng.sample(ORDER_FILTERS, rng.randint(1, 2))
+    keys = rng.sample(KEYS, rng.randint(1, 2))
+    aggs = rng.sample(AGGS, rng.randint(2, 3))
+    anti = rng.random() < 0.5
+
+    line = spark.read.parquet(LINEITEM)
+    for _, col, _ in lfilters:
+        line = line.filter(col())
+    orders = spark.read.parquet(orders_path)
+    for _, col, _ in ofilters:
+        orders = orders.filter(col())
+    got = (
+        line.join(
+            orders,
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti" if anti else "left_semi",
+        )
+        .groupBy(*[k[1]().alias(k[0]) for k in keys])
+        .agg(*[a[1]() for a in aggs])
+        .toPandas()
+    )
+
+    o_where = " AND ".join(f[2] for f in ofilters)
+    l_where = (
+        "AND " + " AND ".join(f[2] for f in lfilters) if lfilters else ""
+    )
+    verb = "NOT EXISTS" if anti else "EXISTS"
+    key_sql = ", ".join(f"{k[2]} AS {k[0]}" for k in keys)
+    agg_sql = ", ".join(a[2] for a in aggs)
+    sql = (
+        f"SELECT {key_sql}, {agg_sql} FROM lineitem "
+        f"WHERE {verb} (SELECT 1 FROM orders "
+        f"WHERE o_orderkey = l_orderkey AND {o_where}) {l_where} "
+        f"GROUP BY {', '.join(k[0] for k in keys)}"
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{LINEITEM}'")
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{orders_path}'")
+    want = con.sql(sql).df()
+
+    label = (
+        f"{'anti' if anti else 'semi'} l={[f[0] for f in lfilters]} "
+        f"o={[f[0] for f in ofilters]} k={[k[0] for k in keys]} "
+        f"a={[a[0] for a in aggs]}"
+    )
+    assert len(got) == len(want), f"row count: {label}\n{sql}"
+    g, w = normalize(got), normalize(want)
+    assert sorted(g.columns) == sorted(w.columns), label
+    assert frame_hash(g) == frame_hash(w), f"value hash: {label}\n{sql}"
