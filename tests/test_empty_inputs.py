@@ -35,6 +35,10 @@ GRACEFUL = [
     "nation_yoy_growth", "bpe_learn", "gap_fill_hourly", "value_drift_psi",
     "importance_resample", "decontaminate_bloom", "media_dedup",
     "sequence_pack",
+    # r10 family representatives
+    "events_above_type_avg", "rrf_fusion", "chi2_terms",
+    "classifier_calibration", "doc_containment", "purchase_attribution",
+    "model_select_backtest", "part_pagerank",
 ]
 # undefined-on-empty by design: must raise ValueError with a message
 # that names the problem
