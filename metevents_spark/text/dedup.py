@@ -1254,13 +1254,17 @@ def doc_containment(
         ).persist()
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    df_counts = grams.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    # both self-join sides read the capped postings — persist the
-    # (small, df-filtered) frame rather than re-running the filter join
+    from pyspark.sql import Window
+
+    # document frequency via a count window over the shingle hash —
+    # ONE exchange on sh instead of groupBy + shuffle join back; both
+    # self-join sides then read the persisted capped postings
+    w_sh = Window.partitionBy("sh")
     rare = track(
-        grams.join(
-            df_counts.where(F.col("df") <= max_df).select("sh"), "sh"
-        ).persist()
+        grams.withColumn("df", F.count(F.lit(1)).over(w_sh))
+        .where(F.col("df") <= max_df)
+        .drop("df")
+        .persist()
     )
     a, b = rare.alias("a"), rare.alias("b")
     shared = (

@@ -1022,12 +1022,20 @@ def chi2_terms(
     """
     from pyspark.sql import Window
 
+    from metevents_spark.cache import track
+
     toks = (
         load_table(spark, sf_dir, "documents")
         .select("source", F.explode(F.split(F.col("text"), " ")).alias("term"))
     )
-    st = toks.groupBy("source", "term").agg(
-        F.count(F.lit(1)).alias("a_cnt")
+    # three consumers (term totals, source totals, corpus total) plus
+    # the candidate join read the same contingency base — persist so
+    # the corpus explodes and aggregates ONCE; the frame is bounded by
+    # |vocab| x |sources|, not by tokens
+    st = track(
+        toks.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("a_cnt"))
+        .persist()
     )
     term_tot = st.groupBy("term").agg(F.sum("a_cnt").alias("t_cnt"))
     src_tot = st.groupBy("source").agg(F.sum("a_cnt").alias("s_cnt"))
