@@ -772,3 +772,73 @@ def test_random_semi_anti_composition_matches_duckdb(spark, seed):
     g, w = normalize(got), normalize(want)
     assert sorted(g.columns) == sorted(w.columns), label
     assert frame_hash(g) == frame_hash(w), f"value hash: {label}\n{sql}"
+
+
+# ---- set-operation compositions (INTERSECT / EXCEPT / UNION ALL) -----------
+# Spark's intersectAll/exceptAll/unionAll against the SQL set verbs —
+# bag semantics (ALL) so duplicate rows count, composed from two
+# filtered projections of the same fact table.
+
+SETOP_PROJS = [
+    (
+        "flag_stat",
+        ["l_returnflag", "l_linestatus"],
+        "l_returnflag, l_linestatus",
+    ),
+    (
+        "key_qty",
+        ["l_orderkey", "l_quantity"],
+        "l_orderkey, l_quantity",
+    ),
+    (
+        "supp_year",
+        None,  # computed below
+        "CAST(l_suppkey % 10 AS BIGINT) AS sm, "
+        "CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS sy",
+    ),
+]
+
+
+@pytest.mark.parametrize("seed", range(800, 806))
+def test_random_set_op_composition_matches_duckdb(spark, seed):
+    rng = random.Random(seed)
+    fa = rng.choice(FILTERS)
+    fb = rng.choice([f for f in FILTERS if f[0] != fa[0]])
+    proj = rng.choice(SETOP_PROJS)
+    op = rng.choice(["intersect", "except", "union"])
+
+    df = spark.read.parquet(LINEITEM)
+
+    def side(flt):
+        d = df.filter(flt[1]())
+        if proj[1] is not None:
+            return d.select(*proj[1])
+        return d.select(
+            (F.col("l_suppkey") % 10).cast("long").alias("sm"),
+            F.year("l_shipdate").cast("long").alias("sy"),
+        )
+
+    a, b = side(fa), side(fb)
+    if op == "intersect":
+        got = a.intersectAll(b).toPandas()
+        verb = "INTERSECT ALL"
+    elif op == "except":
+        got = a.exceptAll(b).toPandas()
+        verb = "EXCEPT ALL"
+    else:
+        got = a.unionAll(b).toPandas()
+        verb = "UNION ALL"
+
+    sql = (
+        f"SELECT {proj[2]} FROM lineitem WHERE {fa[2]} "
+        f"{verb} "
+        f"SELECT {proj[2]} FROM lineitem WHERE {fb[2]}"
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{LINEITEM}'")
+    want = con.sql(sql).df()
+
+    label = f"{op} a={fa[0]} b={fb[0]} proj={proj[0]}"
+    assert len(got) == len(want), f"row count: {label}\n{sql}"
+    g, w = normalize(got), normalize(want)
+    assert frame_hash(g) == frame_hash(w), f"value hash: {label}\n{sql}"
