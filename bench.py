@@ -218,6 +218,7 @@ HEADLINE = [
     "part_pagerank",
     "purchase_attribution",
     "model_select_backtest",
+    "ab_test_report",
 ]
 
 

@@ -47,6 +47,7 @@ from metevents_spark.operators.skew import (
     key_skew_report,
 )
 from metevents_spark.relational import (
+    ab_test_report,
     brand_revenue,
     purchase_attribution,
     latest_event_per_user,
@@ -3409,6 +3410,37 @@ SELECT sid, COUNT(*) AS n_forecasts,
 FROM err GROUP BY sid ORDER BY sid
 """
 
+# A/B readout: exact integer counts and ppm rates (sign-split floor
+# division); the z statistic is one fixed float tree over integers.
+ORACLE_SQL["ab_test_report"] = """
+WITH pu AS (SELECT user_id,
+            CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 >= 14 THEN 1 ELSE 0 END AS conv
+            FROM events GROUP BY user_id),
+arms AS (SELECT CAST(user_id % 2 AS INT) AS arm, COUNT(*) AS n,
+         CAST(SUM(conv) AS BIGINT) AS c FROM pu GROUP BY 1),
+wide AS (SELECT
+  MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+  MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+  MAX(CASE WHEN arm = 0 THEN c END) AS c0,
+  MAX(CASE WHEN arm = 1 THEN c END) AS c1
+  FROM arms)
+SELECT n0 AS n_control, n1 AS n_treatment,
+  c0 AS conv_control, c1 AS conv_treatment,
+  c0 * 1000000 // n0 AS rate_control_ppm,
+  c1 * 1000000 // n1 AS rate_treatment_ppm,
+  CASE WHEN c0 = 0 THEN NULL
+       WHEN c1 * n0 >= c0 * n1
+       THEN (c1 * n0 - c0 * n1) * 1000000 // (c0 * n1)
+       ELSE -((c0 * n1 - c1 * n0) * 1000000 // (c0 * n1)) END AS lift_ppm,
+  CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+    ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+          / SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                 * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                 * (1.0 / n0 + 1.0 / n1)), 6) END AS z_score
+FROM wide
+"""
+
 # Kaplan-Meier: integer risk/event cumulatives; the product-limit fold
 # is exp(cumsum(ln)) over the ORDERED duration window — sequential and
 # identical in both engines (ln ulp noise absorbed by ROUND(...,6)).
@@ -3986,22 +4018,23 @@ FROM fruns WHERE cond GROUP BY sid, run_id ORDER BY sid, "start"
 #     ROUND(double, 6) at the query boundary is now replaced by pure
 #     integer micro-unit rounding (similarity/pca.py) and must re-earn
 #     its green here;
-#   * slots 7-14: the eight operators NEW this round (the salted-join
+#   * slots 7-15: the nine operators NEW this round (the salted-join
 #     hot-key demo whose oracle is the plain join, reciprocal-rank
 #     fusion, chi-squared term selection, classifier calibration/ECE,
 #     asymmetric n-gram containment, the rows-only weighted PageRank
-#     over the co-purchase graph, last-touch purchase attribution, and
-#     the EWMA-vs-Holt walk-forward model selection) — never-seen keys
-#     take window priority;
-#   * slots 15-20: the six r05-stale keys displaced from the r09
+#     over the co-purchase graph, last-touch purchase attribution, the
+#     EWMA-vs-Holt walk-forward model selection, and the two-arm A/B
+#     readout) — never-seen keys take window priority;
+#   * slots 16-21: the six r05-stale keys displaced from the r09
 #     window (source_mix_sample, stratified_sample, unigram_logprob,
 #     user_reach, value_drift_psi, value_histogram);
-#   * slots 21-22: knn_lsh / knn_ivf — rows-only, last driver-checked
+#   * slots 22-23: knn_lsh / knn_ivf — rows-only, last driver-checked
 #     r01, displaced twice; refreshed now per the r9 rotation note;
-#   * slots 23-50: the first 28 (alphabetical) of the 33-key r06-stale
-#     cohort; the last five (series_acf, sole_return_supplier,
-#     text_stats, top_supplier, winsorize_series) sit just past the
-#     cap and lead the r11 window.
+#   * slots 24-50: the first 27 (alphabetical) of the 33-key r06-stale
+#     cohort; the last six (series_acf, seasonal_decompose,
+#     sole_return_supplier, text_stats, top_supplier,
+#     winsorize_series) sit just past the cap and lead the r11
+#     window.
 # Every key green in r07-r09 rotates past the cap; the r07 cohort
 # (43 keys) and r08 cohort (39 keys) are next in line for r11/r12.
 #
@@ -4024,6 +4057,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_pagerank": part_pagerank,
     "purchase_attribution": purchase_attribution,
     "model_select_backtest": model_select_backtest,
+    "ab_test_report": ab_test_report,
     "source_mix_sample": source_mix_sample,
     "stratified_sample": stratified_sample,
     "unigram_logprob": unigram_logprob,

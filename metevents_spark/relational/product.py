@@ -632,3 +632,92 @@ def purchase_attribution(
             "gap_us"
         ),
     ).orderBy("purchase_id")
+
+
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm experiment readout over the event stream: per-arm user
+    counts, converters (>= 1 purchase), exact-ppm conversion rates,
+    relative lift, and the pooled two-proportion z statistic — the
+    A/B-test analysis every experimentation platform materializes.
+    Assignment here is the deterministic synthetic ``user_id % 2``
+    (the MACHINERY — per-user collapse, pooled variance, exact-integer
+    rates — is the operator; swap the assignment column for a real
+    bucketing hash in production).
+
+    Engine-exact: every count and ppm rate is integer floor-division;
+    the only float expression is the z statistic (one fixed tree over
+    integer inputs — IEEE sqrt is correctly rounded), rounded at 6 dp
+    where the inputs are irrational, never half-grid.
+
+    Scale shape: ONE groupBy(user_id) whose partial aggregation
+    collapses map-side (the exchange carries |users| rows), one
+    2-row arm aggregate, one 1-row pivot. No joins, no Python.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # conversion = heavy purchaser (>= 14 purchase events — the stream
+    # averages ~13 per user at every sf, so this splits the population
+    # near the median and stays non-degenerate; ">= 1 purchase" would
+    # be 100% in both arms and the pooled variance collapses to zero)
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    arms = (
+        per_user.groupBy((F.col("user_id") % 2).cast("int").alias("arm"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+    )
+    one = (
+        arms.groupBy()
+        .pivot("arm", [0, 1])
+        .agg(
+            F.first("n_users").alias("n"),
+            F.first("n_converted").alias("c"),
+        )
+    )
+    # exact integer ppm rates and relative lift; pooled z in one fixed
+    # float expression tree
+    d = lambda c: F.col(c).cast("double")
+    p0, p1 = d("0_c") / d("0_n"), d("1_c") / d("1_n")
+    pool = (d("0_c") + d("1_c")) / (d("0_n") + d("1_n"))
+    # degenerate arms (everyone or no one converts) have zero pooled
+    # variance — the z statistic is undefined there, reported NULL
+    z = F.when(
+        (pool > 0) & (pool < 1),
+        (p1 - p0)
+        / F.sqrt(
+            pool
+            * (F.lit(1.0) - pool)
+            * (F.lit(1.0) / d("0_n") + F.lit(1.0) / d("1_n"))
+        ),
+    )
+    return one.select(
+        F.col("0_n").alias("n_control"),
+        F.col("1_n").alias("n_treatment"),
+        F.col("0_c").alias("conv_control"),
+        F.col("1_c").alias("conv_treatment"),
+        F.expr("`0_c` * 1000000L div `0_n`").alias("rate_control_ppm"),
+        F.expr("`1_c` * 1000000L div `1_n`").alias("rate_treatment_ppm"),
+        # sign-split so truncation == floor on both engines (Spark div
+        # truncates toward zero, DuckDB // floors — they differ on
+        # negative numerators); NULL when the control arm never
+        # converts (relative lift undefined)
+        F.expr(
+            "CASE WHEN `0_c` = 0 THEN NULL"
+            " WHEN `1_c` * `0_n` >= `0_c` * `1_n` THEN"
+            " (`1_c` * `0_n` - `0_c` * `1_n`) * 1000000L"
+            "   div (`0_c` * `1_n`)"
+            " ELSE -((`0_c` * `1_n` - `1_c` * `0_n`) * 1000000L"
+            "   div (`0_c` * `1_n`)) END"
+        ).alias("lift_ppm"),
+        F.round(z, 6).alias("z_score"),
+    )

@@ -38,7 +38,7 @@ GRACEFUL = [
     # r10 family representatives
     "events_above_type_avg", "rrf_fusion", "chi2_terms",
     "classifier_calibration", "doc_containment", "purchase_attribution",
-    "model_select_backtest", "part_pagerank",
+    "model_select_backtest", "part_pagerank", "ab_test_report",
 ]
 # undefined-on-empty by design: must raise ValueError with a message
 # that names the problem

@@ -333,3 +333,47 @@ def test_model_select_backtest_matches_sequential_replay(spark):
     # 1e-6 quantization (strictly better MAE implies the crown)
     worse = got[got["mae_ewma"] > got["mae_holt"] + 1e-9]
     assert (worse["champion"] == "holt").all()
+
+
+def test_ab_test_report_matches_statsmodel_replay(spark):
+    import math
+
+    from metevents_spark.relational.product import ab_test_report
+
+    got = ab_test_report(spark, SF_SMALL).toPandas().iloc[0]
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    pc = (
+        ev[ev["event_type"] == "purchase"]
+        .groupby("user_id")
+        .size()
+        .reindex(ev["user_id"].unique(), fill_value=0)
+    )
+    conv = (pc >= 14).astype(int)
+    arm = pd.Series(pc.index % 2, index=pc.index)
+    n0, n1 = int((arm == 0).sum()), int((arm == 1).sum())
+    c0, c1 = int(conv[arm == 0].sum()), int(conv[arm == 1].sum())
+
+    assert got["n_control"] == n0 and got["n_treatment"] == n1
+    assert got["conv_control"] == c0 and got["conv_treatment"] == c1
+    assert got["rate_control_ppm"] == c0 * 1_000_000 // n0
+    assert got["rate_treatment_ppm"] == c1 * 1_000_000 // n1
+    if c0 == 0:
+        assert pd.isna(got["lift_ppm"])
+    else:
+        num = c1 * n0 - c0 * n1
+        den = c0 * n1
+        want_lift = (
+            num * 1_000_000 // den
+            if num >= 0
+            else -((-num) * 1_000_000 // den)
+        )
+        assert got["lift_ppm"] == want_lift
+    if 0 < c0 + c1 < n0 + n1:
+        pool = (c0 + c1) / (n0 + n1)
+        z = (c1 / n1 - c0 / n0) / math.sqrt(
+            pool * (1 - pool) * (1 / n0 + 1 / n1)
+        )
+        assert abs(got["z_score"] - round(z, 6)) < 2e-6
+    else:
+        assert pd.isna(got["z_score"])
