@@ -130,3 +130,78 @@ def part_pagerank(
         .orderBy(F.desc("rank_ppm"), "pid")
         .limit(top)
     )
+
+
+def copurchase_triangles(
+    spark: SparkSession, sf_dir: str, top: int = 50
+) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph — the
+    local-clustering signal behind community detection and
+    recommendation quality (a part in many triangles sits inside a
+    dense "bought-together" cluster; pagerank measures reach, this
+    measures cohesion). Returns the ``top`` parts by triangle count
+    (ties break on part id) — exact integers, nothing to round.
+
+    Algorithm: degree-ordered edge orientation (compact-forward).
+    Each undirected edge {u,v} orients from the lower (degree, id)
+    endpoint to the higher; every triangle then materializes exactly
+    once as two out-edges from its lowest-ordered corner plus the
+    closing edge. Wedge work per node is out-degree², and orientation
+    bounds out-degree by √(2m) — the classic distributed triangle
+    bound, versus the unordered wedge join whose hub nodes explode as
+    full-degree². The wedge→edge semi-check is an equi-join on the
+    (dst1, dst2) pair, co-partitioned with the edge list.
+
+    The oracle counts the same triangle set with id-ordering
+    (u < v < w) — orientation changes which joins run, never which
+    triangles exist, so per-part counts agree exactly.
+    """
+    und = (
+        _copurchase_edges(spark, sf_dir)
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    # degree over the undirected graph: count both endpoint roles
+    deg = track(
+        und.select(F.col("src").alias("p"))
+        .unionAll(und.select(F.col("dst").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
+    )
+    tagged = (
+        und.join(deg.select(F.col("p").alias("src"), F.col("deg").alias("ds")), "src")
+        .join(deg.select(F.col("p").alias("dst"), F.col("deg").alias("dd")), "dst")
+    )
+    lower_first = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = track(
+        tagged.select(
+            F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("a"),
+            F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("b"),
+            F.when(lower_first, F.col("dd")).otherwise(F.col("ds")).alias("db"),
+        ).persist()
+    )
+    # wedges from a common lowest corner; order the two spokes by the
+    # same (degree, id) key so each unordered spoke pair forms once
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    spoke_lt = (F.col("e1.db") < F.col("e2.db")) | (
+        (F.col("e1.db") == F.col("e2.db")) & (F.col("e1.b") < F.col("e2.b"))
+    )
+    wedges = e1.join(e2, (F.col("e1.a") == F.col("e2.a")) & spoke_lt).select(
+        F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
+    )
+    closing = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["b", "c"], "left_semi")
+    nodes = (
+        tri.select(F.col("a").alias("p_partkey"))
+        .unionAll(tri.select(F.col("b").alias("p_partkey")))
+        .unionAll(tri.select(F.col("c").alias("p_partkey")))
+    )
+    return (
+        nodes.groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "p_partkey")
+        .limit(top)
+    )

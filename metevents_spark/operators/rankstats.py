@@ -1,0 +1,244 @@
+"""Rank-based (non-parametric) statistics over the event series.
+
+The engine's robust-inference tier beside the parametric operators
+(`series_trend`'s OLS regr_*, `ab_test_report`'s Welch t): rank
+statistics survive heavy tails and outliers that wreck moment-based
+estimators, which is exactly the regime quality-score and telemetry
+columns live in.
+
+Three operators:
+  * :func:`theilsen_trend` — per-series Theil–Sen slope estimator
+    (median of pairwise slopes), the robust counterpart of
+    ``series_trend``'s least-squares slope (up to 29% contamination
+    tolerance vs 0%).
+  * :func:`spearman_trend` — per-series Spearman rank correlation of
+    value against time order (a monotonic-trend test; Pearson on
+    ranks, computed in EXACT integer moment sums via doubled average
+    ranks so the hash is engine-stable).
+  * :func:`mann_whitney_u` — Mann–Whitney U rank-sum test of each
+    event type's value distribution against the ``view`` baseline,
+    with the tie-corrected normal approximation.
+
+Determinism: every aggregate here is either an exact integer/half sum
+(ranks and doubled ranks are exactly representable doubles whose
+partial sums stay far under 2^53, so float summation is
+order-independent) or a median of identical double sets — no
+order-dependent float folds, the lesson of the embedding_covariance
+r08/r09 driver reds.
+
+Scale shape:
+  * theilsen_trend materializes the per-series pair set — O(n_s²) rows
+    per series but CO-LOCATED on sid (one exchange; the self-join's
+    both sides share the sid hash partitioning), never a cross-series
+    blowup. At 100 TB series lengths, swap in the documented
+    pair-subsample variant (a deterministic hash filter on (rn_a,
+    rn_b) before the median) — the estimator degrades gracefully.
+  * spearman_trend is two sid-window passes + one groupBy — integer
+    sums only, map-side combining.
+  * mann_whitney_u broadcasts the |event_types|-sized group list; the
+    rank windows partition by (grp) which is bounded, so at extreme
+    scale the per-grp sort dominates — the documented swap-in is
+    bucketed rank approximation (value-histogram ranks), the same
+    trade ``score_percentile_by_source`` documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metevents_spark.io import load_table, series_frame
+from metevents_spark.timeutil import epoch_us
+
+
+def _clean_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sid, seq, ts, value) with NULL/NaN values dropped — rank
+    statistics are undefined on missing points."""
+    return series_frame(spark, sf_dir).filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+
+
+def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series Theil–Sen trend: the MEDIAN of all pairwise slopes
+    (y_j − y_i) / Δt between time-ordered points — the robust slope
+    that tolerates up to ~29% arbitrary outliers where least squares
+    (``series_trend``) tolerates none.
+
+    Slope units: value per HOUR, computed as (Δy · 3.6e9) / Δt_us with
+    the time delta in EXACT integer microseconds (multiply before
+    divide: one float product + one float division, written
+    identically in the oracle, so each pairwise slope is the same IEEE
+    double in both engines; the median of identical sets is
+    identical). Zero-Δt pairs (duplicate timestamps) are excluded on
+    both sides.
+
+    Plan: one sid exchange, then a CO-LOCATED self-join (both sides
+    share the sid hash partitioning) forms the within-series pairs —
+    O(n_s²) rows per series but never cross-series. Series need ≥ 2
+    distinct-time points.
+    """
+    w = Window.partitionBy("sid").orderBy("ts", "seq")
+    clean = _clean_series(spark, sf_dir).select(
+        "sid",
+        F.row_number().over(w).alias("rn"),
+        epoch_us(F.col("ts")).alias("us"),
+        F.col("value").alias("y"),
+    )
+    a, b = clean.alias("a"), clean.alias("b")
+    slope = (
+        (F.col("b.y") - F.col("a.y"))
+        * F.lit(3.6e9)
+        / (F.col("b.us") - F.col("a.us")).cast("double")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.sid") == F.col("b.sid"))
+        & (F.col("a.rn") < F.col("b.rn"))
+        & (F.col("b.us") > F.col("a.us")),
+    ).select(F.col("a.sid").alias("sid"), slope.alias("slope"))
+    return (
+        pairs.groupBy("sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.median("slope"), 6).alias("theil_slope_per_hour"),
+        )
+        .orderBy("sid")
+    )
+
+
+def spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series Spearman rank correlation of value vs time order — a
+    non-parametric monotonic-trend test (rho near ±1 = consistent
+    drift regardless of magnitude; the robust complement of
+    ``series_trend``'s r²).
+
+    Exact-arithmetic construction: the time rank is ROW_NUMBER (ties
+    broken by seq, matching every series window in the engine); the
+    value rank uses DOUBLED average ranks (2·rank_min + t − 1, an
+    INTEGER even under ties — Spearman is scale-invariant so doubling
+    leaves rho unchanged). All five moment sums (Σx, Σx², Σy, Σy²,
+    Σxy) accumulate as BIGINT — exact under any partitioning — and
+    rho = (nΣxy − ΣxΣy) / √((nΣx² − Σx²)(nΣy² − Σy²)) is evaluated in
+    one identical float expression on both engines, then rounded.
+
+    One sid exchange shared by both rank windows and the final
+    groupBy; constant-valued series (zero rank variance) are emitted
+    with NULL rho via NULLIF.
+    """
+    w_time = Window.partitionBy("sid").orderBy("ts", "seq")
+    w_rank = Window.partitionBy("sid").orderBy("y")
+    w_ties = Window.partitionBy("sid", "y")
+    clean = _clean_series(spark, sf_dir).select(
+        "sid", "seq", "ts", F.col("value").alias("y")
+    )
+    ranked = clean.select(
+        "sid",
+        F.row_number().over(w_time).cast("long").alias("x"),
+        (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_ties)
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("y2"),
+    )
+    agg = ranked.groupBy("sid").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y2").alias("sy"),
+        F.sum(F.col("y2") * F.col("y2")).alias("syy"),
+        F.sum(F.col("x") * F.col("y2")).alias("sxy"),
+    )
+    n = F.col("n_points")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return (
+        agg.filter(n >= 2)
+        .select(
+            "sid",
+            "n_points",
+            F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("spearman_rho"),
+        )
+        .orderBy("sid")
+    )
+
+
+def mann_whitney_u(
+    spark: SparkSession, sf_dir: str, baseline: str = "view"
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test: does each event type's value
+    distribution differ from the ``baseline`` type's? One row per
+    non-baseline type with sample sizes, the U statistic, and the
+    tie-corrected normal z — the non-parametric counterpart of
+    ``ab_test_report``'s Welch t (no normality assumption; detects
+    location shifts the t-test misses under heavy tails).
+
+    Construction: the bounded group list (|event_types| rows)
+    broadcasts against the fact scan, pairing each candidate type's
+    rows with the baseline rows; average ranks come from one window
+    pass per pair-group (rank_min + (t−1)/2 — halves, exactly
+    representable, so the rank-sum float fold is order-independent).
+    The tie correction Σ(t³−t) folds as Σ_rows(t²−1), an exact BIGINT.
+    z = (U − n_a·n_b/2) / σ with σ² = (n_a·n_b/12)·((n+1) −
+    Σ(t³−t)/(n(n−1))), written as the same float expression in the
+    oracle. All-tied pair-groups yield NULL z via NULLIF.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    )
+    grps = (
+        ev.select(F.col("event_type").alias("grp"))
+        .filter(F.col("grp") != baseline)
+        .distinct()
+    )
+    samp = F.broadcast(grps).join(
+        ev,
+        (F.col("event_type") == F.col("grp"))
+        | (F.col("event_type") == F.lit(baseline)),
+    )
+    w_rank = Window.partitionBy("grp").orderBy("value")
+    w_ties = Window.partitionBy("grp", "value")
+    t = F.count(F.lit(1)).over(w_ties)
+    ranked = samp.select(
+        "grp",
+        "event_type",
+        (
+            F.rank().over(w_rank).cast("double")
+            + (t - F.lit(1)).cast("double") / F.lit(2.0)
+        ).alias("avg_rank"),
+        (t.cast("long") * t - F.lit(1)).alias("tie_term"),
+    )
+    is_a = F.col("event_type") == F.col("grp")
+    agg = ranked.groupBy("grp").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(is_a, 0).otherwise(1)).alias("n_b"),
+        F.sum(F.when(is_a, F.col("avg_rank")).otherwise(0.0)).alias("r_a"),
+        F.sum("tie_term").alias("ties3"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n = n_a + n_b
+    u_a = F.col("r_a") - (n_a * (n_a + F.lit(1))).cast("double") / F.lit(2.0)
+    mu = (n_a * n_b).cast("double") / F.lit(2.0)
+    sigma = F.sqrt(
+        (n_a * n_b).cast("double")
+        / F.lit(12.0)
+        * (
+            (n + F.lit(1)).cast("double")
+            - F.col("ties3").cast("double")
+            / (n * (n - F.lit(1))).cast("double")
+        )
+    )
+    return agg.select(
+        "grp",
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        u_a.alias("u_a"),
+        F.round((u_a - mu) / F.nullif(sigma, F.lit(0.0)), 6).alias("z"),
+    ).orderBy("grp")

@@ -41,7 +41,14 @@ from metevents_spark.operators.sessions import burst_collapse, sessionize
 from metevents_spark.functions import freq_infer
 from metevents_spark.functions.sketches import user_reach_kmv
 from metevents_spark.relational.basket import market_basket_lift
-from metevents_spark.operators.graph import part_pagerank
+from metevents_spark.operators.graph import copurchase_triangles, part_pagerank
+from metevents_spark.relational.product import conversion_lag
+from metevents_spark.relational.tpch import revenue_gini
+from metevents_spark.operators.rankstats import (
+    mann_whitney_u,
+    spearman_trend,
+    theilsen_trend,
+)
 from metevents_spark.operators.skew import (
     events_above_type_avg,
     key_skew_report,
@@ -4004,6 +4011,123 @@ SELECT sid, MIN(ts) AS "start", MAX(ts) AS "stop",
 FROM fruns WHERE cond GROUP BY sid, run_id ORDER BY sid, "start"
 """
 
+ORACLE_SQL["theilsen_trend"] = f"""
+WITH {_SERIES},
+clean AS (SELECT sid, seq, ts, value AS y FROM series
+          WHERE value IS NOT NULL AND NOT isnan(value)),
+pts AS (SELECT sid,
+        ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ts, seq) AS rn,
+        epoch_us(ts) AS us, y FROM clean),
+pairs AS (SELECT a.sid,
+          (b.y - a.y) * 3.6e9 / CAST(b.us - a.us AS DOUBLE) AS slope
+          FROM pts a JOIN pts b
+          ON a.sid = b.sid AND a.rn < b.rn AND b.us > a.us)
+SELECT sid, COUNT(*) AS n_pairs,
+       ROUND(MEDIAN(slope), 6) AS theil_slope_per_hour
+FROM pairs GROUP BY sid ORDER BY sid
+"""
+
+ORACLE_SQL["spearman_trend"] = f"""
+WITH {_SERIES},
+clean AS (SELECT sid, seq, ts, value AS y FROM series
+          WHERE value IS NOT NULL AND NOT isnan(value)),
+ranked AS (SELECT sid,
+    CAST(ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ts, seq) AS BIGINT)
+      AS x,
+    CAST(2 * RANK() OVER (PARTITION BY sid ORDER BY y)
+         + COUNT(*) OVER (PARTITION BY sid, y) - 1 AS BIGINT) AS y2
+    FROM clean),
+agg AS (SELECT sid, COUNT(*) AS n_points,
+        SUM(x) AS sx, SUM(x * x) AS sxx, SUM(y2) AS sy,
+        SUM(y2 * y2) AS syy, SUM(x * y2) AS sxy
+        FROM ranked GROUP BY sid)
+SELECT sid, CAST(n_points AS BIGINT) AS n_points,
+  ROUND(CAST(n_points * sxy - sx * sy AS DOUBLE)
+        / NULLIF(sqrt(CAST(n_points * sxx - sx * sx AS DOUBLE)
+                      * CAST(n_points * syy - sy * sy AS DOUBLE)), 0), 6)
+    AS spearman_rho
+FROM agg WHERE n_points >= 2 ORDER BY sid
+"""
+
+ORACLE_SQL["mann_whitney_u"] = """
+WITH ev AS (SELECT event_type, value FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)),
+grps AS (SELECT DISTINCT event_type AS grp FROM ev
+         WHERE event_type <> 'view'),
+samp AS (SELECT g.grp, e.event_type, e.value FROM grps g
+         JOIN ev e ON e.event_type = g.grp OR e.event_type = 'view'),
+ranked AS (SELECT grp, event_type,
+    CAST(RANK() OVER (PARTITION BY grp ORDER BY value) AS DOUBLE)
+      + CAST(COUNT(*) OVER (PARTITION BY grp, value) - 1 AS DOUBLE) / 2.0
+      AS avg_rank,
+    CAST(COUNT(*) OVER (PARTITION BY grp, value) AS BIGINT) AS t
+    FROM samp),
+agg AS (SELECT grp,
+    SUM(CASE WHEN event_type = grp THEN 1 ELSE 0 END) AS n_a,
+    SUM(CASE WHEN event_type <> grp THEN 1 ELSE 0 END) AS n_b,
+    SUM(CASE WHEN event_type = grp THEN avg_rank ELSE 0.0 END) AS r_a,
+    SUM(t * t - 1) AS ties3
+    FROM ranked GROUP BY grp)
+SELECT grp, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  r_a - CAST(n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+  ROUND((r_a - CAST(n_a * (n_a + 1) AS DOUBLE) / 2.0
+         - CAST(n_a * n_b AS DOUBLE) / 2.0)
+    / NULLIF(sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0
+        * (CAST(n_a + n_b + 1 AS DOUBLE)
+           - CAST(ties3 AS DOUBLE)
+             / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))), 0), 6) AS z
+FROM agg ORDER BY grp
+"""
+
+ORACLE_SQL["revenue_gini"] = """
+WITH rev AS (SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+             FROM orders GROUP BY o_custkey),
+tagged AS (SELECT n_name AS nation, c_custkey, cents
+           FROM rev JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey),
+ranked AS (SELECT nation, cents,
+           CAST(ROW_NUMBER() OVER (PARTITION BY nation
+                ORDER BY cents, c_custkey) AS BIGINT) AS i
+           FROM tagged),
+agg AS (SELECT nation, COUNT(*) AS n_customers, SUM(cents) AS tot,
+        SUM(i * cents) AS icents FROM ranked GROUP BY nation)
+SELECT nation, CAST(n_customers AS BIGINT) AS n_customers,
+  ROUND(CAST(tot AS DOUBLE) / 100.0, 2) AS revenue,
+  ROUND((2.0 * CAST(icents AS DOUBLE)
+         - CAST(n_customers + 1 AS DOUBLE) * CAST(tot AS DOUBLE))
+        / (CAST(n_customers AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini
+FROM agg ORDER BY nation
+"""
+
+ORACLE_SQL["conversion_lag"] = """
+WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id)
+SELECT CAST(s.user_id AS BIGINT) AS user_id, s.signup_ts, p.purchase_ts,
+       epoch_us(p.purchase_ts) - epoch_us(s.signup_ts) AS lag_us
+FROM s JOIN p ON s.user_id = p.user_id ORDER BY user_id
+"""
+
+ORACLE_SQL["copurchase_triangles"] = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey < b.l_partkey),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+nodes AS (SELECT a AS p_partkey FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+SELECT p_partkey, COUNT(*) AS n_triangles
+FROM nodes GROUP BY p_partkey
+ORDER BY n_triangles DESC, p_partkey LIMIT 50
+"""
+
 # Insertion order matters: the verification driver checks the FIRST 50
 # entries, so slot assignment is a deliberate rotation policy.
 #
@@ -4066,6 +4190,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_histogram": value_histogram,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
+    "theilsen_trend": theilsen_trend,
+    "spearman_trend": spearman_trend,
+    "mann_whitney_u": mann_whitney_u,
+    "revenue_gini": revenue_gini,
+    "conversion_lag": conversion_lag,
+    "copurchase_triangles": copurchase_triangles,
     "anomaly_consensus": anomaly_consensus,
     "asof_purchase_before_error": q_asof_purchase_before_error,
     "bm25_rank": bm25_rank,

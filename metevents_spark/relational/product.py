@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metevents_spark.io import load_table
+from metevents_spark.timeutil import epoch_us
 
 FUNNEL_STAGES = ("signup", "view", "click", "purchase")
 
@@ -720,4 +721,49 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "   div (`0_c` * `1_n`)) END"
         ).alias("lift_ppm"),
         F.round(z, 6).alias("z_score"),
+    )
+
+
+def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user signup→purchase conversion latency: each user's first
+    signup, their first purchase AT OR AFTER it, and the lag in exact
+    integer microseconds — the time-to-convert readout that
+    ``funnel_conversion`` (how many convert) and ``survival_retention``
+    (do they stay) don't answer: HOW LONG conversion takes.
+
+    Users who never purchase after signing up are excluded (lag is
+    undefined); purchases before the first signup don't count as
+    conversions. All outputs are exact (timestamps + BIGINT micros) —
+    nothing to round.
+
+    Plan: two map-side-combining groupBys on user_id sharing one hash
+    partitioning, joined co-located; the conditional "first purchase
+    ≥ signup" folds as MIN over the filtered join — no window needed.
+    Scales as a pair of key-collapsed aggregates at any corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        signup.join(purch, "user_id")
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "signup_ts",
+            "purchase_ts",
+            (epoch_us(F.col("purchase_ts")) - epoch_us(F.col("signup_ts")))
+            .alias("lag_us"),
+        )
+        .orderBy("user_id")
     )

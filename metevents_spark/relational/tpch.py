@@ -1450,3 +1450,62 @@ def region_nations_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer order revenue — the
+    inequality / concentration readout behind "how skewed is our
+    revenue (or training-data source) distribution", the Lorenz-curve
+    counterpart of ``pareto_parts``' top-heavy cumulative share.
+
+    Exact-arithmetic construction: customer revenue folds as exact
+    BIGINT cents; within each nation customers rank by (cents,
+    custkey) and Gini = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) evaluates from
+    three exact integer sums in one identical float expression on both
+    engines (ties contribute the same Σi·xᵢ under any tie order, so
+    the tie-break is cosmetic). No order-dependent float fold
+    anywhere.
+
+    Plan: one groupBy(custkey) exchange on the fact side, a broadcast
+    of customer→nation, one nation-partitioned rank window over the
+    |customers|-sized frame, one final nation-sized aggregate. At
+    100 TB the rank window partitions by nation (bounded cardinality
+    ~25) — the documented swap-in is pre-bucketing customers by nation
+    or ranking on a per-nation quantile sketch when a single nation's
+    customer set exceeds a partition.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rev = (
+        orders.select("o_custkey", cents.alias("cents"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "c_custkey", "cents")
+    )
+    w = Window.partitionBy("nation").orderBy("cents", "c_custkey")
+    ranked = rev.select(
+        "nation", "cents", F.row_number().over(w).cast("long").alias("i")
+    )
+    agg = ranked.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("tot"),
+        F.sum(F.col("i") * F.col("cents")).alias("icents"),
+    )
+    n, tot, icents = F.col("n_customers"), F.col("tot"), F.col("icents")
+    gini = (
+        F.lit(2.0) * icents.cast("double")
+        - (n + F.lit(1)).cast("double") * tot.cast("double")
+    ) / (n.cast("double") * tot.cast("double"))
+    return agg.select(
+        "nation",
+        "n_customers",
+        F.round(tot.cast("double") / F.lit(100.0), 2).alias("revenue"),
+        F.round(gini, 6).alias("gini"),
+    ).orderBy("nation")
