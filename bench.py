@@ -219,6 +219,15 @@ HEADLINE = [
     "purchase_attribution",
     "model_select_backtest",
     "ab_test_report",
+    "theilsen_trend",
+    "spearman_trend",
+    "mann_whitney_u",
+    "revenue_gini",
+    "conversion_lag",
+    "copurchase_triangles",
+    "oov_rate",
+    "dedup_survivor_pick",
+    "hard_negative_mining",
 ]
 
 

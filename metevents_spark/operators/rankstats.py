@@ -178,11 +178,13 @@ def mann_whitney_u(
     ``ab_test_report``'s Welch t (no normality assumption; detects
     location shifts the t-test misses under heavy tails).
 
-    Construction: the bounded group list (|event_types| rows)
-    broadcasts against the fact scan, pairing each candidate type's
-    rows with the baseline rows; average ranks come from one window
-    pass per pair-group (rank_min + (t−1)/2 — halves, exactly
-    representable, so the rank-sum float fold is order-independent).
+    Construction: each candidate type's rows tag themselves (no join);
+    only the BASELINE rows replicate, via a broadcast cross join with
+    the bounded |event_types| group list — a dimension-sized
+    multiplier, never a corpus×corpus product. Average ranks come from
+    one window pass per pair-group (rank_min + (t−1)/2 — halves,
+    exactly representable, so the rank-sum float fold is
+    order-independent).
     The tie correction Σ(t³−t) folds as Σ_rows(t²−1), an exact BIGINT.
     z = (U − n_a·n_b/2) / σ with σ² = (n_a·n_b/12)·((n+1) −
     Σ(t³−t)/(n(n−1))), written as the same float expression in the
@@ -198,11 +200,15 @@ def mann_whitney_u(
         .filter(F.col("grp") != baseline)
         .distinct()
     )
-    samp = F.broadcast(grps).join(
-        ev,
-        (F.col("event_type") == F.col("grp"))
-        | (F.col("event_type") == F.lit(baseline)),
+    cand = ev.filter(F.col("event_type") != baseline).select(
+        F.col("event_type").alias("grp"), "event_type", "value"
     )
+    base = (
+        ev.filter(F.col("event_type") == baseline)
+        .crossJoin(F.broadcast(grps))
+        .select("grp", "event_type", "value")
+    )
+    samp = cand.unionByName(base)
     w_rank = Window.partitionBy("grp").orderBy("value")
     w_ties = Window.partitionBy("grp", "value")
     t = F.count(F.lit(1)).over(w_ties)

@@ -121,6 +121,7 @@ from metevents_spark.relational.tpch import (
 )
 from metevents_spark.text.dedup import (
     dedup_clusters,
+    dedup_survivor_pick,
     dedup_recall_report,
     doc_containment,
     duplicate_spans,
@@ -133,6 +134,7 @@ from metevents_spark.text.dedup import (
 from metevents_spark.text.scrub import canonicalize_url, domain_stats, pii_redact
 from metevents_spark.text.stats import (
     chi2_terms,
+    oov_rate,
     gopher_quality,
     rrf_fusion,
     score_percentile_by_source,
@@ -167,6 +169,7 @@ from metevents_spark.text.pipeline import (
 from metevents_spark.session import tune_session
 from metevents_spark.similarity import (
     ann_recall_report,
+    hard_negative_mining,
     embedding_covariance,
     embedding_whitening,
     knn_ivf_pq,
@@ -4128,6 +4131,60 @@ FROM nodes GROUP BY p_partkey
 ORDER BY n_triangles DESC, p_partkey LIMIT 50
 """
 
+ORACLE_SQL["oov_rate"] = """
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+vocab AS (SELECT token, 1 AS in_vocab FROM
+          (SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+           ORDER BY n DESC, token LIMIT 500)),
+flagged AS (SELECT t.source, v.in_vocab FROM toks t
+            LEFT JOIN vocab v ON t.token = v.token)
+SELECT source, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+# survivor election reuses the full dedup_clusters replay as a
+# subquery (DuckDB allows WITH RECURSIVE inside a derived table), then
+# ranks members by (n_chars DESC, doc_id) inside each component
+ORACLE_SQL["dedup_survivor_pick"] = f"""
+WITH clusters AS (SELECT * FROM ({ORACLE_SQL["dedup_clusters"]}) t),
+j AS (SELECT c.doc_id, c.cluster, d.n_chars FROM clusters c
+      JOIN documents d ON c.doc_id = d.doc_id),
+surv AS (SELECT cluster, doc_id AS survivor_id FROM
+         (SELECT doc_id, cluster,
+          ROW_NUMBER() OVER (PARTITION BY cluster
+               ORDER BY n_chars DESC, doc_id) AS rk FROM j)
+         WHERE rk = 1)
+SELECT j.doc_id, j.cluster, s.survivor_id,
+       CAST(CASE WHEN j.doc_id = s.survivor_id THEN 1 ELSE 0 END AS BIGINT)
+         AS is_survivor
+FROM j JOIN surv s ON j.cluster = s.cluster ORDER BY j.doc_id
+"""
+
+ORACLE_SQL["hard_negative_mining"] = """
+WITH corpus AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS v_norm
+  FROM embeddings),
+anchors AS (SELECT vec_id AS q_id, label AS q_label, v AS q,
+            v_norm AS q_norm FROM corpus WHERE vec_id < 20),
+scored AS (
+  SELECT q_id, vec_id, label AS neg_label,
+         ROUND(list_dot_product(v, q) / (v_norm * q_norm), 6) AS cosine
+  FROM corpus, anchors WHERE label <> q_label)
+SELECT q_id, vec_id, neg_label, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id) AS BIGINT) AS "rank"
+FROM scored
+QUALIFY "rank" <= 5
+ORDER BY q_id, "rank"
+"""
+
 # Insertion order matters: the verification driver checks the FIRST 50
 # entries, so slot assignment is a deliberate rotation policy.
 #
@@ -4154,11 +4211,16 @@ ORDER BY n_triangles DESC, p_partkey LIMIT 50
 #     user_reach, value_drift_psi, value_histogram);
 #   * slots 22-23: knn_lsh / knn_ivf — rows-only, last driver-checked
 #     r01, displaced twice; refreshed now per the r9 rotation note;
-#   * slots 24-50: the first 27 (alphabetical) of the 33-key r06-stale
-#     cohort; the last six (series_acf, seasonal_decompose,
-#     sole_return_supplier, text_stats, top_supplier,
-#     winsorize_series) sit just past the cap and lead the r11
-#     window.
+#   * slots 24-32: the nine operators added in this round's SECOND
+#     batch (Theil–Sen slope, Spearman trend, Mann–Whitney U, revenue
+#     Gini, conversion lag, co-purchase triangles, OOV rate, dedup
+#     survivor election, hard-negative mining) — never-seen keys take
+#     window priority, same policy as slots 7-15;
+#   * slots 33-50: the first 18 (alphabetical) of the 33-key r06-stale
+#     cohort; the remaining 15 (event_transitions onward, plus
+#     series_acf, seasonal_decompose, sole_return_supplier,
+#     text_stats, top_supplier, winsorize_series) sit just past the
+#     cap and lead the r11 window.
 # Every key green in r07-r09 rotates past the cap; the r07 cohort
 # (43 keys) and r08 cohort (39 keys) are next in line for r11/r12.
 #
@@ -4196,6 +4258,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_gini": revenue_gini,
     "conversion_lag": conversion_lag,
     "copurchase_triangles": copurchase_triangles,
+    "oov_rate": oov_rate,
+    "dedup_survivor_pick": dedup_survivor_pick,
+    "hard_negative_mining": hard_negative_mining,
     "anomaly_consensus": anomaly_consensus,
     "asof_purchase_before_error": q_asof_purchase_before_error,
     "bm25_rank": bm25_rank,

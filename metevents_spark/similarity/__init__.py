@@ -3,6 +3,7 @@ from metevents_spark.similarity.knn import (  # noqa: F401
     embedding_near_dup,
     embedding_norms,
     embedding_quantize,
+    hard_negative_mining,
     knn_cosine,
     knn_ivf,
     knn_ivf_pq,

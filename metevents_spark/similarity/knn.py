@@ -808,3 +808,52 @@ def knn_ivf_pq(
         )
     )
     return _topk_per_query(exact, k)
+
+
+def hard_negative_mining(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_anchors: int = 20,
+) -> DataFrame:
+    """Contrastive-training hard negatives: for each anchor vector, the
+    ``k`` most-similar corpus vectors carrying a DIFFERENT label — the
+    near-misses a contrastive/metric-learning objective needs (random
+    negatives are trivially separable; hard negatives drive the
+    gradient).
+
+    Same exact-scoring shape as :func:`knn_cosine` (anchors broadcast
+    against one corpus scan, cosine rounded to 6 dp BEFORE ranking so
+    ordering is engine-deterministic, salted two-phase top-k) with the
+    cross-label filter applied pre-rank. At 100 TB the documented
+    swap-in is the ANN shortlist + exact re-rank pattern
+    (:func:`ann_recall_report`'s IVF arm) — the anchor set stays a
+    bounded broadcast either way.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        "label",
+        _as_double(F.col("embedding")).alias("v"),
+        _norm(_as_double(F.col("embedding"))).alias("v_norm"),
+    )
+    anchors = emb.filter(F.col("vec_id") < n_anchors).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        _as_double(F.col("embedding")).alias("q"),
+        _norm(_as_double(F.col("embedding"))).alias("q_norm"),
+    )
+    sim = F.round(
+        _dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm")), 6
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("q_label"))
+        .select("q_id", "vec_id", "label", sim.alias("cosine"))
+    )
+    topk = _topk_per_query(scored.drop("label"), k)
+    return topk.join(
+        corpus.select("vec_id", F.col("label").alias("neg_label")), "vec_id"
+    ).select("q_id", "vec_id", "neg_label", "cosine", "rank").orderBy(
+        "q_id", "rank"
+    )

@@ -1295,3 +1295,46 @@ def doc_containment(
         .where(F.col("containment_ppm") >= min_containment_ppm)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_survivor_pick(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Canonicalization step after near-dup clustering: inside every
+    :func:`dedup_clusters` component, elect ONE survivor (longest text
+    by ``n_chars``, ties to the lowest doc_id) and tag each member —
+    the decision real dedup pipelines actually ship (clustering alone
+    answers "what is duplicated", this answers "which copy do we
+    keep"). ``is_survivor`` emits as 0/1 LONG for engine-stable
+    hashing.
+
+    Plan: the cluster assignment (one row per doc) joins the documents
+    scan pruned to (doc_id, n_chars) — NO text payload moves — then
+    one cluster-partitioned row_number window picks the survivor and a
+    cluster-keyed self-join tags members. Cluster components are small
+    (near-dup stars/cliques), so the window partitions are bounded; at
+    100 TB the n_chars column rides the same scan that fed clustering.
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(spark, sf_dir, threshold=threshold)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(F.desc("n_chars"), "doc_id")
+    surv = (
+        j.select("doc_id", "cluster", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("cluster", F.col("doc_id").alias("survivor_id"))
+    )
+    return (
+        j.join(surv, "cluster")
+        .select(
+            "doc_id",
+            "cluster",
+            "survivor_id",
+            (F.col("doc_id") == F.col("survivor_id"))
+            .cast("long")
+            .alias("is_survivor"),
+        )
+        .orderBy("doc_id")
+    )

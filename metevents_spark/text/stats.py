@@ -1078,3 +1078,53 @@ def chi2_terms(
         .select("source", "rank", "term", "a", "chi2_micro")
         .orderBy("source", "rank")
     )
+
+
+def oov_rate(spark: SparkSession, sf_dir: str, vocab_k: int = 500) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus top-K
+    vocabulary — the tokenizer-coverage health check a training
+    pipeline runs per data source (a source with high OOV against the
+    planned vocab inflates sequence length and degrades loss; pair
+    with ``token_count_bpe`` for the subword view).
+
+    The vocab is the deterministic top-``vocab_k`` tokens (count desc,
+    token asc — the ``vocab_top_terms`` ordering); each source then
+    reports exact token/OOV counts and their single-division ratio.
+    Two passes over the token explode: the vocab build's shuffle is
+    map-side collapsed to |vocab| rows per partition, and the per-source
+    pass joins the BROADCAST vocab (vocab_k rows) with a left-anti
+    check folded as a null-flag aggregate — no row ever shuffles with
+    its token payload twice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(_tokens()).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(vocab_k)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "token", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )

@@ -237,6 +237,12 @@ def test_no_query_plans_a_cartesian_product(spark):
         "key_skew_report",
         # 1-row corpus token total broadcast into the contingency cells
         "chi2_terms",
+        # baseline rows x |event_types| dimension replication (the
+        # candidate side tags itself with no join at all)
+        "mann_whitney_u",
+        # corpus x tiny broadcast anchor set, knn_cosine's bounded
+        # brute-force shape (ANN shortlist is the 100 TB swap-in)
+        "hard_negative_mining",
     }
     for name, fn in entrymod.queries().items():
         # the BPE entries EXECUTE their 12-round training loop during
