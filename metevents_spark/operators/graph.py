@@ -149,17 +149,27 @@ def copurchase_triangles(
     closing edge. Wedge work per node is out-degree², and orientation
     bounds out-degree by √(2m) — the classic distributed triangle
     bound, versus the unordered wedge join whose hub nodes explode as
-    full-degree². The wedge→edge semi-check is an equi-join on the
-    (dst1, dst2) pair, co-partitioned with the edge list.
+    full-degree². The wedge set (Σ out² rows, the dominant
+    intermediate) NEVER shuffles: the closing-edge check is a
+    broadcast-hash LEFT SEMI join against the edge list (8 B/edge
+    key pairs — tens of MB up to ~10⁹ edges), so wedges stream
+    map-side from the generating join straight into the probe and
+    only surviving triangles (3 ints each) reach the final
+    map-side-combining groupBy. Beyond broadcastable edge counts the
+    swap-in is the co-partitioned shuffle semi-join on (b, c) — the
+    same plan minus the broadcast hint.
 
     The oracle counts the same triangle set with id-ordering
     (u < v < w) — orientation changes which joins run, never which
     triangles exist, so per-part counts agree exactly.
     """
-    und = (
+    # three consumers (degree count twice via the union, orientation
+    # once) — persist so the basket self-join builds the edge list ONCE
+    und = track(
         _copurchase_edges(spark, sf_dir)
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
+        .persist()
     )
     # degree over the undirected graph: count both endpoint roles
     deg = track(
@@ -169,9 +179,12 @@ def copurchase_triangles(
         .agg(F.count(F.lit(1)).alias("deg"))
         .persist()
     )
-    tagged = (
-        und.join(deg.select(F.col("p").alias("src"), F.col("deg").alias("ds")), "src")
-        .join(deg.select(F.col("p").alias("dst"), F.col("deg").alias("dd")), "dst")
+    tagged = und.join(
+        F.broadcast(deg.select(F.col("p").alias("src"), F.col("deg").alias("ds"))),
+        "src",
+    ).join(
+        F.broadcast(deg.select(F.col("p").alias("dst"), F.col("deg").alias("dd"))),
+        "dst",
     )
     lower_first = (F.col("ds") < F.col("dd")) | (
         (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
@@ -192,12 +205,18 @@ def copurchase_triangles(
     wedges = e1.join(e2, (F.col("e1.a") == F.col("e2.a")) & spoke_lt).select(
         F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
     )
-    closing = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    tri = wedges.join(closing, ["b", "c"], "left_semi")
-    nodes = (
-        tri.select(F.col("a").alias("p_partkey"))
-        .unionAll(tri.select(F.col("b").alias("p_partkey")))
-        .unionAll(tri.select(F.col("c").alias("p_partkey")))
+    # single-long edge key (part keys fit 32 bits): the broadcast hash
+    # becomes a long-keyed relation — measurably faster to probe than a
+    # generic two-column struct key at tens of millions of wedges
+    pack = lambda x, y: F.shiftleft(F.col(x).cast("long"), 32) + F.col(y)
+    closing = oriented.select(pack("a", "b").alias("bc"))
+    tri = wedges.withColumn("bc", pack("b", "c")).join(
+        F.broadcast(closing), "bc", "left_semi"
+    )
+    # one pass: explode each triangle's three corners (a unionAll of
+    # three tri branches would re-run the wedge join three times)
+    nodes = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("p_partkey")
     )
     return (
         nodes.groupBy("p_partkey")
