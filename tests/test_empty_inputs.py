@@ -39,6 +39,10 @@ GRACEFUL = [
     "events_above_type_avg", "rrf_fusion", "chi2_terms",
     "classifier_calibration", "doc_containment", "purchase_attribution",
     "model_select_backtest", "part_pagerank", "ab_test_report",
+    # r10 second batch
+    "theilsen_trend", "spearman_trend", "mann_whitney_u", "revenue_gini",
+    "conversion_lag", "copurchase_triangles", "oov_rate",
+    "dedup_survivor_pick", "hard_negative_mining",
 ]
 # undefined-on-empty by design: must raise ValueError with a message
 # that names the problem
