@@ -1,5 +1,6 @@
 from metevents_spark.streaming.detect import (  # noqa: F401
     stream_burst_collapse,
+    stream_conversion_lag,
     stream_purchase_attribution,
     stream_counter_rate,
     stream_cusum,

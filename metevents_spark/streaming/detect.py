@@ -1153,3 +1153,94 @@ def stream_purchase_attribution(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CONV_OUTPUT_SCHEMA = (
+    "sid string, signup_ts timestamp, purchase_ts timestamp, lag_us long"
+)
+CONV_STATE_SCHEMA = StructType(
+    [
+        StructField("signup_us", LongType()),
+        StructField("converted", LongType()),  # 0/1 — emit-once latch
+        StructField("last_us", LongType()),
+        StructField("n_late", LongType()),  # dropped out-of-order points
+    ]
+)
+
+
+def stream_conversion_lag(stream_df: DataFrame) -> DataFrame:
+    """Streaming signup→purchase conversion latency: the incremental
+    counterpart of the batch ``conversion_lag`` (relational/product.py).
+    The moment a user's FIRST purchase at-or-after their FIRST signup
+    arrives, ONE row emits with the exact integer-microsecond lag —
+    the real-time activation metric (time-to-convert percentiles over
+    this stream feed launch dashboards without rescanning history).
+
+    State per user is three epoch numbers and a latch — O(1) forever:
+    first signup micros, the converted flag (emit-once), the
+    out-of-order guard, and the late-drop counter. A static-corpus
+    replay equals the batch result EXACTLY (conversion depends only on
+    past events, nothing is withheld) under any chunking —
+    pytest-pinned. Ordering contract: within a micro-batch points sort
+    by (ts, seq); an event older than the user's last processed point
+    drops into ``n_late`` (the shared round-9 policy — a late signup
+    cannot retract an emitted conversion).
+    """
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            signup_us, converted, last_us, n_late = state.get
+        else:
+            signup_us, converted, last_us, n_late = None, 0, None, 0
+        out = []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = _sort_batch(pdf)
+            us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            types = pdf["event_type"].to_numpy()
+            for i in range(len(us)):
+                u, ty = int(us[i]), str(types[i])
+                if last_us is not None and u < last_us:
+                    n_late += 1
+                    continue
+                last_us = u
+                if ty == "signup" and signup_us is None:
+                    signup_us = u
+                elif (
+                    ty == "purchase"
+                    and signup_us is not None
+                    and not converted
+                ):
+                    out.append((key[0], signup_us, u, u - signup_us))
+                    converted = 1
+        state.update((signup_us, converted, last_us, n_late))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "sid": [r[0] for r in out],
+                    "signup_ts": pd.to_datetime(
+                        np.asarray([r[1] for r in out], dtype="int64"),
+                        unit="us",
+                    ),
+                    "purchase_ts": pd.to_datetime(
+                        np.asarray([r[2] for r in out], dtype="int64"),
+                        unit="us",
+                    ),
+                    "lag_us": np.asarray(
+                        [r[3] for r in out], dtype="int64"
+                    ),
+                }
+            )
+
+    return (
+        stream_df.select("sid", "seq", "event_type", "ts")
+        .groupBy("sid")
+        .applyInPandasWithState(
+            fn,
+            CONV_OUTPUT_SCHEMA,
+            CONV_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

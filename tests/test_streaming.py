@@ -1263,3 +1263,70 @@ def test_stream_purchase_attribution_matches_batch(spark, stream_dir, split):
     assert list(got["touch_type"].fillna("~")) == list(
         want["touch_type"].fillna("~")
     )
+
+
+@pytest.mark.parametrize("split", [250, 900])
+def test_stream_conversion_lag_matches_batch(spark, stream_dir, split):
+    """Replaying the static corpus through the stateful kernel must
+    reproduce the batch conversion_lag EXACTLY (the first qualifying
+    purchase emits the moment it arrives; nothing is withheld) —
+    however the replay is chunked."""
+    from metevents_spark.relational.product import conversion_lag
+    from metevents_spark.streaming import stream_conversion_lag
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    pdf = (
+        pd.DataFrame(
+            {
+                "sid": ev["user_id"].astype(str),
+                "seq": ev["event_id"].astype("int64"),
+                "event_type": ev["event_type"],
+                "ts": ev["ts"],
+            }
+        )
+        .sort_values(["ts", "seq"], kind="stable")
+        .reset_index(drop=True)
+    )
+    d = Path(stream_dir, f"conv_in_{split}")
+    d.mkdir()
+    pdf.iloc[:split].to_parquet(f"{d}/c0.parquet", coerce_timestamps="us")
+    time.sleep(0.05)
+    pdf.iloc[split:].to_parquet(f"{d}/c1.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema(
+            "sid string, seq long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    name = f"conv_out_{split}"
+    q = (
+        stream_conversion_lag(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{stream_dir}/conv_ckpt_{split}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql(f"SELECT * FROM {name}")
+        .toPandas()
+        .sort_values("sid", key=lambda s: s.astype(int))
+        .reset_index(drop=True)
+    )
+
+    want = (
+        conversion_lag(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["sid"]) == [str(u) for u in want["user_id"]]
+    assert list(got["lag_us"]) == list(want["lag_us"])
+    assert list(got["signup_ts"]) == list(want["signup_ts"])
+    assert list(got["purchase_ts"]) == list(want["purchase_ts"])
+    # emit-once: no user appears twice however the replay chunks
+    assert got["sid"].is_unique
