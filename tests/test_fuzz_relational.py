@@ -337,6 +337,18 @@ def _wf_pool():
             lambda w: F.ntile(4).over(total(w)),
             lambda o: f"NTILE(4) OVER ({{P}} ORDER BY {o}, {_TIE_SQL})",
         ),
+        # distribution ranks: peers ordering (ties share a value); both
+        # engines compute the same single division of exact integers
+        (
+            "pct_rank",
+            lambda w: F.percent_rank().over(peers(w)),
+            lambda o: f"PERCENT_RANK() OVER ({{P}} ORDER BY {o})",
+        ),
+        (
+            "cume",
+            lambda w: F.cume_dist().over(peers(w)),
+            lambda o: f"CUME_DIST() OVER ({{P}} ORDER BY {o})",
+        ),
         (
             "pct_cnt",
             lambda w: F.count(F.lit(1)).over(
@@ -352,7 +364,7 @@ def _wf_pool():
     ]
 
 
-@pytest.mark.parametrize("seed", range(200, 212))
+@pytest.mark.parametrize("seed", range(200, 216))
 def test_random_window_composition_matches_duckdb(spark, seed):
     from pyspark.sql import Window
 
