@@ -228,6 +228,7 @@ HEADLINE = [
     "oov_rate",
     "dedup_survivor_pick",
     "hard_negative_mining",
+    "kendall_trend",
 ]
 
 

@@ -6,7 +6,7 @@ statistics survive heavy tails and outliers that wreck moment-based
 estimators, which is exactly the regime quality-score and telemetry
 columns live in.
 
-Three operators:
+Four operators:
   * :func:`theilsen_trend` — per-series Theil–Sen slope estimator
     (median of pairwise slopes), the robust counterpart of
     ``series_trend``'s least-squares slope (up to 29% contamination
@@ -15,6 +15,9 @@ Three operators:
     value against time order (a monotonic-trend test; Pearson on
     ranks, computed in EXACT integer moment sums via doubled average
     ranks so the hash is engine-stable).
+  * :func:`kendall_trend` — per-series Kendall tau-b (the Mann-Kendall
+    trend statistic's correlation form): exact BIGINT concordance
+    counts over the same pair join as Theil–Sen.
   * :func:`mann_whitney_u` — Mann–Whitney U rank-sum test of each
     event type's value distribution against the ``view`` baseline,
     with the tie-corrected normal approximation.
@@ -248,3 +251,61 @@ def mann_whitney_u(
         u_a.alias("u_a"),
         F.round((u_a - mu) / F.nullif(sigma, F.lit(0.0)), 6).alias("z"),
     ).orderBy("grp")
+
+
+def kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series Kendall tau-b of value vs time order — the
+    concordance-based monotonic-trend test (the Mann-Kendall trend
+    statistic's correlation form), completing the rank tier:
+    Theil–Sen estimates the slope, Spearman and Kendall measure the
+    monotonicity with different robustness/efficiency trades (tau's
+    variance is known exactly under H0, so it backs significance
+    tests).
+
+    Tau-b with tie correction: over all point pairs (i earlier than
+    j), C = concordant (value rises), D = discordant (falls), ties in
+    value tracked per pair; time order is ROW_NUMBER so time ties
+    cannot occur.  tau_b = (C − D) / sqrt((n0 − tie_y)·n0) with
+    n0 = n(n−1)/2 and tie_y = Σ t(t−1)/2 over tied-value groups —
+    EVERY aggregate here is an exact BIGINT count, so the only float
+    ops are one sqrt and one division written identically in the
+    oracle.
+
+    Plan: the same CO-LOCATED sid self-join as :func:`theilsen_trend`
+    (O(n_s²) pairs per series, one sid exchange, never cross-series;
+    the pair-subsample swap-in applies identically at extreme series
+    lengths). Series need ≥ 2 points and at least one untied pair.
+    """
+    w = Window.partitionBy("sid").orderBy("ts", "seq")
+    clean = _clean_series(spark, sf_dir).select(
+        "sid",
+        F.row_number().over(w).alias("rn"),
+        F.col("value").alias("y"),
+    )
+    a, b = clean.alias("a"), clean.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.sid") == F.col("b.sid")) & (F.col("a.rn") < F.col("b.rn")),
+    ).select(
+        F.col("a.sid").alias("sid"),
+        F.when(F.col("b.y") > F.col("a.y"), 1).otherwise(0).alias("c"),
+        F.when(F.col("b.y") < F.col("a.y"), 1).otherwise(0).alias("d"),
+        F.when(F.col("b.y") == F.col("a.y"), 1).otherwise(0).alias("t"),
+    )
+    agg = pairs.groupBy("sid").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("c").alias("nc"),
+        F.sum("d").alias("nd"),
+        F.sum("t").alias("nt"),
+    )
+    num = (F.col("nc") - F.col("nd")).cast("double")
+    den = F.sqrt(
+        ((F.col("n0") - F.col("nt")) * F.col("n0")).cast("double")
+    )
+    return agg.select(
+        "sid",
+        F.col("n0").alias("n_pairs"),
+        F.col("nc").alias("concordant"),
+        F.col("nd").alias("discordant"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("kendall_tau"),
+    ).orderBy("sid")

@@ -45,6 +45,7 @@ from metevents_spark.operators.graph import copurchase_triangles, part_pagerank
 from metevents_spark.relational.product import conversion_lag
 from metevents_spark.relational.tpch import revenue_gini
 from metevents_spark.operators.rankstats import (
+    kendall_trend,
     mann_whitney_u,
     spearman_trend,
     theilsen_trend,
@@ -4185,6 +4186,28 @@ QUALIFY "rank" <= 5
 ORDER BY q_id, "rank"
 """
 
+ORACLE_SQL["kendall_trend"] = f"""
+WITH {_SERIES},
+clean AS (SELECT sid, seq, ts, value AS y FROM series
+          WHERE value IS NOT NULL AND NOT isnan(value)),
+pts AS (SELECT sid,
+        ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ts, seq) AS rn, y
+        FROM clean),
+pairs AS (SELECT a.sid,
+          CASE WHEN b.y > a.y THEN 1 ELSE 0 END AS c,
+          CASE WHEN b.y < a.y THEN 1 ELSE 0 END AS d,
+          CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS t
+          FROM pts a JOIN pts b ON a.sid = b.sid AND a.rn < b.rn),
+agg AS (SELECT sid, COUNT(*) AS n0, SUM(c) AS nc, SUM(d) AS nd,
+        SUM(t) AS nt FROM pairs GROUP BY sid)
+SELECT sid, CAST(n0 AS BIGINT) AS n_pairs,
+  CAST(nc AS BIGINT) AS concordant, CAST(nd AS BIGINT) AS discordant,
+  ROUND(CAST(nc - nd AS DOUBLE)
+        / NULLIF(sqrt(CAST((n0 - nt) * n0 AS DOUBLE)), 0), 6)
+    AS kendall_tau
+FROM agg ORDER BY sid
+"""
+
 # Insertion order matters: the verification driver checks the FIRST 50
 # entries, so slot assignment is a deliberate rotation policy.
 #
@@ -4211,13 +4234,13 @@ ORDER BY q_id, "rank"
 #     user_reach, value_drift_psi, value_histogram);
 #   * slots 22-23: knn_lsh / knn_ivf — rows-only, last driver-checked
 #     r01, displaced twice; refreshed now per the r9 rotation note;
-#   * slots 24-32: the nine operators added in this round's SECOND
+#   * slots 24-33: the ten operators added in this round's SECOND
 #     batch (Theil–Sen slope, Spearman trend, Mann–Whitney U, revenue
 #     Gini, conversion lag, co-purchase triangles, OOV rate, dedup
-#     survivor election, hard-negative mining) — never-seen keys take
-#     window priority, same policy as slots 7-15;
-#   * slots 33-50: the first 18 (alphabetical) of the 33-key r06-stale
-#     cohort; the remaining 15 (event_transitions onward, plus
+#     survivor election, hard-negative mining, Kendall tau-b) —
+#     never-seen keys take window priority, same policy as slots 7-15;
+#   * slots 34-50: the first 17 (alphabetical) of the 33-key r06-stale
+#     cohort; the remaining 16 (event_transitions onward, plus
 #     series_acf, seasonal_decompose, sole_return_supplier,
 #     text_stats, top_supplier, winsorize_series) sit just past the
 #     cap and lead the r11 window.
@@ -4261,6 +4284,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "oov_rate": oov_rate,
     "dedup_survivor_pick": dedup_survivor_pick,
     "hard_negative_mining": hard_negative_mining,
+    "kendall_trend": kendall_trend,
     "anomaly_consensus": anomaly_consensus,
     "asof_purchase_before_error": q_asof_purchase_before_error,
     "bm25_rank": bm25_rank,

@@ -63,6 +63,12 @@ HEAVY = (
     "doc_containment",
     "events_above_type_avg",
     "chi2_terms",
+    # r10 batch 2: the per-series O(n^2) pair self-join (10x series,
+    # co-located — pair count must scale linearly with series count)
+    # and the wedge-join triangle count (10x disjoint graph copies —
+    # the broadcast closing-edge probe at 10x the wedge stream)
+    "theilsen_trend",
+    "copurchase_triangles",
 )
 
 

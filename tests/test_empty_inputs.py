@@ -42,7 +42,7 @@ GRACEFUL = [
     # r10 second batch
     "theilsen_trend", "spearman_trend", "mann_whitney_u", "revenue_gini",
     "conversion_lag", "copurchase_triangles", "oov_rate",
-    "dedup_survivor_pick", "hard_negative_mining",
+    "dedup_survivor_pick", "hard_negative_mining", "kendall_trend",
 ]
 # undefined-on-empty by design: must raise ValueError with a message
 # that names the problem

@@ -246,3 +246,40 @@ def test_hard_negatives_match_numpy_replay(spark):
         assert np.allclose(sub["cosine"], [-c for c, _ in cand])
         # every mined negative really is cross-label
         assert (sub["neg_label"] != labels[q_pos]).all()
+
+
+def test_kendall_matches_pandas_replay(spark):
+    from metevents_spark.operators.rankstats import kendall_trend
+
+    got = kendall_trend(spark, SF_SMALL).toPandas().set_index("sid")
+    assert got["kendall_tau"].abs().max() <= 1.0
+
+    for sid, g in _clean_series().groupby("sid"):
+        y = g["value"].to_numpy(dtype=float)
+        i, j = np.triu_indices(len(y), k=1)
+        c = int((y[j] > y[i]).sum())
+        d = int((y[j] < y[i]).sum())
+        t = int((y[j] == y[i]).sum())
+        n0 = len(i)
+        tau = (c - d) / np.sqrt(float((n0 - t) * n0))
+        assert got.loc[sid, "n_pairs"] == n0
+        assert got.loc[sid, "concordant"] == c
+        assert got.loc[sid, "discordant"] == d
+        assert abs(got.loc[sid, "kendall_tau"] - round(float(tau), 6)) < 1e-9
+
+    # cross-operator sanity: Kendall and Spearman must agree in SIGN
+    # wherever both are decisive (pandas' corr(method="kendall") needs
+    # scipy, absent here, so the sibling operator is the cross-check)
+    from metevents_spark.operators.rankstats import spearman_trend
+
+    rho = spearman_trend(spark, SF_SMALL).toPandas().set_index("sid")
+    both = got.join(rho["spearman_rho"]).dropna()
+    decisive = both[
+        (both["kendall_tau"].abs() > 0.05)
+        & (both["spearman_rho"].abs() > 0.05)
+    ]
+    assert len(decisive) > 0
+    assert (
+        np.sign(decisive["kendall_tau"])
+        == np.sign(decisive["spearman_rho"])
+    ).all()
