@@ -229,6 +229,7 @@ HEADLINE = [
     "dedup_survivor_pick",
     "hard_negative_mining",
     "kendall_trend",
+    "conversion_bootstrap_ci",
 ]
 
 

@@ -42,7 +42,10 @@ from metevents_spark.functions import freq_infer
 from metevents_spark.functions.sketches import user_reach_kmv
 from metevents_spark.relational.basket import market_basket_lift
 from metevents_spark.operators.graph import copurchase_triangles, part_pagerank
-from metevents_spark.relational.product import conversion_lag
+from metevents_spark.relational.product import (
+    conversion_bootstrap_ci,
+    conversion_lag,
+)
 from metevents_spark.relational.tpch import revenue_gini
 from metevents_spark.operators.rankstats import (
     kendall_trend,
@@ -4208,6 +4211,49 @@ SELECT sid, CAST(n0 AS BIGINT) AS n_pairs,
 FROM agg ORDER BY sid
 """
 
+ORACLE_SQL["conversion_bootstrap_ci"] = """
+WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT DISTINCT e.user_id
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        AND epoch_us(e.ts) - epoch_us(s.signup_ts) <= 86400000000),
+users AS (SELECT CAST(s.user_id AS BIGINT) AS user_id,
+          CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv
+          FROM s LEFT JOIN p ON s.user_id = p.user_id),
+expl AS (SELECT user_id, conv, CAST(r.rep AS BIGINT) AS rep
+         FROM users CROSS JOIN (SELECT unnest(range(200)) AS rep) r),
+h AS (SELECT conv, rep,
+      ('0x' || substr(md5(user_id::VARCHAR || ':' || rep::VARCHAR),
+                      1, 15))::BIGINT AS h60
+      FROM expl),
+w AS (SELECT rep, conv,
+      CASE WHEN h60 < 424136118829305344 THEN 0
+           WHEN h60 < 848272237658610688 THEN 1
+           WHEN h60 < 1060340297073263360 THEN 2
+           WHEN h60 < 1131029650211480960 THEN 3
+           WHEN h60 < 1148701988496035328 THEN 4
+           WHEN h60 < 1152236456152946176 THEN 5
+           WHEN h60 < 1152825534095764608 THEN 6
+           WHEN h60 < 1152909688087595776 THEN 7
+           WHEN h60 < 1152920207336574720 THEN 8
+           ELSE 9 END AS wt
+      FROM h),
+pr AS (SELECT rep, SUM(wt * conv) AS num, SUM(wt) AS den
+       FROM w GROUP BY rep),
+rates AS (SELECT CAST(num AS DOUBLE) / NULLIF(CAST(den AS DOUBLE), 0)
+          AS rate FROM pr),
+pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(conv) AS BIGINT) AS n_converted,
+       ROUND(CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS p_hat FROM users),
+ci AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+       ROUND(quantile_cont(rate, 0.025), 6) AS ci_lo,
+       ROUND(quantile_cont(rate, 0.975), 6) AS ci_hi FROM rates)
+SELECT n_users, n_converted, p_hat, ci_lo, ci_hi, n_replicates
+FROM pt CROSS JOIN ci
+"""
+
 # Insertion order matters: the verification driver checks the FIRST 50
 # entries, so slot assignment is a deliberate rotation policy.
 #
@@ -4234,13 +4280,14 @@ FROM agg ORDER BY sid
 #     user_reach, value_drift_psi, value_histogram);
 #   * slots 22-23: knn_lsh / knn_ivf — rows-only, last driver-checked
 #     r01, displaced twice; refreshed now per the r9 rotation note;
-#   * slots 24-33: the ten operators added in this round's SECOND
+#   * slots 24-34: the eleven operators added in this round's SECOND
 #     batch (Theil–Sen slope, Spearman trend, Mann–Whitney U, revenue
 #     Gini, conversion lag, co-purchase triangles, OOV rate, dedup
-#     survivor election, hard-negative mining, Kendall tau-b) —
-#     never-seen keys take window priority, same policy as slots 7-15;
-#   * slots 34-50: the first 17 (alphabetical) of the 33-key r06-stale
-#     cohort; the remaining 16 (event_transitions onward, plus
+#     survivor election, hard-negative mining, Kendall tau-b, the
+#     Poisson-bootstrap conversion CI) — never-seen keys take window
+#     priority, same policy as slots 7-15;
+#   * slots 35-50: the first 16 (alphabetical) of the 33-key r06-stale
+#     cohort; the remaining 17 (event_transitions onward, plus
 #     series_acf, seasonal_decompose, sole_return_supplier,
 #     text_stats, top_supplier, winsorize_series) sit just past the
 #     cap and lead the r11 window.
@@ -4285,6 +4332,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_survivor_pick": dedup_survivor_pick,
     "hard_negative_mining": hard_negative_mining,
     "kendall_trend": kendall_trend,
+    "conversion_bootstrap_ci": conversion_bootstrap_ci,
     "anomaly_consensus": anomaly_consensus,
     "asof_purchase_before_error": q_asof_purchase_before_error,
     "bm25_rank": bm25_rank,

@@ -767,3 +767,134 @@ def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# Poisson(1) CDF thresholds on the 60-bit hash grid: floor(CDF(k)·2^60)
+# for k = 0..8 (tail mass beyond 8 is ~1.1e-7, capped at 9). Integer
+# comparisons only — both engines classify every hash identically.
+_POISSON1_CUM60 = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+    1152920207336574720,
+)
+
+
+def conversion_bootstrap_ci(
+    spark: SparkSession,
+    sf_dir: str,
+    n_replicates: int = 200,
+    window_hours: int = 24,
+) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the signup→
+    purchase conversion rate — the uncertainty quantification
+    ``ab_test_report``'s point z-test doesn't give, computed the ONLY
+    way a bootstrap works at 100 TB: instead of resampling rows
+    (impossible distributed — a classic bootstrap draw needs global
+    coordination), every user gets an independent Poisson(1) weight
+    per replicate, derived from a deterministic md5 hash, and each
+    replicate's rate is one weighted aggregate. B replicates = ONE
+    map-side explode by a constant factor + one |B|-sized groupBy —
+    no shuffling of the corpus B times, no driver-side sampling state.
+
+    Engine-exact construction: the 60-bit hash maps to a Poisson count
+    through INTEGER thresholds (floor(CDF·2^60) — no float CDF math at
+    classification time), replicate numerator/denominator fold as
+    exact BIGINTs, each rate is one division of exact integers, and
+    the CI bounds are interpolated percentiles over the B identical
+    doubles. The cohort is users with a signup; converted = any
+    purchase within ``window_hours`` of the first signup (the bounded
+    activation window keeps the rate informative — at-or-after-ever
+    saturates to 1.0 on an active corpus).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    win_us = window_hours * 3_600_000_000
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("signup_ts"))
+            & (
+                epoch_us(F.col("ts")) - epoch_us(F.col("signup_ts"))
+                <= F.lit(win_us)
+            )
+        )
+        .select("user_id")
+        .distinct()
+    )
+    users = signup.join(purch.withColumn("conv", F.lit(1)), "user_id", "left").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.coalesce("conv", F.lit(0)).cast("long").alias("conv"),
+    )
+    # constant-factor map-side replication — no join, no shuffle
+    expl = users.select(
+        "user_id",
+        "conv",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_replicates - 1))
+        ).alias("rep"),
+    )
+    h60 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("rep").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    wt = F.lit(9)
+    for k in range(len(_POISSON1_CUM60) - 1, -1, -1):
+        wt = F.when(h60 < F.lit(_POISSON1_CUM60[k]), F.lit(k)).otherwise(wt)
+    per_rep = (
+        expl.select("rep", "conv", wt.cast("long").alias("wt"))
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("wt") * F.col("conv")).alias("num"),
+            F.sum("wt").alias("den"),
+        )
+        .select(
+            (
+                F.col("num").cast("double")
+                / F.nullif(F.col("den").cast("double"), F.lit(0.0))
+            ).alias("rate")
+        )
+    )
+    ci = per_rep.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.round(F.percentile("rate", F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile("rate", F.lit(0.975)), 6).alias("ci_hi"),
+    )
+    point = users.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").alias("n_converted"),
+    ).select(
+        "n_users",
+        "n_converted",
+        F.round(
+            F.col("n_converted").cast("double")
+            / F.col("n_users").cast("double"),
+            6,
+        ).alias("p_hat"),
+    )
+    return point.crossJoin(ci).select(
+        "n_users", "n_converted", "p_hat", "ci_lo", "ci_hi", "n_replicates"
+    )

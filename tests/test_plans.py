@@ -243,6 +243,8 @@ def test_no_query_plans_a_cartesian_product(spark):
         # corpus x tiny broadcast anchor set, knn_cosine's bounded
         # brute-force shape (ANN shortlist is the 100 TB swap-in)
         "hard_negative_mining",
+        # 1-row point estimate x 1-row CI assembly join
+        "conversion_bootstrap_ci",
     }
     for name, fn in entrymod.queries().items():
         # the BPE entries EXECUTE their 12-round training loop during

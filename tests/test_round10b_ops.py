@@ -283,3 +283,57 @@ def test_kendall_matches_pandas_replay(spark):
         np.sign(decisive["kendall_tau"])
         == np.sign(decisive["spearman_rho"])
     ).all()
+
+
+def test_bootstrap_ci_matches_hashlib_replay(spark):
+    import hashlib
+
+    from metevents_spark.relational.product import conversion_bootstrap_ci
+
+    got = conversion_bootstrap_ci(spark, SF_SMALL).toPandas().iloc[0]
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    s = ev[ev["event_type"] == "signup"].groupby("user_id")["ts"].min()
+    conv = {}
+    for uid, t0 in s.items():
+        p = ev[
+            (ev["event_type"] == "purchase")
+            & (ev["user_id"] == uid)
+            & (ev["ts"] >= t0)
+            & (ev["ts"] <= t0 + pd.Timedelta(hours=24))
+        ]
+        conv[int(uid)] = 1 if len(p) else 0
+
+    from metevents_spark.relational.product import _POISSON1_CUM60
+
+    def pois(uid, rep):
+        h60 = int(
+            hashlib.md5(f"{uid}:{rep}".encode()).hexdigest()[:15], 16
+        )
+        for k, c in enumerate(_POISSON1_CUM60):
+            if h60 < c:
+                return k
+        return 9
+
+    rates = []
+    for rep in range(200):
+        num = den = 0
+        for uid, c in conv.items():
+            w = pois(uid, rep)
+            num += w * c
+            den += w
+        rates.append(num / den)
+    n = len(conv)
+    n_conv = sum(conv.values())
+    assert got["n_users"] == n
+    assert got["n_converted"] == n_conv
+    assert abs(got["p_hat"] - round(n_conv / n, 6)) < 1e-9
+    lo, hi = np.percentile(rates, [2.5, 97.5], method="linear")
+    assert abs(got["ci_lo"] - round(float(lo), 6)) < 1e-9
+    assert abs(got["ci_hi"] - round(float(hi), 6)) < 1e-9
+    # the interval brackets the point estimate; at sf0.001 every
+    # signup user converts so the interval is legitimately [1, 1] —
+    # non-degeneracy is only required when the outcome actually varies
+    assert got["ci_lo"] <= got["p_hat"] <= got["ci_hi"]
+    if 0 < n_conv < n:
+        assert got["ci_lo"] < got["ci_hi"]
