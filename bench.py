@@ -230,6 +230,7 @@ HEADLINE = [
     "hard_negative_mining",
     "kendall_trend",
     "conversion_bootstrap_ci",
+    "audience_overlap",
 ]
 
 

@@ -43,6 +43,7 @@ from metevents_spark.functions.sketches import user_reach_kmv
 from metevents_spark.relational.basket import market_basket_lift
 from metevents_spark.operators.graph import copurchase_triangles, part_pagerank
 from metevents_spark.relational.product import (
+    audience_overlap,
     conversion_bootstrap_ci,
     conversion_lag,
 )
@@ -4254,6 +4255,25 @@ SELECT n_users, n_converted, p_hat, ci_lo, ci_hi, n_replicates
 FROM pt CROSS JOIN ci
 """
 
+ORACLE_SQL["audience_overlap"] = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type),
+inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+          COUNT(*) AS n_both
+          FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY a.event_type, b.event_type)
+SELECT type_a, type_b,
+  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+  CAST(n_both AS BIGINT) AS n_both,
+  ROUND(CAST(n_both AS DOUBLE)
+        / CAST(na.n + nb.n - n_both AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.event_type = type_a
+JOIN sizes nb ON nb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
 # Insertion order matters: the verification driver checks the FIRST 50
 # entries, so slot assignment is a deliberate rotation policy.
 #
@@ -4280,14 +4300,14 @@ FROM pt CROSS JOIN ci
 #     user_reach, value_drift_psi, value_histogram);
 #   * slots 22-23: knn_lsh / knn_ivf — rows-only, last driver-checked
 #     r01, displaced twice; refreshed now per the r9 rotation note;
-#   * slots 24-34: the eleven operators added in this round's SECOND
+#   * slots 24-35: the twelve operators added in this round's SECOND
 #     batch (Theil–Sen slope, Spearman trend, Mann–Whitney U, revenue
 #     Gini, conversion lag, co-purchase triangles, OOV rate, dedup
 #     survivor election, hard-negative mining, Kendall tau-b, the
-#     Poisson-bootstrap conversion CI) — never-seen keys take window
-#     priority, same policy as slots 7-15;
-#   * slots 35-50: the first 16 (alphabetical) of the 33-key r06-stale
-#     cohort; the remaining 17 (event_transitions onward, plus
+#     Poisson-bootstrap conversion CI, audience overlap) — never-seen
+#     keys take window priority, same policy as slots 7-15;
+#   * slots 36-50: the first 15 (alphabetical) of the 33-key r06-stale
+#     cohort; the remaining 18 (event_transitions onward, plus
 #     series_acf, seasonal_decompose, sole_return_supplier,
 #     text_stats, top_supplier, winsorize_series) sit just past the
 #     cap and lead the r11 window.
@@ -4333,6 +4353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negative_mining": hard_negative_mining,
     "kendall_trend": kendall_trend,
     "conversion_bootstrap_ci": conversion_bootstrap_ci,
+    "audience_overlap": audience_overlap,
     "anomaly_consensus": anomaly_consensus,
     "asof_purchase_before_error": q_asof_purchase_before_error,
     "bm25_rank": bm25_rank,

@@ -898,3 +898,60 @@ def conversion_bootstrap_ci(
     return point.crossJoin(ci).select(
         "n_users", "n_converted", "p_hat", "ci_lo", "ci_hi", "n_replicates"
     )
+
+
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every event-type pair, the exact
+    Jaccard similarity of their user sets — the segmentation readout
+    behind "do clickers also purchase" (near-1 pairs are redundant
+    segments; near-0 pairs are disjoint audiences worth separate
+    treatment). The set-sketch family's EXACT baseline: user_reach_kmv
+    estimates one set's size, this measures pairwise set geometry.
+
+    All-integer: |A∩B| from a user-co-located self-join of the
+    DISTINCT (type, user) pairs (collapses map-side before any
+    shuffle — the join moves |users|·|types| rows at most, never raw
+    events), |A∪B| = |A|+|B|−|A∩B|, one division rounded 6. Output is
+    the bounded |types|² upper triangle.
+    """
+    tu = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tu.alias("a"), tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    union = (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+    return (
+        inter.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(F.col("n_both").cast("double") / union, 6).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -43,7 +43,7 @@ GRACEFUL = [
     "theilsen_trend", "spearman_trend", "mann_whitney_u", "revenue_gini",
     "conversion_lag", "copurchase_triangles", "oov_rate",
     "dedup_survivor_pick", "hard_negative_mining", "kendall_trend",
-    "conversion_bootstrap_ci",
+    "conversion_bootstrap_ci", "audience_overlap",
 ]
 # undefined-on-empty by design: must raise ValueError with a message
 # that names the problem

@@ -337,3 +337,42 @@ def test_bootstrap_ci_matches_hashlib_replay(spark):
     assert got["ci_lo"] <= got["p_hat"] <= got["ci_hi"]
     if 0 < n_conv < n:
         assert got["ci_lo"] < got["ci_hi"]
+
+
+def test_audience_overlap_matches_set_replay(spark):
+    from metevents_spark.relational.product import audience_overlap
+
+    got = audience_overlap(spark, SF_SMALL).toPandas()
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    sets = {
+        t: set(g["user_id"]) for t, g in ev.groupby("event_type")
+    }
+    types = sorted(sets)
+    want = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            inter = len(sets[ta] & sets[tb])
+            if inter:
+                want.append(
+                    (
+                        ta,
+                        tb,
+                        len(sets[ta]),
+                        len(sets[tb]),
+                        inter,
+                        round(inter / len(sets[ta] | sets[tb]), 6),
+                    )
+                )
+    got_rows = [
+        (
+            r.type_a,
+            r.type_b,
+            r.n_a,
+            r.n_b,
+            r.n_both,
+            round(r.jaccard, 6),
+        )
+        for r in got.itertuples()
+    ]
+    assert got_rows == want
+    assert (got["jaccard"] <= 1.0).all() and (got["jaccard"] > 0).all()
