@@ -231,6 +231,7 @@ HEADLINE = [
     "kendall_trend",
     "conversion_bootstrap_ci",
     "audience_overlap",
+    "ship_delay_quantiles",
 ]
 
 

@@ -47,7 +47,7 @@ from metevents_spark.relational.product import (
     conversion_bootstrap_ci,
     conversion_lag,
 )
-from metevents_spark.relational.tpch import revenue_gini
+from metevents_spark.relational.tpch import revenue_gini, ship_delay_quantiles
 from metevents_spark.operators.rankstats import (
     kendall_trend,
     mann_whitney_u,
@@ -4141,7 +4141,7 @@ WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token
               FROM documents),
 vocab AS (SELECT token, 1 AS in_vocab FROM
           (SELECT token, COUNT(*) AS n FROM toks GROUP BY token
-           ORDER BY n DESC, token LIMIT 500)),
+           ORDER BY n DESC, token LIMIT 25)),
 flagged AS (SELECT t.source, v.in_vocab FROM toks t
             LEFT JOIN vocab v ON t.token = v.token)
 SELECT source, COUNT(*) AS n_tokens,
@@ -4274,6 +4274,22 @@ JOIN sizes nb ON nb.event_type = type_b
 ORDER BY type_a, type_b
 """
 
+ORACLE_SQL["ship_delay_quantiles"] = """
+WITH j AS (
+  SELECT o_orderpriority AS priority,
+         epoch_us(l_shipdate) - epoch_us(o_orderdate) AS delay_us,
+         CAST(epoch_us(l_shipdate) - epoch_us(o_orderdate) AS DOUBLE)
+           / 86400000000.0 AS delay_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT priority, COUNT(*) AS n_lines,
+  ROUND(CAST(SUM(delay_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        / 86400000000.0, 6) AS mean_days,
+  ROUND(quantile_cont(delay_days, 0.5), 6) AS p50_days,
+  ROUND(quantile_cont(delay_days, 0.9), 6) AS p90_days,
+  ROUND(quantile_cont(delay_days, 0.99), 6) AS p99_days
+FROM j GROUP BY priority ORDER BY priority
+"""
+
 # Insertion order matters: the verification driver checks the FIRST 50
 # entries, so slot assignment is a deliberate rotation policy.
 #
@@ -4300,14 +4316,15 @@ ORDER BY type_a, type_b
 #     user_reach, value_drift_psi, value_histogram);
 #   * slots 22-23: knn_lsh / knn_ivf — rows-only, last driver-checked
 #     r01, displaced twice; refreshed now per the r9 rotation note;
-#   * slots 24-35: the twelve operators added in this round's SECOND
+#   * slots 24-36: the thirteen operators added in this round's SECOND
 #     batch (Theil–Sen slope, Spearman trend, Mann–Whitney U, revenue
 #     Gini, conversion lag, co-purchase triangles, OOV rate, dedup
 #     survivor election, hard-negative mining, Kendall tau-b, the
-#     Poisson-bootstrap conversion CI, audience overlap) — never-seen
-#     keys take window priority, same policy as slots 7-15;
-#   * slots 36-50: the first 15 (alphabetical) of the 33-key r06-stale
-#     cohort; the remaining 18 (event_transitions onward, plus
+#     Poisson-bootstrap conversion CI, audience overlap, ship-delay
+#     quantiles) — never-seen keys take window priority, same policy
+#     as slots 7-15;
+#   * slots 37-50: the first 14 (alphabetical) of the 33-key r06-stale
+#     cohort; the remaining 19 (event_transitions onward, plus
 #     series_acf, seasonal_decompose, sole_return_supplier,
 #     text_stats, top_supplier, winsorize_series) sit just past the
 #     cap and lead the r11 window.
@@ -4354,6 +4371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kendall_trend": kendall_trend,
     "conversion_bootstrap_ci": conversion_bootstrap_ci,
     "audience_overlap": audience_overlap,
+    "ship_delay_quantiles": ship_delay_quantiles,
     "anomaly_consensus": anomaly_consensus,
     "asof_purchase_before_error": q_asof_purchase_before_error,
     "bm25_rank": bm25_rank,

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metevents_spark.io import load_table
+from metevents_spark.timeutil import epoch_us
 
 
 def _dec(col: str, prec: str = "12,2"):
@@ -1509,3 +1510,54 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tot.cast("double") / F.lit(100.0), 2).alias("revenue"),
         F.round(gini, 6).alias("gini"),
     ).orderBy("nation")
+
+
+def ship_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: exact
+    p50/p90/p99 of the lineitem ship delay (days after the order
+    date), plus mean and line count — the fulfillment-SLA readout
+    (does priority actually buy faster shipping?), and the engine's
+    cross-table latency-quantile family member (conversion_lag is
+    per-user event latency; this is fact-to-fact).
+
+    Determinism: the delay is an exact integer microsecond difference
+    scaled to fractional days by ONE division; grouped percentiles use
+    the shared continuous interpolation over identical doubles; the
+    mean folds in exact integer micros first (SUM BIGINT) and divides
+    once. One broadcast-joined fact scan, one |priorities|-sized
+    aggregate — map-side-combining all the way.
+    """
+    line = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    day_us = 86_400_000_000
+    delay_us = epoch_us(F.col("l_shipdate")) - epoch_us(F.col("o_orderdate"))
+    j = line.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        delay_us.alias("delay_us"),
+        (delay_us.cast("double") / F.lit(float(day_us))).alias("delay_days"),
+    )
+    pct = F.percentile(
+        "delay_days", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
+    return (
+        j.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum("delay_us").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(float(day_us)),
+                6,
+            ).alias("mean_days"),
+            F.round(F.element_at(pct, 1), 6).alias("p50_days"),
+            F.round(F.element_at(pct, 2), 6).alias("p90_days"),
+            F.round(F.element_at(pct, 3), 6).alias("p99_days"),
+        )
+        .orderBy("priority")
+    )

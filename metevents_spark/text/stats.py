@@ -1080,7 +1080,7 @@ def chi2_terms(
     )
 
 
-def oov_rate(spark: SparkSession, sf_dir: str, vocab_k: int = 500) -> DataFrame:
+def oov_rate(spark: SparkSession, sf_dir: str, vocab_k: int = 25) -> DataFrame:
     """Per-source out-of-vocabulary rate against the corpus top-K
     vocabulary — the tokenizer-coverage health check a training
     pipeline runs per data source (a source with high OOV against the
@@ -1088,7 +1088,10 @@ def oov_rate(spark: SparkSession, sf_dir: str, vocab_k: int = 500) -> DataFrame:
     with ``token_count_bpe`` for the subword view).
 
     The vocab is the deterministic top-``vocab_k`` tokens (count desc,
-    token asc — the ``vocab_top_terms`` ordering); each source then
+    token asc — the ``vocab_top_terms`` ordering; the default 25 sits
+    below the synthetic corpus's full vocabulary so the rate is
+    non-degenerate — a real deployment passes its tokenizer's actual
+    vocab size); each source then
     reports exact token/OOV counts and their single-division ratio.
     Two passes over the token explode: the vocab build's shuffle is
     map-side collapsed to |vocab| rows per partition, and the per-source

@@ -180,7 +180,7 @@ def test_oov_rate_matches_counter_replay(spark):
     vocab = set(
         tok
         for tok, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
-            :500
+            :25
         ]
     )
     for source, g in docs.groupby("source"):
@@ -191,6 +191,10 @@ def test_oov_rate_matches_counter_replay(spark):
         assert abs(
             got.loc[source, "oov_rate"] - round(n_oov / len(toks), 6)
         ) < 1e-9
+    # the k=25 vocab sits below the corpus's 31-token vocabulary, so
+    # the rate must be non-degenerate (a top-500 vocab covered
+    # everything and made every row 0)
+    assert (got["n_oov"] > 0).any()
 
 
 def test_survivor_pick_properties(spark):
@@ -376,3 +380,38 @@ def test_audience_overlap_matches_set_replay(spark):
     ]
     assert got_rows == want
     assert (got["jaccard"] <= 1.0).all() and (got["jaccard"] > 0).all()
+
+
+def test_ship_delay_matches_pandas_replay(spark):
+    from metevents_spark.relational.tpch import ship_delay_quantiles
+
+    got = ship_delay_quantiles(spark, SF_SMALL).toPandas().set_index(
+        "priority"
+    )
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    day_us = 86_400_000_000
+    delay_us = (
+        j["l_shipdate"].astype("datetime64[ns]").astype("int64")
+        - j["o_orderdate"].astype("datetime64[ns]").astype("int64")
+    ) // 1000
+    j = j.assign(delay_us=delay_us, delay_days=delay_us / day_us)
+    for prio, g in j.groupby("o_orderpriority"):
+        assert got.loc[prio, "n_lines"] == len(g)
+        assert abs(
+            got.loc[prio, "mean_days"]
+            - round(g["delay_us"].sum() / len(g) / day_us, 6)
+        ) < 1e-9
+        for col, q in (("p50_days", 50), ("p90_days", 90), ("p99_days", 99)):
+            want = np.percentile(
+                g["delay_days"].to_numpy(), q, method="linear"
+            )
+            assert abs(got.loc[prio, col] - round(float(want), 6)) < 1e-9
+        # sanity: percentiles ordered, delays non-negative
+        assert (
+            got.loc[prio, "p50_days"]
+            <= got.loc[prio, "p90_days"]
+            <= got.loc[prio, "p99_days"]
+        )
+        assert got.loc[prio, "p50_days"] >= 0
