@@ -430,3 +430,60 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    partition_col: str = "event_date",
+) -> dict[str, int]:
+    """Small-file compaction for a date-partitioned parquet table — the
+    maintenance job every append-mostly lake needs: streaming /
+    micro-batch writers leave each partition littered with files the
+    size of one trigger's slice, and at 100 TB the resulting
+    file-open/footer overhead dominates scan time long before data
+    volume does.
+
+    Per-partition file count is computed FROM THE DATA (ceil(rows /
+    target_rows_per_file), never a global constant): one cheap
+    count per partition value (parquet metadata-only aggregate), then
+    each partition rewrites via ``repartition(n_files)`` scoped to
+    that partition's rows, written with dynamic partition overwrite so
+    ONLY rewritten partitions are replaced — the pattern scales with
+    the compacted slice, not the table. Row contents are untouched
+    (asserted by count + content hash in tests/test_partitioned_sink).
+
+    Returns {"files_before": b, "files_after": a, "rows": n} for the
+    caller's audit log.
+    """
+    import glob as _glob
+
+    df = spark.read.parquet(path)
+    files_before = len(_glob.glob(f"{path}/*/*.parquet"))
+    n_rows = df.count()
+    counts = (
+        df.groupBy(partition_col).count().collect()
+    )  # bounded: one row per partition value
+    writer_conf = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for row in counts:
+            pval = row[partition_col]
+            n_files = max(1, -(-int(row["count"]) // target_rows_per_file))
+            part = df.filter(F.col(partition_col) == F.lit(pval))
+            part.repartition(n_files).write.mode("overwrite").partitionBy(
+                partition_col
+            ).parquet(path)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", writer_conf
+        )
+    files_after = len(_glob.glob(f"{path}/*/*.parquet"))
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": n_rows,
+    }

@@ -112,3 +112,44 @@ def test_table_format_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError):
         write_events(src, str(tmp_path / "bad"), fmt="avro")
+
+
+def test_compaction_reduces_files_preserves_content(spark, tmp_path):
+    """Writing with absurdly many shuffle slices litters each date
+    partition with small files; compaction must collapse them to the
+    data-driven count while leaving every row byte-identical."""
+    from metevents_spark.io import compact_partitions
+
+    src = series_frame(spark, "/root/testdata/sf0.001")
+    p = str(tmp_path / "compact_me")
+    # fragment: 16 files per partition regardless of size
+    (
+        src.withColumn("event_date", F.to_date("ts"))
+        .repartition(16)
+        .write.partitionBy("event_date")
+        .parquet(p)
+    )
+    before = sorted(
+        (r.sid, r.seq, r.ts, r.value)
+        for r in spark.read.parquet(p)
+        .select("sid", "seq", "ts", "value")
+        .collect()
+    )
+
+    stats = compact_partitions(spark, p, target_rows_per_file=10_000)
+
+    after = sorted(
+        (r.sid, r.seq, r.ts, r.value)
+        for r in spark.read.parquet(p)
+        .select("sid", "seq", "ts", "value")
+        .collect()
+    )
+    assert after == before
+    assert stats["rows"] == len(before)
+    # every sf0.001 partition holds far fewer than 10k rows, so each
+    # collapses to exactly ONE file
+    import glob
+
+    parts = glob.glob(f"{p}/event_date=*")
+    assert stats["files_after"] == len(parts)
+    assert stats["files_after"] < stats["files_before"]
