@@ -1,6 +1,7 @@
 from metevents_spark.streaming.detect import (  # noqa: F401
     stream_burst_collapse,
     stream_conversion_lag,
+    stream_p2_quantile,
     stream_purchase_attribution,
     stream_counter_rate,
     stream_cusum,

@@ -1244,3 +1244,160 @@ def stream_conversion_lag(stream_df: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+P2_OUTPUT_SCHEMA = (
+    "sid string, seq long, ts timestamp, n long, q_est double"
+)
+P2_STATE_SCHEMA = StructType(
+    [
+        StructField("heights", ArrayType(DoubleType())),
+        StructField("npos", ArrayType(LongType())),
+        StructField("buf", ArrayType(DoubleType())),  # first <5 points
+        StructField("last_us", LongType()),
+        StructField("n_late", LongType()),
+    ]
+)
+
+
+def _p2_step(heights: list, npos: list, x: float, p: float) -> None:
+    """One Jain–Chlamtac P² marker update (in place): classify x into
+    a cell, shift higher marker positions, then move each interior
+    marker toward its desired position with the parabolic formula
+    (linear fallback when the parabola would cross a neighbor)."""
+    if x < heights[0]:
+        heights[0] = x
+        k = 0
+    elif x >= heights[4]:
+        heights[4] = x
+        k = 3
+    else:
+        k = max(i for i in range(4) if heights[i] <= x)
+    for i in range(k + 1, 5):
+        npos[i] += 1
+    n = npos[4]
+    desired = (
+        1.0,
+        1.0 + (n - 1) * p / 2.0,
+        1.0 + (n - 1) * p,
+        1.0 + (n - 1) * (1.0 + p) / 2.0,
+        float(n),
+    )
+    for i in (1, 2, 3):
+        d = desired[i] - npos[i]
+        if (d >= 1.0 and npos[i + 1] - npos[i] > 1) or (
+            d <= -1.0 and npos[i - 1] - npos[i] < -1
+        ):
+            s = 1 if d >= 1.0 else -1
+            hp = heights[i] + s / (npos[i + 1] - npos[i - 1]) * (
+                (npos[i] - npos[i - 1] + s)
+                * (heights[i + 1] - heights[i])
+                / (npos[i + 1] - npos[i])
+                + (npos[i + 1] - npos[i] - s)
+                * (heights[i] - heights[i - 1])
+                / (npos[i] - npos[i - 1])
+            )
+            if heights[i - 1] < hp < heights[i + 1]:
+                heights[i] = hp
+            else:
+                heights[i] = heights[i] + s * (
+                    heights[i + s] - heights[i]
+                ) / (npos[i + s] - npos[i])
+            npos[i] += s
+
+
+def _exact_quantile(sorted_vals: list, p: float) -> float:
+    """Continuous-interpolation quantile of a small sorted list (the
+    init-phase estimate while fewer than 5 points have arrived)."""
+    n = len(sorted_vals)
+    if n == 1:
+        return sorted_vals[0]
+    pos = (n - 1) * p
+    lo = int(pos)
+    frac = pos - lo
+    hi = min(lo + 1, n - 1)
+    return sorted_vals[lo] * (1 - frac) + sorted_vals[hi] * frac
+
+
+def stream_p2_quantile(stream_df: DataFrame, p: float = 0.5) -> DataFrame:
+    """Streaming per-series quantile via the P² algorithm (Jain &
+    Chlamtac 1985): a running p-quantile estimate from FIVE markers —
+    O(1) state per series forever, where an exact streaming quantile
+    needs O(n) history. The monitoring primitive behind live latency
+    percentiles; the batch counterparts are ``value_quantiles``
+    (exact) and ``value_quantiles_approx`` (GK sketch).
+
+    Emits one row per accepted point with the estimate AFTER folding
+    that point — during the first five points the estimate is the
+    exact interpolated quantile of the prefix (the P² markers
+    initialize from the first five sorted values). The per-point
+    update is a fixed float-op sequence, so outputs are deterministic
+    and CHUNKING-INVARIANT given the shared ordering contract (sort by
+    (ts, seq) in-batch; older-than-last points drop into ``n_late``).
+    """
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            heights, npos, buf, last_us, n_late = state.get
+            heights, npos, buf = list(heights), list(npos), list(buf)
+        else:
+            heights, npos, buf, last_us, n_late = [], [], [], None, 0
+        out = []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = _sort_batch(pdf)
+            us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            seqs = pdf["seq"].to_numpy(dtype="int64")
+            vals = pdf["value"].to_numpy(dtype="float64")
+            for i in range(len(us)):
+                u, q, x = int(us[i]), int(seqs[i]), float(vals[i])
+                if last_us is not None and u < last_us:
+                    n_late += 1
+                    continue
+                last_us = u
+                if not npos:
+                    buf.append(x)
+                    if len(buf) == 5:
+                        heights = sorted(buf)
+                        npos = [1, 2, 3, 4, 5]
+                        buf = []
+                        est = heights[2] if p == 0.5 else _exact_quantile(
+                            heights, p
+                        )
+                        n_seen = 5
+                    else:
+                        est = _exact_quantile(sorted(buf), p)
+                        n_seen = len(buf)
+                else:
+                    _p2_step(heights, npos, x, p)
+                    est = heights[2]
+                    n_seen = npos[4]
+                out.append((key[0], q, u, n_seen, est))
+        state.update((heights, npos, buf, last_us, n_late))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "sid": [r[0] for r in out],
+                    "seq": np.asarray([r[1] for r in out], dtype="int64"),
+                    "ts": pd.to_datetime(
+                        np.asarray([r[2] for r in out], dtype="int64"),
+                        unit="us",
+                    ),
+                    "n": np.asarray([r[3] for r in out], dtype="int64"),
+                    "q_est": np.asarray([r[4] for r in out], dtype="float64"),
+                }
+            )
+
+    return (
+        stream_df.select("sid", "seq", "ts", "value")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy("sid")
+        .applyInPandasWithState(
+            fn,
+            P2_OUTPUT_SCHEMA,
+            P2_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

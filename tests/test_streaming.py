@@ -1330,3 +1330,121 @@ def test_stream_conversion_lag_matches_batch(spark, stream_dir, split):
     assert list(got["purchase_ts"]) == list(want["purchase_ts"])
     # emit-once: no user appears twice however the replay chunks
     assert got["sid"].is_unique
+
+
+@pytest.mark.parametrize("split", [400, 850])
+def test_stream_p2_quantile_chunking_invariant(spark, stream_dir, split):
+    """The P² per-point update depends only on the points already
+    processed, so however the replay chunks, the emitted per-point
+    estimates are identical."""
+    from metevents_spark.streaming import stream_p2_quantile
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev[ev["value"].notna()]
+    pdf = (
+        pd.DataFrame(
+            {
+                "sid": ev["user_id"].astype(str),
+                "seq": ev["event_id"].astype("int64"),
+                "ts": ev["ts"],
+                "value": ev["value"].astype(float),
+            }
+        )
+        .sort_values(["ts", "seq"], kind="stable")
+        .reset_index(drop=True)
+    )
+
+    outs = {}
+    for tag, cuts in (("one", [len(pdf)]), ("two", [split, len(pdf)])):
+        d = Path(stream_dir, f"p2_in_{split}_{tag}")
+        d.mkdir()
+        lo = 0
+        for ci, hi in enumerate(cuts):
+            pdf.iloc[lo:hi].to_parquet(
+                f"{d}/c{ci}.parquet", coerce_timestamps="us"
+            )
+            lo = hi
+            time.sleep(0.02)
+        stream = (
+            spark.readStream.schema(
+                "sid string, seq long, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        name = f"p2_out_{split}_{tag}"
+        q = (
+            stream_p2_quantile(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{stream_dir}/p2_ckpt_{split}_{tag}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        outs[tag] = (
+            spark.sql(f"SELECT * FROM {name}")
+            .toPandas()
+            .sort_values(["sid", "seq"])
+            .reset_index(drop=True)
+        )
+    a, b = outs["one"], outs["two"]
+    assert len(a) == len(b) == len(pdf)
+    assert list(a["seq"]) == list(b["seq"])
+    assert np.allclose(a["q_est"], b["q_est"], rtol=0, atol=0)
+    assert list(a["n"]) == list(b["n"])
+
+
+def test_stream_p2_quantile_accuracy(spark, stream_dir):
+    """On a deterministic LCG-shuffled 1..2000 sequence, the final P²
+    median estimate must land within 5% of the true median — and the
+    first five emitted estimates are the EXACT prefix quantiles."""
+    from metevents_spark.streaming import stream_p2_quantile
+
+    n = 2000
+    # LCG permutation of 1..n (deterministic, no RNG state)
+    vals = [(i * 48271 % 65537) % n + 1 for i in range(n)]
+    pdf = pd.DataFrame(
+        {
+            "sid": "s",
+            "seq": np.arange(n, dtype="int64"),
+            "ts": pd.to_datetime(
+                np.arange(n, dtype="int64") * 1_000_000, unit="us"
+            ),
+            "value": np.asarray(vals, dtype="float64"),
+        }
+    )
+    d = Path(stream_dir, "p2_acc")
+    d.mkdir()
+    pdf.to_parquet(f"{d}/c0.parquet", coerce_timestamps="us")
+    stream = (
+        spark.readStream.schema(
+            "sid string, seq long, ts timestamp, value double"
+        )
+        .parquet(str(d))
+    )
+    q = (
+        stream_p2_quantile(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("p2_acc_out")
+        .option("checkpointLocation", f"{stream_dir}/p2_acc_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM p2_acc_out")
+        .toPandas()
+        .sort_values("seq")
+        .reset_index(drop=True)
+    )
+    assert len(got) == n
+    true_median = float(np.median(vals))
+    final = got["q_est"].iloc[-1]
+    assert abs(final - true_median) <= 0.05 * n
+    # init phase: exact interpolated prefix quantiles
+    for i in range(1, 5):
+        want = float(np.percentile(vals[:i], 50, method="linear"))
+        assert abs(got["q_est"].iloc[i - 1] - want) < 1e-9
