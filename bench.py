@@ -232,6 +232,7 @@ HEADLINE = [
     "conversion_bootstrap_ci",
     "audience_overlap",
     "ship_delay_quantiles",
+    "copurchase_bfs_hops",
 ]
 
 

@@ -224,3 +224,73 @@ def copurchase_triangles(
         .orderBy(F.desc("n_triangles"), "p_partkey")
         .limit(top)
     )
+
+
+def copurchase_bfs_hops(
+    spark: SparkSession, sf_dir: str, max_hops: int = 3
+) -> DataFrame:
+    """Level-synchronous BFS over the co-purchase graph: hop distance
+    from the top-degree part (the canonical recommendation seed —
+    deterministic: degree desc, id asc) to every part within
+    ``max_hops``. Completes the graph tier's traversal family beside
+    PageRank (global centrality), connected components, and triangles
+    (local cohesion) — "how many recommendation steps away is X".
+
+    Each level is ONE frontier⋈edges join co-partitioned on the part
+    key + a distinct (map-side collapsing) + an anti-join against the
+    visited set — the standard distributed BFS shape; at 100 TB the
+    visited set broadcasts while small and swaps to the shuffle
+    anti-join automatically past the broadcast threshold (AQE decides
+    per level). Hop counts are exact integers; the oracle replays the
+    same ``max_hops`` levels as chained set differences.
+    """
+    edges = track(
+        _copurchase_edges(spark, sf_dir).select("src", "dst").persist()
+    )
+    # fill the edge cache with ONE action before the traversal: the
+    # lazy union tree references edges from several branches of the
+    # same final job, and an unfilled cache races — the basket
+    # self-join was measured re-running per branch (7-8s vs 2.9s warm)
+    edges.count()
+    seed = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.desc("d"), "src")
+        .limit(1)
+        .select(F.col("src").alias("p_partkey"), F.lit(0).cast("long").alias("hops"))
+    )
+    # per-level shape: frontier and visited sets are node-bounded
+    # (|parts| rows) while the edge list is orders of magnitude larger
+    # — BROADCAST them so each level is one map-side semi/anti probe
+    # over the cached edges (a sort-merge join re-sorts all edges
+    # EVERY level: measured 8s vs 4.5s warm at sf0.1). Each level's
+    # tiny frontier materializes EAGERLY (localCheckpoint) so the next
+    # level's plan starts from rows, not a re-evaluable subtree —
+    # lazy persists let the final job race its own cache fills. At
+    # graph scales where the visited set outgrows the broadcast
+    # threshold, drop the hints and the same plan runs as
+    # co-partitioned shuffle joins.
+    seed_f = track(seed.select("p_partkey").localCheckpoint())
+    levels = [seed_f.select("p_partkey", F.lit(0).cast("long").alias("hops"))]
+    visited, frontier = seed_f, seed_f
+    for h in range(1, max_hops + 1):
+        nxt = track(
+            edges.join(
+                F.broadcast(frontier),
+                frontier["p_partkey"] == edges["src"],
+                "left_semi",
+            )
+            .select(F.col("dst").alias("p_partkey"))
+            .distinct()
+            .join(F.broadcast(visited), "p_partkey", "left_anti")
+            .localCheckpoint()
+        )
+        levels.append(
+            nxt.select("p_partkey", F.lit(h).cast("long").alias("hops"))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out.orderBy("hops", "p_partkey")

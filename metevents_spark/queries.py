@@ -41,7 +41,11 @@ from metevents_spark.operators.sessions import burst_collapse, sessionize
 from metevents_spark.functions import freq_infer
 from metevents_spark.functions.sketches import user_reach_kmv
 from metevents_spark.relational.basket import market_basket_lift
-from metevents_spark.operators.graph import copurchase_triangles, part_pagerank
+from metevents_spark.operators.graph import (
+    copurchase_bfs_hops,
+    copurchase_triangles,
+    part_pagerank,
+)
 from metevents_spark.relational.product import (
     audience_overlap,
     conversion_bootstrap_ci,
@@ -4290,6 +4294,28 @@ SELECT priority, COUNT(*) AS n_lines,
 FROM j GROUP BY priority ORDER BY priority
 """
 
+ORACLE_SQL["copurchase_bfs_hops"] = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey <> b.l_partkey),
+seed AS (SELECT u AS p FROM (SELECT u, COUNT(*) AS d FROM edges
+         GROUP BY u ORDER BY d DESC, u LIMIT 1)),
+d1 AS (SELECT DISTINCT e.v AS p FROM edges e JOIN seed s ON e.u = s.p
+       WHERE e.v NOT IN (SELECT p FROM seed)),
+d2 AS (SELECT DISTINCT e.v AS p FROM edges e JOIN d1 ON e.u = d1.p
+       WHERE e.v NOT IN (SELECT p FROM seed UNION ALL SELECT p FROM d1)),
+d3 AS (SELECT DISTINCT e.v AS p FROM edges e JOIN d2 ON e.u = d2.p
+       WHERE e.v NOT IN (SELECT p FROM seed UNION ALL SELECT p FROM d1
+                         UNION ALL SELECT p FROM d2))
+SELECT p AS p_partkey, CAST(h AS BIGINT) AS hops FROM (
+  SELECT p, 0 AS h FROM seed
+  UNION ALL SELECT p, 1 FROM d1
+  UNION ALL SELECT p, 2 FROM d2
+  UNION ALL SELECT p, 3 FROM d3)
+ORDER BY hops, p_partkey
+"""
+
 # Insertion order matters: the verification driver checks the FIRST 50
 # entries, so slot assignment is a deliberate rotation policy.
 #
@@ -4316,15 +4342,15 @@ FROM j GROUP BY priority ORDER BY priority
 #     user_reach, value_drift_psi, value_histogram);
 #   * slots 22-23: knn_lsh / knn_ivf — rows-only, last driver-checked
 #     r01, displaced twice; refreshed now per the r9 rotation note;
-#   * slots 24-36: the thirteen operators added in this round's SECOND
+#   * slots 24-37: the fourteen operators added in this round's SECOND
 #     batch (Theil–Sen slope, Spearman trend, Mann–Whitney U, revenue
 #     Gini, conversion lag, co-purchase triangles, OOV rate, dedup
 #     survivor election, hard-negative mining, Kendall tau-b, the
 #     Poisson-bootstrap conversion CI, audience overlap, ship-delay
-#     quantiles) — never-seen keys take window priority, same policy
-#     as slots 7-15;
-#   * slots 37-50: the first 14 (alphabetical) of the 33-key r06-stale
-#     cohort; the remaining 19 (event_transitions onward, plus
+#     quantiles, BFS hop distance) — never-seen keys take window
+#     priority, same policy as slots 7-15;
+#   * slots 38-50: the first 13 (alphabetical) of the 33-key r06-stale
+#     cohort; the remaining 20 (event_transitions onward, plus
 #     series_acf, seasonal_decompose, sole_return_supplier,
 #     text_stats, top_supplier, winsorize_series) sit just past the
 #     cap and lead the r11 window.
@@ -4372,6 +4398,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conversion_bootstrap_ci": conversion_bootstrap_ci,
     "audience_overlap": audience_overlap,
     "ship_delay_quantiles": ship_delay_quantiles,
+    "copurchase_bfs_hops": copurchase_bfs_hops,
     "anomaly_consensus": anomaly_consensus,
     "asof_purchase_before_error": q_asof_purchase_before_error,
     "bm25_rank": bm25_rank,

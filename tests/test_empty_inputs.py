@@ -44,7 +44,7 @@ GRACEFUL = [
     "conversion_lag", "copurchase_triangles", "oov_rate",
     "dedup_survivor_pick", "hard_negative_mining", "kendall_trend",
     "conversion_bootstrap_ci", "audience_overlap",
-    "ship_delay_quantiles",
+    "ship_delay_quantiles", "copurchase_bfs_hops",
 ]
 # undefined-on-empty by design: must raise ValueError with a message
 # that names the problem

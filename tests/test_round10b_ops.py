@@ -415,3 +415,35 @@ def test_ship_delay_matches_pandas_replay(spark):
             <= got.loc[prio, "p99_days"]
         )
         assert got.loc[prio, "p50_days"] >= 0
+
+
+def test_bfs_hops_matches_set_replay(spark):
+    from metevents_spark.operators.graph import copurchase_bfs_hops
+
+    got = copurchase_bfs_hops(spark, SF_SMALL).toPandas()
+
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    items = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    adj: dict[int, set[int]] = {}
+    for _, g in items.groupby("l_orderkey"):
+        ps = sorted(g["l_partkey"].unique())
+        for a in ps:
+            for b in ps:
+                if a != b:
+                    adj.setdefault(a, set()).add(b)
+    seed = sorted(adj, key=lambda p: (-len(adj[p]), p))[0]
+    dist = {seed: 0}
+    frontier = {seed}
+    for h in (1, 2, 3):
+        nxt = set()
+        for u in frontier:
+            nxt |= adj[u]
+        nxt -= set(dist)
+        for p in nxt:
+            dist[p] = h
+        frontier = nxt
+    want = sorted((h, p) for p, h in dist.items())
+    assert [(r.hops, r.p_partkey) for r in got.itertuples()] == want
+    # the seed really is max-degree and hop counts are complete levels
+    assert got["hops"].iloc[0] == 0
+    assert set(got["hops"]) <= {0, 1, 2, 3}
