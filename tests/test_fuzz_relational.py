@@ -854,3 +854,82 @@ def test_random_set_op_composition_matches_duckdb(spark, seed):
     assert len(got) == len(want), f"row count: {label}\n{sql}"
     g, w = normalize(got), normalize(want)
     assert frame_hash(g) == frame_hash(w), f"value hash: {label}\n{sql}"
+
+
+# ---- datetime-function compositions ----------------------------------------
+# Cross-engine datetime semantics are a classic divergence source
+# (week start, truncation of sub-second units, extract field names);
+# these specs pin Spark's date_trunc/extract surface against DuckDB
+# over the microsecond event timestamps. All outputs are exact
+# integers/timestamps — nothing to round. DOW is deliberately absent
+# (Spark dayofweek is 1=Sunday, DuckDB dow is 0=Sunday: a known
+# mapping difference, not a parity target).
+
+EVENTS = f"{SF_SMALL}/events.parquet"
+
+TRUNC_UNITS = ["year", "quarter", "month", "week", "day", "hour"]
+EXTRACT_FIELDS = [
+    ("ex_year", lambda: F.year("ts"), "year(ts)"),
+    ("ex_month", lambda: F.month("ts"), "month(ts)"),
+    ("ex_day", lambda: F.dayofmonth("ts"), "day(ts)"),
+    ("ex_hour", lambda: F.hour("ts"), "hour(ts)"),
+    ("ex_minute", lambda: F.minute("ts"), "minute(ts)"),
+    ("ex_doy", lambda: F.dayofyear("ts"), "dayofyear(ts)"),
+]
+DT_FILTERS = [
+    ("all", None, "TRUE"),
+    (
+        "after_j10",
+        lambda: F.col("ts") >= "2024-01-10",
+        "ts >= TIMESTAMP '2024-01-10 00:00:00'",
+    ),
+    (
+        "clicks",
+        lambda: F.col("event_type") == "click",
+        "event_type = 'click'",
+    ),
+]
+
+
+@pytest.mark.parametrize("seed", range(900, 910))
+def test_random_datetime_composition_matches_duckdb(spark, seed):
+    rng = random.Random(seed)
+    unit = rng.choice(TRUNC_UNITS)
+    fields = rng.sample(EXTRACT_FIELDS, rng.randint(1, 2))
+    flt = rng.choice(DT_FILTERS)
+
+    df = spark.read.parquet(EVENTS)
+    if flt[1] is not None:
+        df = df.filter(flt[1]())
+    got = (
+        df.groupBy(
+            F.date_trunc(unit, "ts").alias("bucket"),
+            *[f[1]().cast("long").alias(f[0]) for f in fields],
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("bucket", *[f[0] for f in fields])
+        .toPandas()
+    )
+
+    fields_sql = ", ".join(
+        f"CAST({f[2]} AS BIGINT) AS {f[0]}" for f in fields
+    )
+    names = ", ".join(f[0] for f in fields)
+    sql = (
+        f"SELECT date_trunc('{unit}', ts) AS bucket, {fields_sql}, "
+        "COUNT(*) AS n, MIN(ts) AS first_ts, MAX(ts) AS last_ts "
+        f"FROM events WHERE {flt[2]} "
+        f"GROUP BY bucket, {names} ORDER BY bucket, {names}"
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{EVENTS}'")
+    want = con.sql(sql).df()
+
+    label = f"unit={unit} fields={[f[0] for f in fields]} filter={flt[0]}"
+    assert len(got) == len(want), f"row count: {label}\n{sql}"
+    g, w = normalize(got), normalize(want)
+    assert frame_hash(g) == frame_hash(w), f"value hash: {label}\n{sql}"
