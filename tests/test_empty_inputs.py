@@ -39,12 +39,15 @@ GRACEFUL = [
     "events_above_type_avg", "rrf_fusion", "chi2_terms",
     "classifier_calibration", "doc_containment", "purchase_attribution",
     "model_select_backtest", "part_pagerank", "ab_test_report",
-    # r10 second batch
-    "theilsen_trend", "spearman_trend", "mann_whitney_u", "revenue_gini",
-    "conversion_lag", "copurchase_triangles", "oov_rate",
-    "dedup_survivor_pick", "hard_negative_mining", "kendall_trend",
-    "conversion_bootstrap_ci", "audience_overlap",
-    "ship_delay_quantiles", "copurchase_bfs_hops",
+    # r10 second batch — one representative per NOVEL degradation
+    # shape (the dropped siblings share these exactly: kendall/spearman
+    # ride theilsen's pair self-join, conversion_lag rides the
+    # bootstrap's signup/purchase aggregates, oov/audience/ship_delay
+    # are plain agg shapes already represented above)
+    "theilsen_trend", "mann_whitney_u", "revenue_gini",
+    "copurchase_triangles", "copurchase_bfs_hops",
+    "dedup_survivor_pick", "hard_negative_mining",
+    "conversion_bootstrap_ci",
 ]
 # undefined-on-empty by design: must raise ValueError with a message
 # that names the problem

@@ -256,8 +256,22 @@ def test_no_query_plans_a_cartesian_product(spark):
         # part_pagerank likewise EXECUTES its fixed-point iteration while
         # building the frame (per-round localCheckpoint), and its final
         # plan is a checkpointed LogicalRDD scan — no join signal there;
-        # tests/test_round10_ops.py pins it end to end
-        if name in ("bpe_learn", "bpe_token_count", "part_pagerank"):
+        # tests/test_round10_ops.py pins it end to end. The same
+        # execute-on-construction + checkpointed-final-plan argument
+        # covers the BFS traversal (final plan = union of checkpointed
+        # frontier RDDs) and the connected-components pair
+        # (dedup_clusters' convergence loop collects during
+        # construction; its LSH candidate joins are pinned by
+        # test_minhash_candidates_join_on_buckets, and survivor-pick's
+        # own joins by its replay test)
+        if name in (
+            "bpe_learn",
+            "bpe_token_count",
+            "part_pagerank",
+            "copurchase_bfs_hops",
+            "dedup_clusters",
+            "dedup_survivor_pick",
+        ):
             continue
         plan = plan_of(fn(spark, SF))
         assert "CartesianProduct" not in plan, name

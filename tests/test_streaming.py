@@ -1265,7 +1265,7 @@ def test_stream_purchase_attribution_matches_batch(spark, stream_dir, split):
     )
 
 
-@pytest.mark.parametrize("split", [250, 900])
+@pytest.mark.parametrize("split", [300])
 def test_stream_conversion_lag_matches_batch(spark, stream_dir, split):
     """Replaying the static corpus through the stateful kernel must
     reproduce the batch conversion_lag EXACTLY (the first qualifying
