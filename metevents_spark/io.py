@@ -17,6 +17,8 @@ import shutil
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from metevents_spark.cache import release as _release
+
 TABLES = (
     "region",
     "nation",
@@ -473,10 +475,19 @@ def compact_partitions(
         for row in counts:
             pval = row[partition_col]
             n_files = max(1, -(-int(row["count"]) // target_rows_per_file))
-            part = df.filter(F.col(partition_col) == F.lit(pval))
-            part.repartition(n_files).write.mode("overwrite").partitionBy(
+            # materialize the partition BEFORE its own files are
+            # deleted: the rewrite targets the path being read, and a
+            # lazy plan could re-list the directory mid-overwrite —
+            # localCheckpoint pins the rows in executor storage first
+            part = (
+                df.filter(F.col(partition_col) == F.lit(pval))
+                .repartition(n_files)
+                .localCheckpoint()
+            )
+            part.write.mode("overwrite").partitionBy(
                 partition_col
             ).parquet(path)
+            _release(part)
     finally:
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", writer_conf
