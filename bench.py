@@ -233,6 +233,7 @@ HEADLINE = [
     "audience_overlap",
     "ship_delay_quantiles",
     "copurchase_bfs_hops",
+    "dedup_rate_by_source",
 ]
 
 

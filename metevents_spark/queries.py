@@ -130,6 +130,7 @@ from metevents_spark.relational.tpch import (
 )
 from metevents_spark.text.dedup import (
     dedup_clusters,
+    dedup_rate_by_source,
     dedup_survivor_pick,
     dedup_recall_report,
     doc_containment,
@@ -4316,6 +4317,16 @@ SELECT p AS p_partkey, CAST(h AS BIGINT) AS hops FROM (
 ORDER BY hops, p_partkey
 """
 
+ORACLE_SQL["dedup_rate_by_source"] = """
+WITH d AS (SELECT source, md5(substr(text, 1, 64)) AS dig FROM documents),
+c AS (SELECT dig, COUNT(*) AS n FROM d GROUP BY dig)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+  ROUND(CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+FROM d JOIN c ON d.dig = c.dig GROUP BY source ORDER BY source
+"""
+
 # Insertion order matters: the verification driver checks the FIRST 50
 # entries, so slot assignment is a deliberate rotation policy.
 #
@@ -4342,15 +4353,15 @@ ORDER BY hops, p_partkey
 #     user_reach, value_drift_psi, value_histogram);
 #   * slots 22-23: knn_lsh / knn_ivf — rows-only, last driver-checked
 #     r01, displaced twice; refreshed now per the r9 rotation note;
-#   * slots 24-37: the fourteen operators added in this round's SECOND
+#   * slots 24-38: the fifteen operators added in this round's SECOND
 #     batch (Theil–Sen slope, Spearman trend, Mann–Whitney U, revenue
 #     Gini, conversion lag, co-purchase triangles, OOV rate, dedup
 #     survivor election, hard-negative mining, Kendall tau-b, the
 #     Poisson-bootstrap conversion CI, audience overlap, ship-delay
-#     quantiles, BFS hop distance) — never-seen keys take window
-#     priority, same policy as slots 7-15;
-#   * slots 38-50: the first 13 (alphabetical) of the 33-key r06-stale
-#     cohort; the remaining 20 (event_transitions onward, plus
+#     quantiles, BFS hop distance, per-source duplication rate) —
+#     never-seen keys take window priority, same policy as slots 7-15;
+#   * slots 39-50: the first 12 (alphabetical) of the 33-key r06-stale
+#     cohort; the remaining 21 (event_transitions onward, plus
 #     series_acf, seasonal_decompose, sole_return_supplier,
 #     text_stats, top_supplier, winsorize_series) sit just past the
 #     cap and lead the r11 window.
@@ -4399,6 +4410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audience_overlap": audience_overlap,
     "ship_delay_quantiles": ship_delay_quantiles,
     "copurchase_bfs_hops": copurchase_bfs_hops,
+    "dedup_rate_by_source": dedup_rate_by_source,
     "anomaly_consensus": anomaly_consensus,
     "asof_purchase_before_error": q_asof_purchase_before_error,
     "bm25_rank": bm25_rank,

@@ -1341,3 +1341,47 @@ def dedup_survivor_pick(
         )
         .orderBy("doc_id")
     )
+
+
+def dedup_rate_by_source(
+    spark: SparkSession, sf_dir: str, prefix_len: int = 64
+) -> DataFrame:
+    """Per-source duplication rate on the ``prefix_dedup`` key: for
+    each source, how many of its documents share a ``prefix_len``-char
+    opening digest with ANY document corpus-wide — the provider-quality
+    readout a data-acquisition team runs before renewing a feed
+    ("which supplier ships copies"). Complements ``exact_dedup`` /
+    ``prefix_dedup`` (which rows to drop) with WHO is responsible.
+    The prefix key (not the full-text hash) keeps the signal live on
+    near-duplicates that differ in a few trailing tokens — the common
+    real-world case, and the only duplication the synthetic corpus
+    carries below sf0.1.
+
+    Exact integers + one division: digests collapse map-side to a
+    (digest, count) table, join back on the digest hash partitioning
+    (payloads never move — only 32-byte digests shuffle), one
+    |sources|-sized aggregate. Scale-safe by the same argument as
+    every digest-keyed dedup op here.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.md5(F.substring("text", 1, prefix_len)).alias("dig")
+    )
+    counts = docs.groupBy("dig").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        docs.join(counts, "dig")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup",
+            F.round(
+                F.col("n_dup").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

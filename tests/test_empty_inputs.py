@@ -47,7 +47,7 @@ GRACEFUL = [
     "theilsen_trend", "mann_whitney_u", "revenue_gini",
     "copurchase_triangles", "copurchase_bfs_hops",
     "dedup_survivor_pick", "hard_negative_mining",
-    "conversion_bootstrap_ci",
+    "conversion_bootstrap_ci", "dedup_rate_by_source",
 ]
 # undefined-on-empty by design: must raise ValueError with a message
 # that names the problem

@@ -447,3 +447,29 @@ def test_bfs_hops_matches_set_replay(spark):
     # the seed really is max-degree and hop counts are complete levels
     assert got["hops"].iloc[0] == 0
     assert set(got["hops"]) <= {0, 1, 2, 3}
+
+
+def test_dedup_rate_by_source_matches_counter_replay(spark):
+    import hashlib
+    from collections import Counter
+
+    from metevents_spark.text.dedup import dedup_rate_by_source
+
+    got = dedup_rate_by_source(spark, SF_SMALL).toPandas().set_index(
+        "source"
+    )
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    digs = docs["text"].map(
+        lambda t: hashlib.md5(t[:64].encode()).hexdigest()
+    )
+    corpus_counts = Counter(digs)
+    docs = docs.assign(dup=digs.map(lambda d: corpus_counts[d] > 1))
+    for source, g in docs.groupby("source"):
+        assert got.loc[source, "n_docs"] == len(g)
+        assert got.loc[source, "n_dup"] == int(g["dup"].sum())
+        assert abs(
+            got.loc[source, "dup_rate"]
+            - round(g["dup"].sum() / len(g), 6)
+        ) < 1e-9
+    # duplicates exist in the synthetic corpus, so the readout is live
+    assert (got["n_dup"] > 0).any()
