@@ -461,6 +461,22 @@ def compact_partitions(
     """
     import glob as _glob
 
+    # the per-partition rewrite below is only safe when partition_col
+    # is a REAL directory partition of the table: dynamic overwrite
+    # then replaces exactly the directories being rewritten, and
+    # partition pruning keeps each iteration's scan away from
+    # directories a previous iteration deleted. A plain data column
+    # would make every iteration re-list (and re-read) the whole —
+    # partially deleted — table, so refuse it up front.
+    part_dirs = _glob.glob(f"{path}/{partition_col}=*")
+    if not part_dirs:
+        raise ValueError(
+            f"compact_partitions: {partition_col!r} is not a directory-"
+            f"partition column of {path} (no '{partition_col}=*' "
+            "directories found) — compaction would read files deleted "
+            "mid-loop. Write the table with "
+            f".partitionBy({partition_col!r}) first."
+        )
     df = spark.read.parquet(path)
     files_before = len(_glob.glob(f"{path}/*/*.parquet"))
     n_rows = df.count()
@@ -475,12 +491,25 @@ def compact_partitions(
         for row in counts:
             pval = row[partition_col]
             n_files = max(1, -(-int(row["count"]) // target_rows_per_file))
+            # NULL partition values live in the __HIVE_DEFAULT_PARTITION__
+            # directory; `col == lit(None)` matches nothing, so the
+            # NULL slice needs an explicit isNull predicate
+            pred = (
+                F.col(partition_col).isNull()
+                if pval is None
+                else F.col(partition_col) == F.lit(pval)
+            )
+            # a FRESH reader per iteration: the first overwrite
+            # invalidates the file listing cached on the original
+            # DataFrame's relation, and a stale listing could reference
+            # already-deleted files even on the pruned path
+            part_df = spark.read.parquet(path)
             # materialize the partition BEFORE its own files are
             # deleted: the rewrite targets the path being read, and a
             # lazy plan could re-list the directory mid-overwrite —
             # localCheckpoint pins the rows in executor storage first
             part = (
-                df.filter(F.col(partition_col) == F.lit(pval))
+                part_df.filter(pred)
                 .repartition(n_files)
                 .localCheckpoint()
             )

@@ -205,14 +205,27 @@ def copurchase_triangles(
     wedges = e1.join(e2, (F.col("e1.a") == F.col("e2.a")) & spoke_lt).select(
         F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
     )
-    # single-long edge key (part keys fit 32 bits): the broadcast hash
-    # becomes a long-keyed relation — measurably faster to probe than a
-    # generic two-column struct key at tens of millions of wedges
-    pack = lambda x, y: F.shiftleft(F.col(x).cast("long"), 32) + F.col(y)
-    closing = oriented.select(pack("a", "b").alias("bc"))
-    tri = wedges.withColumn("bc", pack("b", "c")).join(
-        F.broadcast(closing), "bc", "left_semi"
-    )
+    # single-long edge key: the broadcast hash becomes a long-keyed
+    # relation — measurably faster to probe than a generic two-column
+    # struct key at tens of millions of wedges. The packing is only
+    # collision-free for keys in [0, 2^32); VERIFY that once on the
+    # bounded degree frame (one row per part — a tiny aggregate over
+    # an already-persisted frame) and fall back to the two-column key
+    # past the bound instead of silently miscounting.
+    lo, hi = deg.agg(F.min("p"), F.max("p")).first()
+    if lo is not None and 0 <= lo and hi < 2**32:
+        pack = lambda x, y: (
+            F.shiftleft(F.col(x).cast("long"), 32) + F.col(y)
+        )
+        closing = oriented.select(pack("a", "b").alias("bc"))
+        tri = wedges.withColumn("bc", pack("b", "c")).join(
+            F.broadcast(closing), "bc", "left_semi"
+        )
+    else:
+        closing = oriented.select(
+            F.col("a").alias("b"), F.col("b").alias("c")
+        )
+        tri = wedges.join(F.broadcast(closing), ["b", "c"], "left_semi")
     # one pass: explode each triangle's three corners (a unionAll of
     # three tri branches would re-run the wedge join three times)
     nodes = tri.select(

@@ -47,6 +47,7 @@ from metevents_spark.operators.graph import (
     part_pagerank,
 )
 from metevents_spark.relational.product import (
+    _POISSON1_CUM60,
     audience_overlap,
     conversion_bootstrap_ci,
     conversion_lag,
@@ -4217,7 +4218,15 @@ SELECT sid, CAST(n0 AS BIGINT) AS n_pairs,
 FROM agg ORDER BY sid
 """
 
-ORACLE_SQL["conversion_bootstrap_ci"] = """
+# the Poisson(1) CDF CASE is GENERATED from the same constant tuple
+# the Spark operator classifies with (relational/product.py
+# _POISSON1_CUM60) — one source of truth, so an edit to the thresholds
+# cannot silently desync the two engines
+_POISSON1_CASE = "CASE " + " ".join(
+    f"WHEN h60 < {t} THEN {k}" for k, t in enumerate(_POISSON1_CUM60)
+) + " ELSE 9 END"
+
+ORACLE_SQL["conversion_bootstrap_ci"] = f"""
 WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
            WHERE event_type = 'signup' GROUP BY user_id),
 p AS (SELECT DISTINCT e.user_id
@@ -4234,16 +4243,7 @@ h AS (SELECT conv, rep,
                       1, 15))::BIGINT AS h60
       FROM expl),
 w AS (SELECT rep, conv,
-      CASE WHEN h60 < 424136118829305344 THEN 0
-           WHEN h60 < 848272237658610688 THEN 1
-           WHEN h60 < 1060340297073263360 THEN 2
-           WHEN h60 < 1131029650211480960 THEN 3
-           WHEN h60 < 1148701988496035328 THEN 4
-           WHEN h60 < 1152236456152946176 THEN 5
-           WHEN h60 < 1152825534095764608 THEN 6
-           WHEN h60 < 1152909688087595776 THEN 7
-           WHEN h60 < 1152920207336574720 THEN 8
-           ELSE 9 END AS wt
+      {_POISSON1_CASE} AS wt
       FROM h),
 pr AS (SELECT rep, SUM(wt * conv) AS num, SUM(wt) AS den
        FROM w GROUP BY rep),

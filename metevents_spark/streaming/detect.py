@@ -844,6 +844,7 @@ TWA_OUTPUT_SCHEMA = (
 TWA_STATE_SCHEMA = StructType(
     [
         StructField("prev_us", LongType()),
+        StructField("prev_seq", LongType()),  # (ts, seq) guard tiebreaker
         StructField("prev_v", DoubleType()),
         StructField("open_day_us", LongType()),
         StructField("n_seg", LongType()),
@@ -872,9 +873,10 @@ def stream_time_weighted(stream_df: DataFrame) -> DataFrame:
     Replaying a static corpus yields exactly the batch rows for every
     series-day except each series' LAST (still-open) day — pinned by
     pytest together with chunking-invariance. State per series is
-    EIGHT numbers. Ordering contract: points are sorted within each
-    micro-batch, but across micro-batches a point whose event time is
-    BEFORE the previous processed point (u < prev_us) is out of order —
+    NINE numbers. Ordering contract: points are sorted within each
+    micro-batch by (ts, seq), and the same lexicographic order is
+    enforced ACROSS micro-batches — a point strictly before the
+    previous processed (ts, seq) is out of order —
     it would form a negative-duration segment whose negative trapezoid
     mass (possibly belonging to an already-emitted day) would corrupt
     the open day's twa. Such points are DROPPED and counted in the
@@ -886,12 +888,11 @@ def stream_time_weighted(stream_df: DataFrame) -> DataFrame:
 
     def fn(key, pdf_iter, state: GroupState):
         if state.exists:
-            (prev_us, prev_v, open_day, n_seg, s_dt, s_mass, s_v,
-             n_late) = state.get
+            (prev_us, prev_seq, prev_v, open_day, n_seg, s_dt, s_mass,
+             s_v, n_late) = state.get
         else:
-            prev_us, prev_v, open_day, n_seg, s_dt, s_mass, s_v, n_late = (
-                None, None, None, 0, 0.0, 0.0, 0.0, 0,
-            )
+            (prev_us, prev_seq, prev_v, open_day, n_seg, s_dt, s_mass,
+             s_v, n_late) = (None, None, None, None, 0, 0.0, 0.0, 0.0, 0)
         out_sid, out_day, out_n, out_twa, out_avg = [], [], [], [], []
 
         def close_day():
@@ -908,9 +909,19 @@ def stream_time_weighted(stream_df: DataFrame) -> DataFrame:
             pdf = _sort_batch(pdf)
             v = pdf["value"].to_numpy(dtype=np.float64)
             us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            # seq rides along when the source has it; sources without
+            # one degrade to the ts-only guard (q fixed at 0)
+            sq = (
+                pdf["seq"].to_numpy(dtype="int64")
+                if "seq" in pdf.columns
+                else None
+            )
             for i in range(len(v)):
                 x, u = float(v[i]), int(us[i])
-                if prev_us is not None and u < prev_us:
+                q = int(sq[i]) if sq is not None else 0
+                # full (ts, seq) lexicographic guard — see
+                # stream_burst_collapse (r11 fix; was ts-only)
+                if prev_us is not None and (u, q) < (prev_us, prev_seq):
                     n_late += 1
                     continue
                 if prev_us is not None:
@@ -926,9 +937,10 @@ def stream_time_weighted(stream_df: DataFrame) -> DataFrame:
                     s_dt += dt
                     s_mass += (prev_v + x) / 2.0 * dt
                     s_v += x
-                prev_us, prev_v = u, x
+                prev_us, prev_seq, prev_v = u, q, x
         state.update(
-            (prev_us, prev_v, open_day, n_seg, s_dt, s_mass, s_v, n_late)
+            (prev_us, prev_seq, prev_v, open_day, n_seg, s_dt, s_mass,
+             s_v, n_late)
         )
         if out_sid:
             yield pd.DataFrame(
@@ -967,6 +979,7 @@ BURST_STATE_SCHEMA = StructType(
         StructField("first_seq", LongType()),
         StructField("n", LongType()),
         StructField("last_us", LongType()),
+        StructField("last_seq", LongType()),  # (ts, seq) guard tiebreaker
         StructField("n_late", LongType()),  # dropped out-of-order points
     ]
 )
@@ -996,10 +1009,10 @@ def stream_burst_collapse(
 
     def fn(key, pdf_iter, state: GroupState):
         if state.exists:
-            first_us, first_seq, n, last_us, n_late = state.get
+            first_us, first_seq, n, last_us, last_seq, n_late = state.get
         else:
-            first_us, first_seq, n, last_us, n_late = (
-                None, None, 0, None, 0,
+            first_us, first_seq, n, last_us, last_seq, n_late = (
+                None, None, 0, None, None, 0,
             )
         out = []
         for pdf in pdf_iter:
@@ -1010,23 +1023,27 @@ def stream_burst_collapse(
             seqs = pdf["seq"].to_numpy(dtype="int64")
             for i in range(len(us)):
                 u, q = int(us[i]), int(seqs[i])
-                if last_us is not None and u < last_us:
+                # full (ts, seq) lexicographic guard: the batch
+                # counterpart's total order, enforced ACROSS chunks —
+                # an equal-ts lower-seq event in a later micro-batch
+                # is late, not acceptable (r11 fix; was ts-only)
+                if last_us is not None and (u, q) < (last_us, last_seq):
                     n_late += 1
                     continue
                 if first_us is None:
-                    first_us, first_seq, n, last_us = u, q, 1, u
+                    first_us, first_seq, n, last_us, last_seq = u, q, 1, u, q
                 elif u - last_us > gap_us:
                     out.append(
                         (key[0], key[1], first_us, first_seq, n,
                          last_us - first_us)
                     )
-                    first_us, first_seq, n, last_us = u, q, 1, u
+                    first_us, first_seq, n, last_us, last_seq = u, q, 1, u, q
                 else:
                     n += 1
                     # the batch operator's MIN(seq) over the burst
                     first_seq = min(first_seq, q)
-                    last_us = u
-        state.update((first_us, first_seq, n, last_us, n_late))
+                    last_us, last_seq = u, q
+        state.update((first_us, first_seq, n, last_us, last_seq, n_late))
         if out:
             yield pd.DataFrame(
                 {
@@ -1071,6 +1088,7 @@ ATTR_STATE_SCHEMA = StructType(
         StructField("t_id", LongType()),
         StructField("t_type", StringType()),
         StructField("last_us", LongType()),
+        StructField("last_seq", LongType()),  # (ts, seq) guard tiebreaker
         StructField("n_late", LongType()),  # dropped out-of-order points
     ]
 )
@@ -1098,9 +1116,11 @@ def stream_purchase_attribution(
 
     def fn(key, pdf_iter, state: GroupState):
         if state.exists:
-            t_us, t_id, t_type, last_us, n_late = state.get
+            t_us, t_id, t_type, last_us, last_seq, n_late = state.get
         else:
-            t_us, t_id, t_type, last_us, n_late = None, None, None, None, 0
+            t_us, t_id, t_type, last_us, last_seq, n_late = (
+                None, None, None, None, None, 0,
+            )
         out = []
         for pdf in pdf_iter:
             if not len(pdf):
@@ -1111,10 +1131,12 @@ def stream_purchase_attribution(
             types = pdf["event_type"].to_numpy()
             for i in range(len(us)):
                 u, q, ty = int(us[i]), int(seqs[i]), str(types[i])
-                if last_us is not None and u < last_us:
+                # full (ts, seq) lexicographic guard — see
+                # stream_burst_collapse (r11 fix; was ts-only)
+                if last_us is not None and (u, q) < (last_us, last_seq):
                     n_late += 1
                     continue
-                last_us = u
+                last_us, last_seq = u, q
                 if ty != "purchase":
                     t_us, t_id, t_type = u, q, ty
                     continue
@@ -1122,7 +1144,7 @@ def stream_purchase_attribution(
                     out.append((key[0], q, u, t_id, t_type, u - t_us))
                 else:
                     out.append((key[0], q, u, None, None, None))
-        state.update((t_us, t_id, t_type, last_us, n_late))
+        state.update((t_us, t_id, t_type, last_us, last_seq, n_late))
         if out:
             yield pd.DataFrame(
                 {
@@ -1163,6 +1185,7 @@ CONV_STATE_SCHEMA = StructType(
         StructField("signup_us", LongType()),
         StructField("converted", LongType()),  # 0/1 — emit-once latch
         StructField("last_us", LongType()),
+        StructField("last_seq", LongType()),  # (ts, seq) guard tiebreaker
         StructField("n_late", LongType()),  # dropped out-of-order points
     ]
 )
@@ -1189,22 +1212,27 @@ def stream_conversion_lag(stream_df: DataFrame) -> DataFrame:
 
     def fn(key, pdf_iter, state: GroupState):
         if state.exists:
-            signup_us, converted, last_us, n_late = state.get
+            signup_us, converted, last_us, last_seq, n_late = state.get
         else:
-            signup_us, converted, last_us, n_late = None, 0, None, 0
+            signup_us, converted, last_us, last_seq, n_late = (
+                None, 0, None, None, 0,
+            )
         out = []
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
             pdf = _sort_batch(pdf)
             us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            seqs = pdf["seq"].to_numpy(dtype="int64")
             types = pdf["event_type"].to_numpy()
             for i in range(len(us)):
-                u, ty = int(us[i]), str(types[i])
-                if last_us is not None and u < last_us:
+                u, q, ty = int(us[i]), int(seqs[i]), str(types[i])
+                # full (ts, seq) lexicographic guard — see
+                # stream_burst_collapse (r11 fix; was ts-only)
+                if last_us is not None and (u, q) < (last_us, last_seq):
                     n_late += 1
                     continue
-                last_us = u
+                last_us, last_seq = u, q
                 if ty == "signup" and signup_us is None:
                     signup_us = u
                 elif (
@@ -1214,7 +1242,7 @@ def stream_conversion_lag(stream_df: DataFrame) -> DataFrame:
                 ):
                     out.append((key[0], signup_us, u, u - signup_us))
                     converted = 1
-        state.update((signup_us, converted, last_us, n_late))
+        state.update((signup_us, converted, last_us, last_seq, n_late))
         if out:
             yield pd.DataFrame(
                 {
@@ -1255,6 +1283,7 @@ P2_STATE_SCHEMA = StructType(
         StructField("npos", ArrayType(LongType())),
         StructField("buf", ArrayType(DoubleType())),  # first <5 points
         StructField("last_us", LongType()),
+        StructField("last_seq", LongType()),  # (ts, seq) guard tiebreaker
         StructField("n_late", LongType()),
     ]
 )
@@ -1338,10 +1367,12 @@ def stream_p2_quantile(stream_df: DataFrame, p: float = 0.5) -> DataFrame:
 
     def fn(key, pdf_iter, state: GroupState):
         if state.exists:
-            heights, npos, buf, last_us, n_late = state.get
+            heights, npos, buf, last_us, last_seq, n_late = state.get
             heights, npos, buf = list(heights), list(npos), list(buf)
         else:
-            heights, npos, buf, last_us, n_late = [], [], [], None, 0
+            heights, npos, buf, last_us, last_seq, n_late = (
+                [], [], [], None, None, 0,
+            )
         out = []
         for pdf in pdf_iter:
             if not len(pdf):
@@ -1352,10 +1383,12 @@ def stream_p2_quantile(stream_df: DataFrame, p: float = 0.5) -> DataFrame:
             vals = pdf["value"].to_numpy(dtype="float64")
             for i in range(len(us)):
                 u, q, x = int(us[i]), int(seqs[i]), float(vals[i])
-                if last_us is not None and u < last_us:
+                # full (ts, seq) lexicographic guard — see
+                # stream_burst_collapse (r11 fix; was ts-only)
+                if last_us is not None and (u, q) < (last_us, last_seq):
                     n_late += 1
                     continue
-                last_us = u
+                last_us, last_seq = u, q
                 if not npos:
                     buf.append(x)
                     if len(buf) == 5:
@@ -1374,7 +1407,7 @@ def stream_p2_quantile(stream_df: DataFrame, p: float = 0.5) -> DataFrame:
                     est = heights[2]
                     n_seen = npos[4]
                 out.append((key[0], q, u, n_seen, est))
-        state.update((heights, npos, buf, last_us, n_late))
+        state.update((heights, npos, buf, last_us, last_seq, n_late))
         if out:
             yield pd.DataFrame(
                 {
