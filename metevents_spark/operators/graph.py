@@ -24,10 +24,16 @@ Scale shape:
   * Dangling mass (isolated parts never co-purchased are excluded by
     construction; a node set closed over edges has no danglers here)
     — the uniform teleport term keeps the chain ergodic regardless.
-  * The iteration count is FIXED (deterministic output, no
-    driver-side convergence collect); per-round localCheckpoint keeps
-    the plan depth constant, with the RDDs released by the registry's
-    cache tracker.
+  * Iterations are CAPPED at ``n_iter`` with a convergence exit: the
+    loop stops once max |Δrank| ≤ ``tol`` (a 1-row aggregate over the
+    checkpointed |nodes|-sized frame per round — bounded driver
+    state, same budget class as the CC convergence scalar in
+    text/dedup.py). The default ``tol=0.0`` exits only at an EXACT
+    fixed point, where every further round is an identity map — so
+    output is bit-identical to the fixed-round contract while
+    converged graphs skip the wasted rounds; per-round
+    localCheckpoint keeps the plan depth constant, with the RDDs
+    released by the registry's cache tracker.
 """
 
 from __future__ import annotations
@@ -70,11 +76,17 @@ def part_pagerank(
     damping: float = 0.85,
     n_iter: int = 12,
     top: int = 50,
+    tol: float = 0.0,
 ) -> DataFrame:
     """Weighted PageRank over the co-purchase part graph: the product-
     centrality score behind recommendation seeds / crawl prioritization
     — the registry's iterative-graph-algorithm representative beside
     dedup_clusters' connected components.
+
+    Converges early when max |Δrank| ≤ ``tol`` (default 0.0: exit only
+    at an exact fixed point, where remaining rounds are identity maps
+    — output identical to running all ``n_iter`` rounds); the round
+    count lands in ``part_pagerank.last_n_rounds`` for tests/audits.
 
     Rows-only in the driver contract (a fixed-point iteration is not
     ANSI SQL); pinned by an independent numpy power-iteration replay
@@ -99,6 +111,7 @@ def part_pagerank(
         nodes.select("pid", F.lit(1.0).alias("rank")).localCheckpoint()
     )
     teleport = 1.0 - damping
+    part_pagerank.last_n_rounds = 0
     for it in range(n_iter):
         contrib = (
             trans.join(
@@ -112,10 +125,12 @@ def part_pagerank(
         # DAG pays more in repeated stage planning than the extra
         # materializations cost, and the per-round frame is tiny
         # (|nodes| rows)
-        ranks = track(
-            nodes.join(contrib, "pid", "left")
+        stepped = track(
+            ranks.withColumnRenamed("rank", "prev")
+            .join(contrib, "pid", "left")
             .select(
                 "pid",
+                "prev",
                 (
                     F.lit(teleport)
                     + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
@@ -123,6 +138,14 @@ def part_pagerank(
             )
             .localCheckpoint()
         )
+        ranks = stepped.select("pid", "rank")
+        part_pagerank.last_n_rounds = it + 1
+        # convergence scalar: ONE row off a checkpointed |nodes| frame
+        delta = stepped.agg(
+            F.max(F.abs(F.col("rank") - F.col("prev")))
+        ).first()[0]
+        if delta is not None and delta <= tol:
+            break
 
     w = F.round((F.col("rank") * 1e6)).cast("long")
     return (

@@ -377,3 +377,33 @@ def test_ab_test_report_matches_statsmodel_replay(spark):
         assert abs(got["z_score"] - round(z, 6)) < 2e-6
     else:
         assert pd.isna(got["z_score"])
+
+
+def test_part_pagerank_convergence_exit(spark, tmp_path):
+    """r11: the convergence exit. (a) On the real sf0.001 graph the
+    default tol=0.0 never fires inside the 12-round cap (no exact
+    fixed point) — output stays the fixed-round contract; (b) a huge
+    tol exits after one round; (c) on a 2-regular cycle graph the
+    uniform distribution IS the exact fixed point (teleport + damping
+    complement exactly: Sterbenz), so tol=0.0 exits after round 1 with
+    every rank at exactly 1.0."""
+    from metevents_spark.operators.graph import part_pagerank
+
+    part_pagerank(spark, SF_SMALL)
+    assert part_pagerank.last_n_rounds == 12
+
+    part_pagerank(spark, SF_SMALL, tol=1e9)
+    assert part_pagerank.last_n_rounds == 1
+
+    # cycle graph: orders are consecutive part pairs (1,2)..(6,1)
+    parts = [1, 2, 3, 4, 5, 6]
+    rows = []
+    for ok, (a, b) in enumerate(zip(parts, parts[1:] + parts[:1])):
+        rows += [(ok, a), (ok, b)]
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    got = part_pagerank(spark, str(tmp_path)).toPandas()
+    assert part_pagerank.last_n_rounds == 1
+    assert sorted(got["pid"]) == parts
+    assert (got["rank_ppm"] == 1_000_000).all()
