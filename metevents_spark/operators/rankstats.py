@@ -30,19 +30,26 @@ order-dependent float folds, the lesson of the embedding_covariance
 r08/r09 driver reds.
 
 Scale shape:
-  * theilsen_trend materializes the per-series pair set — O(n_s²) rows
-    per series but CO-LOCATED on sid (one exchange; the self-join's
-    both sides share the sid hash partitioning), never a cross-series
-    blowup. At 100 TB series lengths, swap in the documented
-    pair-subsample variant (a deterministic hash filter on (rn_a,
-    rn_b) before the median) — the estimator degrades gracefully.
+  * theilsen_trend / kendall_trend materialize the per-series pair set
+    — O(n_s²) rows per series but CO-LOCATED on sid (one exchange; the
+    self-join's both sides share the sid hash partitioning), never a
+    cross-series blowup. At extreme series lengths swap in
+    :func:`theilsen_trend_sampled` / :func:`kendall_trend_sampled`:
+    a deterministic md5 POINT subsample caps each series before the
+    pair join, so a million-point series costs O(n) hash evals +
+    O(cap²) pairs instead of 10¹² pairs in one task. (A pair-level
+    hash filter — the variant an earlier draft documented — was
+    rejected: it bounds the shuffle but still ENUMERATES all O(n_s²)
+    pairs inside the generating task, so the single-task wall-clock
+    scale-killer survives. Point sampling kills it.)
   * spearman_trend is two sid-window passes + one groupBy — integer
     sums only, map-side combining.
   * mann_whitney_u broadcasts the |event_types|-sized group list; the
     rank windows partition by (grp) which is bounded, so at extreme
-    scale the per-grp sort dominates — the documented swap-in is
-    bucketed rank approximation (value-histogram ranks), the same
-    trade ``score_percentile_by_source`` documents.
+    scale the per-grp sort dominates — the swap-in is
+    :func:`mann_whitney_u_bucketed`: value-histogram midranks, where
+    the only sort touches the |grps|·n_buckets aggregate, never the
+    samples.
 """
 
 from __future__ import annotations
@@ -108,6 +115,133 @@ def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sid")
     )
+
+
+_TWO60 = 2.0**60  # the 60-bit md5 hash grid (exactly representable)
+
+
+def _sampled_points(
+    spark: SparkSession, sf_dir: str, max_points: int
+) -> DataFrame:
+    """Deterministic per-series point subsample for the pair-based
+    rank estimators: point rn of series sid survives iff
+
+        h60(sid:rn) < floor(least(1, max_points / n_s) · 2^60)
+
+    with h60 = the first 15 hex digits of md5 — the engine's standard
+    portable hash grid (hash_sample / user_reach_kmv / the bootstrap
+    use the same construction, replayed verbatim in DuckDB). Series at
+    or under ``max_points`` points keep EVERY point (p ≥ 1 ⇒ the
+    threshold clears the 60-bit range) — the length gate needs no
+    branch. Expected kept count for long series is ``max_points``,
+    so the downstream pair join is O(max_points²) per series
+    regardless of raw length.
+
+    One sid exchange shared by the row-number window, the length
+    window, and the downstream pair join.
+    """
+    w = Window.partitionBy("sid").orderBy("ts", "seq")
+    ws = Window.partitionBy("sid")
+    pts = _clean_series(spark, sf_dir).select(
+        "sid",
+        F.row_number().over(w).alias("rn"),
+        epoch_us(F.col("ts")).alias("us"),
+        F.col("value").alias("y"),
+    )
+    h60 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("sid"), F.col("rn"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    thr = F.floor(
+        F.least(
+            F.lit(1.0),
+            F.lit(float(max_points)) / F.count(F.lit(1)).over(ws).cast("double"),
+        )
+        * F.lit(_TWO60)
+    ).cast("long")
+    return pts.withColumn("__keep", h60 < thr).filter("__keep").drop("__keep")
+
+
+def theilsen_trend_sampled(
+    spark: SparkSession, sf_dir: str, max_points_per_series: int = 48
+) -> DataFrame:
+    """Theil–Sen slope over a deterministic per-series POINT subsample
+    — the 100 TB path for :func:`theilsen_trend`, whose exact form
+    enumerates O(n_s²) pairs inside one task (a million-point series =
+    10¹² pairs = an unbounded task). Sampling points (not pairs) bounds
+    BOTH the enumeration and the shuffle: O(n) hash evaluations, then
+    the same co-located pair join over ≈``max_points_per_series``
+    survivors — ~cap²/2 pairs per series no matter how long the raw
+    series is. The median of pairwise slopes over a uniform point
+    subsample is the standard subsampled Theil–Sen estimator (slope
+    error shrinks as cap grows; the estimator stays 29%-breakdown
+    robust on the subsample).
+
+    Same output schema/arithmetic as the exact operator; the oracle
+    replays the identical filter, so the query is hash-green despite
+    being a "sample". Default cap 48 sits BELOW the testdata's ~66-pt
+    series so the sampled path is genuinely exercised at every SF.
+    """
+    kept = _sampled_points(spark, sf_dir, max_points_per_series)
+    a, b = kept.alias("a"), kept.alias("b")
+    slope = (
+        (F.col("b.y") - F.col("a.y"))
+        * F.lit(3.6e9)
+        / (F.col("b.us") - F.col("a.us")).cast("double")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.sid") == F.col("b.sid"))
+        & (F.col("a.rn") < F.col("b.rn"))
+        & (F.col("b.us") > F.col("a.us")),
+    ).select(F.col("a.sid").alias("sid"), slope.alias("slope"))
+    return (
+        pairs.groupBy("sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.median("slope"), 6).alias("theil_slope_per_hour"),
+        )
+        .orderBy("sid")
+    )
+
+
+def kendall_trend_sampled(
+    spark: SparkSession, sf_dir: str, max_points_per_series: int = 48
+) -> DataFrame:
+    """Kendall tau-b over the same deterministic point subsample as
+    :func:`theilsen_trend_sampled` — the bounded-task variant of
+    :func:`kendall_trend` (tau computed on a uniform subsample is a
+    consistent estimator of tau; every aggregate stays an exact BIGINT
+    so the oracle replay is hash-exact)."""
+    kept = _sampled_points(spark, sf_dir, max_points_per_series).drop("us")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.sid") == F.col("b.sid")) & (F.col("a.rn") < F.col("b.rn")),
+    ).select(
+        F.col("a.sid").alias("sid"),
+        F.when(F.col("b.y") > F.col("a.y"), 1).otherwise(0).alias("c"),
+        F.when(F.col("b.y") < F.col("a.y"), 1).otherwise(0).alias("d"),
+        F.when(F.col("b.y") == F.col("a.y"), 1).otherwise(0).alias("t"),
+    )
+    agg = pairs.groupBy("sid").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("c").alias("nc"),
+        F.sum("d").alias("nd"),
+        F.sum("t").alias("nt"),
+    )
+    num = (F.col("nc") - F.col("nd")).cast("double")
+    den = F.sqrt(((F.col("n0") - F.col("nt")) * F.col("n0")).cast("double"))
+    return agg.select(
+        "sid",
+        F.col("n0").alias("n_pairs"),
+        F.col("nc").alias("concordant"),
+        F.col("nd").alias("discordant"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("kendall_tau"),
+    ).orderBy("sid")
 
 
 def spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,3 +443,113 @@ def kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nd").alias("discordant"),
         F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("kendall_tau"),
     ).orderBy("sid")
+
+
+def mann_whitney_u_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    baseline: str = "view",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Bucketed-rank Mann–Whitney U — the large-|grp| path for
+    :func:`mann_whitney_u`. The exact kernel's per-grp rank window
+    sorts EVERY sample within each pair-group; here values quantize
+    into ``n_buckets`` fixed-width histogram cells over the global
+    [min, max] (one scalar aggregate, broadcast), every cell is
+    treated as one tie group at its midrank, and ranks come from a
+    cumulative sum over the (grp, bucket) AGGREGATE — the only sort
+    in the plan touches ≤ |grps|·n_buckets rows, never the samples.
+    The samples themselves meet exactly one map-side-combining
+    groupBy.
+
+    The bucketed statistic is a deterministic function of the data
+    (hash-exact oracle replay — being an approximation of the exact U
+    doesn't make it nondeterministic), and it converges to the exact
+    tie-corrected z as n_buckets grows; the differential pytest pins
+    the sf0.01 gap. Same output schema as the exact kernel.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    )
+    grps = (
+        ev.select(F.col("event_type").alias("grp"))
+        .filter(F.col("grp") != baseline)
+        .distinct()
+    )
+    cand = ev.filter(F.col("event_type") != baseline).select(
+        F.col("event_type").alias("grp"), "event_type", "value"
+    )
+    base = (
+        ev.filter(F.col("event_type") == baseline)
+        .crossJoin(F.broadcast(grps))
+        .select("grp", "event_type", "value")
+    )
+    bounds = ev.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    bucket = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1).cast("long"),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * F.lit(float(n_buckets))
+            ),
+        )
+    )
+    samp = (
+        cand.unionByName(base)
+        .crossJoin(F.broadcast(bounds))
+        .select("grp", "event_type", bucket.cast("long").alias("bkt"))
+    )
+    is_a = F.col("event_type") == F.col("grp")
+    # THE one pass over the samples: map-side-combining aggregate to
+    # |grps|·n_buckets rows; everything below is dimension-sized
+    cells = samp.groupBy("grp", "bkt").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("na_b"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cells.select(
+        "grp",
+        "na_b",
+        "t",
+        (
+            (F.sum("t").over(w_cum) - F.col("t")).cast("double")
+            + (F.col("t") + F.lit(1)).cast("double") / F.lit(2.0)
+        ).alias("midrank"),
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.sum("na_b").alias("n_a"),
+        F.sum(F.col("t") - F.col("na_b")).alias("n_b"),
+        F.sum(F.col("na_b").cast("double") * F.col("midrank")).alias("r_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "ties3"
+        ),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n = n_a + n_b
+    u_a = F.col("r_a") - (n_a * (n_a + F.lit(1))).cast("double") / F.lit(2.0)
+    mu = (n_a * n_b).cast("double") / F.lit(2.0)
+    sigma = F.sqrt(
+        (n_a * n_b).cast("double")
+        / F.lit(12.0)
+        * (
+            (n + F.lit(1)).cast("double")
+            - F.col("ties3").cast("double")
+            / (n * (n - F.lit(1))).cast("double")
+        )
+    )
+    return agg.select(
+        "grp",
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        u_a.alias("u_a"),
+        F.round((u_a - mu) / F.nullif(sigma, F.lit(0.0)), 6).alias("z"),
+    ).orderBy("grp")

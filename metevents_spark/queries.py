@@ -55,9 +55,12 @@ from metevents_spark.relational.product import (
 from metevents_spark.relational.tpch import revenue_gini, ship_delay_quantiles
 from metevents_spark.operators.rankstats import (
     kendall_trend,
+    kendall_trend_sampled,
     mann_whitney_u,
+    mann_whitney_u_bucketed,
     spearman_trend,
     theilsen_trend,
+    theilsen_trend_sampled,
 )
 from metevents_spark.operators.skew import (
     events_above_type_avg,
@@ -4226,6 +4229,90 @@ _POISSON1_CASE = "CASE " + " ".join(
     f"WHEN h60 < {t} THEN {k}" for k, t in enumerate(_POISSON1_CUM60)
 ) + " ELSE 9 END"
 
+# shared point-subsample CTE chain for the sampled rank estimators —
+# the same 60-bit md5 grid as hash_sample / the bootstrap, with the
+# per-series keep probability least(1, 48/n_s) evaluated in identical
+# float ops on both engines (cap 48 = the operators' default)
+_SAMPLED_PTS = f"""{_SERIES},
+clean AS (SELECT sid, seq, ts, value AS y FROM series
+          WHERE value IS NOT NULL AND NOT isnan(value)),
+pts AS (SELECT sid,
+        ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ts, seq) AS rn,
+        epoch_us(ts) AS us, y,
+        COUNT(*) OVER (PARTITION BY sid) AS n_s
+        FROM clean),
+kept AS (SELECT sid, rn, us, y FROM pts
+         WHERE ('0x' || substr(md5(sid || ':' || rn::VARCHAR), 1, 15))::BIGINT
+               < CAST(FLOOR(LEAST(1.0, 48.0 / CAST(n_s AS DOUBLE))
+                            * 1152921504606846976.0) AS BIGINT))"""
+
+ORACLE_SQL["theilsen_trend_sampled"] = f"""
+WITH {_SAMPLED_PTS},
+pairs AS (SELECT a.sid,
+          (b.y - a.y) * 3.6e9 / CAST(b.us - a.us AS DOUBLE) AS slope
+          FROM kept a JOIN kept b
+          ON a.sid = b.sid AND a.rn < b.rn AND b.us > a.us)
+SELECT sid, COUNT(*) AS n_pairs,
+       ROUND(MEDIAN(slope), 6) AS theil_slope_per_hour
+FROM pairs GROUP BY sid ORDER BY sid
+"""
+
+ORACLE_SQL["kendall_trend_sampled"] = f"""
+WITH {_SAMPLED_PTS},
+pairs AS (SELECT a.sid,
+          CASE WHEN b.y > a.y THEN 1 ELSE 0 END AS c,
+          CASE WHEN b.y < a.y THEN 1 ELSE 0 END AS d,
+          CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS t
+          FROM kept a JOIN kept b
+          ON a.sid = b.sid AND a.rn < b.rn),
+agg AS (SELECT sid, COUNT(*) AS n0, SUM(c) AS nc, SUM(d) AS nd,
+        SUM(t) AS nt FROM pairs GROUP BY sid)
+SELECT sid, CAST(n0 AS BIGINT) AS n_pairs,
+  CAST(nc AS BIGINT) AS concordant, CAST(nd AS BIGINT) AS discordant,
+  ROUND(CAST(nc - nd AS DOUBLE)
+        / NULLIF(sqrt(CAST((n0 - nt) * n0 AS DOUBLE)), 0), 6)
+    AS kendall_tau
+FROM agg ORDER BY sid
+"""
+
+ORACLE_SQL["mann_whitney_u_bucketed"] = """
+WITH ev AS (SELECT event_type, value FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)),
+grps AS (SELECT DISTINCT event_type AS grp FROM ev
+         WHERE event_type <> 'view'),
+b AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM ev),
+samp AS (SELECT g.grp, e.event_type,
+         CASE WHEN b.vmax = b.vmin THEN 0
+              ELSE CAST(LEAST(255, FLOOR((e.value - b.vmin)
+                   / (b.vmax - b.vmin) * 256.0)) AS BIGINT)
+         END AS bkt
+         FROM grps g
+         JOIN ev e ON e.event_type = g.grp OR e.event_type = 'view'
+         CROSS JOIN b),
+cells AS (SELECT grp, bkt,
+          SUM(CASE WHEN event_type = grp THEN 1 ELSE 0 END) AS na_b,
+          COUNT(*) AS t
+          FROM samp GROUP BY grp, bkt),
+ranked AS (SELECT grp, na_b, t,
+    CAST(SUM(t) OVER (PARTITION BY grp ORDER BY bkt
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS DOUBLE)
+      + CAST(t + 1 AS DOUBLE) / 2.0 AS midrank
+    FROM cells),
+agg AS (SELECT grp, SUM(na_b) AS n_a, SUM(t - na_b) AS n_b,
+        SUM(CAST(na_b AS DOUBLE) * midrank) AS r_a,
+        SUM(t * t * t - t) AS ties3
+        FROM ranked GROUP BY grp)
+SELECT grp, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  r_a - CAST(n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+  ROUND((r_a - CAST(n_a * (n_a + 1) AS DOUBLE) / 2.0
+         - CAST(n_a * n_b AS DOUBLE) / 2.0)
+    / NULLIF(sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0
+        * (CAST(n_a + n_b + 1 AS DOUBLE)
+           - CAST(ties3 AS DOUBLE)
+             / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))), 0), 6) AS z
+FROM agg ORDER BY grp
+"""
+
 ORACLE_SQL["conversion_bootstrap_ci"] = f"""
 WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
            WHERE event_type = 'signup' GROUP BY user_id),
@@ -4397,8 +4484,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
     "theilsen_trend": theilsen_trend,
+    "theilsen_trend_sampled": theilsen_trend_sampled,
     "spearman_trend": spearman_trend,
     "mann_whitney_u": mann_whitney_u,
+    "mann_whitney_u_bucketed": mann_whitney_u_bucketed,
+    "kendall_trend_sampled": kendall_trend_sampled,
     "revenue_gini": revenue_gini,
     "conversion_lag": conversion_lag,
     "copurchase_triangles": copurchase_triangles,
