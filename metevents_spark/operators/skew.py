@@ -99,6 +99,85 @@ def events_above_type_avg(spark, sf_dir: str, n_salts: int = 8):
     )
 
 
+def skew_join_compare(spark, sf_dir: str, n_salts: int = 8):
+    """Salt-vs-plain equivalence meter: the same deliberately skewed
+    hot-key join run BOTH ways inside one query, aggregated to a
+    2-row readout — the committed evidence that ``salted_join``
+    returns exactly the plain join's rows (its whole contract), the
+    way ``dedup_recall_report`` meters the near-dup tier.
+
+    The skew is CONSTRUCTED (the testdata's keys are near-uniform):
+    ~30% of event rows collapse onto hot key 0 (``user_id % 10 < 3``),
+    the canonical one-key-owns-a-third-of-the-table shape that melts a
+    reducer at 100 TB. Both paths join the fact side to the per-key
+    aggregate and count rows above the key's average (exact integer
+    cross-multiply); the output groups by hot/cold key class and
+    carries BOTH paths' counts side by side — the DuckDB oracle
+    computes the truth once and emits it for both columns, so either
+    path diverging turns the driver row red.
+
+    Scale notes: the plain path here resolves to whatever AQE picks
+    (broadcast at this dimension size); the AQE skew-split-vs-salting
+    TIMING comparison needs join sides big enough for map-output
+    statistics to register and lives in tools/skew_timing.py +
+    tests/test_round11_ops.py::test_aqe_skew_join_engages (the
+    committed table is in SURVEY.md §8).
+    """
+    from metevents_spark.io import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("CAST(ROUND(value * 1e6) AS BIGINT)").alias("value_us"),
+        )
+        .withColumn(
+            "skew_key",
+            F.when(F.col("user_id") % 10 < 3, F.lit(0))
+            .otherwise(F.col("user_id"))
+            .cast("long"),
+        )
+    )
+    build = ev.groupBy("skew_key").agg(
+        F.count(F.lit(1)).alias("n_k"), F.sum("value_us").alias("sum_us")
+    )
+
+    def readout(joined, suffix: str):
+        above = F.when(
+            F.col("value_us") * F.col("n_k") > F.col("sum_us"), 1
+        ).otherwise(0)
+        return joined.groupBy(
+            F.when(F.col("skew_key") == 0, F.lit("hot"))
+            .otherwise(F.lit("cold"))
+            .alias("key_class")
+        ).agg(
+            F.count(F.lit(1)).alias(f"n_rows_{suffix}"),
+            F.sum(above).alias(f"n_above_{suffix}"),
+        )
+
+    plain = readout(ev.join(build, "skew_key"), "plain")
+    salted = readout(
+        salted_join(ev, build, ["skew_key"], n_salts=n_salts), "salted"
+    )
+    return (
+        plain.join(salted, "key_class")
+        .select(
+            "key_class",
+            "n_rows_plain",
+            "n_rows_salted",
+            "n_above_plain",
+            "n_above_salted",
+            (
+                (F.col("n_rows_plain") == F.col("n_rows_salted"))
+                & (F.col("n_above_plain") == F.col("n_above_salted"))
+            )
+            .cast("long")
+            .alias("paths_agree"),
+        )
+        .orderBy("key_class")
+    )
+
+
 def key_skew_report(
     spark, sf_dir: str, key: str = "l_partkey", top: int = 20
 ):

@@ -65,6 +65,7 @@ from metevents_spark.operators.rankstats import (
 from metevents_spark.operators.skew import (
     events_above_type_avg,
     key_skew_report,
+    skew_join_compare,
 )
 from metevents_spark.relational import (
     ab_test_report,
@@ -4229,6 +4230,26 @@ _POISSON1_CASE = "CASE " + " ".join(
     f"WHEN h60 < {t} THEN {k}" for k, t in enumerate(_POISSON1_CUM60)
 ) + " ELSE 9 END"
 
+ORACLE_SQL["skew_join_compare"] = """
+WITH ev AS (SELECT user_id,
+            CAST(ROUND(value * 1e6) AS BIGINT) AS value_us,
+            CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END AS skew_key
+            FROM events WHERE user_id IS NOT NULL),
+build AS (SELECT skew_key, COUNT(*) AS n_k, SUM(value_us) AS sum_us
+          FROM ev GROUP BY skew_key),
+truth AS (SELECT CASE WHEN e.skew_key = 0 THEN 'hot' ELSE 'cold' END
+            AS key_class,
+          CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CASE WHEN e.value_us * b.n_k > b.sum_us
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+          FROM ev e JOIN build b ON e.skew_key = b.skew_key
+          GROUP BY 1)
+SELECT key_class, n_rows AS n_rows_plain, n_rows AS n_rows_salted,
+       n_above AS n_above_plain, n_above AS n_above_salted,
+       CAST(1 AS BIGINT) AS paths_agree
+FROM truth ORDER BY key_class
+"""
+
 # shared point-subsample CTE chain for the sampled rank estimators —
 # the same 60-bit md5 grid as hash_sample / the bootstrap, with the
 # per-series keep probability least(1, 48/n_s) evaluated in identical
@@ -4489,6 +4510,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mann_whitney_u": mann_whitney_u,
     "mann_whitney_u_bucketed": mann_whitney_u_bucketed,
     "kendall_trend_sampled": kendall_trend_sampled,
+    "skew_join_compare": skew_join_compare,
     "revenue_gini": revenue_gini,
     "conversion_lag": conversion_lag,
     "copurchase_triangles": copurchase_triangles,

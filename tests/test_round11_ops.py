@@ -146,3 +146,83 @@ def test_mann_whitney_bucketed_never_sorts_samples(spark):
     assert re.search(
         r"Exchange hashpartitioning\(grp[^)]*bkt", approx_plan
     ), approx_plan
+
+
+def _skewed_pair(spark, n_rows=3_000_000, n_keys=10_000):
+    """Synthetic hot-key join: ~30% of fact rows on key 0 (testdata
+    tables are too small for AQE map-output statistics to register a
+    skewed partition, so the e2e skew assertion needs constructed
+    volume)."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(n_rows).select(
+        F.when(F.col("id") % 10 < 3, F.lit(0))
+        .otherwise(F.col("id") % n_keys)
+        .alias("k"),
+        (F.col("id") * 17 % 1000).alias("v"),
+    )
+    dim = spark.range(n_keys).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    return big, dim
+
+
+def test_aqe_skew_join_engages(spark):
+    """End-to-end AQE skew path: forcing sort-merge with scaled-down
+    skew thresholds makes AQE split the hot partition (skew=true in
+    the FINAL adaptive plan, 'coalesced and skewed' shuffle read) and
+    the result equals the unconstrained (broadcast) plan's — the
+    committed evidence behind the salt-vs-AQE decision table in
+    SURVEY.md (timings: tools/skew_timing.py)."""
+    from pyspark.sql import functions as F
+
+    big, dim = _skewed_pair(spark)
+    agg = lambda j: (
+        j.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        )
+    )
+    expected = sorted(map(tuple, agg(big.join(dim, "k")).collect()))
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = agg(big.join(dim, "k"))
+        got = sorted(map(tuple, j.collect()))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert got == expected
+    assert "isFinalPlan=true" in plan, plan[:500]
+    assert "skew=true" in plan, plan
+    assert "skewed" in plan, plan  # AQEShuffleRead coalesced and skewed
+
+
+def test_salted_join_equals_plain_on_skewed_pair(spark):
+    """salted_join's contract on the same synthetic hot-key pair: byte
+    identical result set to the plain join (the registry's
+    skew_join_compare pins this on the real events table with a
+    DuckDB oracle)."""
+    from pyspark.sql import functions as F
+
+    from metevents_spark.operators.skew import salted_join
+
+    big, dim = _skewed_pair(spark, n_rows=300_000)
+    agg = lambda j: (
+        j.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        )
+    )
+    plain = sorted(map(tuple, agg(big.join(dim, "k")).collect()))
+    salted = sorted(
+        map(tuple, agg(salted_join(big, dim, ["k"], n_salts=16)).collect())
+    )
+    assert plain == salted
