@@ -4250,6 +4250,142 @@ SELECT key_class, n_rows AS n_rows_plain, n_rows AS n_rows_salted,
 FROM truth ORDER BY key_class
 """
 
+# knn_lsh is a FULL SQL replay of the ANN query (r11): the md5-derived
+# integer hyperplanes, micro-unit sign sketches, per-table bucket
+# packing, Hamming<=2 multi-probe, candidate dedup, and cosine ranking
+# are all regenerated from the same constants the Spark operator uses
+# (similarity/knn.py _md5_planes: seed 42, 8 tables x 8 bits, dim 64,
+# scale 2^20) — the user_reach_kmv trick applied to the ANN tier, so a
+# sketch-based approximate query still earns a hash-green driver row.
+ORACLE_SQL["knn_lsh"] = """
+WITH dims AS (SELECT unnest(range(64)) AS d),
+prows AS (SELECT unnest(range(64)) AS r),
+planes AS (SELECT r, d,
+    ((('0x' || substr(md5('42:' || r::VARCHAR || ':' || d::VARCHAR),
+        1, 15))::BIGINT) % 2097153) - 1048576 AS p
+  FROM prows CROSS JOIN dims),
+vq AS (SELECT vec_id, d,
+       CAST(ROUND(CAST(embedding AS DOUBLE[])[d + 1] * 1e6) AS BIGINT)
+         AS vi
+       FROM embeddings CROSS JOIN dims),
+dots AS (SELECT vec_id, r, SUM(vi * p) AS dot
+         FROM vq JOIN planes USING (d) GROUP BY vec_id, r),
+buckets AS (SELECT vec_id, r // 8 AS tbl,
+            SUM(CASE WHEN dot > 0
+                THEN 1 << CAST(r % 8 AS INT) ELSE 0 END) AS bucket
+            FROM dots GROUP BY vec_id, r // 8),
+bits8 AS (SELECT unnest(range(8)) AS i),
+masks AS (SELECT CAST(0 AS BIGINT) AS mask
+          UNION ALL
+          SELECT CAST(1 << CAST(i AS INT) AS BIGINT) FROM bits8
+          UNION ALL
+          SELECT CAST((1 << CAST(a.i AS INT)) | (1 << CAST(b.i AS INT))
+                 AS BIGINT)
+          FROM bits8 a CROSS JOIN bits8 b WHERE a.i < b.i),
+cands AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+          FROM buckets q CROSS JOIN masks m
+          JOIN buckets c
+            ON c.tbl = q.tbl AND c.bucket = xor(q.bucket, m.mask)
+          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS v_norm
+           FROM embeddings),
+scored AS (SELECT cd.q_id, cd.vec_id,
+           ROUND(list_dot_product(cv.v, qv.v) / (cv.v_norm * qv.v_norm),
+                 6) AS cosine
+           FROM cands cd
+           JOIN corpus cv ON cd.vec_id = cv.vec_id
+           JOIN corpus qv ON cd.q_id = qv.vec_id)
+SELECT q_id, vec_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id) AS BIGINT) AS "rank"
+FROM scored QUALIFY "rank" <= 5 ORDER BY q_id, "rank"
+"""
+
+def _ivf_oracle_sql(
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    n_queries: int = 5,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    """Full SQL replay of knn_ivf (r11): the integer-exact Lloyd
+    training rounds (semdedup.lloyd_state — int64 micro-unit member
+    sums, score = CAST(dot)/sqrt(CAST(|s|²)), ties to the lowest
+    cell), final cell assignment, nprobe probing, and in-cell cosine
+    ranking, generated as chained CTEs from the SAME constants the
+    Spark operator uses. A trained vector index with a hash-green
+    oracle — possible only because every training aggregate is an
+    exact integer."""
+    ctes = [
+        f"dims AS (SELECT unnest(range({dim})) AS d)",
+        "vq AS (SELECT vec_id, d, CAST(ROUND(CAST(embedding AS "
+        "DOUBLE[])[d + 1] * 1e6) AS BIGINT) AS vi "
+        "FROM embeddings CROSS JOIN dims)",
+        f"cents_0 AS (SELECT vec_id AS cell, d, vi AS s FROM vq "
+        f"WHERE vec_id < {n_cells})",
+    ]
+    prev = "cents_0"
+    for i in range(1, iters + 1):
+        ctes += [
+            f"s2_{i} AS (SELECT cell, SUM(s * s) AS s2 FROM {prev} "
+            "GROUP BY cell)",
+            f"dots_{i} AS (SELECT vq.vec_id, c.cell, "
+            f"SUM(vq.vi * c.s) AS dot FROM vq JOIN {prev} c USING (d) "
+            "GROUP BY vq.vec_id, c.cell)",
+            f"assign_{i} AS (SELECT vec_id, cell FROM ("
+            "SELECT dt.vec_id, dt.cell, ROW_NUMBER() OVER ("
+            "PARTITION BY dt.vec_id ORDER BY "
+            "CAST(dt.dot AS DOUBLE) / sqrt(CAST(t.s2 AS DOUBLE)) DESC, "
+            f"dt.cell) AS rn FROM dots_{i} dt JOIN s2_{i} t USING (cell)"
+            ") WHERE rn = 1)",
+            f"newc_{i} AS (SELECT a.cell, vq.d, SUM(vq.vi) AS s "
+            f"FROM assign_{i} a JOIN vq USING (vec_id) "
+            "GROUP BY a.cell, vq.d)",
+            f"cents_{i} AS (SELECT cell, d, s FROM newc_{i} UNION ALL "
+            f"SELECT c.cell, c.d, c.s FROM {prev} c WHERE c.cell NOT IN "
+            f"(SELECT DISTINCT cell FROM newc_{i}))",
+        ]
+        prev = f"cents_{i}"
+    ctes += [
+        f"s2_f AS (SELECT cell, SUM(s * s) AS s2 FROM {prev} "
+        "GROUP BY cell)",
+        f"dots_f AS (SELECT vq.vec_id, c.cell, SUM(vq.vi * c.s) AS dot "
+        f"FROM vq JOIN {prev} c USING (d) GROUP BY vq.vec_id, c.cell)",
+        "scores_f AS (SELECT dt.vec_id, dt.cell, "
+        "CAST(dt.dot AS DOUBLE) / sqrt(CAST(t.s2 AS DOUBLE)) AS score "
+        "FROM dots_f dt JOIN s2_f t USING (cell))",
+        "assign_f AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, "
+        "cell) AS rn FROM scores_f) WHERE rn = 1)",
+        "probes AS (SELECT vec_id AS q_id, cell FROM ("
+        "SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY score DESC, cell) AS rn FROM scores_f "
+        f"WHERE vec_id < {n_queries}) WHERE rn <= {nprobe})",
+        "cands AS (SELECT DISTINCT p.q_id, a.vec_id FROM probes p "
+        "JOIN assign_f a USING (cell) WHERE a.vec_id <> p.q_id)",
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[]))) AS v_norm FROM embeddings)",
+        "scored AS (SELECT cd.q_id, cd.vec_id, "
+        "ROUND(list_dot_product(cv.v, qv.v) / (cv.v_norm * qv.v_norm), "
+        "6) AS cosine FROM cands cd "
+        "JOIN corpus cv ON cd.vec_id = cv.vec_id "
+        "JOIN corpus qv ON cd.q_id = qv.vec_id)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT q_id, vec_id, cosine, CAST(ROW_NUMBER() OVER ("
+        'PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS "rank"'
+        + f'\nFROM scored QUALIFY "rank" <= {k} ORDER BY q_id, "rank"'
+    )
+
+
+ORACLE_SQL["knn_ivf"] = _ivf_oracle_sql()
+
 # shared point-subsample CTE chain for the sampled rank estimators —
 # the same 60-bit md5 grid as hash_sample / the bootstrap, with the
 # per-series keep probability least(1, 48/n_s) evaluated in identical

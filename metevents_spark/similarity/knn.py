@@ -263,49 +263,59 @@ def knn_ivf(
     nprobe: int = 4,
     train_iters: int = IVF_TRAIN_ITERS,
     emb: DataFrame | None = None,
-    cmat: np.ndarray | None = None,
+    state: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: a coarse quantizer of ``n_cells``
     centroids partitions the corpus into inverted lists; each query
     probes only its ``nprobe`` nearest cells and runs exact cosine there.
 
-    The coarse quantizer is TRAINED: ``train_iters`` deterministic
-    Lloyd rounds (semdedup.lloyd_centroids — one mapInPandas pass per
-    round, k x dim driver state, seeded by the k lowest vec_ids).
-    Untrained first-n vectors looked fine on this uniform synthetic
-    corpus but skew cells badly on real (clustered) embedding
-    distributions — most of the corpus lands in a few cells, nprobe
-    misses grow, and the quadratic in-cell scan concentrates.
+    The coarse quantizer is TRAINED: ``train_iters`` ENGINE-EXACT Lloyd
+    rounds (semdedup.lloyd_state — integer micro-unit member sums, one
+    mapInPandas pass per round, k x dim driver state, seeded by the k
+    lowest vec_ids). Untrained first-n vectors looked fine on this
+    uniform synthetic corpus but skew cells badly on real (clustered)
+    embedding distributions — most of the corpus lands in a few cells,
+    nprobe misses grow, and the quadratic in-cell scan concentrates.
     Training cost is ``train_iters`` linear scans, amortized across
     every query served by the index. Cell assignment is map-side only:
-    the centroid matrix ships in the UDF closure and the argmax over
-    per-centroid cosines is one numpy matmul per Arrow batch — no
+    the integer state ships in the UDF closure and the argmax over
+    per-cell scores is one numpy integer matmul per Arrow batch — no
     shuffle, no per-row Python. The only shuffles are the cell-key
     candidate join and the final per-query top-k.
+
+    Because training, assignment, probing, and ranking all reduce to
+    exact integer arithmetic plus fixed float expressions, the ENTIRE
+    query replays in DuckDB SQL (ORACLE_SQL["knn_ivf"] regenerates the
+    Lloyd rounds as chained CTEs) — hash-green driver rows for a
+    trained vector index (r11; was rows-only). Probe order ties break
+    (score desc, cell asc) in both engines.
     """
-    from metevents_spark.similarity.semdedup import lloyd_centroids
+    from metevents_spark.similarity.semdedup import _int_scores, lloyd_state
 
     if emb is None:
         emb = load_table(spark, sf_dir, "embeddings")
-    if cmat is None:
-        cmat = lloyd_centroids(
+    if state is None:
+        state = lloyd_state(
             emb.select("vec_id", "embedding"), n_cells, train_iters
-        ).astype(np.float64)
-        # unit-normalized centroid matrix, shipped in the UDF closures —
-        # cell assignment for a whole Arrow batch is ONE numpy matmul
-        cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+        )
+    svec, _cnt = state
+    from metevents_spark.similarity.semdedup import _quantize_units
 
     @F.pandas_udf("int")
     def nearest_cell(embs: pd.Series) -> pd.Series:
-        m = np.stack(embs.to_numpy()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        return pd.Series((m @ cmat.T).argmax(axis=1).astype(np.int32))
+        mi = _quantize_units(np.stack(embs.to_numpy()).astype(np.float64))
+        return pd.Series(
+            _int_scores(mi, svec).argmax(axis=1).astype(np.int32)
+        )
 
     @F.pandas_udf("array<int>")
     def probe_cells(embs: pd.Series) -> pd.Series:
-        m = np.stack(embs.to_numpy()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        order = np.argsort(-(m @ cmat.T), axis=1)[:, :nprobe]
+        mi = _quantize_units(np.stack(embs.to_numpy()).astype(np.float64))
+        # stable argsort of -scores: ties keep ascending cell order,
+        # matching the oracle's ROW_NUMBER (score DESC, cell ASC)
+        order = np.argsort(
+            -_int_scores(mi, svec), axis=1, kind="stable"
+        )[:, :nprobe]
         return pd.Series(list(order.astype(np.int32)))
 
     base = emb.select(
@@ -336,6 +346,29 @@ def knn_ivf(
         .select("q_id", "vec_id", sim.alias("cosine"))
     )
     return _topk_per_query(scored, k)
+
+
+def _md5_planes(
+    num_planes: int, dim: int, seed: int, scale: int = 1 << 20
+) -> np.ndarray:
+    """Integer hyperplane matrix on the engine-portable 60-bit md5
+    grid: entry(r, d) = h60(f"{seed}:{r}:{d}") % (2*scale+1) − scale,
+    a symmetric uniform over [−scale, scale]. hashlib.md5 here equals
+    md5() in Spark SQL and DuckDB, so an oracle regenerates the exact
+    planes from the same three-part key. Built once on the driver
+    (num_planes·dim md5 calls — thousands, not millions) and shipped
+    in the sketch UDF closure."""
+    import hashlib
+
+    mod = 2 * scale + 1
+    out = np.empty((num_planes, dim), dtype=np.int64)
+    for r in range(num_planes):
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"{seed}:{r}:{d}".encode()).hexdigest()[:15], 16
+            )
+            out[r, d] = h % mod - scale
+    return out
 
 
 def knn_lsh(
@@ -373,18 +406,29 @@ def knn_lsh(
     quality/cost knob; everything stays bucket-scoped, the probe frame
     (queries x L x probes rows) broadcasts, and candidates dedupe
     on (q_id, vec_id) before ranking so multi-table hits count once.
-    Deterministic hyperplanes from a seeded RNG, shipped in a
-    vectorized pandas UDF closure — each Arrow batch sketches all L
-    tables in one numpy matmul."""
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(num_tables * nbits, dim)
+
+    ENGINE-PORTABLE hash family (r11, was seeded-RNG gaussians):
+    hyperplane entries come from the 60-bit md5 grid
+    (entry(r,d) = h60("{seed}:{r}:{d}") mod (2^21+1) − 2^20, a
+    symmetric integer uniform — sign-LSH needs only symmetry around
+    zero for unbiasedness) and vectors quantize to integer micro-units
+    before the sign test, so every sketch bit is an EXACT int64
+    comparison any engine reproduces bit-for-bit. That turns the whole
+    query — bucket assignment, multi-probe, candidate set, ranking —
+    into a DuckDB SQL replay (ORACLE_SQL["knn_lsh"]), upgrading the
+    driver check from rows-only to hash-green; measured recall@5 is
+    unchanged from the gaussian family (the recall-floor pytest in
+    tests/test_similarity.py is the meter)."""
+    planes = _md5_planes(num_tables * nbits, dim, seed)
     weights = (1 << np.arange(nbits)).astype(np.int64)
 
     @F.pandas_udf("array<long>")
     def sketch(embs: pd.Series) -> pd.Series:
-        m = np.stack(embs.to_numpy()).astype(np.float64)
-        bits = (m @ planes.T) > 0  # (n, L*nbits)
-        per_table = bits.reshape(len(m), num_tables, nbits) @ weights
+        m = np.stack(embs.to_numpy()).astype(np.float64) * 1e6
+        # round-half-away-from-zero, matching ROUND() in both engines
+        mi = np.floor(m + np.where(m >= 0, 0.5, -0.5)).astype(np.int64)
+        bits = (mi @ planes.T) > 0  # exact integer dots, (n, L*nbits)
+        per_table = bits.reshape(len(mi), num_tables, nbits) @ weights
         return pd.Series(list(per_table.astype(np.int64)))
 
     if emb is None:
@@ -492,11 +536,14 @@ def ann_recall_report(
     # IVF-flat and IVF-PQ use the SAME coarse quantizer (same n_cells,
     # same Lloyd rounds) — train it once here and share, instead of
     # paying the training scans twice inside the two pipelines
-    from metevents_spark.similarity.semdedup import lloyd_centroids
+    from metevents_spark.similarity.semdedup import lloyd_state
 
-    cmat = lloyd_centroids(
+    state = lloyd_state(
         emb.select("vec_id", "embedding"), IVF_PQ_N_CELLS, IVF_TRAIN_ITERS
-    ).astype(np.float64)
+    )
+    cmat = state[0].astype(np.float64) / (
+        state[1].astype(np.float64)[:, None] * 1e6
+    )
     cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
     # dropDuplicates guards the left-join accounting below: hits ==
     # overlap only if the exact side is unique per (q_id, vec_id).
@@ -513,7 +560,11 @@ def ann_recall_report(
     n_q = exact.select("q_id").distinct().count()
     approx = None
     for method, fn in (("lsh", knn_lsh), ("ivf", knn_ivf), ("pq", knn_ivf_pq)):
-        extra = {} if method == "lsh" else {"cmat": cmat}
+        extra = (
+            {}
+            if method == "lsh"
+            else ({"state": state} if method == "ivf" else {"cmat": cmat})
+        )
         part = (
             fn(spark, sf_dir, k=k, emb=emb, **extra)
             .select("q_id", "vec_id")

@@ -50,24 +50,54 @@ def _assign_udf(cmat: np.ndarray):
     return nearest
 
 
-def lloyd_centroids(
-    emb: DataFrame, k: int, iters: int
-) -> np.ndarray:
-    """Deterministic k-means: seeded by the k lowest-vec_id vectors,
-    ``iters`` Lloyd rounds (cosine assignment, mean update). Returns
-    the (k x dim) centroid matrix. Empty clusters keep their previous
-    centroid (standard practice; deterministic).
+def _quantize_units(m: np.ndarray) -> np.ndarray:
+    """Integer micro-units with round-half-away-from-zero — the same
+    quantization ROUND(x*1e6) produces in Spark SQL and DuckDB, so any
+    engine rebuilds the identical int64 matrix."""
+    s = m * 1e6
+    return np.floor(s + np.where(s >= 0, 0.5, -0.5)).astype(np.int64)
 
-    Each round is ONE ``mapInPandas`` pass: a batch assigns itself with
-    one matmul and emits per-cell (count, sum-vector) partials — at
-    most k rows per Arrow batch, folded on the driver (k x dim floats,
-    the same legitimate tiny-collect as knn_ivf's centroids). The
-    earlier M-step posexplode shuffled corpus x dim rows per round and
-    dominated the runtime 20:1 at the 200k-vector smoke scale.
-    Partial-sum fold order across batches is not fixed, so centroid
-    ulps can differ run-to-run — assignments are robust to that (argmax
-    margins dwarf ulps), the same property the Spark-avg formulation
-    relied on.
+
+def _int_scores(mi: np.ndarray, svec: np.ndarray) -> np.ndarray:
+    """Cosine-ordered assignment scores from EXACT integer state:
+    score(v, cell j) = (vi · s_j) / |s_j| — the member count cancels
+    out of the mean's direction, so the integer sum vector IS the
+    centroid for cosine purposes. Both factors derive from exact
+    int64s cast to double, so every engine computes the identical
+    IEEE score matrix (int64→double cast rounds identically
+    everywhere; magnitudes stay exact up to 2^53 — beyond ~1e9-member
+    cells rescale the sums first)."""
+    dots = (mi @ svec.T).astype(np.float64)
+    s2 = np.einsum("kd,kd->k", svec, svec).astype(np.float64)
+    return dots / np.sqrt(s2)
+
+
+def lloyd_state(
+    emb: DataFrame, k: int, iters: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """ENGINE-EXACT deterministic k-means (r11 rewrite): seeded by the
+    k lowest-vec_id vectors, ``iters`` Lloyd rounds. State per cell is
+    the INTEGER micro-unit member-sum vector plus the member count —
+    assignment scores divide exact integer dots by exact integer
+    norms (see :func:`_int_scores`), and the M-step folds int64
+    partials whose sum is order-independent. Unlike the previous
+    float-state formulation ("centroid ulps can differ run-to-run"),
+    every round is bit-reproducible across runs, partitionings, AND
+    engines — DuckDB replays the whole training loop in SQL
+    (ORACLE_SQL["knn_ivf"]), which upgrades the IVF driver check from
+    rows-only to hash-green.
+
+    Each round is ONE ``mapInPandas`` pass: a batch assigns itself
+    with one integer matmul and emits per-cell (count, int-sum)
+    partials — at most k rows per Arrow batch, folded on the driver
+    (k x dim int64s, the same legitimate tiny-collect as before; the
+    posexplode M-step it replaced shuffled corpus x dim rows per
+    round). Empty cells keep their previous state (standard practice;
+    deterministic). Ties in the assignment argmax break toward the
+    LOWEST cell id (numpy first-max == ROW_NUMBER ORDER BY score
+    DESC, cell ASC).
+
+    Returns ``(svec, cnt)``: (k x dim) int64 sums, (k,) int64 counts.
     """
     seeds = sorted(
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
@@ -81,20 +111,22 @@ def lloyd_centroids(
             f"corpus provided {len(seeds)} (empty or too-small embedding "
             "corpus)"
         )
-    cmat = np.array([v for _, v in seeds], dtype=np.float64)
-    kk, dim = cmat.shape
+    svec = _quantize_units(np.array([v for _, v in seeds], dtype=np.float64))
+    cnt = np.ones(k, dtype=np.int64)
+    kk, dim = svec.shape
     for _ in range(iters):
-        cn = _normalize(cmat)
+        state = svec  # closure snapshot for this round's assignment
 
-        def partials(batches):
+        def partials(batches, state=state):
             for pdf in batches:
                 if not len(pdf):
                     continue
                 m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                a = (_normalize(m) @ cn.T).argmax(axis=1)
+                mi = _quantize_units(m)
+                a = _int_scores(mi, state).argmax(axis=1)
                 counts = np.bincount(a, minlength=kk)
-                sums = np.zeros((kk, dim))
-                np.add.at(sums, a, m)
+                sums = np.zeros((kk, dim), dtype=np.int64)
+                np.add.at(sums, a, mi)
                 nz = np.flatnonzero(counts)
                 yield pd.DataFrame(
                     {
@@ -105,18 +137,30 @@ def lloyd_centroids(
                 )
 
         rows = emb.select("embedding").mapInPandas(
-            partials, "cell int, cnt long, vsum array<double>"
+            partials, "cell int, cnt long, vsum array<long>"
         ).collect()
-        sums = np.zeros((kk, dim))
-        cnts = np.zeros(kk)
+        sums = np.zeros((kk, dim), dtype=np.int64)
+        cnts = np.zeros(kk, dtype=np.int64)
         for r in rows:
-            sums[r["cell"]] += np.asarray(r["vsum"])
+            sums[r["cell"]] += np.asarray(r["vsum"], dtype=np.int64)
             cnts[r["cell"]] += r["cnt"]
-        nxt = cmat.copy()
         nz = cnts > 0
-        nxt[nz] = sums[nz] / cnts[nz, None]
-        cmat = nxt
-    return cmat
+        svec = np.where(nz[:, None], sums, svec)
+        cnt = np.where(nz, cnts, cnt)
+    return svec, cnt
+
+
+def lloyd_centroids(
+    emb: DataFrame, k: int, iters: int
+) -> np.ndarray:
+    """(k x dim) float centroid matrix from :func:`lloyd_state`: the
+    exact integer mean ``svec / (cnt * 1e6)`` — one float division of
+    exact integers per entry, so (unlike the pre-r11 float fold) the
+    returned matrix is bit-identical across runs and partitionings.
+    Consumers (semantic_dedup, kmeans_embeddings, knn_ivf_pq) keep the
+    float-centroid interface."""
+    svec, cnt = lloyd_state(emb, k, iters)
+    return svec.astype(np.float64) / (cnt.astype(np.float64)[:, None] * 1e6)
 
 
 def semantic_dedup(
