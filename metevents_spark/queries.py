@@ -4572,50 +4572,10 @@ FROM d JOIN c ON d.dig = c.dig GROUP BY source ORDER BY source
 """
 
 # Insertion order matters: the verification driver checks the FIRST 50
-# entries, so slot assignment is a deliberate rotation policy.
-#
-# ROTATION (round 10): staleness-driven refresh, continuing the
-# committed policy. Newest-driver-row age per key (computed from
-# CORRECTNESS_r01..r09): 6 keys last green r05, 33 last green r06,
-# knn_lsh/knn_ivf (rows-only) last checked r01 and displaced twice.
-# This round's window:
-#   * slots 1-5: the SURVEY §2 reference detectors (parity core,
-#     checked every round);
-#   * slot 6: embedding_covariance — red r08+r09; the float
-#     ROUND(double, 6) at the query boundary is now replaced by pure
-#     integer micro-unit rounding (similarity/pca.py) and must re-earn
-#     its green here;
-#   * slots 7-15: the nine operators NEW this round (the salted-join
-#     hot-key demo whose oracle is the plain join, reciprocal-rank
-#     fusion, chi-squared term selection, classifier calibration/ECE,
-#     asymmetric n-gram containment, the rows-only weighted PageRank
-#     over the co-purchase graph, last-touch purchase attribution, the
-#     EWMA-vs-Holt walk-forward model selection, and the two-arm A/B
-#     readout) — never-seen keys take window priority;
-#   * slots 16-21: the six r05-stale keys displaced from the r09
-#     window (source_mix_sample, stratified_sample, unigram_logprob,
-#     user_reach, value_drift_psi, value_histogram);
-#   * slots 22-23: knn_lsh / knn_ivf — rows-only, last driver-checked
-#     r01, displaced twice; refreshed now per the r9 rotation note;
-#   * slots 24-38: the fifteen operators added in this round's SECOND
-#     batch (Theil–Sen slope, Spearman trend, Mann–Whitney U, revenue
-#     Gini, conversion lag, co-purchase triangles, OOV rate, dedup
-#     survivor election, hard-negative mining, Kendall tau-b, the
-#     Poisson-bootstrap conversion CI, audience overlap, ship-delay
-#     quantiles, BFS hop distance, per-source duplication rate) —
-#     never-seen keys take window priority, same policy as slots 7-15;
-#   * slots 39-50: the first 12 (alphabetical) of the 33-key r06-stale
-#     cohort; the remaining 21 (event_transitions onward, plus
-#     series_acf, seasonal_decompose, sole_return_supplier,
-#     text_stats, top_supplier, winsorize_series) sit just past the
-#     cap and lead the r11 window.
-# Every key green in r07-r09 rotates past the cap; the r07 cohort
-# (43 keys) and r08 cohort (39 keys) are next in line for r11/r12.
-#
-# Everything past the cap stays pinned by tests/test_oracle_parity.py
-# (same row-count/schema/value-hash comparison vs DuckDB at sf0.001,
-# runs in every pytest suite) or, for rows-only ops, by their golden /
-# differential tests.
+# entries, so slot assignment is a deliberate rotation policy. The
+# dict below holds the full registry in historical order; the explicit
+# _DRIVER_WINDOW list after it (re)orders the front of the dict each
+# round — edit THAT list to rotate, not the dict.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extreme_value": q_extreme_value,
     "flat_line": q_flat_line,
@@ -4833,6 +4793,88 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_summary_approx": corpus_summary_approx,
     "vocab_top_terms_approx": vocab_top_terms_approx,
     "value_quantiles_approx": value_quantiles_approx,
+}
+
+# ROTATION (round 11): staleness-driven refresh, continuing the
+# committed policy. Latest-driver-row age per key (computed from
+# CORRECTNESS_r01..r10): 29 keys last checked r06, 45 last r07;
+# storm_find's newest row is r8 and spike_valley's r9 — the two §2
+# flagship kernels should never be the stalest rows in the contract
+# (the r10 verdict's explicit instruction). This round's window:
+#   * slots 1-5: the SURVEY §2 reference detectors (parity core,
+#     checked every round);
+#   * slots 6-7: storm_find + spike_valley — flagship refresh;
+#   * slots 8-11: the four operators NEW this round (sampled Theil–Sen
+#     and Kendall — the bounded-task pair-estimator scale path — the
+#     bucketed Mann–Whitney, and the salt-vs-plain skew equivalence
+#     readout) — never-seen keys take window priority;
+#   * slots 12-13: knn_lsh / knn_ivf — upgraded from rows-only to
+#     oracle-backed this round (md5 hyperplanes + integer-exact Lloyd)
+#     and must earn their first HASH-green rows;
+#   * slots 14-42: the full 29-key r06-stale cohort;
+#   * slots 43-50: the first 8 (alphabetical) of the 45-key r07
+#     cohort; the rest of r07 leads the r12 window.
+# Everything past the cap stays pinned by tests/test_oracle_parity.py
+# (same row-count/schema/value-hash comparison vs DuckDB at sf0.001,
+# runs in every pytest suite) or, for rows-only ops, by their golden /
+# differential tests.
+_DRIVER_WINDOW = [
+    "extreme_value",
+    "flat_line",
+    "extreme_change",
+    "data_gap",
+    "freq_infer",
+    "storm_find",
+    "spike_valley",
+    "theilsen_trend_sampled",
+    "kendall_trend_sampled",
+    "mann_whitney_u_bucketed",
+    "skew_join_compare",
+    "knn_lsh",
+    "knn_ivf",
+    # r06-stale cohort (29 keys, alphabetical)
+    "ann_recall_report",
+    "corpus_summary_approx",
+    "important_parts",
+    "kmeans_embeddings",
+    "knn_cosine",
+    "large_volume_customers",
+    "latest_event_per_user",
+    "media_embedding_near_dup",
+    "media_features",
+    "min_cost_supplier",
+    "nation_market_share",
+    "normalize_text",
+    "part_supplier_counts",
+    "pricing_summary",
+    "product_type_profit",
+    "random_projection",
+    "region_revenue",
+    "remove_duplicate_spans",
+    "rich_idle_customers",
+    "seasonal_decompose",
+    "semantic_dedup",
+    "series_acf",
+    "sole_return_supplier",
+    "text_stats",
+    "top_supplier",
+    "user_reach_approx",
+    "value_quantiles_approx",
+    "vocab_top_terms_approx",
+    "winsorize_series",
+    # head of the r07-stale cohort (8 of 45, alphabetical)
+    "big_spender_1995",
+    "brand_revenue",
+    "brand_supplier_stats",
+    "churned_customers",
+    "cumulative_revenue",
+    "customers_no_order_1996",
+    "daily_rollup",
+    "dedup_recall_report",
+]
+assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
+QUERIES = {k: QUERIES[k] for k in _DRIVER_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_DRIVER_WINDOW)
 }
 
 
