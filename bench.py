@@ -200,6 +200,7 @@ HEADLINE = [
     "weighted_sample",
     "user_reach_kmv",
     "key_skew_report",
+    "skew_join_compare",
     "holt_backtest",
     "survival_retention",
     "mutual_information",
@@ -220,8 +221,10 @@ HEADLINE = [
     "model_select_backtest",
     "ab_test_report",
     "theilsen_trend",
+    "theilsen_trend_sampled",
     "spearman_trend",
     "mann_whitney_u",
+    "mann_whitney_u_bucketed",
     "revenue_gini",
     "conversion_lag",
     "copurchase_triangles",
@@ -229,6 +232,7 @@ HEADLINE = [
     "dedup_survivor_pick",
     "hard_negative_mining",
     "kendall_trend",
+    "kendall_trend_sampled",
     "conversion_bootstrap_ci",
     "audience_overlap",
     "ship_delay_quantiles",
@@ -446,8 +450,13 @@ def main() -> None:
     # prior warm time (floored at 0.3 s so compile-noise on sub-100 ms
     # plans doesn't page anyone) — a loud line per regression instead
     # of a human diffing two JSON files.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_FULL_latest.json")
+    # SPARK_GRAFT_FULL_OUT redirects the committed full-record path so
+    # an off-sf sweep (e.g. the r11 sf1 scale run) cannot clobber the
+    # sf0.1 drift baseline
+    full_path = os.environ.get("SPARK_GRAFT_FULL_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_FULL_latest.json",
+    )
     drift: dict[str, list[float]] = {}
     # Record whether a comparison actually ran: an empty drift map is
     # ambiguous between "compared, no drift" and "baseline missing /

@@ -418,7 +418,7 @@ def knn_lsh(
     into a DuckDB SQL replay (ORACLE_SQL["knn_lsh"]), upgrading the
     driver check from rows-only to hash-green; measured recall@5 is
     unchanged from the gaussian family (the recall-floor pytest in
-    tests/test_similarity.py is the meter)."""
+    tests/test_neardup.py is the meter)."""
     planes = _md5_planes(num_tables * nbits, dim, seed)
     weights = (1 << np.arange(nbits)).astype(np.int64)
 

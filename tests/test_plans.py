@@ -240,6 +240,8 @@ def test_no_query_plans_a_cartesian_product(spark):
         # baseline rows x |event_types| dimension replication (the
         # candidate side tags itself with no join at all)
         "mann_whitney_u",
+        # same replication plus a 1-row (vmin, vmax) bounds broadcast
+        "mann_whitney_u_bucketed",
         # corpus x tiny broadcast anchor set, knn_cosine's bounded
         # brute-force shape (ANN shortlist is the 100 TB swap-in)
         "hard_negative_mining",

@@ -76,6 +76,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
+    # bounded DuckDB parallelism for sharded sweeps (several
+    # check_oracle processes sharing one host): unset = all cores
+    n_threads = os.environ.get("CHECK_ORACLE_DUCKDB_THREADS")
+    if n_threads:
+        con.sql(f"SET threads TO {int(n_threads)}")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
