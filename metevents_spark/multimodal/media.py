@@ -270,6 +270,7 @@ def media_embedding_near_dup(
     threshold: float = 0.999,
     dim: int = 64,
     max_block: int = 8192,
+    n_projections: int = 2,
 ) -> DataFrame:
     """End-to-end multimodal near-dup: payload -> content embedding ->
     blocked cosine pairs — the decode→embed→ANN composition a
@@ -277,21 +278,32 @@ def media_embedding_near_dup(
     content hash (media_dedup) misses.
 
     Blocking = GRID LSH with a recall guarantee: project each unit
-    vector onto two fixed pseudo-random directions, quantize each
-    projection into cells of width w = sqrt(2*(1-threshold)), and emit
-    the vector into the 4 cells {c1, c1+1} x {c2, c2+1}. Any pair with
-    cosine >= threshold has L2 distance <= w, so its per-axis cells
-    differ by at most 1 and the pair is GUARANTEED to share at least
-    one emitted cell — unlike the previous dominant-bin blocking,
-    where a near-tied argmax could separate a true near-dup pair, and
-    where same-language corpora concentrated 60% of documents into one
-    block (a single quadratic task: the hot-bucket failure mode at
-    scale). Duplicate discoveries across shared cells collapse via a
-    (doc_a, doc_b) groupBy; the 4x emission factor buys provable
-    recall and ~k-times-smaller quadratic blocks. Blocks larger than
-    ``max_block`` are truncated to their ``max_block`` smallest doc_ids
-    inside the kernel (deterministic, bounded cost) — the same guard
-    discipline as the LSH text families.
+    vector onto ``n_projections`` fixed pseudo-random directions,
+    quantize each projection into cells of width
+    w = sqrt(2*(1-threshold)), and emit the vector into the 2^p cells
+    {c_i, c_i+1} per axis. Any pair with cosine >= threshold has L2
+    distance <= w, so its per-axis cells differ by at most 1 and the
+    pair is GUARANTEED to share at least one emitted cell — unlike the
+    previous dominant-bin blocking, where a near-tied argmax could
+    separate a true near-dup pair, and where same-language corpora
+    concentrated 60% of documents into one block (a single quadratic
+    task: the hot-bucket failure mode at scale). Duplicate discoveries
+    across shared cells collapse via a (doc_a, doc_b) groupBy; the 2^p
+    emission factor buys provable recall and exponentially-smaller
+    quadratic blocks.
+
+    DENSITY KNOB (r11, the sf1 watch item): the cell width is PINNED
+    by the recall guarantee (w must cover the threshold's L2 ball), so
+    a denser corpus cannot shrink cells — it raises ``n_projections``
+    instead: per-cell population scales ~ density^(1) · w^p, so each
+    extra axis divides expected block sizes by ~1/w (>3x at
+    threshold 0.999) for a 2x emission cost. The 10x corpus sweep
+    measured in-cell gram work creeping superlinear at p=2
+    (BENCH_sf1: 17.5x at 10x data); p=3 at that density restores the
+    linear regime. Blocks larger than ``max_block`` are still
+    truncated to their ``max_block`` smallest doc_ids inside the
+    kernel (deterministic, bounded cost) — the same guard discipline
+    as the LSH text families.
 
     Exact-dedup-first, like every pairwise text family here:
     byte-identical payloads collapse to one representative per content
@@ -331,7 +343,11 @@ def media_embedding_near_dup(
     ).join(media, "doc_id")
     emb = media_embed(reps, dim=dim)
     w = math.sqrt(2.0 * max(1.0 - threshold, 1e-12))
-    r1, r2 = _lcg_unit(1, dim), _lcg_unit(2, dim)
+    p = int(n_projections)
+    if p < 1:
+        raise ValueError(f"n_projections must be >= 1, got {p}")
+    axes = [_lcg_unit(i + 1, dim) for i in range(p)]
+    bcols = [f"b{i + 1}" for i in range(p)]
 
     def proj(r: list[float]):
         return F.aggregate(
@@ -347,9 +363,13 @@ def media_embedding_near_dup(
     blocked = emb.select(
         "doc_id",
         "vec",
-        F.floor(proj(r1) / F.lit(w)).cast("int").alias("c1"),
-        F.floor(proj(r2) / F.lit(w)).cast("int").alias("c2"),
+        *[
+            F.floor(proj(r) / F.lit(w)).cast("int").alias(f"c{i + 1}")
+            for i, r in enumerate(axes)
+        ],
     )
+    import itertools
+
     cells = blocked.select(
         "doc_id",
         "vec",
@@ -357,15 +377,18 @@ def media_embedding_near_dup(
             F.array(
                 *[
                     F.struct(
-                        (F.col("c1") + F.lit(i)).alias("b1"),
-                        (F.col("c2") + F.lit(j)).alias("b2"),
+                        *[
+                            (F.col(f"c{i + 1}") + F.lit(off[i])).alias(
+                                bcols[i]
+                            )
+                            for i in range(p)
+                        ]
                     )
-                    for i in (0, 1)
-                    for j in (0, 1)
+                    for off in itertools.product((0, 1), repeat=p)
                 ]
             )
         ).alias("cell"),
-    ).select("doc_id", "vec", "cell.b1", "cell.b2")
+    ).select("doc_id", "vec", *[f"cell.{b}" for b in bcols])
 
     out_schema = "doc_a long, doc_b long, block int, cosine double"
 
@@ -386,7 +409,12 @@ def media_embedding_near_dup(
             )
         m = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        block_id = int(pdf["b1"].iloc[0]) * 100000 + int(pdf["b2"].iloc[0])
+        # stable positive label from the cell coordinates (base fold;
+        # p=2 keeps the historical b1*100000+b2 form)
+        block_id = 0
+        for b in bcols:
+            block_id = block_id * 100000 + int(pdf[b].iloc[0])
+        block_id = int(block_id % 2_000_000_000)
         sims = np.round(m @ m.T, 6)
         ra, rb = np.triu_indices(len(ids), k=1)
         keep = sims[ra, rb] >= threshold
@@ -400,7 +428,7 @@ def media_embedding_near_dup(
         )
 
     rep_pairs = (
-        cells.groupBy("b1", "b2")
+        cells.groupBy(*bcols)
         .applyInPandas(block_pairs, out_schema)
         # a pair found in several shared cells reports once, from its
         # smallest block id; cosine is identical everywhere

@@ -665,7 +665,7 @@ def knn_ivf_pq(
     sf_dir: str,
     k: int = 5,
     n_queries: int = 5,
-    n_cells: int = IVF_PQ_N_CELLS,
+    n_cells: int | str = IVF_PQ_N_CELLS,
     nprobe: int = 4,
     m: int = 8,
     ks: int = 64,
@@ -715,6 +715,13 @@ def knn_ivf_pq(
 
     if emb is None:
         emb = load_table(spark, sf_dir, "embeddings")
+    if n_cells == "auto":
+        # density-proportional cell count (FAISS practice: cells ~
+        # sqrt(corpus)) — the r11 sf1 watch-item knob: fixed n_cells
+        # concentrates in-cell ADC work as the corpus grows. One
+        # metadata-cheap count; floor at the fixed default so tiny
+        # corpora keep their committed behavior.
+        n_cells = max(IVF_PQ_N_CELLS, int(round(emb.count() ** 0.5)))
     if cmat is None:
         cmat = lloyd_centroids(
             emb.select("vec_id", "embedding"), n_cells, train_iters

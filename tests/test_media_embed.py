@@ -137,3 +137,24 @@ def test_real_codec_rejects_unknown_container(spark):
     df = _media_df(spark, [b"GIF89a not really"])
     with pytest.raises(Exception, match="codec|NotImplemented"):
         media_features(df, use_real_codecs=True).collect()
+
+
+def test_grid_projection_count_preserves_pairs(spark):
+    """r11 density knob: the recall guarantee means the FINAL pair set
+    is invariant to n_projections (blocking only shapes candidate
+    volume; the threshold filter decides membership) — so raising p on
+    a denser corpus is a pure cost knob, never a recall trade."""
+    from metevents_spark.multimodal.media import media_embedding_near_dup
+
+    sf = "/root/testdata/sf0.001"
+    p2 = {
+        (r.doc_a, r.doc_b, r.cosine)
+        for r in media_embedding_near_dup(spark, sf).collect()
+    }
+    p3 = {
+        (r.doc_a, r.doc_b, r.cosine)
+        for r in media_embedding_near_dup(
+            spark, sf, n_projections=3
+        ).collect()
+    }
+    assert p2 == p3 and p2

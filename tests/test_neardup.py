@@ -215,3 +215,20 @@ def test_random_projection_preserves_distances(spark):
         nearest_proj = np.argmin(dp[i])
         hits += do[i, nearest_proj] <= np.quantile(do[i][np.isfinite(do[i])], 0.34)
     assert hits >= len(ids) * 0.6, f"JL neighbor preservation too weak: {hits}/20"
+
+
+def test_knn_ivf_pq_auto_cells(spark):
+    """r11 density knob: n_cells="auto" resolves to
+    max(default, round(sqrt(corpus))) and the pipeline still returns a
+    full top-k per query with sane overlap against exact cosine."""
+    from metevents_spark.similarity import knn_cosine, knn_ivf_pq
+
+    exact = {(r.q_id, r.vec_id) for r in knn_cosine(spark, SF).collect()}
+    got = [
+        (r.q_id, r.vec_id)
+        for r in knn_ivf_pq(spark, SF, n_cells="auto").collect()
+    ]
+    assert len(got) == 25  # 5 queries x k=5
+    # recall floor matches the fixed-cell tier's contract (>=0.6 at
+    # the uniform corpus's higher cell count: fewer candidates/cell)
+    assert len(set(got) & exact) / 25 >= 0.6

@@ -1448,3 +1448,70 @@ def test_stream_p2_quantile_accuracy(spark, stream_dir):
     for i in range(1, 5):
         want = float(np.percentile(vals[:i], 50, method="linear"))
         assert abs(got["q_est"].iloc[i - 1] - want) < 1e-9
+
+
+def test_equal_ts_lower_seq_in_later_chunk_is_late(spark, stream_dir):
+    """r11 ordering-contract pin (the r10 advice scenario): an
+    equal-timestamp LOWER-seq event arriving in a later micro-batch
+    must drop as late, not fold after higher-seq events. Scenario:
+    signup(t1,1), click(t2,2), purchase(t2,3), purchase(t3,4) with the
+    click withheld to chunk 2. Under the ts-only guard the click was
+    ACCEPTED after purchase 3 (same ts) and stole purchase 4's
+    attribution; under the (ts, seq) guard purchase 4 stays attributed
+    to the signup — the only state the in-order prefix justifies."""
+    from metevents_spark.streaming import stream_purchase_attribution
+
+    t1 = datetime(2023, 1, 1, 10, 0, 0)
+    t2 = datetime(2023, 1, 1, 11, 0, 0)
+    t3 = datetime(2023, 1, 1, 12, 0, 0)
+    chunk1 = pd.DataFrame(
+        {
+            "sid": ["u1", "u1"],
+            "seq": np.array([1, 3], dtype="int64"),
+            "event_type": ["signup", "purchase"],
+            "ts": [t1, t2],
+        }
+    )
+    chunk2 = pd.DataFrame(
+        {
+            "sid": ["u1", "u1"],
+            "seq": np.array([2, 4], dtype="int64"),
+            "event_type": ["click", "purchase"],
+            "ts": [t2, t3],
+        }
+    )
+    d = Path(stream_dir, "eqts_in")
+    d.mkdir()
+    chunk1.to_parquet(f"{d}/c0.parquet", coerce_timestamps="us")
+    time.sleep(0.05)
+    chunk2.to_parquet(f"{d}/c1.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema(
+            "sid string, seq long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_purchase_attribution(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("eqts_out")
+        .option("checkpointLocation", f"{stream_dir}/eqts_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM eqts_out")
+        .toPandas()
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )
+    # both purchases attribute to the SIGNUP (seq 1): purchase 3 saw
+    # it as the last in-order touch, and the late click must not have
+    # replaced it for purchase 4
+    assert list(got["purchase_id"]) == [3, 4]
+    assert list(got["touch_id"].astype("int64")) == [1, 1]
+    assert list(got["touch_type"]) == ["signup", "signup"]
