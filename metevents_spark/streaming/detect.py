@@ -9,6 +9,19 @@ close is provable from data seen so far (a later burst confirms the
 dry gap, or the max-duration rule fires), and the buffer is trimmed to
 rows after the last emitted stop, so state stays bounded by the active
 storm length regardless of stream length.
+
+STATE-SCHEMA EVOLUTION RULE: a kernel's ``*_STATE_SCHEMA`` is the
+on-disk layout of every running stream's checkpoint, and this module
+unpacks it POSITIONALLY (``... = state.get``). New state fields must
+therefore be APPENDED at the end of the struct — inserting mid-struct
+silently misaligns every later field on restore. The r11 build broke
+this rule when it added the (ts, seq) guard tiebreakers (e.g.
+``prev_seq`` landed at position 1 of ``TWA_STATE_SCHEMA``); r12
+restores the pre-r11 field prefix with the seq fields appended last.
+UPGRADE NOTE: any stream checkpointed on the r11 mid-struct layout
+(TWA/BURST/ATTR/CONV/P2 kernels) needs a checkpoint reset when moving
+to this layout — the state store schema differs and Spark will refuse
+(or misread) the old checkpoint.
 """
 
 from __future__ import annotations
@@ -844,7 +857,6 @@ TWA_OUTPUT_SCHEMA = (
 TWA_STATE_SCHEMA = StructType(
     [
         StructField("prev_us", LongType()),
-        StructField("prev_seq", LongType()),  # (ts, seq) guard tiebreaker
         StructField("prev_v", DoubleType()),
         StructField("open_day_us", LongType()),
         StructField("n_seg", LongType()),
@@ -852,6 +864,12 @@ TWA_STATE_SCHEMA = StructType(
         StructField("sum_mass", DoubleType()),
         StructField("sum_v", DoubleType()),
         StructField("n_late", LongType()),  # dropped out-of-order points
+        # (ts, seq) guard tiebreaker — APPENDED last (state-schema
+        # evolution rule: new fields go at the END so an existing
+        # checkpoint's positional layout keeps its meaning; the r11
+        # build inserted this mid-struct, so streams checkpointed on
+        # the r11 layout need a checkpoint reset when upgrading)
+        StructField("prev_seq", LongType()),
     ]
 )
 
@@ -888,11 +906,12 @@ def stream_time_weighted(stream_df: DataFrame) -> DataFrame:
 
     def fn(key, pdf_iter, state: GroupState):
         if state.exists:
-            (prev_us, prev_seq, prev_v, open_day, n_seg, s_dt, s_mass,
-             s_v, n_late) = state.get
+            (prev_us, prev_v, open_day, n_seg, s_dt, s_mass,
+             s_v, n_late, prev_seq) = state.get
         else:
-            (prev_us, prev_seq, prev_v, open_day, n_seg, s_dt, s_mass,
-             s_v, n_late) = (None, None, None, None, 0, 0.0, 0.0, 0.0, 0)
+            (prev_us, prev_v, open_day, n_seg, s_dt, s_mass,
+             s_v, n_late, prev_seq) = (None, None, None, 0, 0.0, 0.0, 0.0,
+                                       0, None)
         out_sid, out_day, out_n, out_twa, out_avg = [], [], [], [], []
 
         def close_day():
@@ -939,8 +958,8 @@ def stream_time_weighted(stream_df: DataFrame) -> DataFrame:
                     s_v += x
                 prev_us, prev_seq, prev_v = u, q, x
         state.update(
-            (prev_us, prev_seq, prev_v, open_day, n_seg, s_dt, s_mass,
-             s_v, n_late)
+            (prev_us, prev_v, open_day, n_seg, s_dt, s_mass,
+             s_v, n_late, prev_seq)
         )
         if out_sid:
             yield pd.DataFrame(
@@ -979,8 +998,9 @@ BURST_STATE_SCHEMA = StructType(
         StructField("first_seq", LongType()),
         StructField("n", LongType()),
         StructField("last_us", LongType()),
-        StructField("last_seq", LongType()),  # (ts, seq) guard tiebreaker
         StructField("n_late", LongType()),  # dropped out-of-order points
+        # (ts, seq) guard tiebreaker — appended last; see TWA_STATE_SCHEMA
+        StructField("last_seq", LongType()),
     ]
 )
 
@@ -1009,10 +1029,10 @@ def stream_burst_collapse(
 
     def fn(key, pdf_iter, state: GroupState):
         if state.exists:
-            first_us, first_seq, n, last_us, last_seq, n_late = state.get
+            first_us, first_seq, n, last_us, n_late, last_seq = state.get
         else:
-            first_us, first_seq, n, last_us, last_seq, n_late = (
-                None, None, 0, None, None, 0,
+            first_us, first_seq, n, last_us, n_late, last_seq = (
+                None, None, 0, None, 0, None,
             )
         out = []
         for pdf in pdf_iter:
@@ -1043,7 +1063,7 @@ def stream_burst_collapse(
                     # the batch operator's MIN(seq) over the burst
                     first_seq = min(first_seq, q)
                     last_us, last_seq = u, q
-        state.update((first_us, first_seq, n, last_us, last_seq, n_late))
+        state.update((first_us, first_seq, n, last_us, n_late, last_seq))
         if out:
             yield pd.DataFrame(
                 {
@@ -1088,8 +1108,9 @@ ATTR_STATE_SCHEMA = StructType(
         StructField("t_id", LongType()),
         StructField("t_type", StringType()),
         StructField("last_us", LongType()),
-        StructField("last_seq", LongType()),  # (ts, seq) guard tiebreaker
         StructField("n_late", LongType()),  # dropped out-of-order points
+        # (ts, seq) guard tiebreaker — appended last; see TWA_STATE_SCHEMA
+        StructField("last_seq", LongType()),
     ]
 )
 
@@ -1116,10 +1137,10 @@ def stream_purchase_attribution(
 
     def fn(key, pdf_iter, state: GroupState):
         if state.exists:
-            t_us, t_id, t_type, last_us, last_seq, n_late = state.get
+            t_us, t_id, t_type, last_us, n_late, last_seq = state.get
         else:
-            t_us, t_id, t_type, last_us, last_seq, n_late = (
-                None, None, None, None, None, 0,
+            t_us, t_id, t_type, last_us, n_late, last_seq = (
+                None, None, None, None, 0, None,
             )
         out = []
         for pdf in pdf_iter:
@@ -1144,7 +1165,7 @@ def stream_purchase_attribution(
                     out.append((key[0], q, u, t_id, t_type, u - t_us))
                 else:
                     out.append((key[0], q, u, None, None, None))
-        state.update((t_us, t_id, t_type, last_us, last_seq, n_late))
+        state.update((t_us, t_id, t_type, last_us, n_late, last_seq))
         if out:
             yield pd.DataFrame(
                 {
@@ -1185,8 +1206,9 @@ CONV_STATE_SCHEMA = StructType(
         StructField("signup_us", LongType()),
         StructField("converted", LongType()),  # 0/1 — emit-once latch
         StructField("last_us", LongType()),
-        StructField("last_seq", LongType()),  # (ts, seq) guard tiebreaker
         StructField("n_late", LongType()),  # dropped out-of-order points
+        # (ts, seq) guard tiebreaker — appended last; see TWA_STATE_SCHEMA
+        StructField("last_seq", LongType()),
     ]
 )
 
@@ -1212,10 +1234,10 @@ def stream_conversion_lag(stream_df: DataFrame) -> DataFrame:
 
     def fn(key, pdf_iter, state: GroupState):
         if state.exists:
-            signup_us, converted, last_us, last_seq, n_late = state.get
+            signup_us, converted, last_us, n_late, last_seq = state.get
         else:
-            signup_us, converted, last_us, last_seq, n_late = (
-                None, 0, None, None, 0,
+            signup_us, converted, last_us, n_late, last_seq = (
+                None, 0, None, 0, None,
             )
         out = []
         for pdf in pdf_iter:
@@ -1242,7 +1264,7 @@ def stream_conversion_lag(stream_df: DataFrame) -> DataFrame:
                 ):
                     out.append((key[0], signup_us, u, u - signup_us))
                     converted = 1
-        state.update((signup_us, converted, last_us, last_seq, n_late))
+        state.update((signup_us, converted, last_us, n_late, last_seq))
         if out:
             yield pd.DataFrame(
                 {
@@ -1283,8 +1305,9 @@ P2_STATE_SCHEMA = StructType(
         StructField("npos", ArrayType(LongType())),
         StructField("buf", ArrayType(DoubleType())),  # first <5 points
         StructField("last_us", LongType()),
-        StructField("last_seq", LongType()),  # (ts, seq) guard tiebreaker
         StructField("n_late", LongType()),
+        # (ts, seq) guard tiebreaker — appended last; see TWA_STATE_SCHEMA
+        StructField("last_seq", LongType()),
     ]
 )
 
@@ -1367,11 +1390,11 @@ def stream_p2_quantile(stream_df: DataFrame, p: float = 0.5) -> DataFrame:
 
     def fn(key, pdf_iter, state: GroupState):
         if state.exists:
-            heights, npos, buf, last_us, last_seq, n_late = state.get
+            heights, npos, buf, last_us, n_late, last_seq = state.get
             heights, npos, buf = list(heights), list(npos), list(buf)
         else:
-            heights, npos, buf, last_us, last_seq, n_late = (
-                [], [], [], None, None, 0,
+            heights, npos, buf, last_us, n_late, last_seq = (
+                [], [], [], None, 0, None,
             )
         out = []
         for pdf in pdf_iter:
@@ -1407,7 +1430,7 @@ def stream_p2_quantile(stream_df: DataFrame, p: float = 0.5) -> DataFrame:
                     est = heights[2]
                     n_seen = npos[4]
                 out.append((key[0], q, u, n_seen, est))
-        state.update((heights, npos, buf, last_us, last_seq, n_late))
+        state.update((heights, npos, buf, last_us, n_late, last_seq))
         if out:
             yield pd.DataFrame(
                 {
