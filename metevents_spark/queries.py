@@ -4330,10 +4330,14 @@ def _ivf_oracle_sql(
     prev = "cents_0"
     for i in range(1, iters + 1):
         ctes += [
-            f"s2_{i} AS (SELECT cell, SUM(s * s) AS s2 FROM {prev} "
-            "GROUP BY cell)",
+            # HUGEINT products: BIGINT s*s would raise on overflow
+            # once a per-dim member sum passes ~3e9 — the same scale
+            # where the Spark side now widens (semdedup._int_scores)
+            f"s2_{i} AS (SELECT cell, SUM(CAST(s AS HUGEINT) * s) "
+            f"AS s2 FROM {prev} GROUP BY cell)",
             f"dots_{i} AS (SELECT vq.vec_id, c.cell, "
-            f"SUM(vq.vi * c.s) AS dot FROM vq JOIN {prev} c USING (d) "
+            f"SUM(CAST(vq.vi AS HUGEINT) * c.s) AS dot FROM vq "
+            f"JOIN {prev} c USING (d) "
             "GROUP BY vq.vec_id, c.cell)",
             f"assign_{i} AS (SELECT vec_id, cell FROM ("
             "SELECT dt.vec_id, dt.cell, ROW_NUMBER() OVER ("
@@ -4350,9 +4354,10 @@ def _ivf_oracle_sql(
         ]
         prev = f"cents_{i}"
     ctes += [
-        f"s2_f AS (SELECT cell, SUM(s * s) AS s2 FROM {prev} "
-        "GROUP BY cell)",
-        f"dots_f AS (SELECT vq.vec_id, c.cell, SUM(vq.vi * c.s) AS dot "
+        f"s2_f AS (SELECT cell, SUM(CAST(s AS HUGEINT) * s) AS s2 "
+        f"FROM {prev} GROUP BY cell)",
+        f"dots_f AS (SELECT vq.vec_id, c.cell, "
+        f"SUM(CAST(vq.vi AS HUGEINT) * c.s) AS dot "
         f"FROM vq JOIN {prev} c USING (d) GROUP BY vq.vec_id, c.cell)",
         "scores_f AS (SELECT dt.vec_id, dt.cell, "
         "CAST(dt.dot AS DOUBLE) / sqrt(CAST(t.s2 AS DOUBLE)) AS score "

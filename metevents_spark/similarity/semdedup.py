@@ -62,13 +62,35 @@ def _int_scores(mi: np.ndarray, svec: np.ndarray) -> np.ndarray:
     """Cosine-ordered assignment scores from EXACT integer state:
     score(v, cell j) = (vi · s_j) / |s_j| — the member count cancels
     out of the mean's direction, so the integer sum vector IS the
-    centroid for cosine purposes. Both factors derive from exact
-    int64s cast to double, so every engine computes the identical
-    IEEE score matrix (int64→double cast rounds identically
-    everywhere; magnitudes stay exact up to 2^53 — beyond ~1e9-member
-    cells rescale the sums first)."""
-    dots = (mi @ svec.T).astype(np.float64)
-    s2 = np.einsum("kd,kd->k", svec, svec).astype(np.float64)
+    centroid for cosine purposes. Every factor is the double cast of
+    an EXACT integer (the same value DuckDB's HUGEINT arithmetic
+    casts — see queries._ivf_oracle_sql), so every engine computes
+    the identical IEEE score matrix:
+
+    - |s_j|² folds in arbitrary-precision Python ints (k·dim values,
+      trivial), NEVER an int64 intermediate: a per-dim member sum of
+      ~3e9 (a few thousand clustered members at 1e6 micro-units)
+      already wraps an int64 square, silently yielding negative s2
+      and NaN scores (the r11 einsum bug).
+    - the dot matrix takes the int64 BLAS path only when the proven
+      worst-case bound dim·max|vi|·max|s_d| fits in int64; otherwise
+      it falls back to exact object-dtype (Python-int) arithmetic —
+      slower, but overflow-free and bit-identical after the final
+      double cast.
+    """
+    dim = int(mi.shape[1]) if mi.ndim == 2 else int(svec.shape[1])
+    mi_max = int(np.abs(mi).max(initial=0))
+    s_max = int(np.abs(svec).max(initial=0))
+    if dim * mi_max * s_max < 2**63:
+        dots = (mi @ svec.T).astype(np.float64)
+    else:
+        dots = (mi.astype(object) @ svec.T.astype(object)).astype(
+            np.float64
+        )
+    s2 = np.array(
+        [float(sum(int(x) * int(x) for x in row)) for row in svec],
+        dtype=np.float64,
+    )
     return dots / np.sqrt(s2)
 
 

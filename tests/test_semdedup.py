@@ -90,3 +90,52 @@ def test_kmeans_report(spark):
     assert rep["n_vecs"].sum() == 500
     assert (rep["mean_cohesion"] <= 1.0).all()
     assert (rep["mean_cohesion"] > 0.0).all()
+
+
+def test_int_scores_exact_at_wrap_scale():
+    """_int_scores must stay exact where int64 intermediates wrap
+    (the r12 ADVICE fix): per-dim member sums of ~3e9 micro-units
+    (a few thousand clustered members) overflow an int64 SQUARE, and
+    big-sum × big-vi dot products overflow the int64 matmul. Both
+    paths must equal arbitrary-precision Python-int arithmetic cast
+    to double — the value DuckDB's HUGEINT arithmetic produces."""
+    from metevents_spark.similarity.semdedup import _int_scores
+
+    rng = np.random.RandomState(7)
+    dim = 64
+    # svec at wrap scale: |s_d| ~ 3.2e9 → s_d**2 ~ 1.0e19 > 2**63-1
+    svec = (rng.randint(-32, 32, size=(4, dim)).astype(np.int64)
+            * 100_000_000 + rng.randint(-1000, 1000, size=(4, dim)))
+    assert int(np.abs(svec).max()) ** 2 > 2**63 - 1  # einsum WOULD wrap
+    mi = rng.randint(-(10**6), 10**6, size=(5, dim)).astype(np.int64)
+
+    got = _int_scores(mi, svec)
+    exp_dots = [
+        [sum(int(a) * int(b) for a, b in zip(v, s)) for s in svec]
+        for v in mi
+    ]
+    exp_s2 = [sum(int(x) * int(x) for x in s) for s in svec]
+    exp = np.array(
+        [
+            [float(d) / np.sqrt(float(q)) for d, q in zip(row, exp_s2)]
+            for row in exp_dots
+        ]
+    )
+    assert np.array_equal(got, exp)  # bit-identical, not just close
+    assert np.isfinite(got).all()
+
+    # and the object-dtype dot fallback: inflate mi so the matmul
+    # bound dim*max|vi|*max|s| no longer fits in int64
+    mi_big = mi * 10**6
+    got_big = _int_scores(mi_big, svec)
+    exp_big = np.array(
+        [
+            [
+                float(sum(int(a) * int(b) for a, b in zip(v, s)))
+                / np.sqrt(float(q))
+                for s, q in zip(svec, exp_s2)
+            ]
+            for v in mi_big
+        ]
+    )
+    assert np.array_equal(got_big, exp_big)
