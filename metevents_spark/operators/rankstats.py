@@ -529,9 +529,19 @@ def mann_whitney_u_bucketed(
         F.sum("na_b").alias("n_a"),
         F.sum(F.col("t") - F.col("na_b")).alias("n_b"),
         F.sum(F.col("na_b").cast("double") * F.col("midrank")).alias("r_a"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
-            "ties3"
-        ),
+        # ties3 in decimal(38,0): a long t*t*t wraps silently (non-ANSI)
+        # once one bucket holds >2,097,151 samples — plausible for
+        # value-concentrated distributions at the large-n scale this
+        # bucketed variant is the designated path for. Decimal keeps
+        # the fold EXACT and order-independent (a double sum would be
+        # shuffle-order-dependent); the oracle uses HUGEINT likewise,
+        # and both sides cast the exact integer to double once, below.
+        F.sum(
+            F.col("t").cast("decimal(38,0)")
+            * F.col("t").cast("decimal(38,0)")
+            * F.col("t").cast("decimal(38,0)")
+            - F.col("t").cast("decimal(38,0)")
+        ).alias("ties3"),
     )
     n_a, n_b = F.col("n_a"), F.col("n_b")
     n = n_a + n_b

@@ -4462,7 +4462,9 @@ ranked AS (SELECT grp, na_b, t,
     FROM cells),
 agg AS (SELECT grp, SUM(na_b) AS n_a, SUM(t - na_b) AS n_b,
         SUM(CAST(na_b AS DOUBLE) * midrank) AS r_a,
-        SUM(t * t * t - t) AS ties3
+        -- HUGEINT: BIGINT t*t*t raises past t ~ 2.1e6 (the Spark
+        -- side folds the same exact value in decimal(38,0))
+        SUM(CAST(t AS HUGEINT) * t * t - t) AS ties3
         FROM ranked GROUP BY grp)
 SELECT grp, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
   r_a - CAST(n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
