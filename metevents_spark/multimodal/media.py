@@ -264,13 +264,31 @@ def _lcg_unit(seed: int, n: int) -> list[float]:
     return [x / nrm for x in out]
 
 
+def _auto_projections(n_reps: int, base_density: int = 10_000) -> int:
+    """Density-adaptive grid-LSH axis count: 2 axes up to
+    ``base_density`` distinct payloads, then +1 per decade of corpus
+    growth. Calibrated by the sf1 sweep (BENCH_sf1): at 10x the sf0.1
+    density p=2's in-cell gram work crept superlinear (17.5x cost at
+    10x data) while p=3 restored the linear regime — so one extra
+    axis per ~10x density keeps expected cell populations flat, the
+    same corpus-keyed scaling contract as knn_ivf_pq's
+    ``n_cells="auto"`` (similarity/knn.py). The pair SET is invariant
+    to p (recall is guaranteed by the cell width, not the axis count
+    — pytest-pinned), so auto only shapes candidate work."""
+    import math
+
+    if n_reps <= base_density:
+        return 2
+    return 2 + math.ceil(math.log10(n_reps / base_density))
+
+
 def media_embedding_near_dup(
     spark,
     sf_dir: str,
     threshold: float = 0.999,
     dim: int = 64,
     max_block: int = 8192,
-    n_projections: int = 2,
+    n_projections: int | str = "auto",
 ) -> DataFrame:
     """End-to-end multimodal near-dup: payload -> content embedding ->
     blocked cosine pairs — the decode→embed→ANN composition a
@@ -292,15 +310,18 @@ def media_embedding_near_dup(
     emission factor buys provable recall and exponentially-smaller
     quadratic blocks.
 
-    DENSITY KNOB (r11, the sf1 watch item): the cell width is PINNED
-    by the recall guarantee (w must cover the threshold's L2 ball), so
-    a denser corpus cannot shrink cells — it raises ``n_projections``
-    instead: per-cell population scales ~ density^(1) · w^p, so each
-    extra axis divides expected block sizes by ~1/w (>3x at
-    threshold 0.999) for a 2x emission cost. The 10x corpus sweep
-    measured in-cell gram work creeping superlinear at p=2
-    (BENCH_sf1: 17.5x at 10x data); p=3 at that density restores the
-    linear regime. Blocks larger than ``max_block`` are still
+    DENSITY KNOB (r11 knob, r12 auto default — closing the sf1 watch
+    item): the cell width is PINNED by the recall guarantee (w must
+    cover the threshold's L2 ball), so a denser corpus cannot shrink
+    cells — it raises ``n_projections`` instead: per-cell population
+    scales ~ density^(1) · w^p, so each extra axis divides expected
+    block sizes by ~1/w (>3x at threshold 0.999) for a 2x emission
+    cost. The 10x corpus sweep measured in-cell gram work creeping
+    superlinear at p=2 (BENCH_sf1: 17.5x at 10x data); p=3 at that
+    density restores the linear regime. The default is therefore
+    ``"auto"``: p keyed on the DISTINCT-payload count, +1 axis per
+    ~10x density (see :func:`_auto_projections`) — a 100x corpus no
+    longer goes quadratic in the cells at a fixed p. Blocks larger than ``max_block`` are still
     truncated to their ``max_block`` smallest doc_ids inside the
     kernel (deterministic, bounded cost) — the same guard discipline
     as the LSH text families.
@@ -343,7 +364,17 @@ def media_embedding_near_dup(
     ).join(media, "doc_id")
     emb = media_embed(reps, dim=dim)
     w = math.sqrt(2.0 * max(1.0 - threshold, 1e-12))
-    p = int(n_projections)
+    if n_projections == "auto":
+        # one cheap count over the cached rep map — the blocking
+        # density must be chosen from the DISTINCT-payload corpus
+        # size, not a fixed default (the r11 sf1 watch item: a fixed
+        # p goes quadratic in the cells as the corpus grows)
+        n_reps = member_rep.filter(
+            F.col("doc_id") == F.col("rep_id")
+        ).count()
+        p = _auto_projections(n_reps)
+    else:
+        p = int(n_projections)
     if p < 1:
         raise ValueError(f"n_projections must be >= 1, got {p}")
     axes = [_lcg_unit(i + 1, dim) for i in range(p)]
@@ -409,8 +440,14 @@ def media_embedding_near_dup(
             )
         m = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        # stable positive label from the cell coordinates (base fold;
-        # p=2 keeps the historical b1*100000+b2 form)
+        # diagnostic label folded from the cell coordinates, then
+        # normalized into [0, 2e9) so it fits the int32 column at any
+        # p. NOTE: the normalization (added r11 with the p knob)
+        # changed every historically-negative label, and |cell| >=
+        # 100000 would alias labels across the fold — the block
+        # column is a WHICH-CELL-FOUND-IT diagnostic only, never a
+        # join key or a pinned value (the driver check for this query
+        # is rows-only; dedup semantics flow through doc_a/doc_b).
         block_id = 0
         for b in bcols:
             block_id = block_id * 100000 + int(pdf[b].iloc[0])

@@ -158,3 +158,17 @@ def test_grid_projection_count_preserves_pairs(spark):
         ).collect()
     }
     assert p2 == p3 and p2
+
+
+def test_auto_projections_scales_with_density():
+    """r12: the default blocking density adapts to corpus growth — +1
+    axis per ~10x distinct payloads past the calibrated base (the sf1
+    watch item: a fixed p=2 measured 17.5x cost at 10x data)."""
+    from metevents_spark.multimodal.media import _auto_projections
+
+    assert _auto_projections(500) == 2
+    assert _auto_projections(10_000) == 2
+    assert _auto_projections(50_000) == 3     # the sf1 sweep density
+    assert _auto_projections(100_000) == 3
+    assert _auto_projections(1_000_000) == 4
+    assert _auto_projections(10_000_000) == 5
