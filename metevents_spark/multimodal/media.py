@@ -321,7 +321,8 @@ def media_embedding_near_dup(
     density restores the linear regime. The default is therefore
     ``"auto"``: p keyed on the DISTINCT-payload count, +1 axis per
     ~10x density (see :func:`_auto_projections`) — a 100x corpus no
-    longer goes quadratic in the cells at a fixed p. Blocks larger than ``max_block`` are still
+    longer goes quadratic in the cells at a fixed p. Blocks larger
+    than ``max_block`` are still
     truncated to their ``max_block`` smallest doc_ids inside the
     kernel (deterministic, bounded cost) — the same guard discipline
     as the LSH text families.

@@ -111,7 +111,10 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sid",
         F.col("slot").alias("hr"),
         F.when(is_obs, F.col("v_hour")).alias("v_hour"),
-        F.when(is_obs, F.col("n_hour")).otherwise(F.lit(0)).cast("long").alias("n_hour"),
+        F.when(is_obs, F.col("n_hour"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_hour"),
         F.when(~is_head, F.col("v_hour")).alias("v_ffill"),
         interp.alias("v_interp"),
     )

@@ -597,7 +597,8 @@ def holt_smooth(
         kernel,
         "sid string, ts timestamp_ntz, value double, level double, trend double",
         ["sid", "ts", "value", "level", "trend"],
-        {"ts": "datetime64[us]", "value": "float64", "level": "float64", "trend": "float64"},
+        {"ts": "datetime64[us]", "value": "float64",
+         "level": "float64", "trend": "float64"},
     ).orderBy("sid", "ts")
 
 

@@ -50,7 +50,8 @@ def sessionize(
         .withColumn(
             "duration_us", epoch_us(F.col("stop")) - epoch_us(F.col("start"))
         )
-        .select(*keys, "session_id", "start", "stop", "duration_us", "n_events", "total")
+        .select(*keys, "session_id", "start", "stop", "duration_us",
+                "n_events", "total")
         .orderBy(*keys, "session_id")
     )
 

@@ -2477,9 +2477,19 @@ WITH RECURSIVE pts AS (
           / (nxte - nxts) AS cy
       FROM (
         SELECT sid, n, xs, ys, prev, b + 1 AS b,
-          (CASE WHEN b + 1 = 18 THEN n - 1 ELSE CAST(trunc((b + 1) * ((n - 2.0) / 18.0) + 1.0) AS BIGINT) END) AS s, (CASE WHEN b + 2 = 18 THEN n - 1 ELSE CAST(trunc((b + 2) * ((n - 2.0) / 18.0) + 1.0) AS BIGINT) END) AS e,
-          (CASE WHEN b + 2 = 18 THEN n - 1 ELSE CAST(trunc((b + 2) * ((n - 2.0) / 18.0) + 1.0) AS BIGINT) END) AS nxts,
-          CASE WHEN b + 1 = 17 THEN n ELSE (CASE WHEN b + 3 = 18 THEN n - 1 ELSE CAST(trunc((b + 3) * ((n - 2.0) / 18.0) + 1.0) AS BIGINT) END) END AS nxte
+          (CASE WHEN b + 1 = 18 THEN n - 1
+                ELSE CAST(trunc((b + 1) * ((n - 2.0) / 18.0) + 1.0)
+                     AS BIGINT) END) AS s,
+          (CASE WHEN b + 2 = 18 THEN n - 1
+                ELSE CAST(trunc((b + 2) * ((n - 2.0) / 18.0) + 1.0)
+                     AS BIGINT) END) AS e,
+          (CASE WHEN b + 2 = 18 THEN n - 1
+                ELSE CAST(trunc((b + 2) * ((n - 2.0) / 18.0) + 1.0)
+                     AS BIGINT) END) AS nxts,
+          CASE WHEN b + 1 = 17 THEN n
+               ELSE (CASE WHEN b + 3 = 18 THEN n - 1
+                          ELSE CAST(trunc((b + 3) * ((n - 2.0) / 18.0)
+                               + 1.0) AS BIGINT) END) END AS nxte
         FROM rec WHERE b + 1 <= 17
       )
     )

@@ -200,7 +200,10 @@ def path_frame(ev: DataFrame, depth: int = 3, k: int = 20) -> DataFrame:
     )
     paths = first.groupBy("user_id").agg(
         F.array_join(
-            F.expr("transform(array_sort(collect_list(struct(rn, event_type))), s -> s.event_type)"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(rn, event_type)))"
+                ", s -> s.event_type)"
+            ),
             ">",
         ).alias("path")
     )

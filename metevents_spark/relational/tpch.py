@@ -78,7 +78,10 @@ def revenue_topn(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
     return (
         line.filter(F.col("l_shipdate") > cutoff)
-        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         # customer scales with SF: no forced broadcast — AQE promotes the
         # filtered side to broadcast at runtime when it fits.
         .join(
@@ -611,7 +614,11 @@ def nation_trade_flow(
     supp = (
         load_table(spark, sf_dir, "supplier")
         .join(
-            F.broadcast(pair.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.broadcast(
+                pair.select(
+                    "n_nationkey", F.col("n_name").alias("supp_nation")
+                )
+            ),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .select("s_suppkey", "supp_nation")
@@ -994,7 +1001,8 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.sum(
-                _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", "4,2"))
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", "4,2"))
             )
             .cast("double")
             .alias("_rev")
@@ -1168,13 +1176,21 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("n_nationkey").alias("cn_key"))
     cust = (
         load_table(spark, sf_dir, "customer")
-        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+        .join(
+            F.broadcast(cust_nat),
+            F.col("c_nationkey") == F.col("cn_key"),
+            "left_semi",
+        )
         .select("c_custkey")
     )
     supp = (
         load_table(spark, sf_dir, "supplier")
         .join(
-            F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.broadcast(
+                nat.select(
+                    "n_nationkey", F.col("n_name").alias("supp_nation")
+                )
+            ),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .select("s_suppkey", "supp_nation")
@@ -1190,15 +1206,23 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = price * (100 - disc)  # 1e-4 dollar units, exact LONG
     target = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0))
     return (
-        line.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        line.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(F.sum(target) / 1.0e4, 3).alias("target_volume"),
             F.round(F.sum(volume) / 1.0e4, 3).alias("total_volume"),
-            F.round((F.sum(target) / F.sum(volume)).cast("double"), 6).alias("mkt_share"),
+            F.round((F.sum(target) / F.sum(volume)).cast("double"), 6)
+            .alias("mkt_share"),
         )
         .orderBy("o_year")
     )

@@ -76,7 +76,9 @@ def _exact_groups(docs: DataFrame):
     return member_rep, reps
 
 
-def _expand_pairs(rep_pairs: DataFrame, member_rep: DataFrame, value_col: str, intra_lit):
+def _expand_pairs(
+    rep_pairs: DataFrame, member_rep: DataFrame, value_col: str, intra_lit
+):
     """Expand representative-level near-dup pairs to member documents.
 
     Cross-group pairs inherit the representatives' similarity value
@@ -185,7 +187,8 @@ def minhash_signatures(
     md5 costs more per call, but it is the hash every engine computes
     identically — the whole near-dup family (signatures, band buckets,
     pair estimates, clusters) becomes replayable as ANSI SQL, which is
-    what lets DuckDB oracle-verify these operators end to end. A doc's shingle rows are colocated
+    what lets DuckDB oracle-verify these operators end to end. A
+    doc's shingle rows are colocated
     with it, so partial aggregation collapses to one row per doc
     map-side — the exchange carries |docs| x num_hashes longs, never
     shingles. An earlier all-array formulation (num_hashes zip_with

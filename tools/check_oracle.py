@@ -115,7 +115,10 @@ def main() -> int:
         s_schema = {c: str(sdf[c].dtype) for c in sorted(sdf.columns)}
         d_schema = {c: str(ddf[c].dtype) for c in sorted(ddf.columns)}
         if sorted(sdf.columns) != sorted(ddf.columns):
-            problems.append(f"columns spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
+            problems.append(
+                f"columns spark={sorted(sdf.columns)} "
+                f"duck={sorted(ddf.columns)}"
+            )
         elif s_schema != d_schema:
             diffs = {
                 c: (s_schema[c], d_schema[c])
