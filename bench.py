@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # coverage surface (per-query timings recorded by the driver)
 HEADLINE = [
     "extreme_value",
+    "ann_recall_lsh_ivf",
     "flat_line",
     "extreme_change",
     "data_gap",

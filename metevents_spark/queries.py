@@ -183,6 +183,7 @@ from metevents_spark.text.pipeline import (
 )
 from metevents_spark.session import tune_session
 from metevents_spark.similarity import (
+    ann_recall_lsh_ivf,
     ann_recall_report,
     hard_negative_mining,
     embedding_covariance,
@@ -4401,6 +4402,86 @@ def _ivf_oracle_sql(
 
 ORACLE_SQL["knn_ivf"] = _ivf_oracle_sql()
 
+# r12: the recall METERS go oracle-green by composition — the exact /
+# LSH / IVF replays embed verbatim as derived tables and only the
+# confusion aggregate is new SQL. The ivf side regenerates the Lloyd
+# chain at the report's SHARED coarse-quantizer size (IVF_PQ_N_CELLS
+# = 8 cells — ann_recall_report trains one quantizer for ivf AND pq),
+# not knn_ivf's standalone 16.
+ORACLE_SQL["ann_recall_lsh_ivf"] = f"""
+WITH exact AS (SELECT q_id, vec_id FROM ({ORACLE_SQL["knn_cosine"]})),
+lsh AS (SELECT q_id, vec_id FROM ({ORACLE_SQL["knn_lsh"]})),
+ivf AS (SELECT q_id, vec_id FROM ({_ivf_oracle_sql(n_cells=8)})),
+tagged AS (SELECT 'lsh' AS method, q_id, vec_id FROM lsh
+           UNION ALL SELECT 'ivf', q_id, vec_id FROM ivf),
+nq AS (SELECT COUNT(DISTINCT q_id) AS n_q FROM exact),
+stats AS (SELECT method, COUNT(*) AS retrieved,
+          SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits
+          FROM tagged t LEFT JOIN exact e
+            ON t.q_id = e.q_id AND t.vec_id = e.vec_id
+          GROUP BY method)
+SELECT m.method, CAST(n_q AS BIGINT) AS n_queries,
+  CAST(5 AS BIGINT) AS k,
+  CAST(COALESCE(s.hits, 0) AS BIGINT) AS n_hits,
+  ROUND(COALESCE(s.hits, 0) / CAST(n_q * 5 AS DOUBLE), 6) AS recall_at_k,
+  ROUND(COALESCE(s.retrieved, 0) / CAST(n_q AS DOUBLE), 6)
+    AS mean_retrieved
+FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh') m
+CROSS JOIN nq LEFT JOIN stats s ON s.method = m.method
+ORDER BY m.method
+"""
+
+# dedup_recall_report: ground truth (exact 3-shingle Jaccard over the
+# md5-deterministic 200-rep sample) is plain SQL, and the predicted
+# side IS the minhash_near_dup replay restricted to sampled pairs —
+# so the meter measures the deployed path in BOTH engines. f1 uses
+# the unrounded precision/recall exactly as the Spark expression does.
+ORACLE_SQL["dedup_recall_report"] = f"""
+WITH pred_full AS (
+  SELECT doc_a, doc_b FROM ({ORACLE_SQL["minhash_near_dup"]})),
+grp2 AS (SELECT doc_id, text,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+         FROM documents),
+picked AS (SELECT doc_id, text FROM grp2 WHERE doc_id = rep_id
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200),
+sh2 AS (SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+          i -> array_to_string(
+            list_slice(string_split(text, ' '), i, i + 2), ' '))) AS sh
+        FROM picked),
+truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(a.sh || b.sh)) >= 0.5),
+pred AS (SELECT p.doc_a, p.doc_b FROM pred_full p
+         JOIN picked pa ON p.doc_a = pa.doc_id
+         JOIN picked pb ON p.doc_b = pb.doc_id),
+conf AS (SELECT
+  (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+  (SELECT COUNT(*) FROM pred) AS n_pred_pairs,
+  (SELECT COUNT(*) FROM truth t JOIN pred p
+     ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b) AS true_positives)
+SELECT CAST(200 AS BIGINT) AS n_sample,
+  CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+  CAST(n_pred_pairs AS BIGINT) AS n_pred_pairs,
+  CAST(true_positives AS BIGINT) AS true_positives,
+  ROUND(CASE WHEN n_pred_pairs > 0
+        THEN true_positives / CAST(n_pred_pairs AS DOUBLE) END, 6)
+    AS "precision",
+  ROUND(CASE WHEN n_true_pairs > 0
+        THEN true_positives / CAST(n_true_pairs AS DOUBLE) END, 6)
+    AS recall,
+  ROUND(CASE WHEN n_pred_pairs > 0 AND n_true_pairs > 0
+         AND (true_positives / CAST(n_pred_pairs AS DOUBLE)
+              + true_positives / CAST(n_true_pairs AS DOUBLE)) > 0
+        THEN 2 * (true_positives / CAST(n_pred_pairs AS DOUBLE))
+               * (true_positives / CAST(n_true_pairs AS DOUBLE))
+             / (true_positives / CAST(n_pred_pairs AS DOUBLE)
+                + true_positives / CAST(n_true_pairs AS DOUBLE)) END, 6)
+    AS f1
+FROM conf
+"""
+
 # shared point-subsample CTE chain for the sampled rank estimators —
 # the same 60-bit md5 grid as hash_sample / the bootstrap, with the
 # per-series keep probability least(1, 48/n_s) evaluated in identical
@@ -4714,6 +4795,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": shipping_priority,
     "source_lang_matrix": source_lang_matrix,
     "ann_recall_report": ann_recall_report,
+    "ann_recall_lsh_ivf": ann_recall_lsh_ivf,
     "zscore_anomaly": zscore_anomaly,
     "robust_zscore": robust_zscore,
     "event_pair_lift": event_pair_lift,
@@ -4812,7 +4894,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_quantiles_approx": value_quantiles_approx,
 }
 
-# ROTATION (round 11): staleness-driven refresh, continuing the
+# ROTATION (round 12): staleness-driven refresh, continuing the
 # committed policy. Latest-driver-row age per key (computed from
 # CORRECTNESS_r01..r10): 29 keys last checked r06, 45 last r07;
 # storm_find's newest row is r8 and spike_valley's r9 — the two §2
@@ -4820,17 +4902,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (the r10 verdict's explicit instruction). This round's window:
 #   * slots 1-5: the SURVEY §2 reference detectors (parity core,
 #     checked every round);
-#   * slots 6-7: storm_find + spike_valley — flagship refresh;
-#   * slots 8-11: the four operators NEW this round (sampled Theil–Sen
-#     and Kendall — the bounded-task pair-estimator scale path — the
-#     bucketed Mann–Whitney, and the salt-vs-plain skew equivalence
-#     readout) — never-seen keys take window priority;
-#   * slots 12-13: knn_lsh / knn_ivf — upgraded from rows-only to
-#     oracle-backed this round (md5 hyperplanes + integer-exact Lloyd)
-#     and must earn their first HASH-green rows;
-#   * slots 14-42: the full 29-key r06-stale cohort;
-#   * slots 43-50: the first 8 (alphabetical) of the 45-key r07
-#     cohort; the rest of r07 leads the r12 window.
+#   * slot 6: ann_recall_lsh_ivf — NEW this round (never seen);
+#   * slots 7-12: keys whose kernels or oracles changed this round
+#     (see inline notes) — changed code re-earns its green row;
+#   * slot 13: storm_find flagship refresh;
+#   * slots 14-50: the FULL r07-stale cohort remainder (37 keys) —
+#     after this round every key's latest driver row is r8+.
 # Everything past the cap stays pinned by tests/test_oracle_parity.py
 # (same row-count/schema/value-hash comparison vs DuckDB at sf0.001,
 # runs in every pytest suite) or, for rows-only ops, by their golden /
@@ -4841,53 +4918,64 @@ _DRIVER_WINDOW = [
     "extreme_change",
     "data_gap",
     "freq_infer",
-    "storm_find",
-    "spike_valley",
-    "theilsen_trend_sampled",
-    "kendall_trend_sampled",
-    "mann_whitney_u_bucketed",
-    "skew_join_compare",
-    "knn_lsh",
-    "knn_ivf",
-    # r06-stale cohort (29 keys, alphabetical)
-    "ann_recall_report",
-    "corpus_summary_approx",
-    "important_parts",
-    "kmeans_embeddings",
-    "knn_cosine",
-    "large_volume_customers",
-    "latest_event_per_user",
-    "media_embedding_near_dup",
-    "media_features",
-    "min_cost_supplier",
-    "nation_market_share",
-    "normalize_text",
-    "part_supplier_counts",
-    "pricing_summary",
-    "product_type_profit",
-    "random_projection",
-    "region_revenue",
-    "remove_duplicate_spans",
-    "rich_idle_customers",
-    "seasonal_decompose",
-    "semantic_dedup",
-    "series_acf",
-    "sole_return_supplier",
-    "text_stats",
-    "top_supplier",
-    "user_reach_approx",
-    "value_quantiles_approx",
-    "vocab_top_terms_approx",
-    "winsorize_series",
-    # head of the r07-stale cohort (8 of 45, alphabetical)
-    "big_spender_1995",
-    "brand_revenue",
-    "brand_supplier_stats",
-    "churned_customers",
-    "cumulative_revenue",
-    "customers_no_order_1996",
-    "daily_rollup",
+    # slot 6: NEW key this round (never driver-checked): the
+    # oracle-green restriction of the ANN recall meter
+    "ann_recall_lsh_ivf",
+    # slots 7-12: keys whose kernels or oracles CHANGED this round and
+    # must re-earn green rows — dedup_recall_report upgraded rows-only
+    # -> full SQL oracle; mann_whitney_u_bucketed's decimal ties^3 +
+    # HUGEINT oracle; knn_ivf's HUGEINT oracle + widened _int_scores;
+    # semantic_dedup / kmeans_embeddings share the widened kernel
+    # (rows-only); media_embedding_near_dup's auto density default
     "dedup_recall_report",
+    "mann_whitney_u_bucketed",
+    "knn_ivf",
+    "semantic_dedup",
+    "kmeans_embeddings",
+    "media_embedding_near_dup",
+    # slot 13: flagship refresh
+    "storm_find",
+    # slots 14-50: the full r07-stale cohort remainder (37 keys,
+    # alphabetical — last driver rows earned in round 7; includes
+    # lttb_downsample / holt_smooth / nation_trade_flow / revenue_topn
+    # whose SQL or wrapping was touched by the r12 lint pass)
+    "doc_fingerprint",
+    "embedding_norms",
+    "events_pivot",
+    "ewma_smooth",
+    "frame_sample",
+    "gopher_quality",
+    "holt_smooth",
+    "knn_ivf_pq",
+    "lang_id",
+    "lttb_downsample",
+    "media_resize",
+    "mixture_plan",
+    "nation_segment_rollup",
+    "nation_trade_flow",
+    "ngram_jaccard_pairs",
+    "order_priority_check",
+    "paragraph_dedup",
+    "prefix_dedup",
+    "price_deciles",
+    "quality_filter",
+    "range_join_error_purchase",
+    "repeat_customers",
+    "revenue_topn",
+    "rolling_fingerprint",
+    "rolling_mean",
+    "sessionize",
+    "shuffle_shards",
+    "small_qty_part_revenue",
+    "temperature_mixture",
+    "tfidf_top_terms",
+    "top_customers_per_segment",
+    "top_price_orders",
+    "trailing_24h_mean",
+    "url_canonicalize",
+    "value_quantiles",
+    "vocab_top_terms",
+    "zipf_fit",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 QUERIES = {k: QUERIES[k] for k in _DRIVER_WINDOW} | {

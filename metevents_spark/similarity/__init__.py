@@ -1,4 +1,5 @@
 from metevents_spark.similarity.knn import (  # noqa: F401
+    ann_recall_lsh_ivf,
     ann_recall_report,
     embedding_near_dup,
     embedding_norms,

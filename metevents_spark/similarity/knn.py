@@ -509,7 +509,10 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_recall_report(
-    spark: SparkSession, sf_dir: str, k: int = 5
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    methods: tuple[str, ...] = ("lsh", "ivf", "pq"),
 ) -> DataFrame:
     """Recall@k of the approximate ANN variants against the exact
     brute-force top-k — the calibration report that decides whether an
@@ -523,9 +526,16 @@ def ann_recall_report(
     ONE per-method aggregate — each ANN pipeline executes exactly
     once, and only (q_id, vec_id, method) key rows shuffle, never
     vectors. (The earlier per-method semi-join + count pair ran every
-    approx pipeline twice — 2x the report cost.) Rows-only (inputs
-    are the rows-only ANN family); pytest floors the recalls on the
-    test corpus.
+    approx pipeline twice — 2x the report cost.)
+
+    ``methods`` selects which variants run. The full three-method
+    report is rows-only (PQ's residual codebooks train with float
+    Lloyd on the driver — deterministic, but not SQL-replayable);
+    restricted to ``("lsh", "ivf")`` every stage has a SQL form, so
+    the registered ``ann_recall_lsh_ivf`` variant carries a full
+    DuckDB oracle (the r12 upgrade path: compose the knn_cosine /
+    knn_lsh / knn_ivf replays with the confusion aggregate). pytest
+    floors the recalls on the test corpus for all three.
     """
     # One persisted corpus scan feeds all three side-by-side pipelines
     # (exact, LSH, IVF incl. its Lloyd training passes) — without it
@@ -541,10 +551,12 @@ def ann_recall_report(
     state = lloyd_state(
         emb.select("vec_id", "embedding"), IVF_PQ_N_CELLS, IVF_TRAIN_ITERS
     )
-    cmat = state[0].astype(np.float64) / (
-        state[1].astype(np.float64)[:, None] * 1e6
-    )
-    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    cmat = None
+    if "pq" in methods:
+        cmat = state[0].astype(np.float64) / (
+            state[1].astype(np.float64)[:, None] * 1e6
+        )
+        cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
     # dropDuplicates guards the left-join accounting below: hits ==
     # overlap only if the exact side is unique per (q_id, vec_id).
     # knn_cosine's top-k already guarantees that today; this pins the
@@ -560,6 +572,8 @@ def ann_recall_report(
     n_q = exact.select("q_id").distinct().count()
     approx = None
     for method, fn in (("lsh", knn_lsh), ("ivf", knn_ivf), ("pq", knn_ivf_pq)):
+        if method not in methods:
+            continue
         extra = (
             {}
             if method == "lsh"
@@ -585,6 +599,8 @@ def ann_recall_report(
     }
     out_rows = []
     for method in ("lsh", "ivf", "pq"):
+        if method not in methods:
+            continue
         hits = int(stats[method]["hits"]) if method in stats else 0
         retrieved = int(stats[method]["retrieved"]) if method in stats else 0
         out_rows.append(
@@ -602,6 +618,17 @@ def ann_recall_report(
         "method string, n_queries long, k long, n_hits long, "
         "recall_at_k double, mean_retrieved double",
     ).orderBy("method")
+
+
+def ann_recall_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ann_recall_report` restricted to the two SQL-replayable
+    ANN variants — every stage (exact brute-force top-k, md5-plane
+    LSH, integer-Lloyd IVF, the confusion aggregate) has an exact
+    DuckDB form, so this registered variant carries a full value-hash
+    oracle (queries.ORACLE_SQL["ann_recall_lsh_ivf"]), upgrading the
+    recall meter itself from rows-only to oracle-green. The full
+    three-method report stays available for PQ calibration."""
+    return ann_recall_report(spark, sf_dir, methods=("lsh", "ivf"))
 
 
 def random_projection(

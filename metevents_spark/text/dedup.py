@@ -1081,9 +1081,13 @@ def dedup_recall_report(
     sampled pairs — so the meter measures the deployed path (banding,
     hot-bucket caps, member expansion included), not a reimplementation.
 
-    Rows-only driver check (the signature family hashes with xxhash64,
-    which DuckDB lacks); tests/test_round7_ops.py recomputes the
-    ground truth independently in pandas and pins the confusion counts.
+    Oracle-green since r12: the predicted side IS the
+    minhash_near_dup SQL replay (md5-derived signatures since r8)
+    restricted to sampled pairs, and the ground truth is plain SQL —
+    queries.ORACLE_SQL["dedup_recall_report"] value-hash-matches this
+    frame. tests/test_round7_ops.py additionally recomputes the
+    ground truth independently in pandas and pins the confusion
+    counts.
 
     Returns ONE row: (n_sample, n_true_pairs, n_pred_pairs,
     true_positives, precision, recall, f1).
