@@ -4314,22 +4314,17 @@ SELECT q_id, vec_id, cosine,
 FROM scored QUALIFY "rank" <= 5 ORDER BY q_id, "rank"
 """
 
-def _ivf_oracle_sql(
-    n_cells: int = 16,
-    nprobe: int = 4,
-    iters: int = 2,
-    n_queries: int = 5,
-    k: int = 5,
-    dim: int = 64,
-) -> str:
-    """Full SQL replay of knn_ivf (r11): the integer-exact Lloyd
-    training rounds (semdedup.lloyd_state — int64 micro-unit member
-    sums, score = CAST(dot)/sqrt(CAST(|s|²)), ties to the lowest
-    cell), final cell assignment, nprobe probing, and in-cell cosine
-    ranking, generated as chained CTEs from the SAME constants the
-    Spark operator uses. A trained vector index with a hash-green
-    oracle — possible only because every training aggregate is an
-    exact integer."""
+def _lloyd_ctes(
+    n_cells: int, iters: int, dim: int = 64, with_counts: bool = False
+) -> list[str]:
+    """CTE chain replaying semdedup.lloyd_state: integer-exact Lloyd
+    rounds (int64 micro-unit member sums, score =
+    CAST(dot)/sqrt(CAST(|s|²)), ties to the lowest cell) ending in
+    ``scores_f`` / ``assign_f`` for the final state. With
+    ``with_counts`` a parallel ``cnts_f`` chain carries the member
+    counts through the same empty-cell keep-previous rule, so a
+    consumer can rebuild the FLOAT centroids (svec/(cnt*1e6)) the
+    Spark side hands to kmeans_embeddings / knn_ivf_pq."""
     ctes = [
         f"dims AS (SELECT unnest(range({dim})) AS d)",
         "vq AS (SELECT vec_id, d, CAST(ROUND(CAST(embedding AS "
@@ -4338,7 +4333,12 @@ def _ivf_oracle_sql(
         f"cents_0 AS (SELECT vec_id AS cell, d, vi AS s FROM vq "
         f"WHERE vec_id < {n_cells})",
     ]
-    prev = "cents_0"
+    if with_counts:
+        ctes.append(
+            "cnts_0 AS (SELECT vec_id AS cell, CAST(1 AS BIGINT) AS cnt "
+            f"FROM embeddings WHERE vec_id < {n_cells})"
+        )
+    prev, prevn = "cents_0", "cnts_0"
     for i in range(1, iters + 1):
         ctes += [
             # HUGEINT products: BIGINT s*s would raise on overflow
@@ -4363,6 +4363,15 @@ def _ivf_oracle_sql(
             f"SELECT c.cell, c.d, c.s FROM {prev} c WHERE c.cell NOT IN "
             f"(SELECT DISTINCT cell FROM newc_{i}))",
         ]
+        if with_counts:
+            ctes += [
+                f"newn_{i} AS (SELECT cell, COUNT(*) AS cnt "
+                f"FROM assign_{i} GROUP BY cell)",
+                f"cnts_{i} AS (SELECT cell, cnt FROM newn_{i} UNION ALL "
+                f"SELECT c.cell, c.cnt FROM {prevn} c WHERE c.cell NOT IN "
+                f"(SELECT cell FROM newn_{i}))",
+            ]
+            prevn = f"cnts_{i}"
         prev = f"cents_{i}"
     ctes += [
         f"s2_f AS (SELECT cell, SUM(CAST(s AS HUGEINT) * s) AS s2 "
@@ -4376,6 +4385,34 @@ def _ivf_oracle_sql(
         "assign_f AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, "
         "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, "
         "cell) AS rn FROM scores_f) WHERE rn = 1)",
+    ]
+    if with_counts:
+        # float centroids as ordered lists: the exact integer mean
+        # svec/(cnt*1e6), entry-identical to the Spark division
+        ctes.append(
+            f"centroids AS (SELECT c.cell, list(CAST(c.s AS DOUBLE) "
+            f"/ (CAST(n.cnt AS DOUBLE) * 1e6) ORDER BY c.d) AS cv "
+            f"FROM {prev} c JOIN {prevn} n USING (cell) GROUP BY c.cell)"
+        )
+    return ctes
+
+
+def _ivf_oracle_sql(
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    n_queries: int = 5,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    """Full SQL replay of knn_ivf (r11): the integer-exact Lloyd
+    training chain (:func:`_lloyd_ctes`), final cell assignment,
+    nprobe probing, and in-cell cosine ranking, generated from the
+    SAME constants the Spark operator uses. A trained vector index
+    with a hash-green oracle — possible only because every training
+    aggregate is an exact integer."""
+    ctes = _lloyd_ctes(n_cells, iters, dim)
+    ctes += [
         "probes AS (SELECT vec_id AS q_id, cell FROM ("
         "SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id "
         "ORDER BY score DESC, cell) AS rn FROM scores_f "
@@ -4430,6 +4467,49 @@ FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh') m
 CROSS JOIN nq LEFT JOIN stats s ON s.method = m.method
 ORDER BY m.method
 """
+
+# semantic_dedup / kmeans_embeddings (r12, rows-only -> oracle): the
+# integer Lloyd chain replays exactly (knn_ivf precedent); the only
+# float steps are list_cosine_similarity vs numpy dot/(|a||b|)
+# (embedding_near_dup's hash-green precedent, ROUND(.,6) absorbs the
+# summation-order ulps) and kmeans' AVG fold.
+ORACLE_SQL["semantic_dedup"] = (
+    "WITH "
+    + ",\n".join(_lloyd_ctes(8, 3))
+    + """,
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+assigned AS (SELECT a.vec_id, a.cell, e.v
+             FROM assign_f a JOIN e USING (vec_id)),
+cand AS (SELECT b.vec_id AS vid, a.vec_id AS did,
+         ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+         FROM assigned a JOIN assigned b
+           ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
+firstdup AS (SELECT vid, did, cos FROM (SELECT vid, did, cos,
+        ROW_NUMBER() OVER (PARTITION BY vid ORDER BY did) AS rn
+        FROM cand) WHERE rn = 1)
+SELECT a.vec_id, CAST(a.cell AS INT) AS cluster,
+       f.did IS NULL AS keep, f.did AS dup_of, f.cos AS cos_to_dup
+FROM assigned a LEFT JOIN firstdup f ON a.vec_id = f.vid
+ORDER BY a.vec_id
+"""
+)
+
+ORACLE_SQL["kmeans_embeddings"] = (
+    "WITH "
+    + ",\n".join(_lloyd_ctes(8, 3, with_counts=True))
+    + """,
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+coh AS (SELECT a.cell,
+        CAST(ROUND(list_cosine_similarity(e.v, c.cv) * 1e6) AS BIGINT)
+          AS mc
+        FROM assign_f a JOIN e USING (vec_id)
+        JOIN centroids c USING (cell))
+SELECT CAST(cell AS INT) AS cluster, COUNT(*) AS n_vecs,
+       ROUND(SUM(mc) / (COUNT(*) * 1e6), 6) AS mean_cohesion
+FROM coh GROUP BY cell ORDER BY cluster
+"""
+)
 
 # dedup_recall_report: ground truth (exact 3-shingle Jaccard over the
 # md5-deterministic 200-rep sample) is plain SQL, and the predicted
@@ -4924,9 +5004,10 @@ _DRIVER_WINDOW = [
     # slots 7-12: keys whose kernels or oracles CHANGED this round and
     # must re-earn green rows — dedup_recall_report upgraded rows-only
     # -> full SQL oracle; mann_whitney_u_bucketed's decimal ties^3 +
-    # HUGEINT oracle; knn_ivf's HUGEINT oracle + widened _int_scores;
-    # semantic_dedup / kmeans_embeddings share the widened kernel
-    # (rows-only); media_embedding_near_dup's auto density default
+    # HUGEINT oracle; knn_ivf's HUGEINT oracle + widened _int_scores +
+    # the half-away quantizer fix; semantic_dedup / kmeans_embeddings
+    # upgraded rows-only -> full SQL oracles (integer assignment +
+    # micro-unit cohesion); media_embedding_near_dup's auto density
     "dedup_recall_report",
     "mann_whitney_u_bucketed",
     "knn_ivf",

@@ -50,12 +50,44 @@ def _assign_udf(cmat: np.ndarray):
     return nearest
 
 
+def _int_assign_udf(svec: np.ndarray):
+    """ENGINE-EXACT nearest-cell assignment from the integer Lloyd
+    state (the knn_ivf path): quantize the batch, score with
+    :func:`_int_scores` (exact integers cast to double), argmax with
+    numpy's first-max tie rule — identical to the SQL replay's
+    ROW_NUMBER (score DESC, cell ASC). This is what lets
+    semantic_dedup / kmeans_embeddings carry full DuckDB oracles
+    (r12): the float-centroid ``_assign_udf`` can flip borderline
+    argmaxes by an ulp between engines; the integer path cannot."""
+
+    @F.pandas_udf("int")
+    def nearest(embs: pd.Series) -> pd.Series:
+        mi = _quantize_units(np.stack(embs.to_numpy()).astype(np.float64))
+        return pd.Series(
+            _int_scores(mi, svec).argmax(axis=1).astype(np.int32)
+        )
+
+    return nearest
+
+
 def _quantize_units(m: np.ndarray) -> np.ndarray:
     """Integer micro-units with round-half-away-from-zero — the same
     quantization ROUND(x*1e6) produces in Spark SQL and DuckDB, so any
-    engine rebuilds the identical int64 matrix."""
+    engine rebuilds the identical int64 matrix.
+
+    r12 fix: negatives must CEIL(s - 0.5), not FLOOR(s - 0.5) — the
+    r11 floor form shifted EVERY negative non-half value one unit
+    down (floor(-154694.36 - 0.5) = -154695; half-away is -154694),
+    so the 'engine-exact' training state silently disagreed with the
+    SQL replay's ROUND on ~half of all entries. knn_ivf stayed
+    hash-green only because cell argmax and the raw-vector cosine
+    ranking are robust to 1-unit sum noise; the kmeans_embeddings
+    oracle (which divides the sums out as centroids) exposed it.
+    Same form as random_projection's quantizer (knn.py)."""
     s = m * 1e6
-    return np.floor(s + np.where(s >= 0, 0.5, -0.5)).astype(np.int64)
+    return np.where(
+        s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)
+    ).astype(np.int64)
 
 
 def _int_scores(mi: np.ndarray, svec: np.ndarray) -> np.ndarray:
@@ -198,11 +230,21 @@ def semantic_dedup(
     vector is a duplicate of the LOWEST vec_id in its cluster whose
     cosine with it rounds to >= threshold — deterministic, and exactly
     reproducible by the numpy reference in tests/test_semdedup.py.
+
+    Oracle-green since r12 (queries.ORACLE_SQL["semantic_dedup"]):
+    cluster assignment uses the ENGINE-EXACT integer score path
+    (:func:`_int_assign_udf`, the knn_ivf precedent), and the sweep
+    cosine is dot/(|a||b|) rounded to 6 — structurally identical to
+    DuckDB's list_cosine_similarity, the embedding_near_dup
+    hash-green precedent. Keeps emit NULL (not NaN) cos_to_dup so
+    both engines agree on the missing value.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cmat = lloyd_centroids(emb, k, iters)
+    svec, _cnt = lloyd_state(emb, k, iters)
     assigned = emb.select(
-        "vec_id", "embedding", _assign_udf(cmat)("embedding").alias("cluster")
+        "vec_id",
+        "embedding",
+        _int_assign_udf(svec)("embedding").alias("cluster"),
     )
     out_schema = (
         "vec_id long, cluster int, keep boolean, dup_of long, cos_to_dup double"
@@ -210,9 +252,10 @@ def semantic_dedup(
 
     def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        m = _normalize(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        sims = np.round(m @ m.T, 6)
+        norms = np.sqrt((m * m).sum(axis=1))
+        sims = np.round((m @ m.T) / np.outer(norms, norms), 6)
         n = len(ids)
         # earliest j < i with sims[i, j] >= threshold, fully vectorized:
         # argmax over a boolean lower-triangle mask returns the FIRST
@@ -222,7 +265,7 @@ def semantic_dedup(
         has = low.any(axis=1)
         first = low.argmax(axis=1)
         dup_of = np.where(has, ids[first], -1).astype(np.int64)
-        cos = np.where(has, sims[np.arange(n), first], np.nan)
+        cos = sims[np.arange(n), first]
         return pd.DataFrame(
             {
                 "vec_id": ids,
@@ -232,7 +275,10 @@ def semantic_dedup(
                     [None if d < 0 else int(d) for d in dup_of],
                     dtype="Int64",
                 ),
-                "cos_to_dup": cos,
+                "cos_to_dup": pd.array(
+                    [float(c) if h else None for h, c in zip(has, cos)],
+                    dtype="Float64",
+                ),
             }
         )
 
@@ -248,26 +294,49 @@ def kmeans_embeddings(
 ) -> DataFrame:
     """Cluster-profile report for the deterministic k-means: per
     cluster, member count and mean cosine to the centroid (cohesion).
-    The assignment pass is map-side; the report is one tiny groupBy."""
+    The assignment pass is map-side; the report is one tiny groupBy.
+
+    Oracle-green since r12 (queries.ORACLE_SQL["kmeans_embeddings"]):
+    assignment is the ENGINE-EXACT integer score path, cohesion is
+    the cosine to the ASSIGNED cell's float centroid (the exact
+    integer mean svec/(cnt*1e6) — the same doubles the SQL replay
+    divides out of its counts chain), dot/(|a||b|) form. The MEAN
+    folds in exact micro-units: each cosine rounds per-element to
+    1e-6 (the embedding_near_dup hash-green risk class), the sum is
+    exact integers, and one final double division is identical IEEE
+    in both engines — a float AVG's summation order straddled the
+    ROUND(.,6) boundary on the very first sf0.01 replay, so
+    mean_cohesion is defined as mean-of-rounded (delta <= 5e-7), not
+    rounded-mean."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cmat = lloyd_centroids(emb, k, iters)
-    cn = _normalize(cmat)
+    svec, cnt = lloyd_state(emb, k, iters)
+    cvec = svec.astype(np.float64) / (cnt.astype(np.float64)[:, None] * 1e6)
+    cnorm = np.sqrt((cvec * cvec).sum(axis=1))
 
     @F.pandas_udf("double")
     def cos_to_centroid(embs: pd.Series) -> pd.Series:
-        m = _normalize(np.stack(embs.to_numpy()).astype(np.float64))
-        sims = m @ cn.T
-        return pd.Series(sims.max(axis=1))
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        mi = _quantize_units(m)
+        a = _int_scores(mi, svec).argmax(axis=1)
+        c = cvec[a]
+        dots = (m * c).sum(axis=1)
+        vnorm = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(dots / (vnorm * cnorm[a]))
 
     assigned = emb.select(
-        _assign_udf(cmat)("embedding").alias("cluster"),
-        cos_to_centroid("embedding").alias("cos"),
+        _int_assign_udf(svec)("embedding").alias("cluster"),
+        # micro-unit cohesion: per-element ROUND to 1e-6, exact long
+        F.round(cos_to_centroid("embedding") * F.lit(1e6), 0)
+        .cast("long")
+        .alias("mc"),
     )
     return (
         assigned.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("cos"), 6).alias("mean_cohesion"),
+            F.round(
+                F.sum("mc") / (F.count(F.lit(1)) * F.lit(1e6)), 6
+            ).alias("mean_cohesion"),
         )
         .orderBy("cluster")
     )

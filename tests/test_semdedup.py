@@ -139,3 +139,30 @@ def test_int_scores_exact_at_wrap_scale():
         ]
     )
     assert np.array_equal(got_big, exp_big)
+
+
+def test_quantize_units_matches_sql_round():
+    """r12: half-away-from-zero parity with SQL ROUND(x*1e6) — the r11
+    floor(s - 0.5) form shifted every negative non-half value one unit
+    down, silently desyncing the 'engine-exact' training state from
+    its DuckDB replay."""
+    import duckdb
+
+    from metevents_spark.similarity.semdedup import _quantize_units
+
+    rng = np.random.RandomState(3)
+    xs = np.concatenate(
+        [
+            rng.uniform(-1, 1, 200),
+            [-0.1546943634748459, 0.0145, -0.0145, 0.5e-6, -0.5e-6, 0.0],
+        ]
+    )
+    got = _quantize_units(xs.reshape(1, -1))[0]
+    con = duckdb.connect()
+    exp = [
+        con.sql(
+            f"SELECT CAST(ROUND(CAST({x!r} AS DOUBLE) * 1e6) AS BIGINT)"
+        ).fetchone()[0]
+        for x in xs
+    ]
+    assert got.tolist() == exp
