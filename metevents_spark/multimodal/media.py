@@ -335,8 +335,14 @@ def media_embedding_near_dup(
     A duplicate-heavy corpus — the norm for scraped media — therefore
     costs LSH work proportional to DISTINCT payloads, not total.
 
-    Rows-only check; tests plant byte-identical and one-byte-flip
-    payload pairs and assert both surface.
+    Oracle-green since r12: dropping the p-dependent block label
+    makes the output exactly the recall-guaranteed pair set, which a
+    DuckDB replay reaches by blocking at p=1 over the SAME bigram
+    embedding (queries.ORACLE_SQL["media_embedding_near_dup"] —
+    byte bigrams via hex(encode(text)), exact integer histogram
+    norms, the identical sequential projection fold). Tests also
+    plant byte-identical and one-byte-flip payload pairs and assert
+    both surface.
     """
     import math
 
@@ -422,7 +428,7 @@ def media_embedding_near_dup(
         ).alias("cell"),
     ).select("doc_id", "vec", *[f"cell.{b}" for b in bcols])
 
-    out_schema = "doc_a long, doc_b long, block int, cosine double"
+    out_schema = "doc_a long, doc_b long, cosine double"
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -435,24 +441,11 @@ def media_embedding_near_dup(
                 {
                     "doc_a": pd.Series([], dtype="int64"),
                     "doc_b": pd.Series([], dtype="int64"),
-                    "block": pd.Series([], dtype="int32"),
                     "cosine": pd.Series([], dtype="float64"),
                 }
             )
         m = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        # diagnostic label folded from the cell coordinates, then
-        # normalized into [0, 2e9) so it fits the int32 column at any
-        # p. NOTE: the normalization (added r11 with the p knob)
-        # changed every historically-negative label, and |cell| >=
-        # 100000 would alias labels across the fold — the block
-        # column is a WHICH-CELL-FOUND-IT diagnostic only, never a
-        # join key or a pinned value (the driver check for this query
-        # is rows-only; dedup semantics flow through doc_a/doc_b).
-        block_id = 0
-        for b in bcols:
-            block_id = block_id * 100000 + int(pdf[b].iloc[0])
-        block_id = int(block_id % 2_000_000_000)
         sims = np.round(m @ m.T, 6)
         ra, rb = np.triu_indices(len(ids), k=1)
         keep = sims[ra, rb] >= threshold
@@ -460,18 +453,26 @@ def media_embedding_near_dup(
             {
                 "doc_a": ids[ra[keep]],
                 "doc_b": ids[rb[keep]],
-                "block": np.full(keep.sum(), block_id, dtype="int32"),
                 "cosine": sims[ra[keep], rb[keep]],
             }
         )
 
+    # r12: the which-cell-found-it `block` label was DROPPED from the
+    # output. It was the one p-DEPENDENT column (the r12 auto density
+    # default picks p from corpus size, so labels would churn with
+    # scale), its fold aliased coordinates >= 100000, and the r11
+    # normalization had already silently relabeled historical output —
+    # the ADVICE finding. Without it the result is exactly the
+    # recall-guaranteed pair set, invariant to p, which is what lets
+    # this query carry a full DuckDB oracle (the replay blocks at p=1
+    # and arrives at the same set).
     rep_pairs = (
         cells.groupBy(*bcols)
         .applyInPandas(block_pairs, out_schema)
-        # a pair found in several shared cells reports once, from its
-        # smallest block id; cosine is identical everywhere
+        # a pair found in several shared cells reports once; cosine is
+        # identical everywhere
         .groupBy("doc_a", "doc_b")
-        .agg(F.min("block").alias("block"), F.max("cosine").alias("cosine"))
+        .agg(F.max("cosine").alias("cosine"))
     )
     # expand representative pairs to member documents (groups are
     # disjoint, so the union is duplicate-free); intra-group pairs are
@@ -490,7 +491,6 @@ def media_embedding_near_dup(
         .select(
             F.least("ma", "mb").alias("doc_a"),
             F.greatest("ma", "mb").alias("doc_b"),
-            "block",
             "cosine",
         )
     )
@@ -502,7 +502,6 @@ def media_embedding_near_dup(
     ).select(
         F.col("m1.doc_id").alias("doc_a"),
         F.col("m2.doc_id").alias("doc_b"),
-        F.lit(-1).cast("int").alias("block"),
         F.lit(1.0).alias("cosine"),
     )
     return cross.union(intra).orderBy("doc_a", "doc_b")

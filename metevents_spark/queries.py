@@ -4511,6 +4511,80 @@ FROM coh GROUP BY cell ORDER BY cluster
 """
 )
 
+def _media_near_dup_oracle_sql(threshold: float = 0.999, dim: int = 64) -> str:
+    """Full SQL replay of media_embedding_near_dup (r12). The payload
+    is encode(text) and the embedding is an exact integer object —
+    the L2-normalized byte-BIGRAM histogram: hex(encode(text)) gives
+    the bytes, the histogram counts are integers, the norm is the
+    sqrt of an exact integer sum, so the vector entries are
+    bit-identical doubles in both engines. The blocking REPLAYS AT
+    p=1: the grid guarantee makes the thresholded pair set invariant
+    to the axis count, so the oracle needs one inlined LCG axis no
+    matter what the Spark side's density-adaptive p chose. Cosine is
+    ROUND(list_dot_product(unit, unit), 6) — the embedding_near_dup
+    hash-green precedent."""
+    import math
+
+    from metevents_spark.multimodal.media import _lcg_unit
+
+    w = math.sqrt(2.0 * max(1.0 - threshold, 1e-12))
+    axis = "[" + ", ".join(repr(a) for a in _lcg_unit(1, dim)) + "]"
+    return f"""
+WITH grp AS (SELECT doc_id, text,
+       MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+     FROM documents),
+member_rep AS (SELECT doc_id, rep_id FROM grp),
+reps AS (SELECT doc_id, text FROM grp WHERE doc_id = rep_id),
+payload AS (SELECT doc_id,
+       hex(encode(text))
+         || repeat('00', greatest(2 - octet_length(encode(text)), 0))
+         AS hx
+     FROM reps),
+bpos AS (SELECT doc_id, hx,
+       unnest(range(1, len(hx) // 2 + 1)) AS i
+     FROM payload),
+bvals AS (SELECT doc_id, i,
+       ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT AS b
+     FROM bpos),
+bigr AS (SELECT a.doc_id, (a.b * 31 + c.b) % {dim} AS bin
+     FROM bvals a JOIN bvals c
+       ON a.doc_id = c.doc_id AND c.i = a.i + 1),
+hist AS (SELECT doc_id, bin, COUNT(*) AS c FROM bigr
+     GROUP BY doc_id, bin),
+bins AS (SELECT unnest(range({dim})) AS bin),
+dense AS (SELECT r.doc_id, b.bin, COALESCE(h.c, 0) AS c
+     FROM reps r CROSS JOIN bins b
+     LEFT JOIN hist h ON h.doc_id = r.doc_id AND h.bin = b.bin),
+nrm AS (SELECT doc_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS n2
+     FROM dense GROUP BY doc_id),
+vecs AS (SELECT d.doc_id,
+       list(CASE WHEN n.n2 > 0 THEN CAST(d.c AS DOUBLE) / n.n2
+                 ELSE CAST(d.c AS DOUBLE) END ORDER BY d.bin) AS v
+     FROM dense d JOIN nrm n USING (doc_id) GROUP BY d.doc_id, n.n2),
+cells AS (SELECT doc_id, v,
+       CAST(FLOOR(list_dot_product(v, {axis}) / {w!r}) AS INT) AS cell
+     FROM vecs),
+rp AS (SELECT a.doc_id AS rep_a, b.doc_id AS rep_b,
+       ROUND(list_dot_product(a.v, b.v), 6) AS cosine
+     FROM cells a JOIN cells b
+       ON a.doc_id < b.doc_id AND b.cell BETWEEN a.cell - 1 AND a.cell + 1
+     WHERE ROUND(list_dot_product(a.v, b.v), 6) >= {threshold}),
+cross_pairs AS (SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+       greatest(ma.doc_id, mb.doc_id) AS doc_b, rp.cosine
+     FROM rp JOIN member_rep ma ON ma.rep_id = rp.rep_a
+     JOIN member_rep mb ON mb.rep_id = rp.rep_b),
+intra AS (SELECT m1.doc_id AS doc_a, m2.doc_id AS doc_b,
+       1.0 AS cosine
+     FROM member_rep m1 JOIN member_rep m2
+       ON m1.rep_id = m2.rep_id AND m1.doc_id < m2.doc_id)
+SELECT doc_a, doc_b, cosine FROM cross_pairs
+UNION ALL SELECT doc_a, doc_b, cosine FROM intra
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLE_SQL["media_embedding_near_dup"] = _media_near_dup_oracle_sql()
+
 # dedup_recall_report: ground truth (exact 3-shingle Jaccard over the
 # md5-deterministic 200-rep sample) is plain SQL, and the predicted
 # side IS the minhash_near_dup replay restricted to sampled pairs —

@@ -66,7 +66,7 @@ def test_near_dup_end_to_end(spark):
     out = media_embedding_near_dup(spark, SF_SMALL).toPandas()
     # fake payloads derive from text; exact text copies embed at 1.0 —
     # output shape and ordering invariants hold either way
-    assert list(out.columns) == ["doc_a", "doc_b", "block", "cosine"]
+    assert list(out.columns) == ["doc_a", "doc_b", "cosine"]
     assert (out["doc_a"] < out["doc_b"]).all()
     assert out["cosine"].between(-1.0, 1.0001).all()
 
