@@ -356,6 +356,12 @@ def mann_whitney_u(
             F.rank().over(w_rank).cast("double")
             + (t - F.lit(1)).cast("double") / F.lit(2.0)
         ).alias("avg_rank"),
+        # per-row tie term t^2 - 1 (summed over a tie group of size t
+        # this folds to t^3 - t). Long arithmetic wraps past t ~ 3e9
+        # tied rows of ONE value — unreachable for this exact variant,
+        # which materializes a rank window over every sample and is
+        # the designated SMALL-n path; mann_whitney_u_bucketed (the
+        # large-n path) folds its ties^3 in decimal(38,0).
         (t.cast("long") * t - F.lit(1)).alias("tie_term"),
     )
     is_a = F.col("event_type") == F.col("grp")
