@@ -426,7 +426,12 @@ def knn_lsh(
     def sketch(embs: pd.Series) -> pd.Series:
         m = np.stack(embs.to_numpy()).astype(np.float64) * 1e6
         # round-half-away-from-zero, matching ROUND() in both engines
-        mi = np.floor(m + np.where(m >= 0, 0.5, -0.5)).astype(np.int64)
+        # (r12: ceil form for negatives — floor(m - 0.5) shifted every
+        # negative non-half value one unit down, the same bug fixed in
+        # semdedup._quantize_units; the sign tests masked it here)
+        mi = np.where(
+            m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)
+        ).astype(np.int64)
         bits = (mi @ planes.T) > 0  # exact integer dots, (n, L*nbits)
         per_table = bits.reshape(len(mi), num_tables, nbits) @ weights
         return pd.Series(list(per_table.astype(np.int64)))
