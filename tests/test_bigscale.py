@@ -69,6 +69,15 @@ HEAVY = (
     # the broadcast closing-edge probe at 10x the wedge stream)
     "theilsen_trend",
     "copurchase_triangles",
+    # r12 additions whose value claim IS scale behavior: the
+    # density-adaptive grid-LSH (auto n_projections must hold the
+    # in-cell gram work linear at 10x — the r11 sf1 watch item), the
+    # bucketed Mann-Whitney (the designated large-n path, now with
+    # the decimal ties^3 fold), and the integer-Lloyd dedup whose
+    # widened score arithmetic exists FOR clustered-corpus scale
+    "media_embedding_near_dup",
+    "mann_whitney_u_bucketed",
+    "semantic_dedup",
 )
 
 
