@@ -42,7 +42,11 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{big_dir}/{t}.parquet'")
+        path = f"{big_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            # Spark-written table: a DIRECTORY of part files
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
