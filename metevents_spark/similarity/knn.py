@@ -736,10 +736,36 @@ def knn_ivf_pq(
     carry (n_cells + m*ks) x dim floats); the ADC join carries
     (vec_id, cell, 4 ints) per candidate and broadcasts the probe
     tables; only the <= n_queries * k * rerank_factor shortlist joins
-    back to raw vectors. Rows-only (pipeline shares the rows-only ANN
-    family's hash-free reproducibility but no SQL form);
-    tests/test_neardup.py floors its recall, ann_recall_report is the
-    meter.
+    back to raw vectors.
+
+    WHY ROWS-ONLY (the r11-verdict feasibility pass, r12): the
+    integer-state trick that made knn_ivf hash-exact does NOT extend
+    to residual PQ, for two structural reasons, not effort ones.
+    (1) knn_ivf never materializes a centroid: cosine ranking only
+    needs score = (v_int . svec)/|svec| where every factor is an
+    exact integer, so both engines compute the identical double. PQ
+    is built on the residual VECTOR x_unit - centroid[cell] itself —
+    that difference requires the unit normalization x/|x| (a division
+    by an irrational sqrt) and the centroid division svec/cnt, both
+    inherently float; there is no cancellation to hide them behind.
+    The integer form v_int*cnt_c - svec_c IS exact, but its scale
+    varies per cell (cnt_c), and after the subspace split the L2
+    codebook geometry must be comparable ACROSS residuals from
+    different cells — dividing the varying scale back out reintroduces
+    the float division. (2) The per-subspace Lloyd update is
+    ``pts.mean(axis=0)``: numpy folds with pairwise/blocked summation
+    while any SQL SUM(...)/n folds sequentially, so codebook entries
+    differ in ulps between engines; 5 rounds x 8 subspaces of argmin
+    over those entries amplify any flipped tie into different
+    codebooks, different codes, different ADC scores. Rounding to a
+    1e-6 grid does not rescue exactness either: round-after-float
+    agrees only with probability ~1 - eps (a value an ulp from a .5
+    boundary flips the grid cell), while the hash oracle contract
+    needs certainty — the hash-green precedents (knn_lsh, knn_ivf,
+    random_projection) all keep EVERY pre-round operation on exact
+    integers. Hence: rows-only driver check + recall-floor pytest
+    (tests/test_neardup.py), with ann_recall_report as the live
+    meter and ann_recall_lsh_ivf as the fully-oracled restriction.
     """
     from collections.abc import Iterator
 
