@@ -78,6 +78,12 @@ HEAVY = (
     "media_embedding_near_dup",
     "mann_whitney_u_bucketed",
     "semantic_dedup",
+    # r12 batch 2: BPE training/encode upgraded to full SQL oracles —
+    # at 10x the vocab the chained-CTE replay exercises the argmax
+    # tie-break and the recursive encode over a corpus-fresh merge
+    # table (disjoint vocabularies mean genuinely different merges)
+    "bpe_learn",
+    "bpe_token_count",
 )
 
 
