@@ -4910,19 +4910,27 @@ FROM j GROUP BY priority ORDER BY priority
 """
 
 ORACLE_SQL["copurchase_bfs_hops"] = """
-WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-edges AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-          FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
-          WHERE a.l_partkey <> b.l_partkey),
-seed AS (SELECT u AS p FROM (SELECT u, COUNT(*) AS d FROM edges
-         GROUP BY u ORDER BY d DESC, u LIMIT 1)),
-d1 AS (SELECT DISTINCT e.v AS p FROM edges e JOIN seed s ON e.u = s.p
-       WHERE e.v NOT IN (SELECT p FROM seed)),
-d2 AS (SELECT DISTINCT e.v AS p FROM edges e JOIN d1 ON e.u = d1.p
-       WHERE e.v NOT IN (SELECT p FROM seed UNION ALL SELECT p FROM d1)),
-d3 AS (SELECT DISTINCT e.v AS p FROM edges e JOIN d2 ON e.u = d2.p
-       WHERE e.v NOT IN (SELECT p FROM seed UNION ALL SELECT p FROM d1
-                         UNION ALL SELECT p FROM d2))
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey),
+seed AS MATERIALIZED (SELECT u AS p FROM (
+  SELECT u, COUNT(*) AS d FROM edges
+  GROUP BY u ORDER BY d DESC, u LIMIT 1)),
+d1 AS MATERIALIZED (
+  SELECT DISTINCT e.v AS p FROM edges e JOIN seed s ON e.u = s.p
+  WHERE NOT EXISTS (SELECT 1 FROM seed x WHERE x.p = e.v)),
+d2 AS MATERIALIZED (
+  SELECT DISTINCT e.v AS p FROM edges e JOIN d1 ON e.u = d1.p
+  WHERE NOT EXISTS (SELECT 1 FROM seed x WHERE x.p = e.v)
+    AND NOT EXISTS (SELECT 1 FROM d1 x WHERE x.p = e.v)),
+d3 AS MATERIALIZED (
+  SELECT DISTINCT e.v AS p FROM edges e JOIN d2 ON e.u = d2.p
+  WHERE NOT EXISTS (SELECT 1 FROM seed x WHERE x.p = e.v)
+    AND NOT EXISTS (SELECT 1 FROM d1 x WHERE x.p = e.v)
+    AND NOT EXISTS (SELECT 1 FROM d2 x WHERE x.p = e.v))
 SELECT p AS p_partkey, CAST(h AS BIGINT) AS hops FROM (
   SELECT p, 0 AS h FROM seed
   UNION ALL SELECT p, 1 FROM d1
@@ -4930,6 +4938,12 @@ SELECT p AS p_partkey, CAST(h AS BIGINT) AS hops FROM (
   UNION ALL SELECT p, 3 FROM d3)
 ORDER BY hops, p_partkey
 """
+# ^ r12: MATERIALIZED + NOT EXISTS. The original un-materialized form
+# inlined d1/d2 (and through them the 24M-row edges build) into every
+# NOT IN branch of d3 — DuckDB re-computed the edge self-join up to
+# seven times and spilled >80 GB at the x10 scale (the one sweep
+# failure); frontier semantics are unchanged (partkeys are never
+# NULL, so NOT EXISTS == NOT IN here), sf0.01 hash unchanged.
 
 ORACLE_SQL["dedup_rate_by_source"] = """
 WITH d AS (SELECT source, md5(substr(text, 1, 64)) AS dig FROM documents),
