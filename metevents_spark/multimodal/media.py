@@ -267,14 +267,25 @@ def _lcg_unit(seed: int, n: int) -> list[float]:
 def _auto_projections(n_reps: int, base_density: int = 10_000) -> int:
     """Density-adaptive grid-LSH axis count: 2 axes up to
     ``base_density`` distinct payloads, then +1 per decade of corpus
-    growth. Calibrated by the sf1 sweep (BENCH_sf1): at 10x the sf0.1
-    density p=2's in-cell gram work crept superlinear (17.5x cost at
-    10x data) while p=3 restored the linear regime — so one extra
-    axis per ~10x density keeps expected cell populations flat, the
-    same corpus-keyed scaling contract as knn_ivf_pq's
+    growth — the same corpus-keyed scaling contract as knn_ivf_pq's
     ``n_cells="auto"`` (similarity/knn.py). The pair SET is invariant
     to p (recall is guaranteed by the cell width, not the axis count
-    — pytest-pinned), so auto only shapes candidate work."""
+    — pytest-pinned), so auto only shapes candidate work.
+
+    Measured honestly (r12, x10 replica): because the bigram
+    embeddings are CONCENTRATED, one extra axis divides hot-cell
+    populations by only ~1/0.53 ≈ 1.9x (the dual-emission central
+    band share — NOT the uniform-spread 1/w ≈ 3.3x an earlier
+    version of this docstring assumed), so +1 axis/decade leaves
+    hot-cell gram work mildly superlinear (top cell ~7.5k reps of
+    50k at p=3). What actually holds the wall-clock in the linear
+    band is the chunked gram kernel (block_pairs below): x10 warm
+    went 38 s -> 9 s once the n x n round/triu allocations were
+    removed, i.e. the transient memory traffic, not the FLOPs, was
+    the superlinear term. Raising p further trades 2x emission per
+    axis against ~1.9x division — a wash at these densities, so the
+    knob stays at +1/decade for candidate-volume control and the
+    kernel carries the rest."""
     import math
 
     if n_reps <= base_density:
@@ -446,14 +457,47 @@ def media_embedding_near_dup(
             )
         m = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        sims = np.round(m @ m.T, 6)
-        ra, rb = np.triu_indices(len(ids), k=1)
-        keep = sims[ra, rb] >= threshold
+        n = len(ids)
+        # Chunked gram sweep (r12): the one-shot round(m @ m.T) +
+        # triu_indices form allocated THREE n x n intermediates —
+        # ~1.4 GB of transient per 7.5k-doc cell at x10, where hot
+        # cells are the whole cost. Row-chunks against the full
+        # matrix keep peak extra memory at chunk x n, round only the
+        # surviving candidates (identical output: round6(s) >= t iff
+        # s >= t - 5e-7, then the exact round6 filter re-applies),
+        # and skip empty chunks without allocating index arrays.
+        chunk = 512
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        pre = threshold - 5e-7
+        for i0 in range(0, n - 1, chunk):
+            i1 = min(i0 + chunk, n)
+            sims = m[i0:i1] @ m.T
+            # strict upper triangle in GLOBAL coordinates
+            cand = sims >= pre
+            cand &= np.arange(n)[None, :] > np.arange(i0, i1)[:, None]
+            if not cand.any():
+                continue
+            ra, rb = np.nonzero(cand)
+            cos = np.round(sims[ra, rb], 6)
+            keep = cos >= threshold
+            out_a.append(ids[ra[keep] + i0])
+            out_b.append(ids[rb[keep]])
+            out_c.append(cos[keep])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
         return pd.DataFrame(
             {
-                "doc_a": ids[ra[keep]],
-                "doc_b": ids[rb[keep]],
-                "cosine": sims[ra[keep], rb[keep]],
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
             }
         )
 
