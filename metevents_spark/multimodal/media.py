@@ -463,14 +463,16 @@ def media_embedding_near_dup(
         # ~1.4 GB of transient per 7.5k-doc cell at x10, where hot
         # cells are the whole cost. Row-chunks against the full
         # matrix keep peak extra memory at chunk x n, round only the
-        # surviving candidates (identical output: round6(s) >= t iff
-        # s >= t - 5e-7, then the exact round6 filter re-applies),
-        # and skip empty chunks without allocating index arrays.
+        # surviving candidates (identical output: round6(s) >= t
+        # implies s >= t - 5e-7, and the prefilter sits a full 1e-6
+        # below t so ulp slop at the decimal boundary cannot exclude
+        # a candidate; the exact round6 filter then re-applies), and
+        # skip empty chunks without allocating index arrays.
         chunk = 512
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         out_c: list[np.ndarray] = []
-        pre = threshold - 5e-7
+        pre = threshold - 1e-6
         for i0 in range(0, n - 1, chunk):
             i1 = min(i0 + chunk, n)
             sims = m[i0:i1] @ m.T
