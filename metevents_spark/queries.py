@@ -4518,13 +4518,22 @@ def _bpe_train_ctes(n_merges: int = 12) -> list[str]:
 
     - Merge application: Spark's ``_merge_fold`` is a greedy
       left-to-right NON-OVERLAPPING replacement over the symbol
-      array; on a space-joined symbol string with sentinel spaces,
-      SQL ``replace(s, ' l r ', ' lr ')`` scans left-to-right and
-      continues AFTER each replacement — the identical semantics
-      (symbols cannot contain spaces, so the padded pattern cannot
-      match inside a symbol, and the merged symbol ``lr`` can never
-      chain into a fresh match of the same round's pattern since
-      that would need ``lr`` == ``l``).
+      array. The string encoding joins symbols with TWO spaces and
+      pads one sentinel space at each end, so a pair occurrence is
+      the 1-space-padded pattern ``' l  r '`` and two ADJACENT
+      occurrences (``... l r l r ...`` in the array) never share a
+      character — each match owns its own boundary spaces. The
+      r12 single-space encoding was wrong exactly here: back-to-back
+      occurrences shared the boundary space, so global ``replace``
+      merged only the first (advisor-verified on 'banana'/'aaaa');
+      the fold merges both. The replacement ``' lr '`` restores the
+      invariant (its edge spaces concatenate with the neighbours'
+      into the 2-space separator), symbols cannot contain spaces so
+      the pattern cannot match inside a symbol, and the merged
+      symbol ``lr`` can never chain into a fresh match of the same
+      round's pattern since that would need ``lr`` == ``l``.
+      Pinned by tests/test_bpe_oracle_parity.py on 'banana'/'aaaa'
+      corpora where the two encodings genuinely diverge.
     - The argmax tie-break (count DESC, l ASC, r ASC) compares
       strings bytewise in both engines.
 
@@ -4539,16 +4548,17 @@ def _bpe_train_ctes(n_merges: int = 12) -> list[str]:
         "bwords AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT)"
         " AS freq FROM (SELECT unnest(str_split(text, ' ')) AS word"
         " FROM documents) WHERE length(word) > 0 GROUP BY word)",
-        # char symbols + the '</w>' end sentinel, space-joined with
-        # one sentinel space on each side (bpe.py _char_symbols)
+        # char symbols + the '</w>' end sentinel, TWO spaces between
+        # symbols, one sentinel space on each side (bpe.py
+        # _char_symbols; see the docstring for why two)
         "w0 AS MATERIALIZED (SELECT ' ' ||"
-        " array_to_string(str_split(word, ''), ' ') || ' </w> ' AS s,"
-        " freq FROM bwords)",
+        " array_to_string(str_split(word, ''), '  ') || '  </w> '"
+        " AS s, freq FROM bwords)",
     ]
     for i in range(1, n_merges + 1):
         p = i - 1
         ctes += [
-            f"y{i} AS MATERIALIZED (SELECT str_split(trim(s), ' ')"
+            f"y{i} AS MATERIALIZED (SELECT str_split(trim(s), '  ')"
             f" AS y, freq FROM w{p})",
             f"p{i} AS MATERIALIZED (SELECT y[gi] AS l, y[gi + 1] AS r,"
             f" freq FROM (SELECT y, freq,"
@@ -4557,7 +4567,7 @@ def _bpe_train_ctes(n_merges: int = 12) -> list[str]:
             f" CAST(SUM(freq) AS BIGINT) AS n FROM p{i} GROUP BY l, r"
             f" ORDER BY n DESC, l ASC, r ASC LIMIT 1)",
             f"w{i} AS MATERIALIZED (SELECT replace(s,"
-            f" ' ' || (SELECT l FROM b{i}) || ' ' ||"
+            f" ' ' || (SELECT l FROM b{i}) || '  ' ||"
             f" (SELECT r FROM b{i}) || ' ',"
             f" ' ' || (SELECT l FROM b{i}) || (SELECT r FROM b{i})"
             f" || ' ') AS s, freq FROM w{p})",
@@ -4595,23 +4605,27 @@ def _bpe_token_count_oracle_sql(n_merges: int = 12) -> str:
     ctes = _bpe_train_ctes(n_merges)
     ctes += [
         f"merges AS MATERIALIZED ({unions})",
+        # same 2-space symbol encoding as training (see
+        # _bpe_train_ctes docstring) so a full greedy pass of the
+        # chosen merge is ONE global replace
         "enc AS ("
-        "SELECT word, ' ' || array_to_string(str_split(word, ''), ' ')"
-        " || ' </w> ' AS s FROM (SELECT DISTINCT word FROM ("
+        "SELECT word, ' ' ||"
+        " array_to_string(str_split(word, ''), '  ') || '  </w> '"
+        " AS s FROM (SELECT DISTINCT word FROM ("
         "SELECT unnest(str_split(text, ' ')) AS word FROM documents)"
         " WHERE length(word) > 0)"
         " UNION ALL "
         "SELECT t.word, replace(t.s,"
-        " ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ')"
+        " ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' ')"
         " FROM (SELECT word, s,"
         ' (SELECT MIN(m2."rank") FROM merges m2'
-        " WHERE contains(s, ' ' || m2.l || ' ' || m2.r || ' ')) AS mr"
+        " WHERE contains(s, ' ' || m2.l || '  ' || m2.r || ' ')) AS mr"
         " FROM enc) t"
         ' JOIN merges m ON m."rank" = t.mr)',
         "tok AS (SELECT word,"
-        " CAST(len(str_split(trim(s), ' ')) AS BIGINT) AS word_tokens"
+        " CAST(len(str_split(trim(s), '  ')) AS BIGINT) AS word_tokens"
         " FROM enc WHERE NOT EXISTS (SELECT 1 FROM merges m"
-        " WHERE contains(enc.s, ' ' || m.l || ' ' || m.r || ' ')))",
+        " WHERE contains(enc.s, ' ' || m.l || '  ' || m.r || ' ')))",
         "dw AS (SELECT doc_id, word FROM (SELECT doc_id,"
         " unnest(str_split(text, ' ')) AS word FROM documents)"
         " WHERE length(word) > 0)",

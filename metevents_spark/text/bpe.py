@@ -99,12 +99,18 @@ def learn_merges(
     merges: list[tuple[int, str, str, str, int]] = []
     prev = None  # superseded checkpoint, released once its child lands
     for rank in range(1, n_merges + 1):
+        # guard size<2: sequence(0, -1) DESCENDS in Spark ([0, -1]),
+        # so a fully-merged single-symbol word would index out of
+        # bounds (hit by overlap-heavy corpora where short words merge
+        # to one symbol within n_merges; tests/test_bpe_oracle_parity)
         pairs = wf.select(
             "freq",
             F.explode(
                 F.expr(
-                    "transform(sequence(0, size(syms) - 2),"
-                    " i -> struct(syms[i] AS l, syms[i + 1] AS r))"
+                    "CASE WHEN size(syms) < 2 THEN"
+                    " array()"
+                    " ELSE transform(sequence(0, size(syms) - 2),"
+                    " i -> struct(syms[i] AS l, syms[i + 1] AS r)) END"
                 )
             ).alias("p"),
         )
