@@ -44,6 +44,10 @@ from pyspark.sql import functions as F
 from metevents_spark.cache import track
 from metevents_spark.io import load_table
 
+# rank micro-units per 1.0 of rank mass (part_pagerank integer
+# arithmetic; see its docstring for the overflow budget)
+_U = 1_000_000_000
+
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric weighted edge list (src, dst, w) over parts co-ordered
@@ -62,7 +66,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .agg(F.count(F.lit(1)).alias("w"))
     )
     rev = pairs.select(
         F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
@@ -88,37 +92,86 @@ def part_pagerank(
     — output identical to running all ``n_iter`` rounds); the round
     count lands in ``part_pagerank.last_n_rounds`` for tests/audits.
 
-    Rows-only in the driver contract (a fixed-point iteration is not
-    ANSI SQL); pinned by an independent numpy power-iteration replay
-    over the full sf0.001 graph plus the PageRank invariants (ranks
-    sum to ~|nodes|, uniform-teleport floor) in
-    tests/test_round10_ops.py. Output ranks are quantized to integer
-    ppm for presentation; ordering ties break on part id.
+    INTEGER micro-unit arithmetic throughout (r13, the Lloyd-integer
+    playbook from knn_ivf/semantic_dedup): ranks live in 1e-9 units
+    (``_U``), each per-edge contribution is the half-away-rounded
+    exact rational ``rank*w / w_out``, and damping applies as the
+    rational (round(damping*1e4), 1e4). Every round is therefore a
+    pure
+    function of integers — bit-reproducible across partitionings and
+    engines — which is what lets the full n_iter rounds replay as
+    chained MATERIALIZED CTEs in the DuckDB oracle (queries.py
+    ``_pagerank_ctes``). Quantization error per round is <=0.5e-9
+    rank units, geometrically damped to ~3e-9 total — invisible at
+    the ppm output grid (the numpy float differential in
+    tests/test_round10_ops.py still passes at 2 ppm unchanged).
+    Unit-size note for 100 TB: total mass is n_nodes*_U; _U=1e9 keeps
+    the in-mass sums inside int64 to ~1e9 nodes, and a runtime guard
+    (below) switches the per-edge products to decimal(38,0) exactly
+    when the proven worst-case bound could wrap int64.
+
+    The convergence exit (default tol=0.0: exact integer fixed point)
+    commutes with the oracle's fixed n_iter rounds: at a fixed point
+    every further round is the identity map on integers, so replaying
+    all rounds yields the identical final state. Output ranks are
+    quantized to integer ppm for presentation; ordering ties break on
+    part id.
     """
     edges = track(_copurchase_edges(spark, sf_dir).localCheckpoint())
     out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
-    # normalized transition weights: p(src -> dst) = w / w_out(src)
+    # (src, dst, w, w_out): integer edge weights + source out-mass;
+    # the transition probability w/w_out is never materialized as a
+    # float — it applies per round as an exact rounded rational
     trans = track(
         edges.join(out_w, "src")
-        .select("src", "dst", (F.col("w") / F.col("w_out")).alias("p"))
+        .select("src", "dst", "w", "w_out")
         .localCheckpoint()
     )
     nodes = track(edges.select(F.col("src").alias("pid")).distinct().persist())
     n_nodes = nodes.count()  # bounded: |parts| (dimension-sized)
 
-    # ranks normalized to SUM = n_nodes (the "mean rank 1.0" convention)
-    ranks = track(
-        nodes.select("pid", F.lit(1.0).alias("rank")).localCheckpoint()
+    d_num = int(round(damping * 10_000))
+    teleport_int = ((10_000 - d_num) * _U) // 10_000  # exact for 0.85
+    tol_int = int(round(tol * _U))
+
+    # arithmetic-width guard: total rank mass is conserved at
+    # n_nodes*_U (no danglers), so no node's rank can exceed it and
+    # the per-edge product 2*rank*w + w_out is bounded by
+    # 2*(n_nodes*_U)*max_w + max_w_out. When that worst case fits
+    # int64, run the hot path in LONG (decimal(38,0) measured ~2x the
+    # round cost at sf0.1); past it — billion-node graphs or extreme
+    # hub weights — the same expressions run in decimal. Values are
+    # identical on both paths (the guard PROVES no wrap), so the
+    # DuckDB oracle's HUGEINT replay matches either.
+    mx = trans.agg(
+        F.max("w").alias("mw"), F.max("w_out").alias("mo")
+    ).first()
+    mass = n_nodes * _U
+    wide = (
+        2 * mass * int(mx["mw"]) + int(mx["mo"]) >= 2**63
+        or 2 * 10_000 * mass + 10_000 >= 2**63
     )
-    teleport = 1.0 - damping
+    num_t = "DECIMAL(38,0)" if wide else "LONG"
+    # ranks normalized to SUM = n_nodes*_U (the "mean rank 1.0"
+    # convention, in micro-units)
+    ranks = track(
+        nodes.select("pid", F.lit(_U).alias("rank")).localCheckpoint()
+    )
     part_pagerank.last_n_rounds = 0
     for it in range(n_iter):
         contrib = (
             trans.join(
                 ranks.select(F.col("pid").alias("src"), "rank"), "src"
             )
+            .select(
+                "dst",
+                F.expr(
+                    f"CAST((2 * CAST(rank AS {num_t}) * w + w_out)"
+                    " DIV (2 * w_out) AS LONG)"
+                ).alias("c"),
+            )
             .groupBy(F.col("dst").alias("pid"))
-            .agg(F.sum(F.col("rank") * F.col("p")).alias("in_mass"))
+            .agg(F.sum("c").alias("in_mass"))
         )
         # per-round checkpoint: measured FASTER than checkpointing every
         # 3rd round (9.7s vs 6.7s warm at sf0.1) — the chained-3-round
@@ -135,8 +188,11 @@ def part_pagerank(
                 "pid",
                 "prev",
                 (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                    F.lit(teleport_int)
+                    + F.expr(
+                        f"CAST((2 * {d_num} * CAST(coalesce(in_mass, 0)"
+                        f" AS {num_t}) + 10000) DIV 20000 AS LONG)"
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=False)
@@ -148,10 +204,12 @@ def part_pagerank(
         delta = stepped.agg(
             F.max(F.abs(F.col("rank") - F.col("prev")))
         ).first()[0]
-        if delta is not None and delta <= tol:
+        if delta is not None and delta <= tol_int:
             break
 
-    w = F.round((F.col("rank") * 1e6)).cast("long")
+    # micro-units -> ppm, half-away (matches the oracle's final CTE)
+    w = F.expr(f"CAST((2 * rank + {_U // 1_000_000}) DIV"
+               f" {2 * (_U // 1_000_000)} AS LONG)")
     return (
         ranks.select("pid", w.alias("rank_ppm"))
         .orderBy(F.desc("rank_ppm"), "pid")

@@ -4643,6 +4643,65 @@ ORACLE_SQL["bpe_learn"] = _bpe_learn_oracle_sql()
 ORACLE_SQL["bpe_token_count"] = _bpe_token_count_oracle_sql()
 
 
+def _pagerank_oracle_sql(
+    d_num: int = 8500, n_iter: int = 12, top: int = 50
+) -> str:
+    """Full SQL replay of part_pagerank (r13, rows-only -> oracle; the
+    knn_ivf/bpe_learn chained-training playbook). Possible because the
+    Spark operator runs in INTEGER micro-units (operators/graph.py):
+    each round's per-edge contribution is the half-away-rounded exact
+    rational rank*w/w_out and damping applies as the rational
+    (8500, 10000), so every round is a pure function of integers and
+    replays as one MATERIALIZED CTE pair (in-mass aggregate + rank
+    update). HUGEINT intermediates mirror Spark's decimal(38,0).
+    The Spark side's convergence exit commutes: it only fires at an
+    exact integer fixed point, where the oracle's remaining rounds
+    are identity maps. MATERIALIZED throughout — each round reads the
+    previous one once, and the default inlining would re-expand the
+    basket self-join per round."""
+    u = 1_000_000_000
+    tele = ((10_000 - d_num) * u) // 10_000
+    ctes = [
+        "items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey"
+        " FROM lineitem)",
+        "e0 AS MATERIALIZED (SELECT a.l_partkey AS src,"
+        " b.l_partkey AS dst, CAST(COUNT(*) AS BIGINT) AS w"
+        " FROM items a JOIN items b USING (l_orderkey)"
+        " WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2)",
+        "edges AS MATERIALIZED (SELECT src, dst, w FROM e0"
+        " UNION ALL SELECT dst, src, w FROM e0)",
+        "outw AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT)"
+        " AS w_out FROM edges GROUP BY src)",
+        "tr AS MATERIALIZED (SELECT e.src, e.dst, e.w, o.w_out"
+        " FROM edges e JOIN outw o USING (src))",
+        f"r0 AS MATERIALIZED (SELECT DISTINCT src AS pid,"
+        f" CAST({u} AS BIGINT) AS r FROM edges)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        ctes += [
+            f"m{i} AS MATERIALIZED (SELECT t.dst AS pid,"
+            f" CAST(SUM((2 * CAST(r.r AS HUGEINT) * t.w + t.w_out)"
+            f" // (2 * t.w_out)) AS BIGINT) AS in_mass"
+            f" FROM tr t JOIN r{p} r ON t.src = r.pid GROUP BY t.dst)",
+            f"r{i} AS MATERIALIZED (SELECT p.pid, CAST({tele} +"
+            f" (2 * {d_num} * CAST(COALESCE(m.in_mass, 0) AS HUGEINT)"
+            f" + 10000) // 20000 AS BIGINT) AS r"
+            f" FROM r{p} p LEFT JOIN m{i} m USING (pid))",
+        ]
+    ppm = u // 1_000_000
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT pid, CAST((2 * r + {ppm}) // {2 * ppm} AS BIGINT)"
+        f" AS rank_ppm FROM r{n_iter}"
+        f" ORDER BY rank_ppm DESC, pid LIMIT {top}"
+    )
+
+
+ORACLE_SQL["part_pagerank"] = _pagerank_oracle_sql()
+
+
 def _media_near_dup_oracle_sql(threshold: float = 0.999, dim: int = 64) -> str:
     """Full SQL replay of media_embedding_near_dup (r12). The payload
     is encode(text) and the embedding is an exact integer object —
