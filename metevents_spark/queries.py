@@ -5253,95 +5253,85 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_quantiles_approx": value_quantiles_approx,
 }
 
-# ROTATION (round 12): staleness-driven refresh, continuing the
+# ROTATION (round 13): staleness-driven refresh, continuing the
 # committed policy. Latest-driver-row age per key (computed from
-# CORRECTNESS_r01..r10): 29 keys last checked r06, 45 last r07;
-# storm_find's newest row is r8 and spike_valley's r9 — the two §2
-# flagship kernels should never be the stalest rows in the contract
-# (the r10 verdict's explicit instruction). This round's window:
+# CORRECTNESS_r01..r12): 2 keys last checked r07 (rolling_mean /
+# vocab_top_terms — displaced in r12 with a promised requeue), 41
+# last r08, everything else r09+. All 10 rows-only keys already hold
+# driver rows, so per the rows-only rule (slots only when NEVER
+# rowed) none may spend a slot — the r12 window violated this with
+# knn_ivf_pq; tests/test_oracle_parity.py now asserts it against the
+# pre-window CORRECTNESS history. This round's window:
 #   * slots 1-5: the SURVEY §2 reference detectors (parity core,
 #     checked every round);
-#   * slot 6: ann_recall_lsh_ivf — NEW this round (never seen);
-#   * slots 7-12: keys whose kernels or oracles changed this round
-#     (see inline notes) — changed code re-earns its green row;
-#   * slot 13: storm_find flagship refresh;
-#   * slots 14-50: the FULL r07-stale cohort remainder (37 keys) —
-#     after this round every key's latest driver row is r8+.
-# Everything past the cap stays pinned by tests/test_oracle_parity.py
+#   * slots 6-8: keys whose kernels or oracles CHANGED this round and
+#     must re-earn green rows — the BPE pair (two-space oracle
+#     encoding fix for adjacent pair occurrences) and part_pagerank
+#     (integer micro-unit rewrite + first-ever hash oracle,
+#     rows-only -> oracle-backed);
+#   * slots 9-10: the r07-stale pair, requeued as promised;
+#   * slots 11-48: the FULL oracle-backed r08-stale cohort (38 keys,
+#     alphabetical; the cohort's other 3 keys — embedding_whitening,
+#     pca_embeddings, rolling_reach_hll — are rows-only and already
+#     rowed, hence excluded);
+#   * slots 49-50: the two stalest r09 keys (alphabetical).
+# After this round every key's latest driver row is r9+.
+# Everything oracle-backed is ALSO pinned by tests/test_oracle_parity
 # (same row-count/schema/value-hash comparison vs DuckDB at sf0.001,
-# runs in every pytest suite) or, for rows-only ops, by their golden /
+# runs in every pytest suite); rows-only ops by their golden /
 # differential tests.
+_WINDOW_ROUND = 13  # the round this window was written for
 _DRIVER_WINDOW = [
     "extreme_value",
     "flat_line",
     "extreme_change",
     "data_gap",
     "freq_infer",
-    # slot 6: NEW key this round (never driver-checked): the
-    # oracle-green restriction of the ANN recall meter
-    "ann_recall_lsh_ivf",
-    # slots 7-12: keys whose kernels or oracles CHANGED this round and
-    # must re-earn green rows — dedup_recall_report upgraded rows-only
-    # -> full SQL oracle; mann_whitney_u_bucketed's decimal ties^3 +
-    # HUGEINT oracle; knn_ivf's HUGEINT oracle + widened _int_scores +
-    # the half-away quantizer fix; semantic_dedup / kmeans_embeddings
-    # upgraded rows-only -> full SQL oracles (integer assignment +
-    # micro-unit cohesion); media_embedding_near_dup's auto density
-    "dedup_recall_report",
-    "mann_whitney_u_bucketed",
-    "knn_ivf",
-    "semantic_dedup",
-    "kmeans_embeddings",
-    "media_embedding_near_dup",
-    # slot 13: flagship refresh
-    "storm_find",
-    # slots 14-15: upgraded rows-only -> full SQL oracles LATE in r12
-    # (chained-CTE training replay + recursive-CTE encode) — they must
-    # earn their first hash-green driver rows this round. Displaced
-    # from the stale cohort below: rolling_mean and vocab_top_terms
-    # (both pinned by tests/test_oracle_parity.py every suite run;
-    # re-queued for the r13 window).
     "bpe_learn",
     "bpe_token_count",
-    # slots 16-50: the r07-stale cohort remainder (35 keys,
-    # alphabetical — last driver rows earned in round 7; includes
-    # lttb_downsample / holt_smooth / nation_trade_flow / revenue_topn
-    # whose SQL or wrapping was touched by the r12 lint pass)
-    "doc_fingerprint",
-    "embedding_norms",
-    "events_pivot",
-    "ewma_smooth",
-    "frame_sample",
-    "gopher_quality",
-    "holt_smooth",
-    "knn_ivf_pq",
-    "lang_id",
-    "lttb_downsample",
-    "media_resize",
-    "mixture_plan",
-    "nation_segment_rollup",
-    "nation_trade_flow",
-    "ngram_jaccard_pairs",
-    "order_priority_check",
-    "paragraph_dedup",
-    "prefix_dedup",
-    "price_deciles",
-    "quality_filter",
-    "range_join_error_purchase",
-    "repeat_customers",
-    "revenue_topn",
-    "rolling_fingerprint",
-    "sessionize",
-    "shuffle_shards",
-    "small_qty_part_revenue",
-    "temperature_mixture",
-    "tfidf_top_terms",
-    "top_customers_per_segment",
-    "top_price_orders",
-    "trailing_24h_mean",
-    "url_canonicalize",
-    "value_quantiles",
-    "zipf_fit",
+    "part_pagerank",
+    "rolling_mean",
+    "vocab_top_terms",
+    "bigram_logprob",
+    "boilerplate_phrases",
+    "contamination_fraction",
+    "cooccurrence_counts",
+    "corpus_summary",
+    "counter_rate",
+    "cross_doc_ngram_share",
+    "customer_order_distribution",
+    "cusum_alarm",
+    "data_expectations",
+    "decontaminate_bloom",
+    "decontaminate_ngram",
+    "dedup_clusters",
+    "discounted_revenue",
+    "disjunctive_part_revenue",
+    "doc_chunking",
+    "domain_stats",
+    "dominant_part_suppliers",
+    "event_pair_lift",
+    "event_transitions",
+    "events_cube",
+    "importance_resample",
+    "incremental_dedup",
+    "ks_drift",
+    "mad_drift",
+    "minhash_near_dup",
+    "nation_yoy_growth",
+    "ngram_novelty",
+    "pareto_parts",
+    "robust_zscore",
+    "simhash_fingerprints",
+    "simhash_near_dup",
+    "source_token_kl",
+    "time_weighted_avg",
+    "token_count_bpe",
+    "token_entropy",
+    "top_paths",
+    "zscore_anomaly",
+    "benford_deviation",
+    "burst_collapse",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 QUERIES = {k: QUERIES[k] for k in _DRIVER_WINDOW} | {

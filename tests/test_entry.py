@@ -32,12 +32,13 @@ def test_queries_all_run(spark):
     tests/test_oracle_parity.py already runs END TO END in this same
     suite (full Spark execution + DuckDB hash compare) are skipped
     here — re-executing them as a smoke check doubled suite wall time
-    for zero extra signal. The set difference (rows-only ops +
-    in-window driver-green keys) still executes below, so the suite
-    covers all 149 keys exactly once."""
-    from tests.test_oracle_parity import past_cap_oracle_queries
+    for zero extra signal. Since r13 the parity suite covers EVERY
+    oracle-backed key, so the set difference is the rows-only ops
+    alone — each still executes below or in its dedicated value-level
+    suite, so every registry key runs exactly once per suite."""
+    from tests.test_oracle_parity import oracle_backed_queries
 
-    covered = set(past_cap_oracle_queries())
+    covered = set(oracle_backed_queries())
     # the BPE pair runs END TO END with value-level reference parity in
     # tests/test_bpe.py; re-running the 12-round training loop here is
     # the same doubled-wall-time-for-zero-signal case as the parity
