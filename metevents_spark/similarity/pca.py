@@ -203,6 +203,33 @@ def _principal_components(
     Sign convention: each component's largest-|coefficient| entry is
     made positive — eigenvectors are sign-ambiguous, this pins them
     deterministically.
+
+    WHY pca_embeddings / embedding_whitening ARE ROWS-ONLY (the
+    r12-verdict feasibility pass, r13 — the knn_ivf_pq precedent):
+    the integer-state trick that made knn_ivf/part_pagerank
+    hash-exact does NOT extend past the covariance step, for
+    structural reasons, not effort ones. The covariance matrix itself
+    CAN be replayed (embedding_covariance is hash-green: its entries
+    round to a 1e-6 grid far from any summation-order ulp). What
+    cannot is ``np.linalg.eigh``: LAPACK's dsyevd is an ITERATIVE
+    float algorithm (tridiagonalization + divide-and-conquer, with
+    environment-dependent blocking), so a SQL re-implementation —
+    e.g. Jacobi rotations or QR sweeps in recursive CTEs — would fold
+    floats in a different order and converge to eigenvectors that
+    differ in ulps; there is no integer representation of an
+    eigenproblem whose solution stays rational. Those ulps then
+    multiply EVERY row (x - mu) @ comps.T, and grid-rounding the
+    projections to 1e-6 agrees only with probability ~1 - eps per
+    entry (a value an ulp from a .5 boundary flips the cell), while
+    the hash contract needs certainty. Near-degenerate eigenvalues
+    make it strictly worse: order and sign of the components flip on
+    ulp perturbations of the input. Whitening additionally divides by
+    sqrt(lambda_i) — an irrational scale applied per float entry.
+    Hence: rows-only driver checks, with the pair pinned by exact
+    numpy differential parity over the full corpus plus the defining
+    identity-covariance invariant (tests/test_pca.py), and the
+    oracle-able restriction (embedding_covariance, the exact input to
+    eigh) hash-green alongside.
     """
     rows = _covariance_partials(emb, dim).collect()
     if not rows:
@@ -236,9 +263,11 @@ def pca_embeddings(
     """Project every embedding onto the corpus's top-``k`` principal
     axes: (vec_id, label, pc1..pck), centered, deterministic signs.
 
-    Rows-only in the driver contract (eigendecomposition is not ANSI
-    SQL); pinned by exact differential parity with an independent
-    numpy PCA over the full sf0.001 corpus (tests/test_pca.py).
+    Rows-only in the driver contract — see the structural proof in
+    :func:`_principal_components` (eigh is iterative float; no
+    integer form exists); pinned by exact differential parity with an
+    independent numpy PCA over the full sf0.001 corpus
+    (tests/test_pca.py).
     Projection is map-side: the k x dim component matrix rides the
     kernel closure (broadcast), so the pass after training touches
     each row once and shuffles nothing but the final sort.
