@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -54,12 +55,26 @@ from pyspark.sql.types import (
 )
 
 PAIR_OUTPUT_SCHEMA = "doc_a long, doc_b long, est_jaccard double"
-BUCKET_STATE_SCHEMA = StructType(
+# SHARDED state (r13): the state key is hash(band, bucket) % n_shards,
+# not (band, bucket) itself — see stream_minhash_dedup's docstring.
+# Parallel arrays as PACKED BINARY numpy buffers (int64/int32
+# little-endian): per accepted doc (doc_ids/doc_grp), per
+# distinct-signature group row (grp_band/grp_bucket + the flattened
+# G x H sigs), per closed bucket (closed_band/closed_bucket). Binary
+# because a shard's state is the sum of its buckets' sketch mass and
+# round-trips through the state serializer on EVERY trigger that
+# touches the shard — as array<long> that's a Python-list conversion
+# of ~1e5 elements per call (measured ~2x the whole kernel's wall
+# time at sf0.1); as binary it's one buffer memcpy each way.
+SHARD_STATE_SCHEMA = StructType(
     [
-        StructField("doc_ids", ArrayType(LongType())),
-        StructField("group_of", ArrayType(IntegerType())),  # per doc
-        StructField("sigs", ArrayType(LongType())),  # flattened g x H
-        StructField("closed", IntegerType()),
+        StructField("doc_ids", BinaryType()),  # int64[n_docs]
+        StructField("doc_grp", BinaryType()),  # int32[n_docs]
+        StructField("grp_band", BinaryType()),  # int32[G]
+        StructField("grp_bucket", BinaryType()),  # int64[G]
+        StructField("sigs", BinaryType()),  # int64[G x H]
+        StructField("closed_band", BinaryType()),  # int32
+        StructField("closed_bucket", BinaryType()),  # int64
     ]
 )
 
@@ -160,6 +175,7 @@ def stream_minhash_dedup(
     bands: int = 8,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    n_shards: int = 64,
 ) -> DataFrame:
     """Near-dup pair stream over a document stream (doc_id, text).
 
@@ -167,6 +183,24 @@ def stream_minhash_dedup(
     the second member of a pair arrives; replaying a static corpus
     yields exactly the batch minhash_near_dup pair set (same sketch,
     same buckets, same estimate — pytest-pinned).
+
+    SHARDED STATE (r13, the stream-bench finding): the state key is
+    ``hash(band, bucket) % n_shards``, not (band, bucket). With
+    per-bucket keys, every trigger paid the applyInPandasWithState
+    per-group floor (~0.8 ms: one Arrow round trip + state
+    deserialize/serialize per group) once per DISTINCT BUCKET in the
+    batch — docs x bands calls, which capped ingest at ~150 docs/s
+    regardless of how cheap the per-doc math was. Sharding coalesces
+    that to <= n_shards calls per trigger while each call handles its
+    buckets in one vectorized pass; the per-BUCKET logic (cap,
+    close-at-cap, pair emission, doc_id processing order) is
+    byte-identical, buckets are independent, and the shard assignment
+    is deterministic, so the emitted pair set is exactly the
+    per-bucket kernel's (pytest-pinned vs the batch path). Measured
+    ~9x docs/s at sf0.1 (STREAM_BENCH.json). State per shard is the
+    sum of its buckets' bounded states (~|buckets|/n_shards of the
+    corpus sketch mass): n_shards is the parallelism knob — raise it
+    on a cluster until shards ~ 2-4x cores.
 
     Cap accounting mirrors the batch path's exact-dedup-first design:
     bucket residency is counted per DISTINCT SIGNATURE (one stored
@@ -185,38 +219,55 @@ def stream_minhash_dedup(
 
     def fn(key, pdf_iter, state: GroupState):
         if state.exists:
-            doc_ids, group_of, flat, closed = state.get
-            doc_ids = list(doc_ids)
-            group_of = list(group_of)
-            flat = list(flat)
+            (b_doc_ids, b_doc_grp, b_grp_band, b_grp_bucket, b_sigs,
+             b_closed_band, b_closed_bucket) = state.get
+            doc_ids = np.frombuffer(b_doc_ids, dtype="<i8").tolist()
+            doc_grp = np.frombuffer(b_doc_grp, dtype="<i4").tolist()
+            grp_band = np.frombuffer(b_grp_band, dtype="<i4").tolist()
+            grp_bucket = np.frombuffer(
+                b_grp_bucket, dtype="<i8"
+            ).tolist()
+            closed_band = np.frombuffer(b_closed_band, dtype="<i4")
+            closed_bucket = np.frombuffer(b_closed_bucket, dtype="<i8")
+            stored = np.frombuffer(b_sigs, dtype="<i8").reshape(-1, H)
         else:
-            doc_ids, group_of, flat, closed = [], [], [], 0
-        stored = np.asarray(flat, dtype=np.int64).reshape(-1, H)
+            doc_ids, doc_grp, grp_band, grp_bucket = [], [], [], []
+            closed_band, closed_bucket = [], []
+            stored = np.empty((0, H), dtype=np.int64)
+        sig_rows = [stored[i] for i in range(stored.shape[0])]
         # members[g] = doc_ids of exact-duplicate group g (same sig)
-        members: list[list[int]] = [[] for _ in range(stored.shape[0])]
-        for d, g in zip(doc_ids, group_of):
+        members: list[list[int]] = [[] for _ in range(len(sig_rows))]
+        for d, g in zip(doc_ids, doc_grp):
             members[g].append(int(d))
+        # per-bucket group-row index + closed set
+        by_bucket: dict[tuple[int, int], list[int]] = {}
+        for gi, (b, bk) in enumerate(zip(grp_band, grp_bucket)):
+            by_bucket.setdefault((int(b), int(bk)), []).append(gi)
+        closed = {
+            (int(b), int(bk))
+            for b, bk in zip(closed_band, closed_bucket)
+        }
         out_a: list[int] = []
         out_b: list[int] = []
         out_e: list[float] = []
         batch = pd.concat(list(pdf_iter), ignore_index=True)
-        # deterministic intra-batch order (doc_id): pair SETS are order
-        # independent below the cap; this fixes WHICH docs a closing
-        # bucket stores
-        batch = batch.sort_values("doc_id", kind="stable")
-        for doc_id, sig in zip(
-            batch["doc_id"].astype("int64"), batch["sig"]
-        ):
-            if closed:
-                break
-            doc_id = int(doc_id)
-            sig_arr = np.asarray(sig, dtype=np.int64)
+        # deterministic intra-BUCKET order (doc_id): pair SETS are
+        # order independent below the cap; this fixes WHICH docs a
+        # closing bucket stores. Bucket visit order is irrelevant —
+        # buckets share no state.
+        batch = batch.sort_values(
+            ["band", "bucket", "doc_id"], kind="stable"
+        )
+        def visit_doc(bkey, rows, doc_id, sig_arr):
+            """One arriving doc against its bucket's residents —
+            byte-identical to the per-bucket kernel's inner loop."""
             own_group = -1
-            if stored.shape[0]:
-                est = (stored == sig_arr).mean(axis=1)
+            if rows:
+                res = np.asarray([sig_rows[i] for i in rows])
+                est = (res == sig_arr).mean(axis=1)
                 for j in np.flatnonzero(est >= threshold):
                     ej = float(est[j])
-                    for other in members[j]:
+                    for other in members[rows[j]]:
                         if other == doc_id:
                             continue
                         out_a.append(min(other, doc_id))
@@ -224,21 +275,53 @@ def stream_minhash_dedup(
                         out_e.append(ej)
                 exact = np.flatnonzero(est == 1.0)
                 if exact.size:
-                    own_group = int(exact[0])
+                    own_group = rows[int(exact[0])]
             if own_group >= 0:
-                # exact copy: joins its group, consumes no resident slot
+                # exact copy: joins its group, no resident slot
                 members[own_group].append(doc_id)
                 doc_ids.append(doc_id)
-                group_of.append(own_group)
-            elif stored.shape[0] < max_bucket:
+                doc_grp.append(own_group)
+            elif len(rows) < max_bucket:
+                gi = len(sig_rows)
+                sig_rows.append(sig_arr)
                 members.append([doc_id])
+                grp_band.append(bkey[0])
+                grp_bucket.append(bkey[1])
+                rows.append(gi)
                 doc_ids.append(doc_id)
-                group_of.append(stored.shape[0])
-                stored = np.vstack([stored, sig_arr[None, :]])
+                doc_grp.append(gi)
             else:
-                closed = 1
+                closed.add(bkey)
+
+        for (band, bucket), sub in batch.groupby(
+            ["band", "bucket"], sort=False
+        ):
+            bkey = (int(band), int(bucket))
+            rows = by_bucket.setdefault(bkey, [])
+            for doc_id, sig in zip(
+                sub["doc_id"].astype("int64"), sub["sig"]
+            ):
+                if bkey in closed:
+                    break
+                visit_doc(
+                    bkey, rows, int(doc_id),
+                    np.asarray(sig, dtype=np.int64),
+                )
+        cb = sorted(closed)
         state.update(
-            (doc_ids, group_of, stored.ravel().tolist(), int(closed))
+            (
+                np.asarray(doc_ids, dtype="<i8").tobytes(),
+                np.asarray(doc_grp, dtype="<i4").tobytes(),
+                np.asarray(grp_band, dtype="<i4").tobytes(),
+                np.asarray(grp_bucket, dtype="<i8").tobytes(),
+                (
+                    np.concatenate(sig_rows).astype("<i8").tobytes()
+                    if sig_rows
+                    else b""
+                ),
+                np.asarray([b for b, _ in cb], dtype="<i4").tobytes(),
+                np.asarray([bk for _, bk in cb], dtype="<i8").tobytes(),
+            )
         )
         if out_a:
             yield pd.DataFrame(
@@ -259,11 +342,14 @@ def stream_minhash_dedup(
         "sig",
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
+        F.pmod(F.xxhash64("bb.band", "bb.bucket"), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
     )
-    return banded.groupBy("band", "bucket").applyInPandasWithState(
+    return banded.groupBy("shard").applyInPandasWithState(
         fn,
         PAIR_OUTPUT_SCHEMA,
-        BUCKET_STATE_SCHEMA,
+        SHARD_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
     )
