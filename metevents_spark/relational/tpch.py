@@ -502,7 +502,16 @@ def value_quantiles_approx(
 ) -> DataFrame:
     """Sketch-based quantiles (Greenwald-Khanna percentile_approx): the
     scale path next to value_quantiles' exact interpolation — bounded
-    memory per group at any cardinality. Approximate: rows-only check."""
+    memory per group at any cardinality.
+
+    WHY ROWS-ONLY (structural, the knn.py-note convention): the GK
+    summary is an ONLINE sketch whose retained tuples depend on row
+    ARRIVAL ORDER and on engine-specific compress schedules; Spark's
+    percentile_approx and any DuckDB counterpart keep different
+    tuples, so their answers agree only within the epsilon bound —
+    a hash oracle needs certainty, and no post-hoc rounding grid can
+    manufacture it. Pinned instead by the epsilon-band pytest against
+    the exact value_quantiles on identical input."""
     ev = load_table(spark, sf_dir, "events")
     pct = F.percentile_approx(
         "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(accuracy)
@@ -533,8 +542,15 @@ def user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_reach_approx(spark: SparkSession, sf_dir: str, rsd: float = 0.02) -> DataFrame:
     """HyperLogLog++ distinct-user reach: constant memory per group
     regardless of cardinality — at 100 TB the sketch (1.5KB/group)
-    replaces a distinct-shuffle of every user id. Approximate, so
-    rows-only checked."""
+    replaces a distinct-shuffle of every user id.
+
+    WHY ROWS-ONLY (structural): the HLL++ estimate is a function of
+    the engine's register layout, hash function, and bias-correction
+    table — implementation constants no other engine shares, so a
+    DuckDB approx_count_distinct returns a DIFFERENT valid estimate
+    of the same set. The exact twin (user_reach) carries the hash
+    oracle; this key is pinned by the rsd error-band pytest against
+    it."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")

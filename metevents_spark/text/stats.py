@@ -411,7 +411,10 @@ def corpus_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Expand and makes the whole report ONE partial+final aggregate
     over the scan — sketches merge map-side, so the exchange carries
     |sources| rows regardless of corpus size. Dup share within the
-    sketch's ~2% standard error."""
+    sketch's ~2% standard error. Rows-only for the same structural
+    reason as user_reach_approx (tpch.py): the HLL++ estimate embeds
+    engine-private constants; the exact corpus_summary twin carries
+    the hash oracle, and the error-band pytest pins this one."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens()
     n_tokens = F.size(toks).cast("long")
