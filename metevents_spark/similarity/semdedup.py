@@ -217,10 +217,29 @@ def lloyd_centroids(
     return svec.astype(np.float64) / (cnt.astype(np.float64)[:, None] * 1e6)
 
 
+def _auto_clusters(n_vecs: int, target_pop: int = 4096) -> int:
+    """Corpus-keyed Lloyd cell count: k = max(8, ceil(n / target_pop)).
+
+    The r13 x100 sweep caught semantic_dedup at a 101x decade ratio —
+    with FIXED k the within-cell all-pairs sweep costs ~k*(n/k)^2 =
+    n^2/k, quadratic in corpus size (and the per-cluster gram matrix
+    grows as (n/k)^2 doubles: ~5 GB transient at 200k vecs / 8 cells).
+    k proportional to n makes total pair work ~n*target_pop — linear —
+    and caps the gram at target_pop^2 (~134 MB). The floor of 8 makes
+    ``auto`` resolve to EXACTLY the oracle's fixed k at every scale
+    the static SQL replay actually runs (sf0.001, sf0.01, and the x10
+    replica are all <= 8*target_pop vectors), the same
+    knob-engages-above-the-oracle-scales contract as media.py's
+    _auto_projections."""
+    import math
+
+    return max(8, math.ceil(n_vecs / target_pop))
+
+
 def semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
-    k: int = 8,
+    k: int | str = "auto",
     iters: int = 3,
     threshold: float = 0.35,
 ) -> DataFrame:
@@ -238,8 +257,16 @@ def semantic_dedup(
     DuckDB's list_cosine_similarity, the embedding_near_dup
     hash-green precedent. Keeps emit NULL (not NaN) cos_to_dup so
     both engines agree on the missing value.
+
+    ``k="auto"`` (default since r13) keys the cluster count on the
+    corpus size (:func:`_auto_clusters`) so the within-cell sweep
+    stays linear in n; auto resolves to the oracle's fixed 8 at every
+    oracle-checked scale, so the static SQL replay remains exact
+    where it runs.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if k == "auto":
+        k = _auto_clusters(emb.count())
     svec, _cnt = lloyd_state(emb, k, iters)
     assigned = emb.select(
         "vec_id",

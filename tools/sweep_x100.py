@@ -50,6 +50,7 @@ SCALE_CRITICAL = [
 # hours-long (banded LSH / Lloyd / recursive CTEs over 10x the x10
 # corpus) — Spark timing + row count recorded, hash skipped
 ORACLE_SKIP_X100 = {
+    "part_pagerank",  # 240M-row edge build x 12 chained rounds in DuckDB
     "minhash_near_dup",
     "semantic_dedup",
     "media_embedding_near_dup",
