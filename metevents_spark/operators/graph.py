@@ -147,8 +147,9 @@ def part_pagerank(
         F.max("w").alias("mw"), F.max("w_out").alias("mo")
     ).first()
     mass = n_nodes * _U
+    # empty graph: the maxes are NULL; LONG trivially suffices
     wide = (
-        2 * mass * int(mx["mw"]) + int(mx["mo"]) >= 2**63
+        2 * mass * int(mx["mw"] or 0) + int(mx["mo"] or 0) >= 2**63
         or 2 * 10_000 * mass + 10_000 >= 2**63
     )
     num_t = "DECIMAL(38,0)" if wide else "LONG"
