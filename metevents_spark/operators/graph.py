@@ -121,11 +121,21 @@ def part_pagerank(
     out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
     # (src, dst, w, w_out): integer edge weights + source out-mass;
     # the transition probability w/w_out is never materialized as a
-    # float — it applies per round as an exact rounded rational
+    # float — it applies per round as an exact rounded rational.
+    # PERSIST pre-partitioned on src, NOT localCheckpoint: a
+    # checkpointed RDD scans back as UnknownPartitioning, so every
+    # round's join re-shuffled AND re-sorted the whole edge frame —
+    # the dominant x100 cost (r13 sweep: decade ratio 23). An
+    # InMemoryRelation retains its child's output partitioning, so
+    # with the explicit repartition the per-round shuffle-hash join
+    # reuses edge co-location and moves only the |nodes|-sized rank
+    # frame; the static edge lineage (one checkpointed scan deep)
+    # makes persist as safe as checkpoint here.
     trans = track(
         edges.join(out_w, "src")
         .select("src", "dst", "w", "w_out")
-        .localCheckpoint()
+        .repartition("src")
+        .persist()
     )
     nodes = track(edges.select(F.col("src").alias("pid")).distinct().persist())
     n_nodes = nodes.count()  # bounded: |parts| (dimension-sized)
@@ -160,9 +170,18 @@ def part_pagerank(
     )
     part_pagerank.last_n_rounds = 0
     for it in range(n_iter):
+        # SHUFFLE_HASH on the rank side: the cached edge frame is
+        # already hash-partitioned on src, so the join only shuffles
+        # the |nodes|-sized rank frame and hash-builds on it — no
+        # per-round sort of |edges| rows (SMJ would sort both sides;
+        # broadcast would collect |nodes| to the driver each round,
+        # which dies first on a billion-node graph)
         contrib = (
             trans.join(
-                ranks.select(F.col("pid").alias("src"), "rank"), "src"
+                ranks.select(F.col("pid").alias("src"), "rank").hint(
+                    "shuffle_hash"
+                ),
+                "src",
             )
             .select(
                 "dst",
