@@ -74,6 +74,66 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.unionByName(rev)
 
 
+def _transition_frame(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(trans, nodes): the cached transition frame + node set.
+
+    ``trans`` (src, dst, w, w_out) carries integer edge weights +
+    source out-mass; the transition probability w/w_out is never
+    materialized as a float — it applies per round as an exact rounded
+    rational. It is PERSISTED pre-partitioned on src, NOT
+    localCheckpointed: a checkpointed RDD scans back as
+    UnknownPartitioning, so every round's join re-shuffled AND
+    re-sorted the whole edge frame — the dominant x100 cost (r13
+    sweep: decade ratio 23). An InMemoryRelation retains its child's
+    output partitioning, so with the explicit repartition the
+    per-round shuffle-hash join reuses edge co-location and moves only
+    the |nodes|-sized rank frame; the static edge lineage (one
+    checkpointed scan deep) makes persist as safe as checkpoint here.
+    """
+    edges = track(_copurchase_edges(spark, sf_dir).localCheckpoint())
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    trans = track(
+        edges.join(out_w, "src")
+        .select("src", "dst", "w", "w_out")
+        .repartition("src")
+        .persist()
+    )
+    nodes = track(edges.select(F.col("src").alias("pid")).distinct().persist())
+    return trans, nodes
+
+
+def _round_contrib(trans: DataFrame, ranks: DataFrame, num_t: str) -> DataFrame:
+    """One power-iteration round's incoming rank mass per node.
+
+    SHUFFLE_HASH on the rank side: the cached edge frame is already
+    hash-partitioned on src, so the join only shuffles the
+    |nodes|-sized rank frame and hash-builds on it — no per-round sort
+    of |edges| rows (SMJ would sort both sides; broadcast would
+    collect |nodes| to the driver each round, which dies first on a
+    billion-node graph). The plan shape is pinned by
+    tests/test_plans.py::test_pagerank_round_reuses_edge_partitioning.
+    """
+    return (
+        trans.join(
+            ranks.select(F.col("pid").alias("src"), "rank").hint(
+                "shuffle_hash"
+            ),
+            "src",
+        )
+        .select(
+            "dst",
+            F.expr(
+                f"CAST((2 * CAST(rank AS {num_t}) * w + w_out)"
+                " DIV (2 * w_out) AS LONG)"
+            ).alias("c"),
+        )
+        .groupBy(F.col("dst").alias("pid"))
+        .agg(F.sum("c").alias("in_mass"))
+    )
+
+
 def part_pagerank(
     spark: SparkSession,
     sf_dir: str,
@@ -117,27 +177,7 @@ def part_pagerank(
     quantized to integer ppm for presentation; ordering ties break on
     part id.
     """
-    edges = track(_copurchase_edges(spark, sf_dir).localCheckpoint())
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
-    # (src, dst, w, w_out): integer edge weights + source out-mass;
-    # the transition probability w/w_out is never materialized as a
-    # float — it applies per round as an exact rounded rational.
-    # PERSIST pre-partitioned on src, NOT localCheckpoint: a
-    # checkpointed RDD scans back as UnknownPartitioning, so every
-    # round's join re-shuffled AND re-sorted the whole edge frame —
-    # the dominant x100 cost (r13 sweep: decade ratio 23). An
-    # InMemoryRelation retains its child's output partitioning, so
-    # with the explicit repartition the per-round shuffle-hash join
-    # reuses edge co-location and moves only the |nodes|-sized rank
-    # frame; the static edge lineage (one checkpointed scan deep)
-    # makes persist as safe as checkpoint here.
-    trans = track(
-        edges.join(out_w, "src")
-        .select("src", "dst", "w", "w_out")
-        .repartition("src")
-        .persist()
-    )
-    nodes = track(edges.select(F.col("src").alias("pid")).distinct().persist())
+    trans, nodes = _transition_frame(spark, sf_dir)
     n_nodes = nodes.count()  # bounded: |parts| (dimension-sized)
 
     d_num = int(round(damping * 10_000))
@@ -170,29 +210,7 @@ def part_pagerank(
     )
     part_pagerank.last_n_rounds = 0
     for it in range(n_iter):
-        # SHUFFLE_HASH on the rank side: the cached edge frame is
-        # already hash-partitioned on src, so the join only shuffles
-        # the |nodes|-sized rank frame and hash-builds on it — no
-        # per-round sort of |edges| rows (SMJ would sort both sides;
-        # broadcast would collect |nodes| to the driver each round,
-        # which dies first on a billion-node graph)
-        contrib = (
-            trans.join(
-                ranks.select(F.col("pid").alias("src"), "rank").hint(
-                    "shuffle_hash"
-                ),
-                "src",
-            )
-            .select(
-                "dst",
-                F.expr(
-                    f"CAST((2 * CAST(rank AS {num_t}) * w + w_out)"
-                    " DIV (2 * w_out) AS LONG)"
-                ).alias("c"),
-            )
-            .groupBy(F.col("dst").alias("pid"))
-            .agg(F.sum("c").alias("in_mass"))
-        )
+        contrib = _round_contrib(trans, ranks, num_t)
         # per-round checkpoint: measured FASTER than checkpointing every
         # 3rd round (9.7s vs 6.7s warm at sf0.1) — the chained-3-round
         # DAG pays more in repeated stage planning than the extra

@@ -125,6 +125,44 @@ def test_minhash_candidates_join_on_buckets(spark):
     assert "InMemoryTableScan" in plan, plan
 
 
+def test_pagerank_round_reuses_edge_partitioning(spark):
+    """A power-iteration round must NOT shuffle or sort the |edges|
+    transition frame: it is cached pre-partitioned on src (an
+    InMemoryRelation retains output partitioning; localCheckpoint does
+    not), and the rank side carries a SHUFFLE_HASH hint — so the round
+    plan is a ShuffledHashJoin probing the cache in place, with
+    exchanges only for the |nodes|-sized rank frame and the
+    contribution aggregate. This is the property that took the x100
+    decade ratio from 23 back into the linear band."""
+    from metevents_spark.operators.graph import (
+        _round_contrib,
+        _transition_frame,
+    )
+
+    trans, nodes = _transition_frame(spark, SF)
+    trans.count()  # materialize the cache, as part_pagerank's guard does
+    ranks = nodes.selectExpr("pid", "cast(1000000000 as long) as rank")
+    plan = plan_of(_round_contrib(trans, ranks.localCheckpoint(), "LONG"))
+    # drop the InMemoryRelation subtree: it prints the CACHED build
+    # plan (one-time cost, legitimately containing its own joins and
+    # exchanges); the assertions are about the per-round plan only
+    lines, round_lines, skip_past = plan.splitlines(), [], None
+    for ln in lines:
+        depth = len(ln) - len(ln.lstrip(" :+-*("))
+        if skip_past is not None and depth > skip_past:
+            continue
+        skip_past = depth if "InMemoryRelation" in ln else None
+        round_lines.append(ln)
+    round_plan = "\n".join(round_lines)
+    assert "ShuffledHashJoin" in round_plan, plan
+    assert "SortMergeJoin" not in round_plan, plan
+    assert "InMemoryTableScan" in round_plan, plan
+    # rank-side shuffle + aggregate shuffle only; the edge side must
+    # contribute NO exchange (its hashpartitioning lives inside the
+    # cached plan, not the round plan)
+    assert len(re.findall(r"Exchange hashpartitioning", round_plan)) <= 2, plan
+
+
 def test_embedding_quantize_hoists_scale_out_of_fold(spark):
     """The absmax-derived scale must be projected ONCE per row, not
     inlined into the F.aggregate lambda — inlining re-evaluates the
