@@ -298,15 +298,26 @@ def _minhash_rep_pairs(
     # hot-bucket size scan; without persist Spark computes the whole
     # signature pipeline once per consumer (no cross-branch CSE). At
     # scale this is the "checkpoint signatures before pairing" stage
-    # of a dedup pipeline.
-    banded = track(banded.persist(StorageLevel.MEMORY_AND_DISK))
+    # of a dedup pipeline. PRE-PARTITIONED on the join key: the
+    # InMemoryRelation retains this partitioning, so the self-join
+    # consumes the cache in place — without it each side re-exchanged
+    # the full (sig-array-wide) frame (r13 x100 profile).
+    banded = track(
+        banded.repartition("band", "bucket")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # the guard's bucket-count action also fills the cache eagerly —
     # the two self-join sides would otherwise race to populate it
     # inside one job, each recomputing the signature pipeline
     banded = _cap_hot_buckets(banded, max_bucket, "minhash_lsh_guard")
 
     left = banded.alias("l")
-    right = banded.alias("r")
+    # SHUFFLE_HASH: with both sides cache-co-located the sort-merge
+    # strategy's only remaining cost is sorting the wide signature rows
+    # twice per query — the hash build on one side's (bounded) bucket
+    # partition skips both sorts, and unlike broadcast it never ships
+    # the corpus to the driver
+    right = banded.alias("r").hint("shuffle_hash")
     pairs = (
         left.join(
             right,
@@ -714,10 +725,19 @@ def dedup_clusters(
     # query (after this one's result materializes) releases the
     # checkpoint instead of waiting for the ContextCleaner to GC it
     pairs = track(rep_pairs.select("doc_a", "doc_b").localCheckpoint())
-    edges = pairs.union(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    # the symmetric edge frame is joined on doc_b EVERY round; cached
+    # pre-partitioned on it (on top of the lineage-cutting checkpoint,
+    # which itself scans back as UnknownPartitioning) each round
+    # consumes the cache in place and shuffles only the label frame —
+    # the part_pagerank round-plan contract (operators/graph.py)
+    edges = track(
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
         )
+        .repartition("doc_b")
+        .persist()
     )
 
     # vertices touched by at least one edge — the only ones whose label
@@ -736,9 +756,10 @@ def dedup_clusters(
         # next label = min over own label and in-neighbors' labels: one
         # shuffle-join to pull neighbor labels + one groupBy-min over
         # the union with the current labels (map-side combinable).
-        contrib = edges.join(labels, edges["doc_b"] == labels["doc_id"]).select(
-            F.col("doc_a").alias("doc_id"), "cluster"
-        )
+        contrib = edges.join(
+            labels.hint("shuffle_hash"),
+            edges["doc_b"] == labels["doc_id"],
+        ).select(F.col("doc_a").alias("doc_id"), "cluster")
         new_labels = (
             contrib.union(labels)
             .groupBy("doc_id")
