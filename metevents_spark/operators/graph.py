@@ -51,77 +51,94 @@ _U = 1_000_000_000
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric weighted edge list (src, dst, w) over parts co-ordered
-    at least once; w = number of distinct orders containing both."""
+    at least once; w = number of distinct orders containing both.
+
+    ONE exchange for the whole pipeline (r13 x100 lesson — the edge
+    build was ~40% of pagerank's x100 wall): baskets are cached
+    pre-partitioned on l_orderkey so the basket self-join probes the
+    cache in place (a hash partitioning on a SUBSET of the grouping /
+    join keys satisfies a clustered distribution, so the single
+    repartition serves the distinct, the self-join, and — after the
+    src repartition — the pair count AND every downstream src-keyed
+    consumer). Both directions come straight out of the a != b
+    self-join rather than union-mirroring an a < b half, so the
+    output is symmetric AND hash(src)-partitioned as built."""
     items = track(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
         .distinct()
         .persist()
     )
-    pairs = (
+    return (
         items.alias("a")
-        .join(items.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
+        .join(items.alias("b").hint("shuffle_hash"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
+        .repartition("src")
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    rev = pairs.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-    )
-    return pairs.unionByName(rev)
 
 
 def _transition_frame(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """(trans, nodes): the cached transition frame + node set.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(edges, out_w, nodes): the cached edge frame + per-source
+    out-mass + node set.
 
-    ``trans`` (src, dst, w, w_out) carries integer edge weights +
-    source out-mass; the transition probability w/w_out is never
-    materialized as a float — it applies per round as an exact rounded
-    rational. It is PERSISTED pre-partitioned on src, NOT
+    ``edges`` is PERSISTED hash(src)-partitioned as built, NOT
     localCheckpointed: a checkpointed RDD scans back as
     UnknownPartitioning, so every round's join re-shuffled AND
     re-sorted the whole edge frame — the dominant x100 cost (r13
     sweep: decade ratio 23). An InMemoryRelation retains its child's
-    output partitioning, so with the explicit repartition the
-    per-round shuffle-hash join reuses edge co-location and moves only
-    the |nodes|-sized rank frame; the static edge lineage (one
-    checkpointed scan deep) makes persist as safe as checkpoint here.
+    output partitioning, so the per-round shuffle-hash join reuses
+    edge co-location and moves only the |nodes|-sized rank frame.
+
+    The (src, dst, w, w_out) transition frame of the first r13 cut is
+    deliberately NOT materialized: w_out is a |nodes|-sized column, so
+    the rounds join it onto the RANK frame (nodes-sized ⋈ nodes-sized,
+    trivial) instead of paying a second |edges|-sized cache fill +
+    join at build time — the x100 build was ~40% of total wall.
+    ``out_w`` aggregates in place on the cached edges (no exchange:
+    already clustered by src) and doubles as the node set — every
+    node in this symmetric closed graph has out-degree >= 1, which is
+    also why no dangling-mass term is needed.
     """
-    edges = track(_copurchase_edges(spark, sf_dir).localCheckpoint())
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
-    trans = track(
-        edges.join(out_w, "src")
-        .select("src", "dst", "w", "w_out")
-        .repartition("src")
-        .persist()
+    edges = track(_copurchase_edges(spark, sf_dir).persist())
+    out_w = track(
+        edges.groupBy("src").agg(F.sum("w").alias("w_out")).persist()
     )
-    nodes = track(edges.select(F.col("src").alias("pid")).distinct().persist())
-    return trans, nodes
+    nodes = out_w.select(F.col("src").alias("pid"))
+    return edges, out_w, nodes
 
 
-def _round_contrib(trans: DataFrame, ranks: DataFrame, num_t: str) -> DataFrame:
+def _round_contrib(
+    edges: DataFrame, out_w: DataFrame, ranks: DataFrame, num_t: str
+) -> DataFrame:
     """One power-iteration round's incoming rank mass per node.
 
     SHUFFLE_HASH on the rank side: the cached edge frame is already
-    hash-partitioned on src, so the join only shuffles the
-    |nodes|-sized rank frame and hash-builds on it — no per-round sort
-    of |edges| rows (SMJ would sort both sides; broadcast would
-    collect |nodes| to the driver each round, which dies first on a
-    billion-node graph). The plan shape is pinned by
+    hash-partitioned on src, so the round joins out-mass onto the rank
+    frame (both |nodes|-sized), shuffles only that, and hash-builds on
+    it — no per-round shuffle OR sort of |edges| rows (SMJ would sort
+    both sides; broadcast would collect |nodes| to the driver each
+    round, which dies first on a billion-node graph). The plan shape is
+    pinned by
     tests/test_plans.py::test_pagerank_round_reuses_edge_partitioning.
     """
-    return (
-        trans.join(
-            ranks.select(F.col("pid").alias("src"), "rank").hint(
-                "shuffle_hash"
-            ),
-            "src",
+    rank_w = (
+        ranks.join(
+            out_w.withColumnRenamed("src", "pid").hint("shuffle_hash"),
+            "pid",
         )
+        .select(F.col("pid").alias("src"), "rank", "w_out")
+    )
+    return (
+        edges.join(rank_w.hint("shuffle_hash"), "src")
         .select(
             "dst",
             F.expr(
@@ -177,7 +194,7 @@ def part_pagerank(
     quantized to integer ppm for presentation; ordering ties break on
     part id.
     """
-    trans, nodes = _transition_frame(spark, sf_dir)
+    edges, out_w, nodes = _transition_frame(spark, sf_dir)
     n_nodes = nodes.count()  # bounded: |parts| (dimension-sized)
 
     d_num = int(round(damping * 10_000))
@@ -193,13 +210,12 @@ def part_pagerank(
     # hub weights — the same expressions run in decimal. Values are
     # identical on both paths (the guard PROVES no wrap), so the
     # DuckDB oracle's HUGEINT replay matches either.
-    mx = trans.agg(
-        F.max("w").alias("mw"), F.max("w_out").alias("mo")
-    ).first()
+    mw = edges.agg(F.max("w")).first()[0]
+    mo = out_w.agg(F.max("w_out")).first()[0]
     mass = n_nodes * _U
     # empty graph: the maxes are NULL; LONG trivially suffices
     wide = (
-        2 * mass * int(mx["mw"] or 0) + int(mx["mo"] or 0) >= 2**63
+        2 * mass * int(mw or 0) + int(mo or 0) >= 2**63
         or 2 * 10_000 * mass + 10_000 >= 2**63
     )
     num_t = "DECIMAL(38,0)" if wide else "LONG"
@@ -210,7 +226,7 @@ def part_pagerank(
     )
     part_pagerank.last_n_rounds = 0
     for it in range(n_iter):
-        contrib = _round_contrib(trans, ranks, num_t)
+        contrib = _round_contrib(edges, out_w, ranks, num_t)
         # per-round checkpoint: measured FASTER than checkpointing every
         # 3rd round (9.7s vs 6.7s warm at sf0.1) — the chained-3-round
         # DAG pays more in repeated stage planning than the extra
