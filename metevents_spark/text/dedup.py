@@ -1241,70 +1241,79 @@ def doc_containment(
     and set sizes are exact integers; containment is emitted in integer
     ppm via floor division. No float op anywhere.
 
-    Scale shape: one explode into (shingle, doc) postings, one
-    map-side-collapsed document-frequency count, the capped self-join
-    co-located on the shingle hash, one groupBy(pair) whose partial
-    aggregation collapses map-side, then a broadcast-sized join back to
-    per-doc set sizes (|docs| rows, one column). Document text never
-    moves past the first projection.
+    Scale shape (r13 rewrite, guide §2.3/§2.4): the per-doc distinct
+    shingle ARRAY is cached (not the exploded postings), so |S_A| is a
+    map-side ``size(array)`` — the old groupBy(doc_id) re-aggregation
+    of every posting is gone, one full exchange removed. Postings then
+    explode into ONE exchange on the shingle hash, where a count
+    window computes document frequency WITHOUT buffering hot-shingle
+    groups (sort-based, spills gracefully — a collect_list-first plan
+    would have to materialize a boilerplate shingle's full posting
+    list in one aggregation buffer before dropping it, the exact
+    unboundedness the df-cap exists to prevent). Rare postings
+    collapse in place (no second exchange — already clustered on sh)
+    into per-shingle id lists BOUNDED at max_df elements, and the
+    d^2 pair fan-out is a map-side double explode of those bounded
+    lists — the old cache-the-postings-twice self-join (which AQE
+    turned into a broadcast of the full rare frame: a driver collect
+    that grows with the corpus) is gone. One groupBy(pair) whose
+    partial aggregation collapses map-side, then a broadcast-sized
+    join back to per-doc set sizes (|docs| rows, two columns).
+    Document text never moves past the first projection.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # three consumers (set sizes, document frequencies, the capped
-    # postings) — persist so the text explodes ONCE; the frame is
-    # (doc_id, digest) only, text itself never enters it
-    grams = track(
+    # two consumers (set sizes, postings) — persist so the text
+    # shingles ONCE; the frame is (doc_id, digest array) only, text
+    # itself never enters it
+    arrs = track(
         docs.select(
             "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.filter(
-                            F.transform(
-                                F.split(F.col("text"), " "),
-                                lambda w, i: F.struct(
-                                    w.alias("w"), i.alias("i")
-                                ),
+            F.array_distinct(
+                F.transform(
+                    F.filter(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda w, i: F.struct(
+                                w.alias("w"), i.alias("i")
                             ),
-                            lambda s: s["i"]
-                            <= F.size(F.split(F.col("text"), " ")) - n,
                         ),
-                        lambda s: F.md5(
-                            F.concat_ws(
-                                " ",
-                                F.slice(
-                                    F.split(F.col("text"), " "), s["i"] + 1, n
-                                ),
-                            )
-                        ),
-                    )
+                        lambda s: s["i"]
+                        <= F.size(F.split(F.col("text"), " ")) - n,
+                    ),
+                    lambda s: F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.slice(
+                                F.split(F.col("text"), " "), s["i"] + 1, n
+                            ),
+                        )
+                    ),
                 )
-            ).alias("sh"),
+            ).alias("shs"),
         ).persist()
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # cast: size() is int, the contract column n_a is long (was count())
+    sizes = arrs.select(
+        "doc_id", F.size("shs").cast("long").alias("n_sh")
+    )
+    grams = arrs.select("doc_id", F.explode("shs").alias("sh"))
     from pyspark.sql import Window
 
     # document frequency via a count window over the shingle hash —
-    # ONE exchange on sh instead of groupBy + shuffle join back; both
-    # self-join sides then read the persisted capped postings
+    # ONE exchange on sh; the rare-shingle posting lists (<= max_df
+    # ids each) aggregate IN PLACE on that same partitioning
     w_sh = Window.partitionBy("sh")
-    rare = track(
+    rare_ids = (
         grams.withColumn("df", F.count(F.lit(1)).over(w_sh))
         .where(F.col("df") <= max_df)
-        .drop("df")
-        .persist()
+        .groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("ids"))
     )
-    a, b = rare.alias("a"), rare.alias("b")
     shared = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        rare_ids.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
