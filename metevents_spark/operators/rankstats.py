@@ -57,6 +57,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from metevents_spark.cache import track
 from metevents_spark.io import load_table, series_frame
 from metevents_spark.timeutil import epoch_us
 
@@ -86,14 +87,21 @@ def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one sid exchange, then a CO-LOCATED self-join (both sides
     share the sid hash partitioning) forms the within-series pairs —
     O(n_s²) rows per series but never cross-series. Series need ≥ 2
-    distinct-time points.
+    distinct-time points. The windowed frame is CACHED before the
+    self-join (r13, guide §2.4): without it each side re-ran the
+    scan + sid exchange + sort + window independently (no cross-side
+    CSE in Catalyst), and the InMemoryRelation retains both the sid
+    hash partitioning and the (sid, ts, seq) sort, so the join
+    consumes the cache in place.
     """
     w = Window.partitionBy("sid").orderBy("ts", "seq")
-    clean = _clean_series(spark, sf_dir).select(
-        "sid",
-        F.row_number().over(w).alias("rn"),
-        epoch_us(F.col("ts")).alias("us"),
-        F.col("value").alias("y"),
+    clean = track(
+        _clean_series(spark, sf_dir).select(
+            "sid",
+            F.row_number().over(w).alias("rn"),
+            epoch_us(F.col("ts")).alias("us"),
+            F.col("value").alias("y"),
+        ).persist()
     )
     a, b = clean.alias("a"), clean.alias("b")
     slope = (
@@ -138,7 +146,10 @@ def _sampled_points(
     regardless of raw length.
 
     One sid exchange shared by the row-number window, the length
-    window, and the downstream pair join.
+    window, and the downstream pair join. The surviving subsample is
+    CACHED (r13, guide §2.4) so the pair self-join's two sides don't
+    each re-run the scan + windows + md5 filter; the cache retains
+    the sid partitioning for an exchange-free join.
     """
     w = Window.partitionBy("sid").orderBy("ts", "seq")
     ws = Window.partitionBy("sid")
@@ -162,7 +173,12 @@ def _sampled_points(
         )
         * F.lit(_TWO60)
     ).cast("long")
-    return pts.withColumn("__keep", h60 < thr).filter("__keep").drop("__keep")
+    return track(
+        pts.withColumn("__keep", h60 < thr)
+        .filter("__keep")
+        .drop("__keep")
+        .persist()
+    )
 
 
 def theilsen_trend_sampled(
@@ -414,13 +430,17 @@ def kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the same CO-LOCATED sid self-join as :func:`theilsen_trend`
     (O(n_s²) pairs per series, one sid exchange, never cross-series;
     the pair-subsample swap-in applies identically at extreme series
-    lengths). Series need ≥ 2 points and at least one untied pair.
+    lengths), with the windowed frame cached once for both join sides
+    (see theilsen_trend). Series need ≥ 2 points and at least one
+    untied pair.
     """
     w = Window.partitionBy("sid").orderBy("ts", "seq")
-    clean = _clean_series(spark, sf_dir).select(
-        "sid",
-        F.row_number().over(w).alias("rn"),
-        F.col("value").alias("y"),
+    clean = track(
+        _clean_series(spark, sf_dir).select(
+            "sid",
+            F.row_number().over(w).alias("rn"),
+            F.col("value").alias("y"),
+        ).persist()
     )
     a, b = clean.alias("a"), clean.alias("b")
     pairs = a.join(
