@@ -195,7 +195,6 @@ def part_pagerank(
     part id.
     """
     edges, out_w, nodes = _transition_frame(spark, sf_dir)
-    n_nodes = nodes.count()  # bounded: |parts| (dimension-sized)
 
     d_num = int(round(damping * 10_000))
     teleport_int = ((10_000 - d_num) * _U) // 10_000  # exact for 0.85
@@ -210,8 +209,15 @@ def part_pagerank(
     # hub weights — the same expressions run in decimal. Values are
     # identical on both paths (the guard PROVES no wrap), so the
     # DuckDB oracle's HUGEINT replay matches either.
+    # n_nodes (= |out_w|: every node of this symmetric graph has
+    # out-degree >= 1) and max(w_out) share ONE driver job — this
+    # setup was 3 jobs (count, max w, max w_out) and each driver job
+    # is a fixed ~0.3-0.4s of the sf0.1/x10 floor (guide §1.2).
+    n_row = out_w.agg(
+        F.count(F.lit(1)).alias("n"), F.max("w_out").alias("mo")
+    ).first()
+    n_nodes, mo = int(n_row["n"]), n_row["mo"]
     mw = edges.agg(F.max("w")).first()[0]
-    mo = out_w.agg(F.max("w_out")).first()[0]
     mass = n_nodes * _U
     # empty graph: the maxes are NULL; LONG trivially suffices
     wide = (
