@@ -24,6 +24,7 @@ from metevents_spark.timeutil import epoch_us
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from metevents_spark.cache import track
 from metevents_spark.io import series_frame
 
 
@@ -55,12 +56,18 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     df = series_frame(spark, sf_dir)
     hr = F.date_trunc("hour", F.col("ts"))
-    hourly = (
+    # cached (r13, guide §2.4): bounds and the observed-bucket window
+    # both consume the hourly aggregate; without the cache each branch
+    # re-ran the scan + (sid, hr) exchange + aggregate (plan showed 0
+    # ReusedExchange). The 6-dp rounding happens INSIDE the cached
+    # frame, so downstream values are bit-identical.
+    hourly = track(
         df.groupBy("sid", hr.alias("hr"))
         .agg(
             F.round(F.avg("value"), 6).alias("v_hour"),
             F.count("value").alias("n_hour"),
         )
+        .persist()
     )
     bounds = hourly.groupBy("sid").agg(
         F.min("hr").alias("hr_lo"), F.max("hr").alias("hr_hi")

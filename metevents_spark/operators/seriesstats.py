@@ -622,7 +622,12 @@ def anomaly_consensus(
     (sid, tod) exchanges), and the median/MAD side is |sids|-row joins
     reusing the sid partitioning — no detector re-runs its own scan.
     NULL values and degenerate strata yield NULL scores, which vote 0
-    via the CASE guard in both engines.
+    via the CASE guard in both engines. Deliberately NOT cached (r13
+    measurement): persisting the tagged frame for the three branches
+    read 2.1s -> 2.5s warm at sf0.1 — the cache materializes every
+    column, defeating each branch's own column pruning, and the
+    branches share one job so they race to fill it anyway; the scan
+    is cheaper than the cache.
     """
     df = series_frame(spark, sf_dir).withColumn(
         "tod", F.floor(F.hour("ts") / 6).cast("long")
