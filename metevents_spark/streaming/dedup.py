@@ -100,37 +100,55 @@ def minhash_sig_col(text_col, k: int = 3, num_hashes: int = 32):
     cheap long multiply/add/least ops: same values, one md5 per
     shingle (~30x faster map side).
     """
-    toks = F.split(text_col, " ")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
-    )
-    # md5-derived K-M base hashes, IDENTICAL to the batch path
-    # (text/dedup.py minhash_signatures): h1 = 60-bit / h2 = 32-bit hex
-    # slices of one md5 per shingle — engine-portable, so batch, stream
-    # and the DuckDB oracle all compute the same signatures
-    pairs = F.transform(
-        # nested transform so each shingle is md5-hashed exactly once
-        # (the struct lambda would otherwise evaluate md5(s) per slice)
-        F.transform(shingles, lambda s: F.md5(s)),
-        lambda h: F.struct(
-            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(h, 17, 8), 16, 10).cast("long").alias("h2"),
-        ),
-    )
-    # h1 < 2^60, h2 < 2^32, i < num_hashes: h1 + i*h2 stays far from
-    # the long boundary, and LONG_MAX as the identity is above any
-    # real g_i value
-    return F.aggregate(
-        pairs,
-        F.array_repeat(F.lit(2**63 - 1), num_hashes),
-        lambda acc, x: F.transform(
-            acc,
-            lambda m, i: F.least(
-                m, x["h1"] + i.cast("long") * x["h2"]
+    def _sig(toks):
+        # ``toks`` is a BOUND lambda variable, not the raw split
+        # expression: referencing the split inline from the shingle
+        # lambda body would re-split the full text per array element
+        # (O(len^2) per doc — the doc_containment lesson, same fix)
+        shingles = F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))
             ),
-        ),
-    )
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+        # md5-derived K-M base hashes, IDENTICAL to the batch path
+        # (text/dedup.py minhash_signatures): h1 = 60-bit / h2 = 32-bit
+        # hex slices of one md5 per shingle — engine-portable, so
+        # batch, stream and the DuckDB oracle all compute the same
+        # signatures
+        pairs = F.transform(
+            # nested transform so each shingle is md5-hashed exactly
+            # once (the struct lambda would otherwise evaluate md5(s)
+            # per slice)
+            F.transform(shingles, lambda s: F.md5(s)),
+            lambda h: F.struct(
+                F.conv(F.substring(h, 1, 15), 16, 10)
+                .cast("long")
+                .alias("h1"),
+                F.conv(F.substring(h, 17, 8), 16, 10)
+                .cast("long")
+                .alias("h2"),
+            ),
+        )
+        # h1 < 2^60, h2 < 2^32, i < num_hashes: h1 + i*h2 stays far
+        # from the long boundary, and LONG_MAX as the identity is
+        # above any real g_i value
+        return F.aggregate(
+            pairs,
+            F.array_repeat(F.lit(2**63 - 1), num_hashes),
+            lambda acc, x: F.transform(
+                acc,
+                lambda m, i: F.least(
+                    m, x["h1"] + i.cast("long") * x["h2"]
+                ),
+            ),
+        )
+
+    # transform-over-singleton-array binds the token array once per
+    # row (HOF *arguments* evaluate once; only lambda bodies run per
+    # element), keeping the whole signature a single map-side column
+    # expression
+    return F.transform(F.array(F.split(text_col, " ")), _sig)[0]
 
 
 def band_bucket_cols(sig_col, num_hashes: int = 32, bands: int = 8):

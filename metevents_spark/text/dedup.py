@@ -1120,19 +1120,22 @@ def dedup_recall_report(
         .orderBy("pk", "doc_id")
         .limit(sample)
     )
+    # token array bound as a column (not inlined into the lambda):
+    # slice(split(text), i, k) in the lambda body would re-split the
+    # full text per array element — O(len^2) per doc (the
+    # doc_containment lesson; bounded here by the 200-doc sample but
+    # the same fix is free)
     shingled = picked.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
         "doc_id",
         F.array_distinct(
             F.transform(
                 F.sequence(
                     F.lit(1),
-                    F.greatest(
-                        F.size(F.split("text", " ")) - (k - 1), F.lit(1)
-                    ),
+                    F.greatest(F.size("w") - (k - 1), F.lit(1)),
                 ),
-                lambda i: F.array_join(
-                    F.slice(F.split("text", " "), i, k), " "
-                ),
+                lambda i: F.array_join(F.slice("w", i, k), " "),
             )
         ).alias("sh"),
     )
@@ -1264,31 +1267,29 @@ def doc_containment(
     docs = load_table(spark, sf_dir, "documents")
     # two consumers (set sizes, postings) — persist so the text
     # shingles ONCE; the frame is (doc_id, digest array) only, text
-    # itself never enters it
+    # itself never enters it.
+    # The token array is BOUND as a projected column: referencing it
+    # 3 times keeps CollapseProject from inlining the split back into
+    # the lambda body, where it would re-split the full text PER
+    # ARRAY ELEMENT — the O(len^2)-per-doc shape this replaced
+    # (measured 27.5 s of the 27 s x10 total in the shingle
+    # evaluation alone; 1.0 s after). Short docs (< n tokens) keep
+    # their empty shingle set via the explicit guard — sequence(0,
+    # negative) would DESCEND, not be empty.
+    words = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     arrs = track(
-        docs.select(
+        words.select(
             "doc_id",
             F.array_distinct(
-                F.transform(
-                    F.filter(
-                        F.transform(
-                            F.split(F.col("text"), " "),
-                            lambda w, i: F.struct(
-                                w.alias("w"), i.alias("i")
-                            ),
+                F.when(
+                    F.size("w") >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("w") - n),
+                        lambda i: F.md5(
+                            F.concat_ws(" ", F.slice("w", i + 1, n))
                         ),
-                        lambda s: s["i"]
-                        <= F.size(F.split(F.col("text"), " ")) - n,
                     ),
-                    lambda s: F.md5(
-                        F.concat_ws(
-                            " ",
-                            F.slice(
-                                F.split(F.col("text"), " "), s["i"] + 1, n
-                            ),
-                        )
-                    ),
-                )
+                ).otherwise(F.array().cast("array<string>"))
             ).alias("shs"),
         ).persist()
     )
