@@ -448,30 +448,30 @@ def incremental_dedup(
     )
 
     # near tier: signatures for batch-only reps vs reference reps.
-    # Text re-joins from the (column-pruned) source scan for just the
-    # rep rows — at scale that is two narrow semi-join reads, cheaper
-    # than caching every document body above.
-    reps_b = (
+    # BOTH sides run through ONE signature pipeline (r13): the two
+    # per-side pipelines each paid their own documents scan, shingle
+    # explode and 32-min aggregate — identical total rows, twice the
+    # stages and twice the text reads. The sides are disjoint doc_id
+    # sets (batch vs reference ids), so one union of rep ids + one
+    # text join + one signature/band pass computes the same rows, and
+    # the side tag re-attaches map-side via a broadcast of the
+    # rep-id→side map (rep-sized, two narrow columns).
+    rep_ids = (
         grp.filter("ref_match IS NULL AND batch_rep IS NOT NULL")
-        .select(F.col("batch_rep").alias("doc_id"))
-        .join(docs, "doc_id")
+        .select(F.col("batch_rep").alias("doc_id"), F.lit("b").alias("side"))
+        .unionByName(
+            grp.filter("ref_match IS NOT NULL").select(
+                F.col("ref_match").alias("doc_id"), F.lit("r").alias("side")
+            )
+        )
     )
-    reps_r = (
-        grp.filter("ref_match IS NOT NULL")
-        .select(F.col("ref_match").alias("doc_id"))
-        .join(docs, "doc_id")
-    )
-    banded_b = _band_frame(
-        minhash_signatures(reps_b, k=k, num_hashes=num_hashes),
+    reps = rep_ids.select("doc_id").join(docs, "doc_id")
+    banded = _band_frame(
+        minhash_signatures(reps, k=k, num_hashes=num_hashes),
         num_hashes=num_hashes,
         bands=bands,
-    ).withColumn("side", F.lit("b"))
-    banded_r = _band_frame(
-        minhash_signatures(reps_r, k=k, num_hashes=num_hashes),
-        num_hashes=num_hashes,
-        bands=bands,
-    ).withColumn("side", F.lit("r"))
-    both = banded_b.unionByName(banded_r)
+    )
+    both = banded.join(F.broadcast(rep_ids), "doc_id")
     both = track(both.persist(StorageLevel.MEMORY_AND_DISK))
     both = _cap_hot_buckets(both, max_bucket, "incremental_lsh_guard")
     cand = (
