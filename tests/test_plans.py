@@ -460,3 +460,22 @@ def test_media_near_dup_grid_lsh_no_cartesian(spark):
     # FileScan line count is meaningless here: every InMemoryRelation
     # echoes its cached build plan, FileScans included, into toString.)
     assert plan.count("InMemoryTableScan") >= 5, plan
+
+
+def test_doc_containment_splits_text_once(spark):
+    """The shingle expression must reference the token array as a
+    BOUND projected column: split(text) inlined into the transform
+    lambda bodies re-splits the full document PER ARRAY ELEMENT —
+    O(len^2) per doc (measured 27.5 s of a 27 s x10 run in the r13
+    profile). With the binding, each echo of the shingle Project
+    carries exactly one split; CollapseProject re-inlining it (the
+    regression this test pins) would print 2+ splits per echo
+    (size bound + slice body). array_distinct appears once per echo
+    of the same expression, so it is the per-echo denominator."""
+    from metevents_spark.text.dedup import doc_containment
+
+    plan = optimized_of(doc_containment(spark, SF))
+    n_split = plan.count("split(")
+    n_echo = plan.count("array_distinct(")
+    assert n_echo >= 1, plan
+    assert n_split <= n_echo, (n_split, n_echo, plan)
