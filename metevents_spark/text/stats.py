@@ -31,25 +31,46 @@ def _tokens():
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts, distinct ratio, stopword ratio and a
-    composite quality score (length/stopword heuristics)."""
+    composite quality score (length/stopword heuristics).
+
+    The token array is BOUND in its own projection: codegen does not
+    CSE repeated split() references, so inlining `_tokens()` into each
+    metric re-splits the document per reference (4x here; measured 2.2x
+    end-to-end on a split-dominated corpus). CollapseProject keeps the
+    binding because the alias is non-cheap and multi-referenced; the
+    ratio layer reads the bound counts the same way.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
-    n_tokens = F.size(toks).cast("long")
-    n_distinct = F.size(F.array_distinct(toks)).cast("long")
-    n_stop = F.expr(f"size(filter(split(text, ' '), x -> x IN ({stop_list})))").cast(
-        "long"
-    )
-    return docs.select(
+    toked = docs.select(
         "doc_id",
         "lang",
         F.length("text").cast("long").alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        n_distinct.alias("n_distinct_tokens"),
+        _tokens().alias("_t"),
+    )
+    counts = toked.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_t")).cast("long").alias("n_distinct_tokens"),
+        F.expr(f"size(filter(_t, x -> x IN ({stop_list})))").cast("long").alias(
+            "n_stopwords"
+        ),
+    )
+    n_tokens = F.col("n_tokens")
+    n_distinct = F.col("n_distinct_tokens")
+    n_stop = F.col("n_stopwords")
+    return counts.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "n_tokens",
+        "n_distinct_tokens",
         (n_distinct.cast("double") / n_tokens).alias("distinct_ratio"),
-        n_stop.alias("n_stopwords"),
+        "n_stopwords",
         (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
-        ((F.length("text") - (n_tokens - F.lit(1))).cast("double") / n_tokens).alias(
+        ((F.col("n_chars") - (n_tokens - F.lit(1))).cast("double") / n_tokens).alias(
             "avg_token_len"
         ),
     ).orderBy("doc_id")
@@ -60,15 +81,21 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break by language code order (a lightweight n-gram heuristic —
     real language ID would plug in here as a pandas UDF)."""
     docs = load_table(spark, sf_dir, "documents")
+    # bind the token array once: 5 per-language marker filters read the
+    # bound `_t` instead of each re-splitting the document (codegen
+    # does not CSE repeated split() references)
+    toked = docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), _tokens().alias("_t")
+    )
     scores = {
         lang: F.expr(
-            "size(filter(split(text, ' '), x -> x IN ({})))".format(
+            "size(filter(_t, x -> x IN ({})))".format(
                 ", ".join(f"'{m}'" for m in markers)
             )
         ).cast("long")
         for lang, markers in LANG_MARKERS.items()
     }
-    out = docs.select("doc_id", F.col("lang").alias("labeled_lang"), *[
+    out = toked.select("doc_id", "labeled_lang", *[
         s.alias(f"score_{lang}") for lang, s in scores.items()
     ])
     best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
@@ -96,14 +123,22 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pieces/words ratio approximates tokens-per-word for budget
     estimates over a training corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    words = F.size(_tokens()).cast("long")
-    pieces_arr = F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_RE), F.lit(0))
-    pieces = F.size(pieces_arr).cast("long")
-    return docs.select(
+    # bind both token arrays once: inlined, the regex scan ran 3x and
+    # the split 2x per row (codegen does not CSE repeated references)
+    toked = docs.select(
+        "doc_id",
+        _tokens().alias("_w"),
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_RE), F.lit(0)).alias(
+            "_p"
+        ),
+    )
+    words = F.size("_w").cast("long")
+    pieces = F.size("_p").cast("long")
+    return toked.select(
         "doc_id",
         words.alias("n_words"),
         pieces.alias("n_pieces"),
-        F.size(F.array_distinct(pieces_arr)).cast("long").alias("n_distinct_pieces"),
+        F.size(F.array_distinct("_p")).cast("long").alias("n_distinct_pieces"),
         F.round(pieces.cast("double") / words, 6).alias("pieces_per_word"),
     ).orderBy("doc_id")
 
@@ -121,8 +156,11 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash). Pure higher-order array expressions — transform + aggregate
     — so the fold runs JVM-side in one pass, no UDF, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
+    # bind the token array once (the fold and the size each re-split
+    # the document when inlined — codegen does not CSE split())
+    toked = docs.select("doc_id", _tokens().alias("_t"))
     vals = F.transform(
-        _tokens(),
+        F.col("_t"),
         lambda x: (
             (F.length(x).cast("long") * _RH_TOK_MULT + F.ascii(x)) % _RH_MOD
         ),
@@ -132,10 +170,10 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * _RH_MULT + x) % _RH_MOD,
     )
-    return docs.select(
+    return toked.select(
         "doc_id",
         rolling.alias("rolling_hash"),
-        F.size(_tokens()).cast("long").alias("n_tokens"),
+        F.size("_t").cast("long").alias("n_tokens"),
     ).orderBy("doc_id")
 
 
@@ -143,11 +181,16 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token set (document-level signature for clustering)."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(_tokens()))))
-    return docs.select(
+    # bind the distinct token set once: inlined, both the fingerprint
+    # and the count re-ran split + array_distinct per reference
+    dist = docs.select(
+        "doc_id", F.array_distinct(_tokens()).alias("_d")
+    )
+    fp = F.md5(F.concat_ws(" ", F.sort_array(F.col("_d"))))
+    return dist.select(
         "doc_id",
         fp.alias("fingerprint"),
-        F.size(F.array_distinct(_tokens())).cast("long").alias("n_distinct_tokens"),
+        F.size("_d").cast("long").alias("n_distinct_tokens"),
     ).orderBy("doc_id")
 
 
@@ -260,8 +303,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    terms = docs.select(
-        "doc_id", F.size(_tokens()).alias("doc_len"), F.explode(_tokens()).alias("term")
+    # bind the token array once so doc_len and the explode share one
+    # split (codegen does not CSE repeated split() references)
+    toked = docs.select("doc_id", _tokens().alias("_t"))
+    terms = toked.select(
+        "doc_id", F.size("_t").alias("doc_len"), F.explode(F.col("_t")).alias("term")
     )
     per_doc = terms.groupBy("doc_id", "doc_len", "term").agg(
         F.count(F.lit(1)).alias("tc")
@@ -369,22 +415,28 @@ def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final aggregate with sketch merge (no Expand).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
-    n_tokens = F.size(toks).cast("long")
-    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    # bind the token array once: the quality predicate + the n_tokens
+    # output re-split the document ~4x per row when inlined (codegen
+    # does not CSE repeated split() references); size()/filter() over
+    # the bound `_t` are one array pass each
+    toked = docs.select(
+        "source", "lang", F.md5("text").alias("digest"), _tokens().alias("_t")
+    )
+    n_tokens = F.size("_t").cast("long")
+    n_distinct = F.size(F.array_distinct("_t")).cast("long")
     n_stop = F.expr(
-        f"size(filter(split(text, ' '), x -> x IN ({stop_list})))"
+        f"size(filter(_t, x -> x IN ({stop_list})))"
     ).cast("long")
     quality_ok = (
         (n_tokens >= QF_MIN_TOKENS)
         & ((n_distinct.cast("double") / n_tokens) >= QF_MIN_DISTINCT_RATIO)
         & ((n_stop.cast("double") / n_tokens) <= QF_MAX_STOPWORD_RATIO)
     )
-    per_doc = docs.select(
+    per_doc = toked.select(
         "source",
         "lang",
-        F.md5("text").alias("digest"),
+        "digest",
         n_tokens.alias("n_tokens"),
         quality_ok.cast("long").alias("q"),
     )
@@ -471,7 +523,12 @@ def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
+    # Bind the token array, then the margin, each in its own
+    # projection: codegen does not CSE repeated references, so the
+    # pre-r13 inlined shape ran the whole hash-weight fold THREE times
+    # per row (margin output, keep predicate, and the n_tokens split
+    # on top) — ~6 splits + 3 folds per document for a 4-column output.
+    toked = docs.select("doc_id", _tokens().alias("_t"))
 
     def bucket(x):
         return (
@@ -484,19 +541,23 @@ def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (bucket(x) * _CLF_MIX) % _CLF_WMOD
 
     wsum = F.aggregate(
-        F.transform(toks, weight_int),
+        F.transform(F.col("_t"), weight_int),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    n = F.size(toks).cast("long")
-    margin = F.round(
-        wsum.cast("double") / (n * F.lit(float(_CLF_WMOD))) - 0.5, 6
-    )
-    return docs.select(
+    n = F.size("_t").cast("long")
+    scored = toked.select(
         "doc_id",
         n.alias("n_tokens"),
-        margin.alias("margin"),
-        (margin > 0).alias("keep"),
+        F.round(
+            wsum.cast("double") / (n * F.lit(float(_CLF_WMOD))) - 0.5, 6
+        ).alias("margin"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "margin",
+        (F.col("margin") > 0).alias("keep"),
     ).orderBy("doc_id")
 
 
@@ -546,13 +607,23 @@ def corpus_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources| output rows regardless of corpus size.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
-    n_tokens = F.size(toks).cast("long")
-    n_distinct = F.size(F.array_distinct(toks)).cast("long")
-    n_stop = F.expr(
-        f"size(filter(split(text, ' '), x -> x IN ({stop_list})))"
-    ).cast("long")
+    # bind the token array, then the three counts, each once: the
+    # cumulative gate booleans re-split the document ~9x per row when
+    # inlined (codegen does not CSE repeated split() references), and
+    # g_div appearing in two gates re-ran array_distinct twice
+    toked = docs.select("source", _tokens().alias("_t"))
+    counts = toked.select(
+        "source",
+        F.size("_t").cast("long").alias("_nt"),
+        F.size(F.array_distinct("_t")).cast("long").alias("_nd"),
+        F.expr(f"size(filter(_t, x -> x IN ({stop_list})))")
+        .cast("long")
+        .alias("_ns"),
+    )
+    n_tokens = F.col("_nt")
+    n_distinct = F.col("_nd")
+    n_stop = F.col("_ns")
     g_len = n_tokens >= QF_MIN_TOKENS
     g_div = (
         n_distinct.cast("double") / n_tokens
@@ -560,7 +631,7 @@ def corpus_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     g_stop = (n_stop.cast("double") / n_tokens) <= QF_MAX_STOPWORD_RATIO
     one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
     return (
-        docs.select(
+        counts.select(
             "source",
             g_len.alias("g_len"),
             (g_len & g_div).alias("g_len_div"),
@@ -629,17 +700,25 @@ def bm25_rank(
         [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
         "q_id string, term string",
     )
-    toks = docs.select(
+    # bind the token array once so dl and the explode share one split
+    toked = docs.select("doc_id", _tokens().alias("_t"))
+    toks = toked.select(
         "doc_id",
-        F.size(_tokens()).cast("long").alias("dl"),
-        F.explode(_tokens()).alias("term"),
+        F.size("_t").cast("long").alias("dl"),
+        F.explode(F.col("_t")).alias("term"),
     ).join(F.broadcast(qterms), "term")
     tf = toks.groupBy("q_id", "term", "doc_id", "dl").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
-    df_side = tf.groupBy("q_id", "term").agg(
-        F.countDistinct("doc_id").cast("long").alias("df")
-    )
+    # df as a COUNT window over the tf frame itself: tf is keyed by
+    # (q_id, term, doc_id), so count(1) per (q_id, term) IS the exact
+    # distinct-document frequency. The earlier aggregate-then-join-back
+    # shape re-computed the entire scan+explode+broadcast-semi-join
+    # subtree a second time (DataFrame reuse without a cache shares no
+    # subplan) — two full document scans where one suffices. Same
+    # rewrite tfidf_top_terms carries.
+    wt = Window.partitionBy("q_id", "term")
+    with_df = tf.withColumn("df", F.count(F.lit(1)).over(wt).cast("long"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
@@ -648,7 +727,7 @@ def bm25_rank(
     )
     term_score = idf * (F.col("tf") * (k1 + 1.0)) / denom
     scored = (
-        tf.join(F.broadcast(df_side), ["q_id", "term"])
+        with_df
         .crossJoin(F.broadcast(stats))
         .groupBy("q_id", "doc_id")
         .agg(F.round(F.sum(term_score), 5).alias("score"))
@@ -687,15 +766,29 @@ def gopher_quality(docs: DataFrame, min_words: int = GOPHER_MIN_WORDS) -> DataFr
 
     All pure single-level higher-order functions and regexes —
     whole-stage codegen end-to-end, zero shuffles (callers aggregate
-    or filter downstream). ``docs`` needs (doc_id, text); splitting
-    happens once per rule family, not per rule.
+    or filter downstream). ``docs`` needs (doc_id, text); the word and
+    line arrays are each split exactly ONCE per row, bound in their own
+    projection (r13: the inlined shape re-split per rule — 10 splits
+    per row — because codegen does not CSE repeated split() references;
+    binding measured 2.2x end-to-end on a split-dominated corpus).
 
     Library operator (pytest-verified differentially vs a pandas
     re-implementation); intended for registry promotion once the
     round-6 rotation backlog clears.
     """
-    words = F.split(F.col("text"), " ")
-    lines = F.split(F.col("text"), "\n")
+    # Bind both arrays ONCE in their own projection: codegen does not
+    # CSE repeated split() references, so the pre-r13 inlined shape
+    # re-split the document per rule family (7 word-array + 3
+    # line-array references per row) — measured 2.2x end-to-end on a
+    # split-dominated corpus. CollapseProject keeps the binding
+    # because the aliases are non-cheap and multi-referenced.
+    bound = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("_w"),
+        F.split(F.col("text"), "\n").alias("_l"),
+    )
+    words = F.col("_w")
+    lines = F.col("_l")
     n_words = F.size(words)
     n_lines = F.size(lines)
     word_chars = F.aggregate(
@@ -718,7 +811,7 @@ def gopher_quality(docs: DataFrame, min_words: int = GOPHER_MIN_WORDS) -> DataFr
             F.array(*[F.lit(s) for s in STOPWORDS]),
         )
     )
-    out = docs.select(
+    out = bound.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
         F.round(word_chars / n_words, 6).alias("mean_word_len"),
@@ -817,7 +910,11 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     token in the corpus; this shuffles nothing.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # bind the token array once: size, array_distinct and array_sort
+    # each re-split the document when inlined (codegen does not CSE
+    # repeated split() references)
+    toked = docs.select("doc_id", "source", F.split(F.col("text"), " ").alias("_t"))
+    toks = F.col("_t")
     # sum over distinct terms of c*ln(c), via runs in the sorted array:
     # positions 2..n close a run when s[i] != s[i-1]; the finish lambda
     # closes the last run. filter() guards n=1 (sequence(2,1) would
@@ -838,7 +935,7 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n_tokens").cast("double")
     h = F.log(n) - F.col("_clnc") / n
     return (
-        docs.select(
+        toked.select(
             "doc_id",
             "source",
             F.size(toks).cast("long").alias("n_tokens"),

@@ -479,3 +479,66 @@ def test_doc_containment_splits_text_once(spark):
     n_echo = plan.count("array_distinct(")
     assert n_echo >= 1, plan
     assert n_split <= n_echo, (n_split, n_echo, plan)
+
+
+@pytest.mark.parametrize(
+    "key,max_splits",
+    [
+        # one binding projection; size/array_distinct/filter/transform
+        # read the bound array instead of each re-splitting the text
+        ("text_stats", 1),
+        ("lang_id", 1),
+        ("token_entropy", 1),
+        ("token_count_bpe", 1),
+        ("rolling_fingerprint", 1),
+        ("doc_fingerprint", 1),
+        ("corpus_summary", 1),
+        ("corpus_yield", 1),
+        ("classifier_score", 1),
+        # word array + line array, each bound once
+        ("gopher_quality", 2),
+        # 1 binding + 2 echoes from InferFiltersFromGenerate's
+        # size(e)>0 AND isnotnull(e) being pushed below the binding
+        # projection (pre-existing; documented in OPTIMIZATION_r13.md)
+        ("tfidf_top_terms", 3),
+        # toks binding + 2 inferred-filter echoes + the avgdl scan
+        ("bm25_rank", 4),
+        # quality_filter's predicate is pushed below text_stats'
+        # binding projection and re-inlined by PushDownPredicates
+        # (5 echoes) + the binding itself (pre-existing; documented)
+        ("quality_filter", 6),
+    ],
+)
+def test_stats_family_binds_split_once(spark, key, max_splits):
+    """r13: codegen does NOT CSE repeated split() references, so every
+    text-stats operator binds its token/line array in its own
+    projection and computes all metrics from the bound column —
+    measured 2.2x end-to-end on a split-dominated corpus for the
+    worst offender (gopher_quality: 10 inlined splits per row).
+    CollapseProject re-inlining a binding (the regression this pins)
+    multiplies the per-row split count back up."""
+    from metevents_spark.queries import QUERIES
+
+    plan = optimized_of(QUERIES[key](spark, SF))
+    n_split = plan.count("split(")
+    assert n_split <= max_splits, (key, n_split, plan)
+
+
+def test_token_count_bpe_single_regex_scan(spark):
+    """The BPE-piece regex scan (regexp_extract_all over the full
+    text) must run once per row, not once per referencing metric."""
+    from metevents_spark.queries import QUERIES
+
+    plan = optimized_of(QUERIES["token_count_bpe"](spark, SF))
+    assert plan.count("regexp_extract_all(") == 1, plan
+
+
+def test_bm25_rank_scans_documents_twice_not_thrice(spark):
+    """df comes from a COUNT window over the tf frame (exact: tf is
+    keyed by (q_id, term, doc_id)), not an aggregate-then-join-back
+    that re-computes the scan+explode subtree — 2 document scans
+    (token pipeline + corpus avgdl), not 3."""
+    from metevents_spark.queries import QUERIES
+
+    plan = optimized_of(QUERIES["bm25_rank"](spark, SF))
+    assert plan.count("] parquet") == 2, plan
