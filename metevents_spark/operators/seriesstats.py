@@ -63,19 +63,23 @@ def robust_zscore(
     a handful of extreme spikes inflate mean/stddev and mask each
     other, but leave median/MAD untouched.
 
-    Spark has no exact-median window function, so this is two grouped
-    medians: per-sid median, join back, per-sid median of |x - med|
-    (= MAD), join back again. Three exchanges on sid — the joins reuse
-    the same hash partitioning, and the grouped sides are |sids| rows,
-    so the raw frame shuffles once and the rest is sid-sized. Series
-    with MAD = 0 (constant-valued) yield no rows (NULLIF guard).
+    The exact ``median`` aggregate runs fine OVER A WINDOW (unbounded
+    sid partition), so both medians annotate rows in place: one
+    exchange + one sort on sid feeds two stacked Window nodes (the MAD
+    median reads the med column the first window bound). The previous
+    grouped-median + join-back formulation scanned the events table
+    FOUR times (med computed twice — once for the output join, once
+    inside the MAD branch) and paid three joins; this shape scans
+    once, joins never — value-identical (same per-sid row sets; the
+    explicit sid NOT NULL filter reproduces the inner joins' implicit
+    null-key drop). Series with MAD = 0 (constant-valued) yield no
+    rows (NULLIF guard).
     """
-    df = series_frame(spark, sf_dir)
-    med = df.groupBy("sid").agg(F.median("value").alias("med"))
-    mad = (
-        df.join(med, "sid")
-        .groupBy("sid")
-        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    df = series_frame(spark, sf_dir).filter(F.col("sid").isNotNull())
+    w = Window.partitionBy("sid")
+    with_med = df.withColumn("med", F.median("value").over(w))
+    with_mad = with_med.withColumn(
+        "mad", F.median(F.abs(F.col("value") - F.col("med"))).over(w)
     )
     z = F.round(
         F.lit(0.6745)
@@ -84,9 +88,7 @@ def robust_zscore(
         6,
     )
     return (
-        df.join(med, "sid")
-        .join(mad, "sid")
-        .select("sid", "seq", "ts", "value", z.alias("mz"))
+        with_mad.select("sid", "seq", "ts", "value", z.alias("mz"))
         .filter(F.abs(F.col("mz")) > z_thresh)
         .orderBy("sid", "ts", "seq")
     )

@@ -989,14 +989,18 @@ def remove_duplicate_spans(
             lambda sp: (s["pos"] >= sp["a"]) & (s["pos"] <= sp["b"]),
         ),
     )
+    # bind the kept array once: n_removed and clean_text both reference
+    # it, and codegen does not CSE repeated references — inlined, the
+    # O(tokens x spans) filter-with-exists ran twice per row
+    bound = joined.select("doc_id", "t", kept.alias("_kept"))
     return (
-        joined.select(
+        bound.select(
             "doc_id",
             F.size("t").cast("long").alias("n_tokens"),
-            (F.size("t") - F.size(kept)).cast("long").alias("n_removed"),
-            F.array_join(F.transform(kept, lambda k: k["tok"]), " ").alias(
-                "clean_text"
-            ),
+            (F.size("t") - F.size("_kept")).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(F.col("_kept"), lambda k: k["tok"]), " "
+            ).alias("clean_text"),
         )
         .orderBy("doc_id")
     )

@@ -254,11 +254,23 @@ def importance_resample(
         F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("is_tgt"), 1).otherwise(0)).alias("cr"),
     )
-    totals = counts.agg(
-        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
-    )
+    # totals as unpartitioned window sums over the n_buckets-row counts
+    # frame: the earlier counts.agg(...).crossJoin shape re-derived the
+    # whole corpus scan->explode->md5 subtree a second time (DataFrame
+    # reuse without a cache shares no subplan) — the single-partition
+    # window costs one exchange of n_buckets rows instead. Exact
+    # integer sums, value-identical.
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
     # log p_tgt(b) - log p_raw(b), Laplace-smoothed; n_buckets rows
-    ratios = counts.crossJoin(F.broadcast(totals)).select(
+    ratios = counts.select(
+        "b",
+        "ct",
+        "cr",
+        F.sum("ct").over(w_all).alias("tt"),
+        F.sum("cr").over(w_all).alias("tr"),
+    ).select(
         "b",
         (
             F.log((F.col("ct") + 1) / (F.col("tt") + n_buckets))

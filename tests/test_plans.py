@@ -542,3 +542,35 @@ def test_bm25_rank_scans_documents_twice_not_thrice(spark):
 
     plan = optimized_of(QUERIES["bm25_rank"](spark, SF))
     assert plan.count("] parquet") == 2, plan
+
+
+def test_robust_zscore_single_scan_no_joins(spark):
+    """Both exact medians (per-sid median and MAD) annotate rows via
+    stacked windows over ONE sid partition — the grouped-median +
+    join-back formulation scanned events 4x and paid 3 joins."""
+    from metevents_spark.queries import QUERIES
+
+    plan = optimized_of(QUERIES["robust_zscore"](spark, SF))
+    assert plan.count("] parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_importance_resample_two_corpus_passes(spark):
+    """Bucket-distribution totals come from an unpartitioned window
+    over the n_buckets-row counts frame, not a second aggregate that
+    re-derives the whole corpus explode+hash subtree — 2 document
+    scans (per-doc candidates + distribution counts), not 3."""
+    from metevents_spark.queries import QUERIES
+
+    plan = optimized_of(QUERIES["importance_resample"](spark, SF))
+    assert plan.count("] parquet") == 2, plan
+
+
+def test_remove_duplicate_spans_filters_once(spark):
+    """The O(tokens x spans) filter-with-exists is BOUND once per row;
+    inlined into both n_removed and clean_text it ran twice (codegen
+    does not CSE repeated references)."""
+    from metevents_spark.queries import QUERIES
+
+    plan = optimized_of(QUERIES["remove_duplicate_spans"](spark, SF))
+    assert plan.count("exists(") == 1, plan
