@@ -815,31 +815,59 @@ def conversion_bootstrap_ci(
     activation window keeps the rate informative — at-or-after-ever
     saturates to 1.0 on an active corpus).
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts"
-    )
-    signup = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("signup_ts"))
-    )
+    from pyspark import StorageLevel
+
+    from metevents_spark.cache import track
+
+    # Cohort in ONE events scan + ONE exchange (guide §2.4): the old
+    # signup-agg → purchase-join → left-join-back shape derived the
+    # signup aggregate twice and scanned events three times, and the
+    # whole cohort subtree was then re-executed by BOTH consumers
+    # below (DataFrame reuse without a cache shares no subplan) — 6
+    # parquet scans per run. Here the signup timestamp annotates every
+    # signup/purchase row in place via a user-keyed window, the
+    # conversion flag is a map-side predicate over the annotated row,
+    # and the per-user rollup reuses the window's hash partitioning
+    # (no second exchange). Identical cohort by construction: the
+    # window min over signup rows IS the old groupBy min, the flag
+    # reproduces the old semi-join's bounded-activation predicate, and
+    # users without a signup row fall out through signup_ts IS NULL
+    # exactly as the old inner-join-on-signup did.
     win_us = window_hours * 3_600_000_000
-    purch = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(signup, "user_id")
-        .filter(
-            (F.col("ts") >= F.col("signup_ts"))
-            & (
-                epoch_us(F.col("ts")) - epoch_us(F.col("signup_ts"))
-                <= F.lit(win_us)
-            )
-        )
-        .select("user_id")
-        .distinct()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .filter(F.col("event_type").isin("signup", "purchase"))
     )
-    users = signup.join(purch.withColumn("conv", F.lit(1)), "user_id", "left").select(
-        F.col("user_id").cast("long").alias("user_id"),
-        F.coalesce("conv", F.lit(0)).cast("long").alias("conv"),
+    w_user = Window.partitionBy("user_id")
+    annotated = ev.withColumn(
+        "signup_ts",
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).over(w_user),
+    )
+    conv_row = (
+        (F.col("event_type") == "purchase")
+        & F.col("signup_ts").isNotNull()
+        & (F.col("ts") >= F.col("signup_ts"))
+        & (
+            epoch_us(F.col("ts")) - epoch_us(F.col("signup_ts"))
+            <= F.lit(win_us)
+        )
+    )
+    users = track(
+        annotated.groupBy("user_id")
+        .agg(
+            # cohort = users with a signup EVENT (the old groupBy over
+            # signup rows emits a group even when every ts is NULL)
+            F.max(
+                (F.col("event_type") == "signup").cast("long")
+            ).alias("has_signup"),
+            F.max(conv_row.cast("long")).alias("conv"),
+        )
+        .filter(F.col("has_signup") == 1)
+        .select(F.col("user_id").cast("long").alias("user_id"), "conv")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # constant-factor map-side replication — no join, no shuffle
     expl = users.select(

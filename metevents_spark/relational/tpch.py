@@ -574,22 +574,44 @@ def value_histogram(spark: SparkSession, sf_dir: str, width: float = 25.0) -> Da
 def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt family: wide lineitem measures to long
     (metric, val) rows, then per-metric totals — the reshape that feeds
-    metric-agnostic monitoring pipelines."""
+    metric-agnostic monitoring pipelines.
+
+    Plan shape: the literal unpivot-then-groupBy Expands every fact
+    row 3x BEFORE the aggregate (the region_nation_rollup lesson,
+    guide §1.2 per-task work) just to route each measure to its group;
+    since the groups ARE the three measure columns, one aggregate pass
+    computes all three (count, decimal sum) pairs map-side and a
+    3-element literal explode reshapes the single result row to the
+    long layout. Value-identical: DataFrame unpivot keeps NULL vals,
+    so each metric's n is the plain row count, and each total sums the
+    identical per-column multiset through the identical
+    decimal(14,2) -> sum -> double expression.
+    """
     line = load_table(spark, sf_dir, "lineitem")
-    melted = line.unpivot(
-        ["l_orderkey", "l_linenumber"],
-        ["l_quantity", "l_extendedprice", "l_discount"],
-        "metric",
-        "val",
+    totals = line.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.col(c).cast("decimal(14,2)"))
+            .cast("double")
+            .alias(f"t_{c}")
+            for c in ("l_quantity", "l_extendedprice", "l_discount")
+        ],
     )
-    return (
-        melted.groupBy("metric")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("val").cast("decimal(14,2)")).cast("double").alias("total"),
-        )
-        .orderBy("metric")
+    melted = totals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("metric"),
+                        F.col("n"),
+                        F.col(f"t_{c}").alias("total"),
+                    )
+                    for c in ("l_quantity", "l_extendedprice", "l_discount")
+                ]
+            )
+        ).alias("m")
     )
+    return melted.select("m.metric", "m.n", "m.total").orderBy("metric")
 
 
 def daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

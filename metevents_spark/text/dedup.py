@@ -805,12 +805,31 @@ def edit_distance_pairs(
     """
     docs = load_table(spark, sf_dir, "documents")
     member_rep, reps = _exact_groups(docs)
-    t = reps.select(
-        "doc_id",
-        F.md5(F.substring("text", 1, prefix_len)).alias("ph"),
-        F.substring("text", 1, cap_len).alias("text"),
+    # persisted PRE-PARTITIONED on the prefix bucket (the
+    # _minhash_rep_pairs pattern, guide §2.4/§3.1): without the cache
+    # each self-join side re-ran the rep text join + md5 + substring,
+    # and each side paid its own ph exchange; the InMemoryRelation
+    # retains the ph partitioning, so the self-join consumes the cache
+    # in place — the capped texts move once, at build
+    t = track(
+        reps.select(
+            "doc_id",
+            F.md5(F.substring("text", 1, prefix_len)).alias("ph"),
+            F.substring("text", 1, cap_len).alias("text"),
+        )
+        .repartition("ph")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a, b = t.alias("a"), t.alias("b")
+    # eager fill (one bounded count job): an UNexecuted AQE cached plan
+    # reports unknown output partitioning, so the self-join below would
+    # re-exchange BOTH sides on ph despite the cache; once materialized
+    # the InMemoryRelation's final plan pins hashpartitioning(ph) and
+    # the join consumes the cache in place (the same mechanism that
+    # makes _minhash_rep_pairs' guard count double as its cache fill)
+    t.count()
+    # SHUFFLE_HASH on the build side: both sides are cache-co-located,
+    # so sort-merge would only add two sorts of kilobyte-wide text rows
+    a, b = t.alias("a"), t.alias("b").hint("shuffle_hash")
     rep_pairs = a.join(
         b,
         (F.col("a.ph") == F.col("b.ph")) & (F.col("a.doc_id") < F.col("b.doc_id")),

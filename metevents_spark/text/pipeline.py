@@ -56,7 +56,9 @@ def decontaminate_ngram(
     )
 
 
-def _doc_ngrams(docs: DataFrame, n: int) -> DataFrame:
+def _doc_ngrams(
+    docs: DataFrame, n: int, per_doc_distinct: bool = False
+) -> DataFrame:
     """-> (doc_id, gram) exploded token n-grams, codegen-side.
 
     The token array materializes ONCE per row: referencing split(text)
@@ -64,15 +66,30 @@ def _doc_ngrams(docs: DataFrame, n: int) -> DataFrame:
     n-gram position (no common-subexpression elimination across lambda
     invocations), turning an O(len·n) expansion into O(len²·n). Docs
     shorter than n contribute no rows.
+
+    ``per_doc_distinct`` dedupes grams per document MAP-SIDE
+    (array_distinct before the explode) — value-identical to a
+    corpus-wide ``.distinct()`` over (doc_id, gram) but without its
+    exchange. It is OPT-IN, not the default, because array_distinct
+    re-hashes every gram string per row, and for consumers whose
+    downstream already collapses duplicates cheaply (the decontaminate
+    pair's broadcast-join + tail-sized countDistinct) the measured net
+    at sf0.1 was a 1.5-2x REGRESSION (0.68 → 1.0 s decontaminate_ngram,
+    1.2 → 1.9 s decontaminate_bloom) — the dedup work exceeded the
+    explode-row savings. contamination_fraction, whose old plan paid a
+    full corpus (doc_id, gram) dedup exchange, is the consumer where
+    the trade wins (guide §1 measure-first, both directions recorded).
     """
     toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
-    grams = F.when(
-        F.size("t") >= n,
-        F.expr(
-            f"transform(sequence(0, size(t) - {n}),"
-            f" i -> array_join(slice(t, i + 1, {n}), ' '))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    garr = F.expr(
+        f"transform(sequence(0, size(t) - {n}),"
+        f" i -> array_join(slice(t, i + 1, {n}), ' '))"
+    )
+    if per_doc_distinct:
+        garr = F.array_distinct(garr)
+    grams = F.when(F.size("t") >= n, garr).otherwise(
+        F.array().cast("array<string>")
+    )
     return toked.select("doc_id", F.explode(grams).alias("gram"))
 
 
@@ -421,30 +438,41 @@ def ngram_novelty(
         (F.col("doc_id") / shard_size).cast("long").alias("shard"),
         F.explode(garr).alias("gram"),
     )
-    per_shard = (
-        grams.distinct()
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("n_grams"))
-    )
-    novel = (
-        grams.groupBy("gram")
-        .agg(F.min("shard").alias("shard"))
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("n_novel"))
-    )
     from pyspark.sql import Window
 
+    # ONE corpus exchange instead of two (+ the join), guide §2.4: the
+    # old shape consumed `grams` twice — per-shard distinct counts AND
+    # gram→min(shard) — re-running the scan+explode per consumer
+    # (DataFrame reuse without a cache shares no subplan) and paying a
+    # (shard, gram) exchange plus a gram exchange. Hash-partitioning on
+    # `gram` ALONE satisfies the clustered distribution of the
+    # (gram, shard) dedup (same gram ⇒ same partition) and of the
+    # min-shard window, so one repartition serves both; a gram is
+    # novel exactly at its min-shard row, so the per-shard rollup
+    # (count = distinct grams, sum(is_novel) = first-seen grams) folds
+    # both old aggregates into one map-side-partial pass. Shards with
+    # zero novel grams keep their row with n_novel = 0, as the old
+    # left join's coalesce did.
+    deduped = (
+        grams.repartition("gram")
+        .groupBy("gram", "shard")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    w_gram = Window.partitionBy("gram")
+    annotated = deduped.withColumn(
+        "is_novel",
+        (F.col("shard") == F.min("shard").over(w_gram)).cast("long"),
+    )
+    per_shard = annotated.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("is_novel").alias("n_novel"),
+    )
     w = Window.orderBy("shard").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        per_shard.join(novel, "shard", "left")
-        .select(
-            "shard",
-            "n_grams",
-            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
-        )
-        .select(
+        per_shard.select(
             "shard",
             "n_grams",
             "n_novel",
@@ -479,7 +507,12 @@ def contamination_fraction(
     zero-overlap docs keep a row without a second pass.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = _doc_ngrams(docs, n).distinct()
+    # per-doc distinct happens MAP-SIDE (array_distinct before the
+    # explode), so the old corpus-wide .distinct() — a full
+    # (doc_id, gram) exchange — is gone; the only corpus-sized shuffle
+    # left is the |docs|-row rollup below, whose partial aggregation
+    # now collapses map-side (guide §2.4).
+    grams = _doc_ngrams(docs, n, per_doc_distinct=True)
     eval_grams = (
         grams.filter(F.col("doc_id") % eval_mod == 0)
         .select("gram")

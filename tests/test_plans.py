@@ -574,3 +574,115 @@ def test_remove_duplicate_spans_filters_once(spark):
 
     plan = optimized_of(QUERIES["remove_duplicate_spans"](spark, SF))
     assert plan.count("exists(") == 1, plan
+
+
+def test_conversion_bootstrap_ci_cohort_cached_no_left_join(spark):
+    """The cohort (user_id, conv) builds in ONE events scan + one
+    user_id exchange — signup_ts annotates rows via a user window and
+    the rollup reuses its partitioning — and is persisted, so the
+    point branch and the 200-replicate branch read the cache instead
+    of re-running the old signup-agg -> purchase-join -> LeftOuter
+    join-back subtree (6 parquet scans per run before)."""
+    from metevents_spark.queries import QUERIES
+
+    df = QUERIES["conversion_bootstrap_ci"](spark, SF)
+    node = df._jdf.queryExecution().executedPlan()
+    if node.nodeName() == "AdaptiveSparkPlan":
+        node = node.initialPlan()
+    names: list[str] = []
+
+    def walk(n):
+        names.append(n.nodeName())
+        if n.nodeName() == "InMemoryTableScan":
+            return
+        for i in range(n.children().length()):
+            walk(n.children().apply(i))
+
+    walk(node)
+    # every parquet scan lives inside the cached cohort build; both
+    # consumers read the InMemoryRelation
+    assert not any(nm.startswith("Scan parquet") for nm in names), names
+    assert names.count("InMemoryTableScan") >= 2, names
+    # the old cohort shape is gone entirely
+    full = plan_of(df)
+    assert "LeftOuter" not in full, full
+
+
+def test_winsorize_series_single_scan_no_join(spark):
+    """The percentile band annotates rows in place via an unbounded
+    window over the sid partition — the grouped-percentile/join-back
+    shape scanned events twice and paid a join."""
+    from metevents_spark.queries import QUERIES
+
+    plan = optimized_of(QUERIES["winsorize_series"](spark, SF))
+    assert plan.count("] parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_contamination_fraction_map_side_dedup(spark):
+    """Per-doc gram dedup happens map-side (array_distinct before the
+    explode), so the corpus-wide (doc_id, gram) dedup exchange is gone
+    and the per-doc rollup partial-aggregates before a |docs|-row
+    exchange."""
+    from metevents_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["contamination_fraction"](spark, SF))
+    assert "array_distinct" in plan, plan
+    assert not re.search(
+        r"Exchange hashpartitioning\(doc_id#\d+L?, gram", plan
+    ), plan
+
+
+def test_lineitem_unpivot_no_expand_single_pass(spark):
+    """Per-metric totals fold in ONE aggregate pass over the wide
+    lineitem row (a 3-element literal explode reshapes the result) —
+    the unpivot-then-groupBy shape Expanded every fact row 3x before
+    aggregating."""
+    from metevents_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["lineitem_unpivot"](spark, SF))
+    assert "Expand" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_ngram_novelty_single_explode_single_gram_exchange(spark):
+    """Both per-shard aggregates (distinct grams, first-seen grams)
+    derive from ONE scan+explode pass and ONE gram exchange — the
+    repartition on gram alone satisfies the (gram, shard) dedup AND
+    the min-shard window, and the old second corpus pass + join are
+    gone."""
+    from metevents_spark.queries import QUERIES
+
+    plan = optimized_of(QUERIES["ngram_novelty"](spark, SF))
+    assert plan.count("] parquet") == 1, plan
+    phys = plan_of(QUERIES["ngram_novelty"](spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning\(gram", phys)) == 1, phys
+
+
+def test_edit_distance_pairs_self_join_reads_cache_in_place(spark):
+    """The prefix-bucket self-join consumes the ph-partitioned cache
+    on both sides: no ph exchange in the outer plan (the one exchange
+    lives inside the cached build), and the join is a hash build, not
+    a sort-merge over kilobyte text rows."""
+    from metevents_spark.queries import QUERIES
+
+    df = QUERIES["edit_distance_pairs"](spark, SF)
+    node = df._jdf.queryExecution().executedPlan()
+    if node.nodeName() == "AdaptiveSparkPlan":
+        node = node.initialPlan()
+    exchanges: list[str] = []
+    names: list[str] = []
+
+    def walk(n):
+        names.append(n.nodeName())
+        if n.nodeName() == "InMemoryTableScan":
+            return
+        if n.nodeName() == "Exchange":
+            exchanges.append(n.toString().splitlines()[0])
+        for i in range(n.children().length()):
+            walk(n.children().apply(i))
+
+    walk(node)
+    assert names.count("InMemoryTableScan") >= 2, names
+    assert not any("(ph#" in e for e in exchanges), exchanges
+    assert "SortMergeJoin" not in names, names
