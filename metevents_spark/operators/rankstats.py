@@ -499,10 +499,32 @@ def mann_whitney_u_bucketed(
         .select("event_type", "value")
         .filter(F.col("value").isNotNull() & ~F.isnan("value"))
     )
-    grps = (
-        ev.select(F.col("event_type").alias("grp"))
-        .filter(F.col("grp") != baseline)
-        .distinct()
+    # the distinct-group list and the global [min, max] fold into ONE
+    # aggregate pass (guide §2.4): collect_set over the
+    # bounded-cardinality event_type dimension is partial-aggregated
+    # map-side to a one-row frame, and the group frame explodes from it
+    # — the old shape paid a separate distinct scan for grps and a
+    # separate scan for bounds (4 events scans per run, now 3). No
+    # driver collect: the set never leaves the plan.
+    from pyspark import StorageLevel
+
+    from metevents_spark.cache import track
+
+    dims = track(
+        ev.agg(
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.collect_set("event_type").alias("types"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # eager 1-row fill: grps and bounds consume dims inside one job and
+    # would otherwise race to compute the cache, each paying the full
+    # events pass the cache exists to deduplicate
+    dims.count()
+    grps = dims.select(
+        F.explode(
+            F.filter("types", lambda ty: ty != F.lit(baseline))
+        ).alias("grp")
     )
     cand = ev.filter(F.col("event_type") != baseline).select(
         F.col("event_type").alias("grp"), "event_type", "value"
@@ -512,9 +534,7 @@ def mann_whitney_u_bucketed(
         .crossJoin(F.broadcast(grps))
         .select("grp", "event_type", "value")
     )
-    bounds = ev.agg(
-        F.min("value").alias("vmin"), F.max("value").alias("vmax")
-    )
+    bounds = dims.select("vmin", "vmax")
     bucket = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
         F.least(
             F.lit(n_buckets - 1).cast("long"),

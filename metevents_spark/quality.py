@@ -266,9 +266,21 @@ def mad_drift(
         "value",
         F.when(F.col("ts") < split_ts, "a").otherwise("b").alias("w"),
     )
-    med = labeled.groupBy("event_type", "w").agg(
-        F.percentile("value", F.lit(0.5)).alias("med"),
-        F.count(F.lit(1)).alias("n"),
+    # persisted: the 2x|types|-row median table feeds BOTH the MAD
+    # pass's broadcast join and the final med x mad join; without the
+    # cache the second consumer re-ran the full events percentile
+    # aggregate (a third corpus scan). Bounded cache by construction.
+    from pyspark import StorageLevel
+
+    from metevents_spark.cache import track
+
+    med = track(
+        labeled.groupBy("event_type", "w")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("med"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     mad = (
         labeled.join(F.broadcast(med), ["event_type", "w"])

@@ -744,23 +744,40 @@ def conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ signup" folds as MIN over the filtered join — no window needed.
     Scales as a pair of key-collapsed aggregates at any corpus size.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts"
+    # ONE events scan + ONE exchange (the conversion_bootstrap_ci
+    # cohort pattern, guide §2.4): the old signup-agg → purchase-join →
+    # join-back shape derived the signup aggregate twice and scanned
+    # events three times. signup_ts annotates every signup/purchase row
+    # via a user window; the qualifying-purchase MIN folds in the same
+    # rollup, which reuses the window's partitioning. Identical rows:
+    # the old inner joins kept exactly the users with a signup AND a
+    # purchase at-or-after it — reproduced by the NOT NULL filters (a
+    # NULL signup_ts nulls the qualifying predicate, so purchase_ts is
+    # NULL and the user drops, matching the old empty-join result).
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .filter(F.col("event_type").isin("signup", "purchase"))
     )
-    signup = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("signup_ts"))
+    w_user = Window.partitionBy("user_id")
+    annotated = ev.withColumn(
+        "signup_ts",
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).over(w_user),
     )
-    purch = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(signup, "user_id")
-        .filter(F.col("ts") >= F.col("signup_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
+    rolled = annotated.groupBy("user_id").agg(
+        F.max("signup_ts").alias("signup_ts"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("signup_ts")),
+                F.col("ts"),
+            )
+        ).alias("purchase_ts"),
     )
     return (
-        signup.join(purch, "user_id")
+        rolled.filter(F.col("purchase_ts").isNotNull())
         .select(
             F.col("user_id").cast("long").alias("user_id"),
             "signup_ts",
@@ -945,13 +962,31 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     events), |A∪B| = |A|+|B|−|A∩B|, one division rounded 6. Output is
     the bounded |types|² upper triangle.
     """
-    tu = (
+    from pyspark import StorageLevel
+
+    from metevents_spark.cache import track
+
+    # persisted PRE-PARTITIONED on user_id (the _minhash_rep_pairs
+    # pattern): tu feeds THREE consumers — both self-join sides and the
+    # per-type size aggregate — and without the cache each re-scanned
+    # events and re-paid the distinct exchange. The repartition on
+    # user_id alone satisfies the (event_type, user_id) distinct's
+    # clustered distribution AND the self-join's, so the cache is built
+    # through one exchange and the join consumes it in place. The eager
+    # count materializes the AQE cached plan so its output partitioning
+    # is pinned before the join is planned (the edit_distance_pairs
+    # lesson: an unexecuted cached plan reports unknown partitioning
+    # and both join sides re-exchange).
+    tu = track(
         load_table(spark, sf_dir, "events")
         .select("event_type", "user_id")
+        .repartition("user_id")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    tu.count()
     sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    a, b = tu.alias("a"), tu.alias("b")
+    a, b = tu.alias("a"), tu.alias("b").hint("shuffle_hash")
     inter = (
         a.join(
             b,

@@ -827,22 +827,35 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     final score rounds to 5 decimals so the DuckDB oracle comparison
     is robust to last-ulp ``ln`` differences across math libraries.
     """
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
-    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    total = tf.agg(F.sum("tf").alias("t"))
+    # the corpus total rides the tf frame as an unpartitioned window
+    # sum (vocab-sized — the same boundedness the broadcast join below
+    # already assumes): the old total = tf.agg(...) re-derived the
+    # entire scan+explode+agg subtree for one scalar (DataFrame reuse
+    # shares no subplan — the importance_resample defect class). Exact
+    # integer sum, value-identical.
+    w_all = Window.partitionBy()
+    tf = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("t", F.sum("tf").over(w_all))
+    )
     per_doc = (
         toks.join(tf, "term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(F.log("tf")).alias("s"),
+            F.max("t").alias("t"),
         )
     )
     return (
-        per_doc.crossJoin(F.broadcast(total))
+        per_doc
         .select(
             "doc_id",
             "n_tokens",
@@ -977,14 +990,32 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "b.w1", "b.w2")
     )
-    bg = br.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    ug = br.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    from pyspark.sql import Window
+
+    # Both corpus counts annotate the bigram stream IN PLACE as stacked
+    # window counts over ONE w1 exchange (guide §2.4): hash-partitioning
+    # on w1 alone satisfies the (w1, w2) count's clustered distribution
+    # AND the history count's, and the (w1, w2) sort the first window
+    # needs is a prefix superset of the second's — one exchange, one
+    # sort. The old aggregate-then-join-back shape re-derived the
+    # scan+explode subtree for bg AND ug (4 document scans total) and
+    # then re-shuffled the full bigram stream once per join anyway —
+    # same w1-keyed data movement, twice the passes. Window counts over
+    # the identical partitions are value-identical to the join-attached
+    # group counts (inner joins on keys derived from the same rows drop
+    # nothing: split() yields no null tokens).
+    w_pair = Window.partitionBy("w1", "w2")
+    w_hist = Window.partitionBy("w1")
+    annotated = (
+        br.repartition("w1")
+        .withColumn("c2", F.count(F.lit(1)).over(w_pair))
+        .withColumn("c1", F.count(F.lit(1)).over(w_hist))
+    )
     vocab = toked.select(F.explode("t").alias("w")).agg(
         F.countDistinct("w").alias("v")
     )
     return (
-        br.join(bg, ["w1", "w2"])
-        .join(ug, "w1")
+        annotated
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(

@@ -686,3 +686,106 @@ def test_edit_distance_pairs_self_join_reads_cache_in_place(spark):
     assert names.count("InMemoryTableScan") >= 2, names
     assert not any("(ph#" in e for e in exchanges), exchanges
     assert "SortMergeJoin" not in names, names
+
+
+def _outer_walk(df):
+    """Node names + Exchange headlines of the executed plan WITHOUT
+    descending into InMemoryTableScan (cached builds are one-time
+    costs; their stringified plans repeat per consumer)."""
+    node = df._jdf.queryExecution().executedPlan()
+    if node.nodeName() == "AdaptiveSparkPlan":
+        node = node.initialPlan()
+    names: list[str] = []
+    exchanges: list[str] = []
+
+    def walk(n):
+        names.append(n.nodeName())
+        if n.nodeName() == "InMemoryTableScan":
+            return
+        if n.nodeName() == "Exchange":
+            exchanges.append(n.toString().splitlines()[0])
+        for i in range(n.children().length()):
+            walk(n.children().apply(i))
+
+    walk(node)
+    return names, exchanges
+
+
+def test_unigram_logprob_two_corpus_passes(spark):
+    """The corpus token total rides the vocab-sized tf frame as an
+    unpartitioned window sum — the old total = tf.agg(...) re-derived
+    the whole scan+explode+agg subtree for one scalar (3 document
+    scans, now 2)."""
+    from metevents_spark.queries import QUERIES
+
+    plan = optimized_of(QUERIES["unigram_logprob"](spark, SF))
+    assert plan.count("] parquet") == 2, plan
+
+
+def test_bigram_logprob_windows_not_join_back(spark):
+    """Both corpus counts (bigram, history) annotate the bigram stream
+    as stacked window counts over one w1 exchange — the
+    aggregate-then-join-back shape scanned documents 4x and re-shuffled
+    the stream per join (now 2 scans: bigrams + vocab)."""
+    from metevents_spark.queries import QUERIES
+
+    plan = optimized_of(QUERIES["bigram_logprob"](spark, SF))
+    assert plan.count("] parquet") == 2, plan
+    phys = plan_of(QUERIES["bigram_logprob"](spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning\(w1", phys)) == 1, phys
+
+
+def test_conversion_lag_single_scan_no_join(spark):
+    """The signup timestamp annotates rows via a user window and the
+    qualifying-purchase MIN folds in the same rollup — the old shape
+    scanned events 3x through two joins."""
+    from metevents_spark.queries import QUERIES
+
+    plan = optimized_of(QUERIES["conversion_lag"](spark, SF))
+    assert plan.count("] parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_mann_whitney_bucketed_three_event_scans(spark):
+    """The distinct-group list and global [min, max] fold into ONE
+    cached aggregate pass (collect_set, no driver collect) — 3 events
+    scans outside the cache (cand + base), not 4."""
+    from metevents_spark.queries import QUERIES
+
+    names, _ = _outer_walk(QUERIES["mann_whitney_u_bucketed"](spark, SF))
+    scans = [nm for nm in names if nm.startswith("Scan parquet")]
+    assert len(scans) == 2, names
+
+
+def test_audience_overlap_single_distinct_cached(spark):
+    """The distinct (type, user) frame is cached pre-partitioned on
+    user_id: all three consumers (both self-join sides, sizes) read the
+    cache, no events scan or user_id exchange remains in the outer
+    plan."""
+    from metevents_spark.queries import QUERIES
+
+    names, exchanges = _outer_walk(QUERIES["audience_overlap"](spark, SF))
+    assert not any(nm.startswith("Scan parquet") for nm in names), names
+    assert names.count("InMemoryTableScan") >= 3, names
+    assert not any("user_id#" in e for e in exchanges), exchanges
+
+
+def test_mad_drift_median_table_cached(spark):
+    """The 2x|types| median table persists: the MAD deviation pass is
+    the only events scan left outside the cache (the med x mad join's
+    second derivation is gone)."""
+    from metevents_spark.queries import QUERIES
+
+    names, _ = _outer_walk(QUERIES["mad_drift"](spark, SF))
+    scans = [nm for nm in names if nm.startswith("Scan parquet")]
+    assert len(scans) == 1, names
+
+
+def test_dedup_recall_sample_picked_once(spark):
+    """The 200-doc sample is a TakeOrdered over ALL representatives;
+    persisted, the pass runs once inside the cached build — the outer
+    plan (4 consumers) contains no TakeOrderedAndProject."""
+    from metevents_spark.queries import QUERIES
+
+    names, _ = _outer_walk(QUERIES["dedup_recall_report"](spark, SF))
+    assert "TakeOrderedAndProject" not in names, names
