@@ -125,38 +125,42 @@ def series_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     IQR, and the count of points outside the Tukey 1.5×IQR fences —
     grouped exact percentiles, where ``value_quantiles`` is global.
 
-    Two exchanges: the percentile aggregate per sid (sid-sized output)
-    joins back to the scan for the fence count — AQE broadcasts the
-    stats side. Both engines use the same continuous-quantile
+    The bands annotate rows IN PLACE as unbounded-window percentiles
+    over the sid partition (guide §2.4 — the winsorize_series /
+    robust_zscore rewrite): the earlier grouped-percentile/join-back
+    shape scanned the events twice and paid a second exchange for the
+    join probe; the window pays the one sid exchange, the fence rollup
+    reuses that partitioning (groupBy on the window's own key plans no
+    new exchange), and the exact ``percentile`` aggregate computes the
+    identical interpolated values over the identical partition row
+    set. The explicit ``sid IS NOT NULL`` filter reproduces the old
+    inner join's implicit null-key drop, so the row set is provably
+    identical. Both engines use the same continuous-quantile
     interpolation, so the bands hash bit-stably after rounding.
     """
     df = series_frame(spark, sf_dir).filter(
-        F.col("value").isNotNull() & ~F.isnan("value")
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & F.col("sid").isNotNull()
     )
+    w_sid = Window.partitionBy("sid")
     pct = F.percentile(
         "value",
         F.array(*[F.lit(q) for q in (0.1, 0.25, 0.5, 0.75, 0.9)]),
-    )
-    stats = df.groupBy("sid").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.element_at(pct, 1).alias("q10"),
-        F.element_at(pct, 2).alias("q25"),
-        F.element_at(pct, 3).alias("q50"),
-        F.element_at(pct, 4).alias("q75"),
-        F.element_at(pct, 5).alias("q90"),
-    )
-    iqr = F.col("q75") - F.col("q25")
-    lo = F.col("q25") - 1.5 * iqr
-    hi = F.col("q75") + 1.5 * iqr
+    ).over(w_sid)
+    banded = df.select("sid", "value", pct.alias("_q"))
+    q = lambda i: F.element_at("_q", i)  # noqa: E731
+    iqr = q(4) - q(2)
+    lo = q(2) - 1.5 * iqr
+    hi = q(4) + 1.5 * iqr
     out_flag = (F.col("value") < lo) | (F.col("value") > hi)
     return (
-        df.join(stats, "sid")
-        .groupBy("sid")
+        banded.groupBy("sid")
         .agg(
-            F.first("n").alias("n"),
-            F.round(F.first("q10"), 6).alias("p10"),
-            F.round(F.first("q50"), 6).alias("p50"),
-            F.round(F.first("q90"), 6).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first(q(1)), 6).alias("p10"),
+            F.round(F.first(q(3)), 6).alias("p50"),
+            F.round(F.first(q(5)), 6).alias("p90"),
             F.round(F.first(iqr), 6).alias("iqr"),
             F.sum(F.when(out_flag, 1).otherwise(0)).cast("long").alias(
                 "n_outliers"
@@ -527,16 +531,28 @@ def event_type_corr(
     map-side; the exchange carries |hours| x k rows, never events) and
     the pair join is a k-way self-equijoin on the hour key of that tiny
     rollup — pairwise work scales with k^2 * |hours|, independent of
-    event volume. Hourly means round to 6 digits before the corr so
-    the aggregate sees identical inputs in any engine; the corr itself
-    rounds to 5 (the proven series_acf discipline).
+    event volume. The rollup is PERSISTED: DataFrame reuse shares no
+    subplan, so the unpersisted self-join re-derived the whole
+    scan+aggregate subtree per side — two corpus scans for a
+    |hours| x k frame (r13 2x-scan sweep; the mad_drift pattern).
+    Hourly means round to 6 digits before the corr so the aggregate
+    sees identical inputs in any engine; the corr itself rounds to 5
+    (the proven series_acf discipline).
     """
+    from pyspark import StorageLevel
+
+    from metevents_spark.cache import track
+
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & ~F.isnan("value")
     )
-    hourly = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type"
-    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    hourly = track(
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type"
+        )
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = hourly.select(
         F.col("hr"), F.col("event_type").alias("type_a"), F.col("v").alias("va")
     )

@@ -334,29 +334,52 @@ def big_spender_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT shape: custkeys ordering in both 1995 and 1996 (set
-    intersection compiles to an aggregate + semi join — distinct key
-    sets, never full rows)."""
+    """INTERSECT semantics (custkeys ordering in both 1995 and 1996)
+    computed as ONE conditional aggregate: the literal
+    ``keys(1995).intersect(keys(1996))`` compiled to TWO orders scans,
+    two distinct exchanges and a semi join; one scan + one custkey
+    exchange with per-year presence flags emits the identical key set
+    (r13 2x-scan sweep). NULL custkeys group together here exactly as
+    INTERSECT's null-safe equality treats them, so the result multiset
+    is identical even on NULL keys. The set-op API itself stays
+    covered by the differential fuzzer's intersectAll/exceptAll specs
+    (tests/test_fuzz_relational.py)."""
     orders = load_table(spark, sf_dir, "orders")
-
-    def keys(year: int) -> DataFrame:
-        return orders.filter(
-            F.year("o_orderdate") == year
-        ).select(F.col("o_custkey").alias("custkey"))
-
-    return keys(1995).intersect(keys(1996)).orderBy("custkey")
+    y = F.year("o_orderdate")
+    return (
+        orders.filter(y.isin(1995, 1996))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(y == 1995).alias("_in95"),
+            F.max(y == 1996).alias("_in96"),
+        )
+        .filter(F.col("_in95") & F.col("_in96"))
+        .select("custkey")
+        .orderBy("custkey")
+    )
 
 
 def churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT shape: custkeys ordering in 1995 but never in 1996."""
+    """EXCEPT-ALL-then-DISTINCT semantics (custkeys with MORE 1995
+    orders than 1996 orders — note exceptAll's bag semantics: a key
+    ordering 3x in 1995 and 1x in 1996 keeps two copies and survives
+    the distinct, so this is NOT plain set difference) computed as ONE
+    conditional aggregate over per-year counts instead of two orders
+    scans + an except + a distinct (r13 2x-scan sweep; NULL keys group
+    null-safe exactly as EXCEPT ALL matches them)."""
     orders = load_table(spark, sf_dir, "orders")
-
-    def keys(year: int) -> DataFrame:
-        return orders.filter(
-            F.year("o_orderdate") == year
-        ).select(F.col("o_custkey").alias("custkey"))
-
-    return keys(1995).exceptAll(keys(1996)).distinct().orderBy("custkey")
+    y = F.year("o_orderdate")
+    return (
+        orders.filter(y.isin(1995, 1996))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.when(y == 1995, 1).otherwise(0)).alias("_n95"),
+            F.sum(F.when(y == 1996, 1).otherwise(0)).alias("_n96"),
+        )
+        .filter(F.col("_n95") > F.col("_n96"))
+        .select("custkey")
+        .orderBy("custkey")
+    )
 
 
 def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
