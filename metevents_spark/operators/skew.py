@@ -193,16 +193,21 @@ def key_skew_report(
     1-row totals frame broadcasts; ranking is a TakeOrdered over the
     key-count frame; the cumulative share is a window over ``top``
     rows on the driver-bound result. Exact integer counts — only the
-    final shares are floats, with a fixed expression tree.
+    final shares are floats, with a fixed expression tree. The
+    |keys|-row count frame is PERSISTED: it feeds both the totals
+    aggregate and the top-k ranking, and unpersisted each consumer
+    re-ran the whole fact scan+aggregate (r13 2x-scan sweep).
     """
     from pyspark.sql import Window
 
+    from metevents_spark.cache import track
     from metevents_spark.io import load_table
 
-    counts = (
+    counts = track(
         load_table(spark, sf_dir, "lineitem")
         .groupBy(key)
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
     totals = counts.groupBy().agg(
         F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")

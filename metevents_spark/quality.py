@@ -420,8 +420,15 @@ def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: counts are exact integers from one map-side-collapsed
     groupBy; shares/expectations are fixed float expressions; the TVD
     sums 9 terms — all under ROUND(...,6).
+
+    The (source, digit) rollup is PERSISTED: it feeds both the grid
+    densify's source list and the left join's probe side, and
+    unpersisted the whole corpus scan+aggregate re-ran per consumer —
+    two scans for a |sources| x 9 frame (r13 2x-scan sweep).
     """
     from pyspark.sql import Window
+
+    from metevents_spark.cache import track
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("n_chars") > 0
@@ -432,8 +439,10 @@ def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("digit"),
     )
-    counts = digits.groupBy("source", "digit").agg(
-        F.count(F.lit(1)).alias("n")
+    counts = track(
+        digits.groupBy("source", "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
     # densify to the full (source, 1..9) grid — a digit a source never
     # produces still contributes |0 - expected| to the TVD (the

@@ -105,20 +105,32 @@ def retention_frame(ev: DataFrame) -> DataFrame:
     "retained" in week N when the user has any event in
     cohort_week + N.
 
-    Two user-keyed aggregates (cohort assignment, distinct activity
-    weeks) and one join on user_id — all shuffles are on user_id, and
-    the final (cohort_week, week_no) aggregate is tiny.
+    One user-keyed pass: the cohort week annotates every row IN PLACE
+    as an unbounded min-window over the user partition, the (user,
+    week, cohort) distinct rides that same user_id partitioning (its
+    grouping keys are a superset of the partition key — no second
+    exchange), and the final (cohort_week, week_no) aggregate is tiny.
+    The earlier shape ran TWO user-keyed aggregates off two scans and
+    joined them back on user_id (r13 2x-scan sweep). The explicit
+    ``user_id IS NOT NULL`` filter reproduces that inner join's
+    implicit null-key drop exactly.
     """
+    from pyspark.sql import Window
+
     # week bounds stay TIMESTAMP (midnight Monday): DATE round-trips as
     # python objects through Arrow and breaks dtype comparison downstream
-    cohort = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    w_u = Window.partitionBy("user_id")
+    active = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).alias("week"),
+            F.date_trunc("week", F.min("ts").over(w_u)).alias("cohort_week"),
+        )
+        .distinct()
     )
-    active = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
-    ).distinct()
     return (
-        active.join(cohort, "user_id")
+        active
         .groupBy(
             "cohort_week",
             (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_no"),
@@ -233,27 +245,33 @@ def rolling_active_frame(ev: DataFrame, window_days: int = 7) -> DataFrame:
     Range-join-free plan: the DISTINCT (user, day) pairs are exploded
     into the trailing days they contribute to (map-side ``sequence``,
     no shuffle), then a single groupBy(day) counts distinct users.
-    Days with no events contribute no output row; exploded days beyond
-    the observed range are dropped by the inner join with the (tiny,
-    broadcast) distinct-day frame.
+    Days with no events contribute no output row: POSEXPLODE tags each
+    pair's own day (pos 0), so "day really had an event" is a map-side
+    flag folded into the one aggregate — the earlier shape re-derived
+    the whole (user, day)-distinct a second time just to build a
+    day-list join that filtered the same phantoms (r13 2x-scan sweep;
+    one scan, one distinct exchange, zero joins).
     """
     pairs = ev.select(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     ).distinct()
-    days = pairs.select("day").distinct()
     contrib = pairs.select(
         "user_id",
-        F.explode(
+        F.posexplode(
             F.expr(
                 f"sequence(day, day + interval {window_days - 1} days,"
                 " interval 1 day)"
             )
-        ).alias("day"),
+        ).alias("pos", "day"),
     )
     return (
-        contrib.join(F.broadcast(days), "day")
-        .groupBy("day")
-        .agg(F.countDistinct("user_id").alias("active_users"))
+        contrib.groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.max(F.col("pos") == 0).alias("_real_day"),
+        )
+        .filter("_real_day")
+        .select("day", "active_users")
         .orderBy("day")
     )
 
@@ -281,12 +299,17 @@ def rolling_reach_hll(
 
     Each output day unions its trailing ``window_days`` sketches
     (day-sized explode over a days-long table, then
-    ``hll_union_agg`` + ``hll_sketch_estimate``). Apache DataSketches
-    HLL is deterministic for a given input set, but NOT ANSI SQL —
-    rows-only in the driver contract; pinned by an error-bound pytest
-    against the exact ``rolling_active_frame`` (relative error well
-    inside the lgk=12 ~1.6% band) plus exact-union consistency
-    (sketch(window) == union of day sketches on identical ids).
+    ``hll_union_agg`` + ``hll_sketch_estimate``). POSEXPLODE tags each
+    sketch's own day (pos 0) so phantom trailing days are dropped by a
+    flag inside the one union aggregate — the earlier shape re-ran the
+    ENTIRE corpus sketch aggregate a second time just to list the days
+    for that filter join (r13 2x-scan sweep; one events scan, zero
+    joins). Apache DataSketches HLL is deterministic for a given input
+    set, but NOT ANSI SQL — rows-only in the driver contract; pinned
+    by an error-bound pytest against the exact
+    ``rolling_active_frame`` (relative error well inside the lgk=12
+    ~1.6% band) plus exact-union consistency (sketch(window) == union
+    of day sketches on identical ids).
     """
     ev = load_table(spark, sf_dir, "events")
     daily = (
@@ -294,23 +317,24 @@ def rolling_reach_hll(
         .groupBy("day")
         .agg(F.hll_sketch_agg("user_id", F.lit(lgk)).alias("sk"))
     )
-    days = daily.select("day").distinct()
     contrib = daily.select(
         "sk",
-        F.explode(
+        F.posexplode(
             F.expr(
                 f"sequence(day, day + interval {window_days - 1} days,"
                 " interval 1 day)"
             )
-        ).alias("day"),
+        ).alias("pos", "day"),
     )
     return (
-        contrib.join(F.broadcast(days), "day")
-        .groupBy("day")
+        contrib.groupBy("day")
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True)))
-            .alias("active_users_est")
+            .alias("active_users_est"),
+            F.max(F.col("pos") == 0).alias("_real_day"),
         )
+        .filter("_real_day")
+        .select("day", "active_users_est")
         .orderBy("day")
     )
 
@@ -519,15 +543,21 @@ def survival_retention(
     Scale shape: one groupBy(user) collapses the fact table to a row
     per user; everything after runs on the |distinct lifetimes|-sized
     table (window cumulatives, no joins except the 1-row corpus-end
-    broadcast).
+    broadcast). The per-user rollup is PERSISTED and the corpus end
+    derived from it (max over per-user maxes == global max, both
+    null-skipping) — the earlier shape re-scanned the whole fact table
+    a second time just for that 1-row max (r13 2x-scan sweep).
     """
+    from metevents_spark.cache import track
     from metevents_spark.timeutil import epoch_us
 
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    per_user = track(
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .persist()
     )
-    obs_end = ev.groupBy().agg(F.max("ts").alias("obs_end"))
+    obs_end = per_user.agg(F.max("last_ts").alias("obs_end"))
     day_us = 86_400 * 1_000_000
     lifetimes = per_user.crossJoin(F.broadcast(obs_end)).select(
         # explicit FLOOR: Spark's double->long cast truncates but

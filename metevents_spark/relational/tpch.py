@@ -385,20 +385,40 @@ def churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape (correlated scalar subquery, decorrelated): per
     part, lineitems with quantity below 20% of that part's average
-    quantity. The per-part average and the probe side shuffle on the
-    SAME key (l_partkey), so the join is co-partitioned — one exchange
-    feeds both the aggregate and the join at scale."""
+    quantity.
+
+    The broadcast brand filter is applied ONCE and the surviving
+    ~|1/brands| slice persisted: the earlier shape scanned lineitem
+    twice and — worse at scale — aggregated the per-part average over
+    EVERY part, then discarded all but Brand#13's in the join (r13
+    2x-scan sweep; guide §3.4 pre-filter-the-big-side). The per-part
+    average over the filtered slice is computed from exactly the same
+    row multiset per surviving part (the filter is a partkey-membership
+    predicate, never a row predicate), so qty_cut — and the final
+    rounded scalar — are identical. One fact scan, one small cached
+    frame, one broadcast avg join."""
     line = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#13"
     )
+    from metevents_spark.cache import track
+
+    flt = track(
+        line.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .persist()
+    )
     avg_qty = (
-        line.groupBy(F.col("l_partkey").alias("a_partkey"))
+        flt.groupBy(F.col("l_partkey").alias("a_partkey"))
         .agg((F.avg("l_quantity") * 0.2).alias("qty_cut"))
     )
     return (
-        line.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
+        flt.join(
+            F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey")
+        )
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             (F.sum(_dec("l_extendedprice")) / F.lit(7.0))
@@ -844,16 +864,21 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape adapted (no partsupp): parts whose total lineitem
     value exceeds a fixed fraction of the corpus-wide total — the
     group-HAVING-vs-global-scalar pattern. Both the per-part sums and
-    the global total come off ONE exact cents aggregation (the global
-    is a partition-total window over the per-part rollup, ~|parts|
-    rows), so the fact table is scanned and shuffled exactly once.
+    the global total come off ONE exact cents aggregation: the
+    ~|parts|-row rollup is PERSISTED (the top_supplier pattern, r13
+    2x-scan sweep — the unpersisted shape re-derived the whole
+    scan+aggregate for the 1-row total, contradicting this very
+    docstring), so the fact table is scanned and shuffled exactly once.
     """
+    from metevents_spark.cache import track
+
     line = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    per_part = (
+    per_part = track(
         line.select("l_partkey", cents.alias("cents"))
         .groupBy("l_partkey")
         .agg(F.sum("cents").alias("cents"))
+        .persist()
     )
     # the global total as a 1-row scalar aggregate broadcast onto the
     # rollup — NOT a partition-less window, which would funnel the

@@ -533,14 +533,20 @@ def ngram_jaccard_pairs(
     Exact duplicates collapse to representatives first (identical text
     -> identical prefix bucket and token set, so expanded pairs match
     the naive bucket join with intra-group jaccard 1.0) — token arrays
-    shuffle once per DISTINCT text, not per copy.
+    shuffle once per DISTINCT text, not per copy. The (id, bucket,
+    token-set) frame is PERSISTED: it feeds both self-join sides, and
+    unpersisted each side re-scanned the corpus and re-tokenized every
+    rep text (r13 2x-scan sweep; the signature-binding discipline the
+    minhash path already follows).
     """
     docs = load_table(spark, sf_dir, "documents")
     member_rep, reps = _exact_groups(docs)
-    t = reps.select(
-        "doc_id",
-        F.md5(F.substring("text", 1, prefix_len)).alias("ph"),
-        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    t = track(
+        reps.select(
+            "doc_id",
+            F.md5(F.substring("text", 1, prefix_len)).alias("ph"),
+            F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = t.alias("a"), t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
@@ -1432,18 +1438,25 @@ def dedup_rate_by_source(
     real-world case, and the only duplication the synthetic corpus
     carries below sf0.1.
 
-    Exact integers + one division: digests collapse map-side to a
-    (digest, count) table, join back on the digest hash partitioning
-    (payloads never move — only 32-byte digests shuffle), one
-    |sources|-sized aggregate. Scale-safe by the same argument as
-    every digest-keyed dedup op here.
+    Exact integers + one division: the corpus-wide digest multiplicity
+    annotates each row IN PLACE as an unbounded count-window over the
+    digest partition (payloads never move — only 32-byte digests plus
+    the source tag shuffle once), then one |sources|-sized aggregate.
+    The earlier grouped-count/join-back shape scanned documents twice
+    and paid the digest exchange twice (r13 2x-scan sweep); the
+    explicit ``dig IS NOT NULL`` filter reproduces that inner join's
+    implicit null-key drop (NULL text => NULL digest), so the row set
+    is identical. Scale-safe by the same argument as every digest-keyed
+    dedup op here.
     """
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents").select(
         "source", F.md5(F.substring("text", 1, prefix_len)).alias("dig")
-    )
-    counts = docs.groupBy("dig").agg(F.count(F.lit(1)).alias("n"))
+    ).filter(F.col("dig").isNotNull())
+    n_dig = F.count(F.lit(1)).over(Window.partitionBy("dig"))
     return (
-        docs.join(counts, "dig")
+        docs.select("source", n_dig.alias("n"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

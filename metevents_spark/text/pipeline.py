@@ -573,12 +573,23 @@ def sequence_pack(
     null doc_id would yield a null bucket and be dropped by the inner
     offset join, where the single-window form would have kept the row.
     """
+    from metevents_spark.cache import track
+
     bucket_width = 8192
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        F.expr(f"doc_id div {bucket_width}").alias("bucket"),
+    # the narrow (doc_id, source, n_tokens, bucket) frame is PERSISTED:
+    # it feeds both the phase-1 local-prefix window and the phase-2
+    # bucket-offset aggregate, and unpersisted each side re-scanned and
+    # re-TOKENIZED the full text column (r13 2x-scan sweep) — the cache
+    # holds ~32 bytes/row, never the text
+    docs = track(
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+            F.expr(f"doc_id div {bucket_width}").alias("bucket"),
+        )
+        .persist()
     )
     # phase 1: exclusive prefix within each contiguous (source, bucket)
     w_local = Window.partitionBy("source", "bucket").orderBy("doc_id")
