@@ -86,63 +86,76 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _transition_frame(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(edges, out_w, nodes): the cached edge frame + per-source
-    out-mass + node set.
+) -> tuple[DataFrame, DataFrame]:
+    """(adj, nodes): the cached ADJACENCY-LIST transition frame + node
+    set.
 
-    ``edges`` is PERSISTED hash(src)-partitioned as built, NOT
-    localCheckpointed: a checkpointed RDD scans back as
-    UnknownPartitioning, so every round's join re-shuffled AND
-    re-sorted the whole edge frame — the dominant x100 cost (r13
-    sweep: decade ratio 23). An InMemoryRelation retains its child's
-    output partitioning, so the per-round shuffle-hash join reuses
-    edge co-location and moves only the |nodes|-sized rank frame.
+    r14 (guide §2.3 "shuffle fewer bytes" applied to the cache probe):
+    the per-round join consumed the flat (src, dst, w) edge frame —
+    |edges| cached rows hash-probed per round, with src and the
+    node-level w_out repeated once PER EDGE. Grouping the edges into
+    one row per source — (src, w_out, nbrs: array<struct<dst, w>>) —
+    makes the round join |nodes| ⋈ |nodes| (the probe streams ~20-120x
+    fewer rows on TPC-H-shaped co-purchase graphs) and the |edges|-
+    sized contribution stream now materializes map-side from an
+    explode AFTER the join, feeding straight into the partial
+    aggregate. The adjacency build itself adds NO exchange: the edge
+    frame leaves _copurchase_edges hash(src)-partitioned, which
+    satisfies the groupBy(src) clustering in place.
 
-    The (src, dst, w, w_out) transition frame of the first r13 cut is
-    deliberately NOT materialized: w_out is a |nodes|-sized column, so
-    the rounds join it onto the RANK frame (nodes-sized ⋈ nodes-sized,
-    trivial) instead of paying a second |edges|-sized cache fill +
-    join at build time — the x100 build was ~40% of total wall.
-    ``out_w`` aggregates in place on the cached edges (no exchange:
-    already clustered by src) and doubles as the node set — every
-    node in this symmetric closed graph has out-degree >= 1, which is
-    also why no dangling-mass term is needed.
+    The frame is PERSISTED, not localCheckpointed: a checkpointed RDD
+    scans back as UnknownPartitioning, so every round's join would
+    re-shuffle the adjacency frame (the r13 x100 lesson, decade ratio
+    23); an InMemoryRelation retains its child's output partitioning,
+    so the per-round shuffle-hash join reuses the cache co-location
+    and moves only the |nodes|-sized rank frame.
+
+    ``w_out`` (the per-source out-mass) lives as a column of the
+    adjacency row — the separate |nodes|-sized out-mass join of the
+    r13 shape is folded away entirely (one join per round, not two).
+    Every node in this symmetric closed graph has out-degree >= 1,
+    which is also why no dangling-mass term is needed.
     """
-    edges = track(_copurchase_edges(spark, sf_dir).persist())
-    out_w = track(
-        edges.groupBy("src").agg(F.sum("w").alias("w_out")).persist()
+    adj = track(
+        _copurchase_edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(
+            F.sum("w").alias("w_out"),
+            F.collect_list(F.struct("dst", "w")).alias("nbrs"),
+        )
+        .persist()
     )
-    nodes = out_w.select(F.col("src").alias("pid"))
-    return edges, out_w, nodes
+    nodes = adj.select(F.col("src").alias("pid"))
+    return adj, nodes
 
 
-def _round_contrib(
-    edges: DataFrame, out_w: DataFrame, ranks: DataFrame, num_t: str
-) -> DataFrame:
+def _round_contrib(adj: DataFrame, ranks: DataFrame, num_t: str) -> DataFrame:
     """One power-iteration round's incoming rank mass per node.
 
-    SHUFFLE_HASH on the rank side: the cached edge frame is already
-    hash-partitioned on src, so the round joins out-mass onto the rank
-    frame (both |nodes|-sized), shuffles only that, and hash-builds on
-    it — no per-round shuffle OR sort of |edges| rows (SMJ would sort
-    both sides; broadcast would collect |nodes| to the driver each
-    round, which dies first on a billion-node graph). The plan shape is
+    SHUFFLE_HASH on the rank side: the cached adjacency frame is
+    already hash-partitioned on src, so the round shuffles only the
+    |nodes|-sized rank frame and hash-builds on it — no per-round
+    shuffle OR sort of the transition frame (SMJ would sort both
+    sides; broadcast would collect |nodes| to the driver each round,
+    which dies first on a billion-node graph). The join output is
+    |nodes| rows; the |edges|-sized contribution stream is generated
+    map-side by the explode and collapses in the partial aggregate
+    before the single |nodes|-scale exchange. Contribution arithmetic
+    is unchanged from r13 (exact integer rationals), so the output is
+    bit-identical to the flat-edge formulation. The plan shape is
     pinned by
     tests/test_plans.py::test_pagerank_round_reuses_edge_partitioning.
     """
-    rank_w = (
-        ranks.join(
-            out_w.withColumnRenamed("src", "pid").hint("shuffle_hash"),
-            "pid",
-        )
-        .select(F.col("pid").alias("src"), "rank", "w_out")
-    )
     return (
-        edges.join(rank_w.hint("shuffle_hash"), "src")
+        adj.join(
+            ranks.withColumnRenamed("pid", "src").hint("shuffle_hash"),
+            "src",
+        )
+        .select("rank", "w_out", F.explode("nbrs").alias("e"))
         .select(
-            "dst",
+            F.col("e.dst").alias("dst"),
             F.expr(
-                f"CAST((2 * CAST(rank AS {num_t}) * w + w_out)"
+                f"CAST((2 * CAST(rank AS {num_t}) * e.w + w_out)"
                 " DIV (2 * w_out) AS LONG)"
             ).alias("c"),
         )
@@ -194,7 +207,7 @@ def part_pagerank(
     quantized to integer ppm for presentation; ordering ties break on
     part id.
     """
-    edges, out_w, nodes = _transition_frame(spark, sf_dir)
+    adj, nodes = _transition_frame(spark, sf_dir)
 
     d_num = int(round(damping * 10_000))
     teleport_int = ((10_000 - d_num) * _U) // 10_000  # exact for 0.85
@@ -209,15 +222,17 @@ def part_pagerank(
     # hub weights — the same expressions run in decimal. Values are
     # identical on both paths (the guard PROVES no wrap), so the
     # DuckDB oracle's HUGEINT replay matches either.
-    # n_nodes (= |out_w|: every node of this symmetric graph has
-    # out-degree >= 1) and max(w_out) share ONE driver job — this
-    # setup was 3 jobs (count, max w, max w_out) and each driver job
-    # is a fixed ~0.3-0.4s of the sf0.1/x10 floor (guide §1.2).
-    n_row = out_w.agg(
-        F.count(F.lit(1)).alias("n"), F.max("w_out").alias("mo")
+    # n_nodes (= |adj|: every node of this symmetric graph has
+    # out-degree >= 1), max(w_out) and max(w) share ONE driver job
+    # over the adjacency cache — the r13 shape needed two jobs (one
+    # per cached frame) and each driver job is a fixed ~0.3-0.4s of
+    # the sf0.1/x10 floor (guide §1.2); this one also fills the cache.
+    n_row = adj.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("w_out").alias("mo"),
+        F.max(F.array_max(F.col("nbrs").getField("w"))).alias("mw"),
     ).first()
-    n_nodes, mo = int(n_row["n"]), n_row["mo"]
-    mw = edges.agg(F.max("w")).first()[0]
+    n_nodes, mo, mw = int(n_row["n"]), n_row["mo"], n_row["mw"]
     mass = n_nodes * _U
     # empty graph: the maxes are NULL; LONG trivially suffices
     wide = (
@@ -230,17 +245,28 @@ def part_pagerank(
     ranks = track(
         nodes.select("pid", F.lit(_U).alias("rank")).localCheckpoint()
     )
+    # Convergence-check cadence (r14): under the default tol=0.0 the
+    # exit only fires at an EXACT integer fixed point, where every
+    # further round is an identity map — so checking the delta every
+    # CHECK_EVERY rounds (instead of every round) can only run extra
+    # identity rounds and the final ranks are bit-identical; what it
+    # buys is one driver job per batch instead of per round (the sf0.1
+    # and x10 costs of this query are dominated by the ~13-job driver
+    # floor, guide §1.2). Each round still takes a LAZY localCheckpoint
+    # (lineage truncation); the batch's single delta action materializes
+    # the whole chain, checkpointing every intermediate round along the
+    # way. With tol > 0 an overshoot WOULD change the output (rounds
+    # past the tolerance are not identity maps), so the per-round check
+    # is kept exactly as before.
+    check_every = 3 if tol_int == 0 else 1
     part_pagerank.last_n_rounds = 0
     for it in range(n_iter):
-        contrib = _round_contrib(edges, out_w, ranks, num_t)
-        # per-round checkpoint: measured FASTER than checkpointing every
-        # 3rd round (9.7s vs 6.7s warm at sf0.1) — the chained-3-round
-        # DAG pays more in repeated stage planning than the extra
-        # materializations cost, and the per-round frame is tiny
-        # (|nodes| rows). LAZY checkpoint + the convergence aggregate as
-        # the materializing action keeps the round at ONE job — an eager
-        # checkpoint followed by a separate delta job measured 2.4x the
-        # round cost (13.4s vs 5.5s warm at sf0.1 over 12 rounds)
+        contrib = _round_contrib(adj, ranks, num_t)
+        # LAZY checkpoint + the convergence aggregate as the
+        # materializing action keeps a check-round at ONE job — an
+        # eager checkpoint followed by a separate delta job measured
+        # 2.4x the round cost (13.4s vs 5.5s warm at sf0.1 over 12
+        # rounds)
         stepped = track(
             ranks.withColumnRenamed("rank", "prev")
             .join(contrib, "pid", "left")
@@ -259,8 +285,10 @@ def part_pagerank(
         )
         ranks = stepped.select("pid", "rank")
         part_pagerank.last_n_rounds = it + 1
-        # convergence scalar: ONE row; this action also materializes the
-        # lazy checkpoint, so the round still costs a single job
+        if (it + 1) % check_every and it + 1 < n_iter:
+            continue
+        # convergence scalar: ONE row; this action also materializes
+        # the lazy checkpoint chain since the previous check
         delta = stepped.agg(
             F.max(F.abs(F.col("rank") - F.col("prev")))
         ).first()[0]

@@ -126,23 +126,26 @@ def test_minhash_candidates_join_on_buckets(spark):
 
 
 def test_pagerank_round_reuses_edge_partitioning(spark):
-    """A power-iteration round must NOT shuffle or sort the |edges|
-    transition frame: it is cached pre-partitioned on src (an
-    InMemoryRelation retains output partitioning; localCheckpoint does
-    not), and the rank side carries a SHUFFLE_HASH hint — so the round
-    plan is a ShuffledHashJoin probing the cache in place, with
-    exchanges only for the |nodes|-sized rank frame and the
-    contribution aggregate. This is the property that took the x100
-    decade ratio from 23 back into the linear band."""
+    """A power-iteration round must NOT shuffle or sort the transition
+    frame: it is cached pre-partitioned on src (an InMemoryRelation
+    retains output partitioning; localCheckpoint does not), and the
+    rank side carries a SHUFFLE_HASH hint — so the round plan is a
+    ShuffledHashJoin probing the cache in place, with exchanges only
+    for the |nodes|-sized rank frame and the contribution aggregate.
+    This is the property that took the x100 decade ratio from 23 back
+    into the linear band. r14: the cache is the ADJACENCY frame (one
+    row per src), so the join probe streams |nodes| rows and the
+    |edges|-sized contribution stream is generated map-side by an
+    explode AFTER the join — same plan invariants, fewer probed rows."""
     from metevents_spark.operators.graph import (
         _round_contrib,
         _transition_frame,
     )
 
-    edges, out_w, nodes = _transition_frame(spark, SF)
+    adj, nodes = _transition_frame(spark, SF)
     nodes.count()  # materialize the caches, as part_pagerank does
     ranks = nodes.selectExpr("pid", "cast(1000000000 as long) as rank")
-    contrib = _round_contrib(edges, out_w, ranks.localCheckpoint(), "LONG")
+    contrib = _round_contrib(adj, ranks.localCheckpoint(), "LONG")
     # walk the JVM physical tree WITHOUT descending into
     # InMemoryTableScan: the cached build plan (one-time cost)
     # legitimately contains its own joins and exchanges, and its

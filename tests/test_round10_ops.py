@@ -386,12 +386,16 @@ def test_part_pagerank_convergence_exit(spark, tmp_path):
     tol exits after one round; (c) on a 2-regular cycle graph the
     uniform distribution IS the exact fixed point (teleport + damping
     complement exactly: Sterbenz), so tol=0.0 exits after round 1 with
-    every rank at exactly 1.0."""
+    every rank at exactly 1.0 — r14 batches the tol=0 convergence
+    check every 3rd round (identity rounds past the fixed point, so
+    output is bit-identical), hence last_n_rounds lands on 3."""
     from metevents_spark.operators.graph import part_pagerank
 
     part_pagerank(spark, SF_SMALL)
     assert part_pagerank.last_n_rounds == 12
 
+    # tol > 0: overshoot would change output, so the check stays
+    # per-round and a huge tol still exits after exactly one round
     part_pagerank(spark, SF_SMALL, tol=1e9)
     assert part_pagerank.last_n_rounds == 1
 
@@ -404,6 +408,8 @@ def test_part_pagerank_convergence_exit(spark, tmp_path):
         tmp_path / "lineitem.parquet"
     )
     got = part_pagerank(spark, str(tmp_path)).toPandas()
-    assert part_pagerank.last_n_rounds == 1
+    # fixed point is reached at round 1; the batched tol=0 check fires
+    # at round 3 after two identity rounds (ranks unchanged)
+    assert part_pagerank.last_n_rounds == 3
     assert sorted(got["pid"]) == parts
     assert (got["rank_ppm"] == 1_000_000).all()
