@@ -232,13 +232,7 @@ def media_embed(media_df: DataFrame, dim: int = 64) -> DataFrame:
         for pdf in batches:
             vecs = []
             for payload in pdf["media"]:
-                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
-                    np.int64
-                )
-                if len(b) < 2:
-                    b = np.pad(b, (0, 2 - len(b)))
-                idx = (b[:-1] * 31 + b[1:]) % dim
-                h = np.bincount(idx, minlength=dim)[:dim].astype(np.float64)
+                h = _bigram_hist(bytes(payload), dim).astype(np.float64)
                 n = np.linalg.norm(h)
                 vecs.append((h / n if n else h).tolist())
             yield pd.DataFrame(
@@ -249,6 +243,94 @@ def media_embed(media_df: DataFrame, dim: int = 64) -> DataFrame:
             )
 
     return media_df.mapInPandas(embed, "doc_id long, vec array<double>")
+
+
+def _bigram_hist(payload: bytes, dim: int):
+    """Integer bigram histogram of one payload — the shared kernel of
+    :func:`media_embed` and the near-dup cell pipeline (int64 counts;
+    callers normalize). Kept as a per-payload numpy pass: an r14
+    attempt to vectorize it across the batch (one concatenated buffer
+    + a single (row*dim + bin) bincount) was bit-identical but
+    measured SLOWER in steady state (0.07-0.17 s vs 0.04-0.06 s per
+    2k-payload batch) plus a ~2 s first-call page-fault penalty per
+    worker — the per-payload form already amortizes numpy just fine
+    at these payload sizes."""
+    import numpy as np
+
+    b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    if len(b) < 2:
+        b = np.pad(b, (0, 2 - len(b)))
+    idx = (b[:-1] * 31 + b[1:]) % dim
+    return np.bincount(idx, minlength=dim)[:dim]
+
+
+def _embed_hist_cells(
+    media_df: DataFrame, dim: int, axes: list[list[float]], w: float
+) -> DataFrame:
+    """(doc_id, h, c1..cp): per-payload integer bigram histogram as a
+    PACKED int32 binary plus the grid-LSH cell coordinate per axis —
+    the near-dup pipeline's shuffle-lean embedding stage (r14).
+
+    Why this exists (guide §2.3 / §8 "shuffle a proxy, not the
+    payload"): the pair stage groups 2^p emitted copies of every
+    representative by cell, so each byte of the per-doc row crosses
+    the exchange (and the pre-kernel sort, and the Arrow boundary)
+    2^p times. The L2-normalized float64 vector is 64 x 8 B + list
+    overhead ≈ 525 B/row; the histogram it derives from is 64 exact
+    small ints = 256 B packed. Shipping ``h`` and re-normalizing
+    inside the pair kernel halves the shuffled bytes and replaces
+    8M-row list-of-float64 pandas materialization with one
+    frombuffer per cell.
+
+    BIT-EXACT equivalence with the media_embed + JVM-fold path, piece
+    by piece (pinned by tests/test_media_embed.py):
+    - vec reconstruction: h's squares and their sums are integers
+      < 2^53, so sum-of-squares is EXACT in any summation order;
+      np.linalg.norm(h) (BLAS ddot + sqrt) therefore equals
+      sqrt((h*h).sum()) bit-for-bit, and h/norm is the same scalar
+      division both places.
+    - cell coordinates: the JVM fold
+      aggregate(zip_with(vec, axis, a*b), 0.0, acc+x) is the strictly
+      sequential left sum of the elementwise products;
+      np.cumsum(vec*axis)[..., -1] accumulates in the identical
+      order (ufunc accumulate is sequential), 0.0 + x0 == x0, so
+      every partial — and floor(proj/w) — matches to the bit.
+    """
+    import numpy as np
+
+    p = len(axes)
+    amat = np.asarray(axes, dtype=np.float64)  # (p, dim)
+    ccols = [f"c{i + 1}" for i in range(p)]
+    schema = "doc_id long, h binary, " + ", ".join(
+        f"{c} int" for c in ccols
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            hists = np.empty((n, dim), dtype=np.int64)
+            for i, payload in enumerate(pdf["media"]):
+                hists[i] = _bigram_hist(bytes(payload), dim)
+            hf = hists.astype(np.float64)
+            norms = np.sqrt((hf * hf).sum(axis=1))  # exact ints < 2^53
+            np.divide(hf, norms[:, None], out=hf, where=norms[:, None] > 0)
+            # sequential-order projections: cumsum == the JVM fold
+            cells = np.empty((p, n), dtype=np.int32)
+            for k in range(p):
+                proj = np.cumsum(hf * amat[k], axis=1)[:, -1]
+                cells[k] = np.floor(proj / w).astype(np.int32)
+            h32 = hists.astype("<i4")
+            out = {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "h": [h32[i].tobytes() for i in range(n)],
+            }
+            for k, c in enumerate(ccols):
+                out[c] = cells[k]
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(kernel, schema)
 
 
 def _lcg_unit(seed: int, n: int) -> list[float]:
@@ -380,7 +462,6 @@ def media_embedding_near_dup(
     reps = member_rep.filter(F.col("doc_id") == F.col("rep_id")).select(
         "doc_id"
     ).join(media, "doc_id")
-    emb = media_embed(reps, dim=dim)
     w = math.sqrt(2.0 * max(1.0 - threshold, 1e-12))
     if n_projections == "auto":
         # one cheap count over the cached rep map — the blocking
@@ -398,30 +479,19 @@ def media_embedding_near_dup(
     axes = [_lcg_unit(i + 1, dim) for i in range(p)]
     bcols = [f"b{i + 1}" for i in range(p)]
 
-    def proj(r: list[float]):
-        return F.aggregate(
-            F.zip_with(
-                F.col("vec"),
-                F.array(*[F.lit(x) for x in r]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    blocked = emb.select(
-        "doc_id",
-        "vec",
-        *[
-            F.floor(proj(r) / F.lit(w)).cast("int").alias(f"c{i + 1}")
-            for i, r in enumerate(axes)
-        ],
-    )
+    # r14 (§2.3/§8): the embedding stage ships the packed INTEGER
+    # histogram plus the cell coordinates — not the float64 vector —
+    # through the 2^p-amplified cell shuffle; the pair kernel
+    # re-normalizes bit-identically (see _embed_hist_cells). The JVM
+    # projection folds this replaces were re-derived per axis from the
+    # same vec; the kernel computes them once in the same float64
+    # sequential order.
+    blocked = _embed_hist_cells(reps, dim, axes, w)
     import itertools
 
     cells = blocked.select(
         "doc_id",
-        "vec",
+        "h",
         F.explode(
             F.array(
                 *[
@@ -437,7 +507,7 @@ def media_embedding_near_dup(
                 ]
             )
         ).alias("cell"),
-    ).select("doc_id", "vec", *[f"cell.{b}" for b in bcols])
+    ).select("doc_id", "h", *[f"cell.{b}" for b in bcols])
 
     out_schema = "doc_a long, doc_b long, cosine double"
 
@@ -455,7 +525,15 @@ def media_embedding_near_dup(
                     "cosine": pd.Series([], dtype="float64"),
                 }
             )
-        m = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        # one frombuffer for the whole cell, then the bit-exact
+        # re-normalization (integer sums < 2^53: see _embed_hist_cells)
+        m = (
+            np.frombuffer(b"".join(pdf["h"]), dtype="<i4")
+            .reshape(-1, len(pdf["h"].iloc[0]) // 4)
+            .astype(np.float64)
+        )
+        norms = np.sqrt((m * m).sum(axis=1))
+        m /= norms[:, None]
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         n = len(ids)
         # Chunked gram sweep (r12): the one-shot round(m @ m.T) +

@@ -172,3 +172,73 @@ def test_auto_projections_scales_with_density():
     assert _auto_projections(100_000) == 3
     assert _auto_projections(1_000_000) == 4
     assert _auto_projections(10_000_000) == 5
+
+
+def test_hist_cells_stage_bit_matches_vec_and_jvm_folds(spark):
+    """r14 shuffle-lean near-dup stage: _embed_hist_cells ships the
+    packed int32 histogram + kernel-computed cell coordinates instead
+    of the float64 vec + JVM projection folds. Pin the bit-level
+    equivalences the rewrite rests on: (a) the kernel-side
+    re-normalization of h reproduces media_embed's vec EXACTLY (not
+    approximately); (b) the kernel's cumsum projections reproduce the
+    JVM aggregate/zip_with fold's floor(proj/w) cell ids exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from metevents_spark.multimodal.media import (
+        _embed_hist_cells,
+        _lcg_unit,
+    )
+
+    payloads = [
+        bytes(range(256)) * 3,
+        b"hello world, hello world",
+        b"x",
+        b"",
+        bytes([7, 7, 7, 7]),
+        bytes(reversed(range(200))),
+    ]
+    df = _media_df(spark, payloads)
+    dim, p = 64, 3
+    w = math.sqrt(2.0 * (1.0 - 0.999))
+    axes = [_lcg_unit(i + 1, dim) for i in range(p)]
+
+    staged = (
+        _embed_hist_cells(df, dim, axes, w).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    ref = media_embed(df, dim=dim).toPandas().sort_values("doc_id")
+
+    # (a) h -> vec reconstruction is bit-identical
+    for h_bytes, vec in zip(staged["h"], ref["vec"]):
+        h = np.frombuffer(h_bytes, dtype="<i4").astype(np.float64)
+        rec = h / np.sqrt((h * h).sum())
+        assert (rec == np.asarray(vec)).all()
+
+    # (b) cell ids match the JVM fold exactly
+    def proj(r):
+        return F.aggregate(
+            F.zip_with(
+                F.col("vec"),
+                F.array(*[F.lit(x) for x in r]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    emb = media_embed(df, dim=dim)
+    jvm = (
+        emb.select(
+            "doc_id",
+            *[
+                F.floor(proj(r) / F.lit(w)).cast("int").alias(f"c{i + 1}")
+                for i, r in enumerate(axes)
+            ],
+        )
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for i in range(p):
+        col = f"c{i + 1}"
+        assert (staged[col] == jvm[col]).all(), col
