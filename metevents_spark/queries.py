@@ -5253,85 +5253,80 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_quantiles_approx": value_quantiles_approx,
 }
 
-# ROTATION (round 13): staleness-driven refresh, continuing the
-# committed policy. Latest-driver-row age per key (computed from
-# CORRECTNESS_r01..r12): 2 keys last checked r07 (rolling_mean /
-# vocab_top_terms — displaced in r12 with a promised requeue), 41
-# last r08, everything else r09+. All 10 rows-only keys already hold
-# driver rows, so per the rows-only rule (slots only when NEVER
-# rowed) none may spend a slot — the r12 window violated this with
-# knn_ivf_pq; tests/test_oracle_parity.py now asserts it against the
-# pre-window CORRECTNESS history. This round's window:
+# ROTATION (round 14): the r13 verdict's item 6 — the driver has
+# never hash-checked most of the r13 sweep-rewritten keys (their last
+# driver rows predate the rewrites, r09-r12); this window routes the
+# sample straight at them. Composition:
 #   * slots 1-5: the SURVEY §2 reference detectors (parity core,
 #     checked every round);
-#   * slots 6-8: keys whose kernels or oracles CHANGED this round and
-#     must re-earn green rows — the BPE pair (two-space oracle
-#     encoding fix for adjacent pair occurrences) and part_pagerank
-#     (integer micro-unit rewrite + first-ever hash oracle,
-#     rows-only -> oracle-backed);
-#   * slots 9-10: the r07-stale pair, requeued as promised;
-#   * slots 11-48: the FULL oracle-backed r08-stale cohort (38 keys,
-#     alphabetical; the cohort's other 3 keys — embedding_whitening,
-#     pca_embeddings, rolling_reach_hll — are rows-only and already
-#     rowed, hence excluded);
-#   * slots 49-50: the two stalest r09 keys (alphabetical).
-# After this round every key's latest driver row is r9+.
+#   * slots 6-7: the two oracle-backed kernels REWRITTEN this round
+#     and re-earning green rows — part_pagerank (adjacency-list cache
+#     + batched tol=0 convergence) and media_embedding_near_dup
+#     (histogram-binary cell shuffle);
+#   * slots 8-45: the r13-sweep/rank/window-rewrite cohort whose last
+#     driver row predates its rewrite, stalest-first (r09 cohort,
+#     then r10, r11, r12; alphabetical within a round).
+#     rolling_reach_hll belongs to the cohort but is rows-only and
+#     already rowed, hence excluded per the rows-only rule
+#     (tests/test_oracle_parity.py pins this);
+#   * slots 46-50: the stalest remaining oracle-backed keys (r09,
+#     alphabetical).
 # Everything oracle-backed is ALSO pinned by tests/test_oracle_parity
 # (same row-count/schema/value-hash comparison vs DuckDB at sf0.001,
 # runs in every pytest suite); rows-only ops by their golden /
 # differential tests.
-_WINDOW_ROUND = 13  # the round this window was written for
+_WINDOW_ROUND = 14  # the round this window was written for
 _DRIVER_WINDOW = [
     "extreme_value",
     "flat_line",
     "extreme_change",
     "data_gap",
     "freq_infer",
-    "bpe_learn",
-    "bpe_token_count",
     "part_pagerank",
-    "rolling_mean",
-    "vocab_top_terms",
-    "bigram_logprob",
-    "boilerplate_phrases",
-    "contamination_fraction",
-    "cooccurrence_counts",
-    "corpus_summary",
-    "counter_rate",
-    "cross_doc_ngram_share",
-    "customer_order_distribution",
-    "cusum_alarm",
-    "data_expectations",
-    "decontaminate_bloom",
-    "decontaminate_ngram",
-    "dedup_clusters",
-    "discounted_revenue",
-    "disjunctive_part_revenue",
-    "doc_chunking",
-    "domain_stats",
-    "dominant_part_suppliers",
-    "event_pair_lift",
-    "event_transitions",
-    "events_cube",
-    "importance_resample",
-    "incremental_dedup",
-    "ks_drift",
-    "mad_drift",
-    "minhash_near_dup",
-    "nation_yoy_growth",
-    "ngram_novelty",
-    "pareto_parts",
-    "robust_zscore",
-    "simhash_fingerprints",
-    "simhash_near_dup",
-    "source_token_kl",
-    "time_weighted_avg",
-    "token_count_bpe",
-    "token_entropy",
-    "top_paths",
-    "zscore_anomaly",
-    "benford_deviation",
-    "burst_collapse",
+    "media_embedding_near_dup",
+    "edit_distance_pairs",
+    "event_type_corr",
+    "holt_backtest",
+    "interval_coverage",
+    "key_skew_report",
+    "lineitem_unpivot",
+    "mutual_information",
+    "region_nation_rollup",
+    "retention_cohorts",
+    "rolling_7d_active",
+    "sequence_pack",
+    "series_quantile_bands",
+    "survival_retention",
+    "user_reach_kmv",
+    "audience_overlap",
+    "bm25_rank",
+    "conversion_bootstrap_ci",
+    "dedup_rate_by_source",
+    "dedup_survivor_pick",
+    "doc_containment",
+    "kendall_trend",
+    "spearman_trend",
+    "theilsen_trend",
+    "unigram_logprob",
+    "churned_customers",
+    "important_parts",
+    "kendall_trend_sampled",
+    "skew_join_compare",
+    "text_stats",
+    "theilsen_trend_sampled",
+    "winsorize_series",
+    "gopher_quality",
+    "lang_id",
+    "ngram_jaccard_pairs",
+    "repeat_customers",
+    "semantic_dedup",
+    "small_qty_part_revenue",
+    "tfidf_top_terms",
+    "downsample_ohlc",
+    "embedding_quantize",
+    "funnel_conversion",
+    "heavy_shippers",
+    "interarrival_stats",
 ]
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
 QUERIES = {k: QUERIES[k] for k in _DRIVER_WINDOW} | {
