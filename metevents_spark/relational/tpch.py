@@ -396,7 +396,13 @@ def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     row multiset per surviving part (the filter is a partkey-membership
     predicate, never a row predicate), so qty_cut — and the final
     rounded scalar — are identical. One fact scan, one small cached
-    frame, one broadcast avg join."""
+    frame. The avg join carries NO broadcast hint (r14, ADVICE):
+    avg_qty has one row per Brand#13 part — ~SF·8k rows, linear in
+    scale — so a forced broadcast bypasses autoBroadcastJoinThreshold
+    and risks driver/executor pressure at large SF; AQE sees the true
+    post-agg size at runtime and still picks broadcast wherever it
+    actually fits, falling back to the scale-safe shuffle join beyond
+    it."""
     line = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#13"
@@ -416,9 +422,7 @@ def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.avg("l_quantity") * 0.2).alias("qty_cut"))
     )
     return (
-        flt.join(
-            F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey")
-        )
+        flt.join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             (F.sum(_dec("l_extendedprice")) / F.lit(7.0))
